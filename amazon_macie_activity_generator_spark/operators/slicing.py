@@ -1,0 +1,55 @@
+"""T7/T8 — value slicing and batch chunking.
+
+T7 (main.py:95-113, README.md:225): split datapoint ``v`` into
+``floor(v/s)`` slices of size ``s`` plus a remainder slice; ``v == 0`` or
+``s <= 0`` -> ``[v]`` unchanged. This is the reference's fan-out control:
+350 with slice_size 100 -> [100, 100, 50] -> 3 parallel deliveries.
+
+T8 (main.py:71-82): break a list into <=k-element chunks (SQS batch 10,
+CloudWatch batch 10). As a relation: chunk id = floor(rank/k) over a
+deterministic order. Inside sinks we instead chunk per partition in the
+writer (no global ordering needed at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def slice_array_expr(value: Column, slice_size: Column) -> Column:
+    """Array of slices for one value (pure expression, exact T7 semantics)."""
+    v = value.cast("long")
+    s = slice_size.cast("long")
+    full = F.floor(v / s).cast("int")
+    rem = v % s
+    sliced = F.when(rem > 0, F.concat(F.array_repeat(s, full), F.array(rem))).otherwise(
+        F.array_repeat(s, full)
+    )
+    return F.when((v == 0) | (s <= 0), F.array(v)).otherwise(sliced)
+
+
+def slice_explode(
+    df: DataFrame, slice_size: int | Column, value_col: str = "value", out_col: str = "slice_value"
+) -> DataFrame:
+    """T7 as an operator: one output row per slice (posexplode keeps the
+    slice index for deterministic downstream ordering)."""
+    s = F.lit(slice_size) if isinstance(slice_size, int) else slice_size
+    arr = slice_array_expr(F.col(value_col), s)
+    return df.select(
+        "*", F.posexplode(arr).alias("slice_idx", out_col)
+    )
+
+
+def chunk_rows(
+    df: DataFrame, chunk_size: int, order_by: list[str], by: list[str] | None = None, out_col: str = "chunk_id"
+) -> DataFrame:
+    """T8 as a relation: assign floor(row_number/k) chunk ids.
+
+    ``by`` partitions the numbering (per-series / per-target chunking) so
+    the window is keyed — no single-reducer global sort at scale. A truly
+    global chunking should happen sink-side per partition instead.
+    """
+    w = Window.orderBy(*order_by) if not by else Window.partitionBy(*by).orderBy(*order_by)
+    rn = F.row_number().over(w) - 1
+    return df.withColumn(out_col, F.floor(rn / chunk_size).cast("long"))

@@ -1,0 +1,398 @@
+"""Driver-contract query catalog: name -> (spark_builder, duckdb_oracle_sql).
+
+Every deterministic operator from SURVEY.md §2 gets an entry here; the
+driver runs the Spark side at sf=0.01 and hash-compares against the
+DuckDB SQL (columns sorted by name; floats rounded in BOTH engines by
+the queries themselves). Non-SQL-expressible / nondeterministic ops have
+``sql=None`` -> rows-only check.
+
+Cross-engine FP discipline (SURVEY.md §7 hard parts):
+- identical IEEE op order in both engines wherever floats matter;
+- libm-sensitive funcs (sin) round to 6dp *before* any ceil;
+- float outputs round to 4dp; casts avoid engine-specific behavior
+  (DuckDB CAST(double AS BIGINT) rounds, Spark truncates -> always
+  ``floor`` first).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.config import GeneratorSpec
+from amazon_macie_activity_generator_spark.formula import translate_formula
+from amazon_macie_activity_generator_spark.operators import generators as G
+from amazon_macie_activity_generator_spark.operators.align import zero_fill
+from amazon_macie_activity_generator_spark.operators.anomalies import apply_anomalies
+from amazon_macie_activity_generator_spark.operators.reshape import (
+    group_datapoints,
+    payload_envelope,
+    pivot_slot_rows,
+)
+from amazon_macie_activity_generator_spark.operators.scaling import scale_minmax
+from amazon_macie_activity_generator_spark.operators.slicing import chunk_rows, slice_explode
+from amazon_macie_activity_generator_spark.plans.generate import generate_series
+from amazon_macie_activity_generator_spark.sources.real_series import (
+    events_as_series,
+    pad_truncate,
+)
+
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------- generators
+
+def q_gen_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 (main.py:500-508)."""
+    g = GeneratorSpec("const1", "constant", {"constant": 7, "num_points": 100})
+    df = generate_series(spark, g, run_id="oracle")
+    return df.select("t", F.col("value").cast("long").alias("value"))
+
+
+SQL_GEN_CONSTANT = "SELECT t, CAST(7 AS BIGINT) AS value FROM range(0, 100) tbl(t)"
+
+
+def q_gen_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 (main.py:447-462): README.md:135 worked example, 100 points."""
+    g = GeneratorSpec(
+        "sq1", "square",
+        {"low_value": 10, "low_width": 2, "high_value": 40, "high_width": 3, "num_points": 100},
+    )
+    df = generate_series(spark, g, run_id="oracle")
+    return df.select("t", F.col("value").cast("long").alias("value"))
+
+
+SQL_GEN_SQUARE = (
+    "SELECT t, CAST(CASE WHEN t % 5 < 2 THEN 10 ELSE 40 END AS BIGINT) AS value "
+    "FROM range(0, 100) tbl(t)"
+)
+
+_SIN_N = 100
+_SIN_STEP = float(_SIN_N) / float(_SIN_N - 1)
+_SIN_W = 2.0 * math.pi * 0.037  # angular frequency for f=0.037
+
+
+def q_gen_sinusoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 (main.py:479-498): sin on the TimeSynth grid, signal-scaled to
+    [1,20]. Pre-ceil round(6) in both engines dodges libm ULP drift."""
+    df = G.time_grid(spark, _SIN_N).withColumn(
+        "raw", F.sin(F.lit(_SIN_W) * F.col("t").cast("double") * F.lit(_SIN_STEP))
+    )
+    df = scale_minmax(df, value_col="raw", lo=1, hi=20, by=[], round_before_ceil=6)
+    return df.select("t", F.col("raw").cast("long").alias("value"))
+
+
+SQL_GEN_SINUSOIDAL = f"""
+WITH raw AS (
+  SELECT t, sin({_SIN_W!r} * CAST(t AS DOUBLE) * {_SIN_STEP!r}) AS v
+  FROM range(0, {_SIN_N}) tbl(t)
+), stats AS (SELECT min(v) AS mn, max(v) AS mx FROM raw)
+SELECT t, CAST(CASE WHEN mx = mn THEN ceil(1.0)
+                ELSE ceil(round((v - mn) / (mx - mn) * 19.0 + 1.0, 6)) END AS BIGINT) AS value
+FROM raw, stats
+"""
+
+_CUSTOM_FORMULA = "(t * t) % 97 + 3"
+
+
+def q_gen_custom_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 (main.py:464-477): whitelist-translated formula, scaled [0,90]."""
+    sql, needed = translate_formula(_CUSTOM_FORMULA)
+    assert not needed
+    df = G.time_grid(spark, 200).withColumn("raw", F.expr(sql))
+    df = scale_minmax(df, value_col="raw", lo=0, hi=90, by=[], round_before_ceil=6)
+    return df.select("t", F.col("raw").cast("long").alias("value"))
+
+
+SQL_GEN_CUSTOM = """
+WITH raw AS (
+  SELECT t, (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) % 97 + 3 AS v
+  FROM range(0, 200) tbl(t)
+), stats AS (SELECT min(v) AS mn, max(v) AS mx FROM raw)
+SELECT t, CAST(CASE WHEN mx = mn THEN ceil(0.0)
+                ELSE ceil(round((v - mn) / (mx - mn) * 90.0 + 0.0, 6)) END AS BIGINT) AS value
+FROM raw, stats
+"""
+
+# ------------------------------------------------------------------ sources
+
+_REPLAY_N = 2500
+
+
+def q_real_replay_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (main.py:510-529): replay 'click' events as a series; zero-pad
+    to N slots / truncate beyond."""
+    s = events_as_series(_events(spark, sf_dir)).filter(F.col("series_id") == "click")
+    out = pad_truncate(spark, s.select("t", "value"), _REPLAY_N)
+    return out.select("t", F.round("value", 4).alias("value"))
+
+
+SQL_REAL_REPLAY = f"""
+WITH s AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS t, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT g.t, round(COALESCE(s.value, 0.0), 4) AS value
+FROM range(0, {_REPLAY_N}) g(t) LEFT JOIN s ON g.t = s.t
+"""
+
+# --------------------------------------------------------------- transforms
+
+def q_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 (main.py:340-357): rescale events.value per event_type into
+    [1,100] — two-pass agg + broadcast join, no unpartitioned window."""
+    df = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = scale_minmax(df, value_col="value", lo=1, hi=100, by=["event_type"], out_col="scaled")
+    return out.select("event_id", "event_type", F.col("scaled").cast("long").alias("scaled"))
+
+
+SQL_SCALE_MINMAX = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN mx = mn THEN ceil(1.0)
+             ELSE ceil((value - mn) / (mx - mn) * 99.0 + 1.0) END AS BIGINT) AS scaled
+FROM (
+  SELECT event_id, event_type, value,
+         min(value) OVER (PARTITION BY event_type) AS mn,
+         max(value) OVER (PARTITION BY event_type) AS mx
+  FROM events
+)
+"""
+
+_ANOM_SPEC = {"start": 10, "end": 500, "counts": 7}
+_ANOM_STRIDE = (500 - 10 + 1) // 7  # 70
+
+
+def q_anomaly_inject_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (main.py:606-641), deterministic stride mode: 7 slots in
+    [10,500], overwrite with default (max+1)^2."""
+    s = events_as_series(_events(spark, sf_dir)).select("series_id", "t", "value")
+    out = apply_anomalies(s, [_ANOM_SPEC], n_points=501, mode="stride")
+    return out.select("series_id", "t", F.round("value", 4).alias("value"))
+
+
+SQL_ANOMALY_STRIDE = f"""
+WITH s AS (
+  SELECT event_type AS series_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+), st AS (SELECT series_id, max(value) AS mx FROM s GROUP BY series_id)
+SELECT s.series_id, s.t,
+       round(CASE WHEN s.t BETWEEN 10 AND 500
+                   AND (s.t - 10) % {_ANOM_STRIDE} = 0
+                   AND (s.t - 10) // {_ANOM_STRIDE} < 7
+              THEN power(st.mx + 1, 2) ELSE s.value END, 4) AS value
+FROM s JOIN st USING (series_id)
+"""
+
+
+def q_align_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (main.py:686-696): full grid x series, missing slots -> 0."""
+    s = events_as_series(_events(spark, sf_dir)).select("series_id", "t", "value")
+    out = zero_fill(spark, s)
+    return out.select("series_id", "t", F.round("value", 4).alias("value"))
+
+
+SQL_ALIGN_ZERO_FILL = """
+WITH s AS (
+  SELECT event_type AS series_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+),
+grid AS (
+  SELECT unnest(range(0, (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM s GROUP BY series_id)))) AS t
+)
+SELECT d.series_id, grid.t, round(COALESCE(s.value, 0.0), 4) AS value
+FROM grid CROSS JOIN (SELECT DISTINCT series_id FROM s) d
+LEFT JOIN s ON s.series_id = d.series_id AND s.t = grid.t
+"""
+
+
+def q_slice_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 (main.py:95-113): fan-out slicing, slice_size=3."""
+    df = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") < 1000)
+        .select("event_id", F.floor("value").cast("long").alias("value"))
+    )
+    out = slice_explode(df, 3)
+    return out.select(
+        "event_id",
+        F.col("slice_idx").cast("long").alias("slice_idx"),
+        F.col("slice_value").cast("long").alias("slice_value"),
+    )
+
+
+SQL_SLICE_EXPLODE = """
+WITH v AS (
+  SELECT event_id, CAST(floor(value) AS BIGINT) AS v
+  FROM events WHERE event_id < 1000
+),
+n AS (
+  SELECT event_id, v,
+         CASE WHEN v = 0 THEN 1
+              ELSE v // 3 + CASE WHEN v % 3 > 0 THEN 1 ELSE 0 END END AS cnt
+  FROM v
+)
+SELECT event_id, i AS slice_idx,
+       CASE WHEN v = 0 THEN v WHEN i < v // 3 THEN 3 ELSE v % 3 END AS slice_value
+FROM (SELECT event_id, v, unnest(range(cnt)) AS i FROM n)
+"""
+
+
+def q_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 (main.py:71-82): <=10-row chunks per event_type."""
+    df = _events(spark, sf_dir).select("event_type", "event_id")
+    out = chunk_rows(df, 10, order_by=["event_id"], by=["event_type"])
+    return out.groupBy("event_type", "chunk_id").agg(F.count("*").alias("n_rows"))
+
+
+SQL_CHUNK_ROWS = """
+SELECT event_type, chunk_id, count(*) AS n_rows
+FROM (
+  SELECT event_type,
+         (row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1) // 10 AS chunk_id
+  FROM events
+)
+GROUP BY event_type, chunk_id
+"""
+
+# ---------------------------------------------------------------- reshaping
+
+def q_pivot_slot_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 (main.py:686-707): wide slot rows over the 5 event series."""
+    s = events_as_series(_events(spark, sf_dir)).filter(F.col("t") < 1500)
+    wide = pivot_slot_rows(s, series_ids=EVENT_TYPES, agg="max")
+    return wide.select("t", *[F.round(c, 4).alias(c) for c in EVENT_TYPES])
+
+
+SQL_PIVOT_SLOT_ROW = """
+WITH s AS (
+  SELECT event_type AS series_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+)
+SELECT t,
+       round(COALESCE(max(CASE WHEN series_id = 'click' THEN value END), 0), 4) AS click,
+       round(COALESCE(max(CASE WHEN series_id = 'error' THEN value END), 0), 4) AS error,
+       round(COALESCE(max(CASE WHEN series_id = 'purchase' THEN value END), 0), 4) AS purchase,
+       round(COALESCE(max(CASE WHEN series_id = 'signup' THEN value END), 0), 4) AS signup,
+       round(COALESCE(max(CASE WHEN series_id = 'view' THEN value END), 0), 4) AS view
+FROM s WHERE t < 1500 GROUP BY t
+"""
+
+
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 (main.py:784-802): per-slot sorted datapoint groups, as JSON for
+    cross-engine comparison."""
+    s = (
+        events_as_series(_events(spark, sf_dir))
+        .filter(F.col("t") < 100)
+        .withColumn("value", F.floor("value").cast("long"))
+    )
+    out = group_datapoints(s)
+    return out.select("t", F.to_json("datapoints").alias("datapoints_json"))
+
+
+SQL_GROUP_COLLECT = """
+WITH s AS (
+  SELECT event_type AS series_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
+         CAST(floor(value) AS BIGINT) AS value
+  FROM events
+)
+SELECT t, to_json(list(struct_pack(generator_id := series_id, value := value)
+                       ORDER BY series_id)) AS datapoints_json
+FROM s WHERE t < 100 GROUP BY t
+"""
+
+_PAYLOAD_TARGET = {"type": "lambda", "function": "net_fuzz", "generators": ["click"]}
+
+
+def q_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 (main.py:804-828): wire-format envelope (README.md:292-313),
+    fixed timestamp for determinism."""
+    s = (
+        events_as_series(_events(spark, sf_dir))
+        .filter(F.col("t") < 5)
+        .withColumn("value", F.floor("value").cast("long"))
+    )
+    grouped = group_datapoints(s)
+    return payload_envelope(
+        grouped, _PAYLOAD_TARGET, timestamp=F.lit("2024-01-01T00:00:00Z")
+    )
+
+
+SQL_PAYLOAD_JSON = """
+WITH s AS (
+  SELECT event_type AS series_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
+         CAST(floor(value) AS BIGINT) AS value
+  FROM events
+)
+SELECT to_json(struct_pack(
+         source := 'amazon-macie-activity-generator',
+         action := 'execute-datapoints',
+         "timestamp" := '2024-01-01T00:00:00Z',
+         datapoints := list(struct_pack(generator_id := series_id, value := value)
+                            ORDER BY series_id),
+         target := struct_pack(function := 'net_fuzz', type := 'lambda')
+       )) AS payload
+FROM s WHERE t < 5 GROUP BY t
+"""
+
+# ----------------------------------------------------- rows-only (no oracle)
+
+def q_gen_random_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 (main.py:531-573): uniform draws, signal-scaled. Cross-engine RNG
+    never hash-matches -> rows-only (count + range asserted by tests)."""
+    g = GeneratorSpec(
+        "rnd1", "random",
+        {"type": "uniform", "num_points": 1000, "signal_min": 1, "signal_max": 20},
+    )
+    df = generate_series(spark, g, run_id="oracle")
+    return df.select("t", F.col("value").cast("long").alias("value"))
+
+
+def q_noise_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (main.py:588-604): bounded noise, clamped at 0. Rows-only."""
+    from amazon_macie_activity_generator_spark.operators.noise import apply_noise
+
+    g = GeneratorSpec("c", "constant", {"constant": 10, "num_points": 1000})
+    df = generate_series(spark, g, run_id="oracle")
+    out = apply_noise(df, {"noise_min": 0, "noise_max": 5}, identity=("run_id", "series_id", "t"))
+    return out.select("t", F.col("value").alias("value"))
+
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "gen_constant": (q_gen_constant, SQL_GEN_CONSTANT),
+    "gen_square": (q_gen_square, SQL_GEN_SQUARE),
+    "gen_sinusoidal": (q_gen_sinusoidal, SQL_GEN_SINUSOIDAL),
+    "gen_custom_formula": (q_gen_custom_formula, SQL_GEN_CUSTOM),
+    "gen_random_uniform": (q_gen_random_uniform, None),
+    "real_replay_pad": (q_real_replay_pad, SQL_REAL_REPLAY),
+    "scale_minmax": (q_scale_minmax, SQL_SCALE_MINMAX),
+    "noise_bounded": (q_noise_bounded, None),
+    "anomaly_inject_stride": (q_anomaly_inject_stride, SQL_ANOMALY_STRIDE),
+    "align_zero_fill": (q_align_zero_fill, SQL_ALIGN_ZERO_FILL),
+    "slice_explode": (q_slice_explode, SQL_SLICE_EXPLODE),
+    "chunk_rows": (q_chunk_rows, SQL_CHUNK_ROWS),
+    "pivot_slot_row": (q_pivot_slot_row, SQL_PIVOT_SLOT_ROW),
+    "group_collect": (q_group_collect, SQL_GROUP_COLLECT),
+    "payload_json": (q_payload_json, SQL_PAYLOAD_JSON),
+}

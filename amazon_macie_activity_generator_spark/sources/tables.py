@@ -1,0 +1,48 @@
+"""Loaders for the driver's parquet tables (TESTDATA.md / FIXTURES.md §A).
+
+``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+does not support natively; with ``spark.sql.legacy.parquet.nanosAsLong``
+it surfaces as a long of epoch-nanos. ``load_table`` normalizes it to a
+microsecond TimestampType column so every downstream operator sees a real
+timestamp (matching DuckDB's ns->us comparison semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, robust to sessions we didn't configure: the
+    driver passes its own SparkSession, so the nanos-compat flag is set
+    here at runtime (it is a runtime-settable legacy conf), with a
+    pyarrow rewrite fallback if a future Spark freezes it."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        except Exception:
+            df = _load_via_arrow(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _load_via_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Fallback: pyarrow read + ns->us cast, then parallelize. Only for
+    the small driver tables — at real scale the data lands as us-precision
+    parquet and never takes this path."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc  # noqa: F401
+
+    tbl = pq.read_table(path)
+    schema = tbl.schema
+    for i, field in enumerate(schema):
+        if str(field.type) == "timestamp[ns]":
+            tbl = tbl.set_column(i, field.name, tbl.column(i).cast("timestamp[us]"))
+    return spark.createDataFrame(tbl.to_pandas())

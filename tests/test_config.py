@@ -1,0 +1,79 @@
+"""Blueprint config semantics (S1): merge, overrides, validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from amazon_macie_activity_generator_spark.config import (
+    BlueprintError,
+    merge_commons,
+    parse_blueprint,
+)
+
+
+def test_commons_merge_generator_wins():
+    # main.py:1087-1093 / README.md:20
+    commons = {"num_points": 500, "signal_max": 50}
+    g = {"config": {"num_points": 10}}
+    merged = merge_commons(commons, g)
+    assert merged["num_points"] == 10
+    assert merged["signal_max"] == 50
+
+
+def test_generator_anomalies_replace_commons():
+    # README.md:96 — replace, not merge
+    commons = {"anomalies": [{"start": 0, "end": 9, "counts": 1}]}
+    g = {"config": {"anomalies": [{"start": 5, "end": 6, "counts": 2}]}}
+    merged = merge_commons(commons, g)
+    assert merged["anomalies"] == [{"start": 5, "end": 6, "counts": 2}]
+
+
+def test_anomaly_dict_normalized_to_list():
+    # main.py:617-619
+    bp = parse_blueprint({
+        "generators": [{"id": "g", "shape": "constant",
+                        "config": {"anomalies": {"start": 1, "end": 2, "counts": 1}}}],
+    })
+    assert bp.generators[0].anomalies == [{"start": 1, "end": 2, "counts": 1}]
+
+
+def test_default_bucket_patch():
+    # main.py:1096-1098
+    bp = parse_blueprint({
+        "generators": [{"id": "g", "shape": "constant"}],
+        "targets": [{"type": "s3"}, {"type": "s3", "bucket": "mine"}],
+    }, default_bucket="default-bkt")
+    assert bp.targets[0].config["bucket"] == "default-bkt"
+    assert bp.targets[1].config["bucket"] == "mine"
+
+
+def test_grid_length_is_max_series_length():
+    # B2 intent
+    bp = parse_blueprint({
+        "generators": [
+            {"id": "a", "shape": "constant", "config": {"num_points": 10}},
+            {"id": "b", "shape": "constant", "config": {"num_points": 30}},
+        ],
+    })
+    assert bp.num_points == 30
+
+
+def test_num_points_capped_at_14_days():
+    bp = parse_blueprint({
+        "generators": [{"id": "a", "shape": "constant", "config": {"num_points": 10 ** 9}}],
+    })
+    assert bp.num_points == 20160  # README.md:41
+
+
+@pytest.mark.parametrize("doc,msg", [
+    ({"generators": []}, "no generators"),
+    ({"generators": [{"shape": "constant"}]}, "missing 'id'"),
+    ({"generators": [{"id": "a", "shape": "nope"}]}, "unknown shape"),
+    ({"generators": [{"id": "a", "shape": "constant"}, {"id": "a", "shape": "constant"}]}, "duplicate"),
+    ({"generators": [{"id": "a", "shape": "custom"}]}, "formula"),
+    ({"generators": [{"id": "a", "shape": "random", "config": {"type": "zipf"}}]}, "unknown random type"),
+    ({"generators": [{"id": "a", "shape": "constant"}], "targets": [{"type": "kafka"}]}, "unknown target"),
+])
+def test_validation_errors(doc, msg):
+    with pytest.raises(BlueprintError, match=msg):
+        parse_blueprint(doc)

@@ -1,0 +1,50 @@
+"""Formula translation: whitelist grammar, no eval (SURVEY.md §4.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from amazon_macie_activity_generator_spark.formula import FormulaError, translate_formula
+
+
+def test_simple_arithmetic():
+    sql, needed = translate_formula("t * 10")
+    assert "t" in sql and "10" in sql and not needed
+
+
+def test_power_and_mod():
+    sql, _ = translate_formula("(t ** 2) % 7")
+    assert "power" in sql and "pmod" in sql
+
+
+def test_max_datapoints_placeholder():
+    sql, needed = translate_formula("(max(datapoints) + 1) ** 2")
+    assert needed == {"__datapoints_max__"}
+    assert "__datapoints_max__" in sql
+
+
+def test_math_functions():
+    sql, _ = translate_formula("sin(t) + sqrt(abs(t))")
+    assert "sin" in sql and "sqrt" in sql and "abs" in sql
+
+
+@pytest.mark.parametrize("bad", [
+    "__import__('os').system('rm -rf /')",
+    "open('/etc/passwd')",
+    "t.__class__",
+    "[x for x in range(10)]",
+    "lambda: 1",
+    "unknown_var + 1",
+    "max(t)",          # max only over datapoints
+    "t if t else 0",
+])
+def test_injection_rejected(bad):
+    with pytest.raises(FormulaError):
+        translate_formula(bad)
+
+
+def test_formula_evaluates_in_spark(spark):
+    from pyspark.sql import functions as F
+    sql, _ = translate_formula("t * 2 + 1")
+    df = spark.range(5).withColumnRenamed("id", "t").select(F.expr(sql).alias("v"))
+    assert [r.v for r in df.collect()] == [1.0, 3.0, 5.0, 7.0, 9.0]
