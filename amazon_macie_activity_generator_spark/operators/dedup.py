@@ -1,0 +1,219 @@
+"""X1/X2 — deduplication operators for large-scale training-data pipelines.
+
+Four tiers, cheapest-first, all shuffle-disciplined for 100 TB:
+
+- exact: hash-groupBy on the full text (one shuffle on a hashed key;
+  canonical doc = min id, map-side combinable).
+- MinHash + LSH: shingle -> per-shingle hashes -> column-expression
+  minhash signature -> banded bucket join. Candidate generation never
+  compares all pairs: the only shuffle is groupBy(band, band_hash), and
+  within-bucket pairs are verified with exact Jaccard.
+- SimHash: 64-bit signature via exploded-token bit-vote aggregation;
+  near-dup = small Hamming distance, banded by 16-bit chunks
+  (pigeonhole: distance<=3 guarantees one of 4 chunks matches exactly).
+- n-gram Jaccard: exact set similarity on word n-grams for candidate
+  pairs (the verifier for the LSH tiers, or standalone with blocking).
+
+Everything is built from JVM-side expressions (transform/aggregate/
+xxhash64) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty-safe)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def word_shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as strings; docs shorter than k words
+    contribute the whole doc as one shingle."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(sh)
+
+
+# ------------------------------------------------------------------ exact
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1 — canonical row per distinct text: (canonical id, copy count).
+    One shuffle; partial aggregation does the heavy lifting map-side.
+    At 100 TB, group on xxhash64(text) first and only compare full text
+    within hash groups — same plan shape, smaller shuffle payload."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature as array<long>: sig[j] = min over shingles of
+    xxhash64(shingle, j). Pure nested-lambda expression (Broder '97
+    permutation-free variant: independent hash families via seed)."""
+    sh = word_shingles_expr(text, shingle_k)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        seeds, lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j)))
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """array<struct<band:int, bh:long>> — one hash per band of `rows`
+    signature entries (Leskovec et al., MMDS ch.3 banding)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(F.slice(sig, b * rows + 1, rows), b).alias("bh"),
+        ),
+    )
+
+
+def dedup_minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """X2 — candidate near-dup pairs via LSH banding, verified with exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale: the self-join is on (band, bh) buckets — skew from giant
+    buckets (boilerplate docs) is the known hazard; AQE skew-join plus
+    an optional bucket-size cap handle it.
+    """
+    rows = num_hashes // bands
+    # Materialize (id, shingles, sig) ONCE. Without this barrier Catalyst's
+    # CollapseProject inlines the 64-hash signature expression into every
+    # band slice on both join sides — a ~100x recomputation blowup
+    # (measured: 424s -> ~2s at sf0.1). At cluster scale this table is the
+    # thing you'd write to storage between passes anyway.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    ).persist()
+
+    # narrow banded table: (id, band, bh) — nothing fat crosses the shuffle
+    banded = base.select(
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[F.col("l.band") == F.col("r.band"), F.col("l.bh") == F.col("r.bh"),
+                F.col("l.id") < F.col("r.id")],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # exact-Jaccard verification only for candidates (small set)
+    sh = base.select("id", "shingles")
+    verified = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        verified.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash (Charikar '02) via explode + bit-vote aggregation:
+    one shuffle on id, 64 conditional sums vectorized by codegen.
+    Returns (id, simhash long)."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(63)  # bit 63 = sign bit; keep signatures non-negative
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(63):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming, banded into 4
+    16-bit chunks (pigeonhole guarantees a matching chunk for d<=3).
+    Returns (id_a, id_b, hamming)."""
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+        )
+        for c in range(4)
+    ])
+    banded = sig_df.select("id", "simhash", F.explode(chunks).alias("c")).select(
+        "id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, on=[F.col("l.chunk") == F.col("r.chunk"), F.col("l.ch") == F.col("r.ch"),
+                      F.col("l.id") < F.col("r.id")])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_on: Column | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs. Without
+    ``block_on`` this is a full self-join — only for bounded inputs or
+    as the verifier behind an LSH prefilter; with ``block_on`` (e.g. a
+    length bucket or LSH bucket) the join is keyed."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(F.col(text_col), n).alias("grams"),
+        (block_on if block_on is not None else F.lit(0)).alias("blk"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(r, on=[F.col("l.blk") == F.col("r.blk"), F.col("l.id") < F.col("r.id")])
+    inter = F.size(F.array_intersect("l.grams", "r.grams"))
+    union = F.size(F.array_union("l.grams", "r.grams"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

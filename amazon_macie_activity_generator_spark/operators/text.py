@@ -1,0 +1,114 @@
+"""X4 — text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column expressions (codegen, pushdown-friendly); no models, no
+Python. Heuristics are deliberately simple and deterministic so they
+oracle-check cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+
+# Tiny function-word lists per language (public-knowledge stopwords).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "von", "mit", "ist"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+# BPE-ish pre-tokenization: word pieces, digit runs, single punctuation —
+# the GPT-2 style pretoken split expressed as one regex.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens (with repeats) in `lang`'s stopword list."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens_expr(text), lambda t: F.array_contains(stop, t)))
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Heuristic language-ID: argmax of stopword hit counts; ties and
+    zero-evidence fall back to 'und'. Deterministic tie-break by the
+    fixed language order below."""
+    langs = sorted(STOPWORDS)  # de, en, es, fr, zh — fixed order
+    scored = F.array(*[
+        F.struct(stopword_hits(text, lg).alias("hits"), F.lit(lg).alias("lang"))
+        for lg in langs
+    ])
+    # array_max on struct: lexicographic (hits, lang) — ties pick the
+    # lexicographically-largest lang; zero hits -> 'und'.
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish pretoken count via regexp extraction."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features + composite score in [0, 1]:
+
+    - n_chars, n_tokens (whitespace), n_bpe_tokens
+    - mean_token_len
+    - punct_ratio: punctuation chars / chars
+    - stopword_ratio: english function-word tokens / tokens
+    - quality_score: penalizes too-short docs, punctuation soup, and
+      zero-stopword (non-prose) text — the C4/Gopher-style length &
+      symbol heuristics as cheap expressions.
+    """
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    stop_hits = stopword_hits(text, "en")
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(1.0) - punct_ratio)
+    score = F.round(length_ok * punct_ok * (F.lit(0.5) + F.lit(0.5) * F.least(stop_ratio * 5, F.lit(1.0))), 4)
+
+    return df.withColumns({
+        "n_chars_calc": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_bpe_tokens": token_count_bpe(text).cast("long"),
+        "mean_token_len": F.round(mean_tok, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "quality_score": score,
+    })
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Canonical-form document fingerprint: lowercase, strip non-alnum,
+    collapse whitespace, md5. Stable across engines -> exact-dup key."""
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
+    norm = F.trim(norm)
+    return F.md5(norm)
+
+
+def fingerprint_rolling(text: Column, window: int = 8, mod: int = 1 << 31) -> Column:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp flavor): fold the
+    token stream into a single 31-bit value. Engine-local (rows-only
+    checks) — md5 variant is the cross-engine one."""
+    toks = tokens_expr(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 131 + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)),
+    )

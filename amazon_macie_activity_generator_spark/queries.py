@@ -379,6 +379,8 @@ def q_noise_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("t", F.col("value").alias("value"))
 
 
+from amazon_macie_activity_generator_spark.queries_ext import EXT_QUERIES  # noqa: E402
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gen_constant": (q_gen_constant, SQL_GEN_CONSTANT),
     "gen_square": (q_gen_square, SQL_GEN_SQUARE),
@@ -395,4 +397,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pivot_slot_row": (q_pivot_slot_row, SQL_PIVOT_SLOT_ROW),
     "group_collect": (q_group_collect, SQL_GROUP_COLLECT),
     "payload_json": (q_payload_json, SQL_PAYLOAD_JSON),
+    **EXT_QUERIES,
 }

@@ -1,0 +1,508 @@
+"""Extension query catalog: dedup / similarity / text / multimodal /
+sessionization (SURVEY.md §2.8) plus analytics-breadth queries (joins,
+sort/limit, set ops — the §2.7 categories the reference lacks, expressed
+through the same engine).
+
+Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from amazon_macie_activity_generator_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+)
+from amazon_macie_activity_generator_spark.operators.sessionize import (
+    sessionize,
+    tumbling_counts,
+)
+from amazon_macie_activity_generator_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    lsh_bucket_topk,
+)
+from amazon_macie_activity_generator_spark.operators.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    lang_id_expr,
+    quality_features,
+)
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+# DuckDB fragment: whitespace tokens of lowercased text (matches
+# operators.dedup.tokens_expr exactly).
+_DUCK_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus deterministic near-duplicate copies: every doc with
+    doc_id % 100 == 0 reappears as doc_id+1000000 with two extra tokens.
+    Gives the near-dup operators real positives on the driver's corpus
+    (which is otherwise almost entirely unique)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(dup)
+
+
+_DUCK_DOCS_AUG = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate' AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 100 = 0
+"""
+
+
+# ------------------------------------------------------------------ dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact text dedup: canonical id + copy count per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id", "n_copies")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — MinHash-LSH near-dup candidates (rows-only: xxhash64 minhash
+    families are engine-local). Jaccard >= 0.7 verified pairs over the
+    augmented corpus (planted near-dups)."""
+    return dedup_minhash_candidates(_docs_aug(spark, sf_dir), jaccard_threshold=0.7)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs: probe docs (doc_id % 50 == 0)
+    against the augmented corpus (planted near-dups), threshold 0.2."""
+    docs = _docs_aug(spark, sf_dir)
+    probe = docs.filter(F.col("doc_id") % 50 == 0)
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_spark_3grams()).alias("grams"),
+    )
+    probe_g = probe.select(
+        F.col("doc_id").alias("pid"),
+        F.array_distinct(_spark_3grams()).alias("pgrams"),
+    )
+    pairs = base.crossJoin(F.broadcast(probe_g)).filter(F.col("pid") < F.col("id"))
+    inter = F.size(F.array_intersect("pgrams", "grams"))
+    union = F.size(F.array_union("pgrams", "grams"))
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4)
+    return (
+        pairs.select(F.col("pid").alias("id_a"), F.col("id").alias("id_b"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def _spark_3grams():
+    from amazon_macie_activity_generator_spark.operators.dedup import word_shingles_expr
+
+    return word_shingles_expr(F.col("text"), 3)
+
+
+_DUCK_3GRAMS = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(toks) - 3, 0) + 1), "
+    "i -> array_to_string(toks[i + 1 : i + 3], ' ')))"
+)
+
+SQL_DEDUP_NGRAM = f"""
+WITH docs_aug AS ({_DUCK_DOCS_AUG}),
+tok AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM docs_aug
+),
+grams AS (
+  SELECT doc_id, {_DUCK_3GRAMS} AS g FROM tok
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+              THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.g, b.g)))
+              ELSE 0.0 END, 4) AS jaccard
+FROM grams a JOIN grams b ON a.doc_id % 50 = 0 AND a.doc_id < b.doc_id
+WHERE round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+             THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.g, b.g)))
+             ELSE 0.0 END, 4) >= 0.2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the augmented corpus, Hamming <= 3
+    (rows-only: bit votes depend on engine hash)."""
+    return simhash_near_pairs(simhash64(_docs_aug(spark, sf_dir)), max_hamming=3)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups via SRP-LSH buckets (rows-only: bucket
+    assignment is hash-engine-local; cosine itself is exact). Corpus is
+    augmented with slightly-perturbed copies (vec_id+1000000, first
+    component nudged) so near-dup pairs exist to find."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pert = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 10000),
+        ).alias("embedding"),
+        "label",
+    )
+    return embedding_near_dup(emb.unionByName(pert), threshold=0.9, planes=8)
+
+
+# -------------------------------------------------------------- similarity
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — exact cosine top-5 for query vectors vec_id < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+_DUCK_COS = (
+    "round(list_aggregate(list_transform(list_zip(e.embedding, q.qv), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
+    "(sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
+    "sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"
+)
+
+SQL_TOPK_COSINE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_DUCK_COS} AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — SRP-LSH bucketed ANN top-5 (rows-only: approximate
+    + hash-engine-local buckets; recall asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucket_topk(emb, queries, k=5, planes=10)
+
+
+# -------------------------------------------------------------------- text
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — per-language corpus stats over whitespace tokens."""
+    from amazon_macie_activity_generator_spark.operators.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select("lang", token_count_ws(F.col("text")).alias("n_tok"), "n_chars")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = f"""
+WITH tok AS (
+  SELECT lang, len({_DUCK_TOKS}) AS n_tok, n_chars FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_tok), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM tok GROUP BY lang
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — per-doc quality features + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "mean_token_len",
+        "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+_DUCK_EN_STOP = "['" + "', '".join(STOPWORDS["en"]) + "']"
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         {_DUCK_TOKS} AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+         CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len,
+         CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> list_contains({_DUCK_EN_STOP}, t))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(mean_token_len, 4) AS mean_token_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.3 END)
+         * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 1.0 - punct_ratio END)
+         * (0.5 + 0.5 * least(stopword_ratio * 5, 1.0)), 4) AS quality_score
+FROM feat
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — heuristic stopword-vote language ID."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def _duck_hits(lang: str) -> str:
+    stop = "['" + "', '".join(STOPWORDS[lang]) + "']"
+    return f"len(list_filter(toks, t -> list_contains({stop}, t)))"
+
+
+SQL_LANG_ID = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         list_sort([
+           struct_pack(hits := {_duck_hits('de')}, lang := 'de'),
+           struct_pack(hits := {_duck_hits('en')}, lang := 'en'),
+           struct_pack(hits := {_duck_hits('es')}, lang := 'es'),
+           struct_pack(hits := {_duck_hits('fr')}, lang := 'fr'),
+           struct_pack(hits := {_duck_hits('zh')}, lang := 'zh')
+         ])[-1] AS best
+  FROM tok
+)
+SELECT doc_id, lang,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — canonical-form md5 fingerprint (cross-engine-stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+# -------------------------------------------------------------- multimodal
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: docs-as-binary-media through the Arrow-batched
+    mapInPandas decode stage; sha256 + byte counts oracle-check."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs, kind="image")
+    feats = extract_media_features(media, decode_stub=True)
+    return feats.select("media_id", "kind", "n_bytes", "content_hash")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_hash
+FROM documents
+"""
+
+
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full stub decode incl. fake dimensions (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs, kind="image")
+    return extract_media_features(media, decode_stub=True)
+
+
+# ------------------------------------------------------------ json / time
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — JSON property extraction from events.props."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — hourly tumbling counts per event_type."""
+    events = load_table(spark, sf_dir, "events")
+    out = tumbling_counts(events, bucket="hour")
+    return out.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+SQL_TUMBLING = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — 30-min-gap sessionization per user (gaps-and-islands)."""
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, gap_minutes=30)
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+# -------------------------------------------- analytics breadth (§2.7 gaps)
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation over the main fact table (decimal sums for
+    cross-engine exactness; filters push to the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + sort/limit: top-10 customers by order value; dimension side
+    broadcast (no shuffle of the fact table beyond the agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    joined = spend.join(F.broadcast(customer), spend.o_custkey == customer.c_custkey)
+    return (
+        joined.select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), "c_custkey")
+        .limit(10)
+    )
+
+
+SQL_JOIN_TOPN = """
+SELECT c_custkey, c_name, total_spend, n_orders
+FROM (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+) s JOIN customer ON s.o_custkey = c_custkey
+ORDER BY total_spend DESC, c_custkey LIMIT 10
+"""
+
+
+def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: purchasers who clicked but never errored
+    (INTERSECT + EXCEPT)."""
+    events = load_table(spark, sf_dir, "events")
+    u = lambda t: events.filter(F.col("event_type") == t).select("user_id").distinct()  # noqa: E731
+    return u("purchase").intersect(u("click")).exceptAll(u("error"))
+
+
+SQL_SET_OPS = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "embedding_near_dup": (q_embedding_near_dup, None),
+    "topk_cosine": (q_topk_cosine, SQL_TOPK_COSINE),
+    "topk_cosine_lsh": (q_topk_cosine_lsh, None),
+    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "multimodal_decode_stub": (q_multimodal_decode_stub, None),
+    "json_extract_props": (q_json_extract_props, SQL_JSON_EXTRACT),
+    "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
+    "join_topn_customers": (q_join_topn_customers, SQL_JOIN_TOPN),
+    "set_ops_users": (q_set_ops_users, SQL_SET_OPS),
+}

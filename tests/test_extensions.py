@@ -1,0 +1,204 @@
+"""X1-X6 extension operator semantics: dedup recall, ANN recall vs exact,
+text heuristics, sessionization properties, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_candidates,
+    simhash64,
+    simhash_near_pairs,
+    word_shingles_expr,
+)
+from amazon_macie_activity_generator_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+)
+from amazon_macie_activity_generator_spark.operators.sessionize import sessionize
+from amazon_macie_activity_generator_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    lsh_bucket_topk,
+)
+from amazon_macie_activity_generator_spark.operators.text import (
+    lang_id_expr,
+    quality_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"doc {i} " + base + f" variant {i} " + " ".join(f"w{i}_{j}" for j in range(30))))
+    # plant near-dups of docs 0..4 (one token appended)
+    for i in range(5):
+        rows.append((100 + i, rows[i][1] + " appended"))
+    # plant one exact dup
+    rows.append((200, rows[0][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_finds_planted_dup(spark, docs):
+    out = dedup_exact(docs)
+    assert out.count() == 25  # 26 rows, one exact dup collapses
+    assert out.filter(F.col("n_copies") == 2).count() == 1
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    pairs = dedup_minhash_candidates(docs, jaccard_threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(5):
+        assert (i, 100 + i) in found, f"missed planted near-dup {i}"
+    for r in pairs:
+        assert r.jaccard >= 0.5
+
+
+def test_minhash_no_false_high_jaccard(spark, docs):
+    # unrelated docs share the base sentence but differ in 30+ unique
+    # tokens -> jaccard << 0.5; threshold must exclude them
+    pairs = dedup_minhash_candidates(docs, jaccard_threshold=0.5).collect()
+    for r in pairs:
+        assert r.id_b - r.id_a in (100, 200), f"false positive pair {r}"
+
+
+def test_simhash_near_dups(spark, docs):
+    sig = simhash64(docs)
+    assert sig.count() == 26
+    pairs = simhash_near_pairs(sig, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 200) in found  # exact dup -> hamming 0
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(0, 200)] == 0
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    sh = df.select(word_shingles_expr(F.col("text"), 3).alias("s")).first().s
+    assert sh == ["only two"]
+
+
+# ------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_expr_basic(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+                               "a array<float>, b array<float>")
+    vals = [r.c for r in df.select(F.round(cosine_expr(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert vals == [1.0, 0.0]
+
+
+def test_lsh_finds_planted_neighbors(spark, emb):
+    # queries = slightly-perturbed copies of corpus vectors: the true
+    # nearest neighbor (cos ~0.9999) must be retrieved at rank 1. This is
+    # the workload LSH exists for; uniformly-random top-5 is its known
+    # worst case and is covered by the exact brute-force path instead.
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("query_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 10000),
+        ).alias("embedding"),
+    )
+    approx = lsh_bucket_topk(emb, pert, k=3, planes=10, tables=4)
+    top1 = {r.query_id: r.vec_id for r in approx.filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for q, v in top1.items() if q - 1000000 == v)
+    assert hits >= 18, f"planted-neighbor recall {hits}/20"
+
+
+def test_brute_force_topk_exact_k(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    assert all(cnt == 5 for cnt in
+               (exact.groupBy("query_id").count().select("count").toPandas()["count"]))
+
+
+def test_topk_deterministic(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = [(r.vec_id, r.sim) for r in brute_force_topk(emb, q, k=5).orderBy("rank").collect()]
+    b = [(r.vec_id, r.sim) for r in brute_force_topk(emb, q, k=5).orderBy("rank").collect()]
+    assert a == b
+
+
+# ------------------------------------------------------------------- text
+
+def test_lang_id_stopword_votes(spark):
+    df = spark.createDataFrame([
+        (1, "the cat sat on the mat and it is that"),
+        (2, "el perro y la casa de los que en un"),
+        (3, "der hund und die katze ist ein zu von"),
+        (4, "xyzzy plugh qwerty"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.p for r in df.select("doc_id", lang_id_expr(F.col("text")).alias("p")).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de" and got[4] == "und"
+
+
+def test_quality_features_ranges(spark):
+    df = spark.createDataFrame([
+        (1, "the data pipeline processes all of the records in a stream for the test"),
+        (2, "!!! ??? ### $$$ %%%"),
+        (3, "x"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_features(df).collect()}
+    assert out[1].quality_score > out[2].quality_score
+    assert out[1].quality_score > out[3].quality_score
+    for r in out.values():
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+
+
+# ------------------------------------------------------------ sessionize
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 10, "2024-01-01 00:00:00"),
+        (2, 10, "2024-01-01 00:10:00"),   # same session (10 min)
+        (3, 10, "2024-01-01 01:00:00"),   # new session (50 min gap)
+        (4, 11, "2024-01-01 00:00:00"),   # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string").select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = sessionize(df, gap_minutes=30)
+    got = {(r.user_id, r.session_id): r.n_events for r in out.collect()}
+    assert got == {(10, 0): 2, (10, 1): 1, (11, 0): 1}
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_multimodal_stub_features(spark, sf_dir):
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = documents_as_media(docs, kind="image")
+    feats = extract_media_features(media, decode_stub=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_bytes > 0
+        assert len(r.content_hash) == 64
+        assert r.width is not None and 1 <= r.width <= 1920  # image kind
+        assert r.duration_ms is None
+
+
+def test_multimodal_real_decode_raises(spark, sf_dir):
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    media = documents_as_media(docs)
+    with pytest.raises((PythonException, Py4JJavaError)):
+        extract_media_features(media, decode_stub=False).collect()
