@@ -54,15 +54,55 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ---------------------------------------------------------------- MinHash
 
-def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
-    """MinHash signature as array<long>: sig[j] = min over shingles of
-    xxhash64(shingle, j). Pure nested-lambda expression (Broder '97
-    permutation-free variant: independent hash families via seed)."""
-    sh = word_shingles_expr(text, shingle_k)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        seeds, lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j)))
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_family(num_hashes: int, seed: int = 0x5EED) -> tuple[list[int], list[int]]:
+    """Carter-Wegman affine hash family constants: h_j(x) = (a_j*x + b_j) mod p."""
+    import random
+
+    rnd = random.Random(seed)
+    return (
+        [rnd.randrange(1, _MERSENNE31) for _ in range(num_hashes)],
+        [rnd.randrange(0, _MERSENNE31) for _ in range(num_hashes)],
     )
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature as array<long>: sig[j] = min over shingles s of
+    (a_j * xxhash64(s) + b_j) mod p  (Broder '97 via a Carter-Wegman affine
+    family, p = 2^31-1 so a*x+b < 2^62 never overflows long under ANSI).
+
+    Each shingle string is hashed ONCE; the 64 family members are cheap
+    integer transforms of that base hash. The base-hash array is bound as
+    a lambda argument (``transform(array(hs), h_arr -> ...)``) so Catalyst's
+    CollapseProject cannot inline the shingle build + string hashing into
+    every family member — without the binding the whole pipeline under the
+    signature re-evaluates 64x per row (measured 25s -> <1s on 505 docs).
+    """
+    a_consts, b_consts = _affine_family(num_hashes)
+    A = F.array(*[F.lit(a) for a in a_consts])
+    B = F.array(*[F.lit(b) for b in b_consts])
+    sh = word_shingles_expr(text, shingle_k)
+    hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        F.array(hs),
+        lambda h_arr: F.transform(
+            seeds,
+            lambda j: F.array_min(
+                F.transform(
+                    h_arr,
+                    lambda h: F.pmod(
+                        h * F.element_at(A, (j + 1).cast("int"))
+                        + F.element_at(B, (j + 1).cast("int")),
+                        F.lit(_MERSENNE31),
+                    ),
+                )
+            ),
+        ),
+    )
+    return F.element_at(sig, 1)
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
