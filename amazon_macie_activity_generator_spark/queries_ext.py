@@ -411,6 +411,140 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM sess GROUP BY user_id, session_id
 """
 
+# ----------------------------------------- fake content / sinks / pipeline
+
+def q_fake_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F12/K6 — deterministic fake-document generation keyed by event_id
+    (rows-only: content is hash-derived, format asserted in tests)."""
+    from amazon_macie_activity_generator_spark.functions.fake import fake_document
+
+    events = load_table(spark, sf_dir, "events")
+    doc = fake_document(
+        F.col("event_id"),
+        fake_types=["ssn", "itin", "email", "sentence", "phone_number"],
+        fake_counts=2,
+        prefix="sensitive/",
+    )
+    return events.select("event_id", doc.alias("d")).select(
+        "event_id", "d.object_key", "d.provider", "d.content"
+    )
+
+
+def q_s3_put_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — one fake S3 object row per unit of datapoint value (rows-only;
+    count/shape asserted in tests; T9 zero-skip folded in)."""
+    from amazon_macie_activity_generator_spark.sinks.local import s3_put_activity_rows
+
+    events = load_table(spark, sf_dir, "events")
+    dp = events.select(
+        "event_id", (F.pmod(F.col("value").cast("long"), F.lit(4))).alias("value")
+    )
+    target = {"prefix": "acts/", "fake_types": ["ssn", "itin"], "fake_counts": 1,
+              "content_types": ["text/plain", "text/html"], "acls": ["private", "public-read"]}
+    return s3_put_activity_rows(dp, target, key_cols=("event_id",))
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/X6 streaming — watermarked tumbling-window counts via Structured
+    Streaming (availableNow drain, complete mode), value-matching the same
+    DuckDB oracle as the batch query: the streaming and batch engines agree."""
+    import os
+    import tempfile
+    import uuid
+
+    from amazon_macie_activity_generator_spark.streaming.replay import (
+        streaming_tumbling_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="amag_stream_")
+    src = os.path.join(work, "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = "tumbling_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_tumbling_counts(stream, "1 hour", "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def q_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 — full queue round-trip: generate a blueprint cycle, enqueue
+    slot rows (twice — dedup ids must absorb the duplicate), replay with
+    availableNow, return delivered slot rows (rows-only: side-effecting)."""
+    import os
+    import tempfile
+
+    from amazon_macie_activity_generator_spark.config import parse_blueprint
+    from amazon_macie_activity_generator_spark.operators.reshape import slot_row_json
+    from amazon_macie_activity_generator_spark.plans.generate import generate
+    from amazon_macie_activity_generator_spark.sinks.local import write_queue
+    from amazon_macie_activity_generator_spark.streaming.replay import replay_to_table
+
+    bp = parse_blueprint({
+        "commons": {"num_points": 60, "signal_min": 1, "signal_max": 10},
+        "generators": [
+            {"id": "g1", "shape": "sinusoidal", "config": {"frequency": 0.1}},
+            {"id": "g2", "shape": "square",
+             "config": {"high_value": 9, "low_value": 2, "high_width": 3, "low_width": 7}},
+        ],
+        "targets": [],
+    })
+    fact = generate(spark, bp, run_id="replayrun", anomaly_mode="stride")
+    slot_rows = slot_row_json(fact).withColumn("run_id", F.lit("replayrun"))
+    work = tempfile.mkdtemp(prefix="amag_replay_")
+    qpath = os.path.join(work, "queue")
+    write_queue(slot_rows, qpath)
+    write_queue(slot_rows, qpath)
+    schema = spark.read.parquet(qpath).schema
+    sq = replay_to_table(
+        spark, qpath, schema, os.path.join(work, "delivered"),
+        os.path.join(work, "ckpt"), available_now=True,
+    )
+    sq.awaitTermination(300)
+    return spark.read.parquet(os.path.join(work, "delivered")).select("run_id", "t", "body")
+
+
+def q_blueprint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1-EP3 — full blueprint lifecycle (generate -> queue -> dispatch ->
+    all three sink types, local mode); returns the CloudWatch metrics table
+    (rows-only: run dirs + hash-derived content)."""
+    import tempfile
+
+    from amazon_macie_activity_generator_spark.config import parse_blueprint
+    from amazon_macie_activity_generator_spark.plans.pipeline import run_blueprint
+
+    bp = parse_blueprint({
+        "commons": {"num_points": 50, "signal_min": 1, "signal_max": 8},
+        "generators": [
+            {"id": "ts1", "shape": "sinusoidal", "config": {"frequency": 0.25}},
+            {"id": "ts2", "shape": "constant", "config": {"num_points": 25, "constant": 5}},
+            {"id": "ts6", "shape": "custom", "config": {"formula": "t * 2"}},
+        ],
+        "targets": [
+            {"type": "s3", "prefix": "sensitive/", "action": "put",
+             "generators": ["ts2"], "fake_types": ["ssn", "itin"], "fake_counts": 1},
+            {"type": "s3", "action": "get", "slice_size": 3, "generators": ["ts1"]},
+            {"type": "lambda", "function": "test", "generators": ["ts1"], "group_datapoints": True},
+            {"type": "cloudwatch", "namespace": "Test/TS",
+             "generators": ["ts1", "ts2", "ts6"], "group_datapoints": True},
+        ],
+    })
+    work = tempfile.mkdtemp(prefix="amag_e2e_")
+    out = run_blueprint(spark, bp, work, run_id="e2erun", anomaly_mode="stride")
+    cw = next(t for t in out["targets"] if t["type"] == "cloudwatch")
+    return spark.read.parquet(cw["metrics"]).select(
+        "dim_id", "dim_shape", "timestamp", "value"
+    )
+
+
 # -------------------------------------------- analytics breadth (§2.7 gaps)
 
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +636,11 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "json_extract_props": (q_json_extract_props, SQL_JSON_EXTRACT),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "fake_content": (q_fake_content, None),
+    "s3_put_activities": (q_s3_put_activities, None),
+    "streaming_tumbling": (q_streaming_tumbling, SQL_TUMBLING),
+    "streaming_replay": (q_streaming_replay, None),
+    "blueprint_e2e": (q_blueprint_e2e, None),
     "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
     "join_topn_customers": (q_join_topn_customers, SQL_JOIN_TOPN),
     "set_ops_users": (q_set_ops_users, SQL_SET_OPS),
