@@ -18,10 +18,10 @@ cross-engine oracle parity).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-from amazon_macie_activity_generator_spark.functions.rng import hash_long
 
 
 def _dvec(col: Column) -> Column:
@@ -74,27 +74,69 @@ def brute_force_topk(
 
 # ------------------------------------------------------------- LSH / ANN
 
-def srp_bucket_expr(vec: Column, planes: int = 12, salt: str = "srp") -> Column:
-    """Signed-random-projection bucket id (long). Plane p is a Rademacher
-    vector: component i = ±1 from hash(p, i). dot(v, plane_p) >= 0 sets
-    bit p. Pure expression; identical planes everywhere by construction."""
-    def plane_dot(p: int) -> Column:
-        idx = F.sequence(F.lit(0), F.size(vec) - 1)
-        signed = F.zip_with(
-            _dvec(vec),
-            idx,
-            lambda x, i: F.when(
-                F.pmod(hash_long(F.lit(p), i, salt=salt), F.lit(2)) == 0, x
-            ).otherwise(-x),
-        )
-        return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+def srp_planes(dim: int, planes: int, salt: str = "srp") -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes, seeded by (salt, planes,
+    dim) — identical on every executor and across runs by construction."""
+    import random
 
+    rnd = random.Random(f"{salt}:{planes}:{dim}")
+    return [[1.0 if rnd.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(planes)]
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(F.col(vec_col))).first()[0]
+
+
+def _bucket_from(dv: Column, mat: list[list[float]]) -> Column:
+    """Bucket id from a *bound* double-vector lambda variable. Planes are
+    literal arrays (constant-folded once by Catalyst, never per row)."""
     bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        bucket = bucket + F.when(plane_dot(p) >= 0, F.lit(1 << p).cast("long")).otherwise(
+    for p, row in enumerate(mat):
+        plane = F.array(*[F.lit(s) for s in row])
+        dot = F.aggregate(
+            F.zip_with(dv, plane, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return bucket
+
+
+def srp_bucket_expr(vec: Column, planes: int = 12, salt: str = "srp", dim: int = 64) -> Column:
+    """Signed-random-projection bucket id (Charikar '02 SRP) as a pure
+    expression. The cast vector is bound once as a lambda argument so the
+    per-plane dots share one evaluation of it."""
+    mat = srp_planes(dim, planes, salt)
+    return F.element_at(
+        F.transform(F.array(_dvec(vec)), lambda dv: _bucket_from(dv, mat)), 1
+    )
+
+
+def srp_buckets_arrow(mats: list[list[list[float]]]):
+    """All tables' bucket ids in ONE vectorized pass: a pandas UDF whose
+    body is a single (batch x dim) @ (dim x tables*planes) matmul + sign
+    bit-pack. Higher-order-function lambdas evaluate interpreted at ~1us
+    per element — the 4-table expression form measured 11s on 2k vectors
+    where this takes milliseconds. Bit convention identical to
+    ``_bucket_from`` (dot >= 0 sets bit p), asserted in tests."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(mats, dtype=np.float64)  # (tables, planes, dim)
+    n_tables, n_planes, _dim = W.shape
+    Wf = W.reshape(n_tables * n_planes, _dim)
+    pows = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        S = V @ Wf.T  # (n, tables*planes)
+        bits = (S >= 0).astype(np.int64).reshape(len(V), n_tables, n_planes)
+        out = (bits * pows).sum(axis=2)  # (n, tables)
+        return pd.Series(list(out))
+
+    return buckets
 
 
 def lsh_bucket_topk(
@@ -106,6 +148,7 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k with standard AND-OR amplification: ``tables``
     independent hash tables of ``planes`` sign bits each (AND within a
@@ -115,30 +158,34 @@ def lsh_bucket_topk(
     sets = higher recall.
 
     The corpus pass is one narrow projection (id, vec, table, bucket);
-    the join key (table, bucket) shuffles candidates only."""
-    def table_buckets(vec: Column, probe: bool) -> Column:
-        entries = []
-        for t in range(tables):
-            b = srp_bucket_expr(vec, planes, salt=f"srp{t}")
-            entries.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
-            if probe:
-                entries.extend(
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        b.bitwiseXOR(F.lit(1 << p)).cast("long").alias("bucket"),
-                    )
-                    for p in range(planes)
-                )
-        return F.array(*entries)
+    the join key (table, bucket) shuffles candidates only. Both the cast
+    vector and each table's bucket are bound as lambda arguments — the
+    naive form re-evaluated the 12-plane projection once per probe entry
+    (13x per table)."""
+    dim = dim if dim is not None else _infer_dim(corpus, vec_col)
+    mats = [srp_planes(dim, planes, salt=f"srp{t}") for t in range(tables)]
+    pow2 = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
+    budf = srp_buckets_arrow(mats)
 
+    # (id, vec, tbl, bucket): posexplode of the per-table bucket array
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(table_buckets(F.col(vec_col), probe=False)).alias("tb"),
-    ).select(id_col, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        F.posexplode(budf(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    # query side: exact bucket + all Hamming-1 probes, XOR'd from the
+    # already-materialized bucket value (cheap long ops, no re-projection)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec"),
-        F.explode(table_buckets(F.col(vec_col), probe=True)).alias("tb"),
-    ).select(query_id_col, "__qvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        F.posexplode(budf(F.col(vec_col))).alias("tbl", "b0"),
+    ).select(
+        query_id_col, "__qvec", "tbl",
+        F.explode(
+            F.concat(
+                F.array(F.col("b0")),
+                F.transform(pow2, lambda pw: F.col("b0").bitwiseXOR(pw)),
+            )
+        ).alias("bucket"),
+    )
 
     cand = c.join(q, on=["tbl", "bucket"]).filter(F.col(query_id_col) != F.col(id_col))
     sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
@@ -159,12 +206,15 @@ def embedding_near_dup(
     planes: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
     exact cosine filter. Returns (id_a, id_b, sim)."""
+    dim = dim if dim is not None else _infer_dim(df, vec_col)
+    budf = srp_buckets_arrow([srp_planes(dim, planes, "srp")])
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        srp_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        F.element_at(budf(F.col(vec_col)), 1).alias("bucket"),
     )
     l, r = base.alias("l"), base.alias("r")
     pairs = l.join(r, on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")])

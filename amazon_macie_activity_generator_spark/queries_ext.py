@@ -57,7 +57,19 @@ def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" near duplicate")).alias("text"),
         "lang", "source", "n_chars",
     )
-    return docs.unionByName(dup)
+    out = docs.unionByName(dup)
+    # small files arrive as 1-2 input splits; the downstream shingle/
+    # signature projections are CPU-bound, so spread them across the
+    # cluster (at real scale maxPartitionBytes provides the splits).
+    return out.repartition(out.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, spread across cores: the table arrives as one input
+    split locally, and the SRP bucket/cosine projections are CPU-bound
+    (at real scale maxPartitionBytes provides the splits)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
 
 
 _DUCK_DOCS_AUG = """
@@ -92,23 +104,35 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs: probe docs (doc_id % 50 == 0)
-    against the augmented corpus (planted near-dups), threshold 0.2."""
+    against the augmented corpus (planted near-dups), threshold 0.2.
+
+    Inverted-index set-similarity join (PPJoin-family, minus prefix
+    pruning): explode distinct grams, equi-join on the gram, count shared
+    grams per pair, then |A∪B| = |A|+|B|-|A∩B|. Exactly equivalent to the
+    all-pairs crossJoin (a pair with zero shared grams cannot reach any
+    positive threshold) but the join is keyed — no O(probe x corpus)
+    nested loop, and the same plan scales out on gram hash instead of
+    broadcasting the corpus."""
     docs = _docs_aug(spark, sf_dir)
-    probe = docs.filter(F.col("doc_id") % 50 == 0)
-    base = docs.select(
+    grams = docs.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(_spark_3grams()).alias("grams"),
+    ).withColumn("n_grams", F.size("grams"))
+    base_ex = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+    probe_ex = (
+        base_ex.filter(F.col("id") % 50 == 0)
+        .withColumnsRenamed({"id": "pid", "n_grams": "p_grams"})
     )
-    probe_g = probe.select(
-        F.col("doc_id").alias("pid"),
-        F.array_distinct(_spark_3grams()).alias("pgrams"),
+    inter = (
+        base_ex.join(F.broadcast(probe_ex), on="gram")
+        .filter(F.col("pid") < F.col("id"))
+        .groupBy("pid", "id", "p_grams", "n_grams")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    pairs = base.crossJoin(F.broadcast(probe_g)).filter(F.col("pid") < F.col("id"))
-    inter = F.size(F.array_intersect("pgrams", "grams"))
-    union = F.size(F.array_union("pgrams", "grams"))
-    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4)
+    union = F.col("p_grams") + F.col("n_grams") - F.col("inter")
+    jac = F.round(F.col("inter") / union, 4)
     return (
-        pairs.select(F.col("pid").alias("id_a"), F.col("id").alias("id_b"), jac.alias("jaccard"))
+        inter.select(F.col("pid").alias("id_a"), F.col("id").alias("id_b"), jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
@@ -148,8 +172,10 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the augmented corpus, Hamming <= 3
-    (rows-only: bit votes depend on engine hash)."""
-    return simhash_near_pairs(simhash64(_docs_aug(spark, sf_dir)), max_hamming=3)
+    (rows-only: bit votes depend on engine hash). Signatures persist so
+    the banded self-join reads them once, not once per side."""
+    sig = simhash64(_docs_aug(spark, sf_dir)).persist()
+    return simhash_near_pairs(sig, max_hamming=3)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +183,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is hash-engine-local; cosine itself is exact). Corpus is
     augmented with slightly-perturbed copies (vec_id+1000000, first
     component nudged) so near-dup pairs exist to find."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     pert = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.concat(
@@ -206,7 +232,7 @@ SELECT query_id, vec_id, sim, rank FROM (
 def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path — SRP-LSH bucketed ANN top-5 (rows-only: approximate
     + hash-engine-local buckets; recall asserted in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

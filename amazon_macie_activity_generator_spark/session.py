@@ -23,6 +23,11 @@ def get_spark(app_name: str = "amazon-macie-activity-generator-spark", shuffle_p
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalescing is size-based and blind to downstream expression cost:
+        # at bench scale it folds CPU-heavy doc pipelines onto 1-2 cores.
+        # A small floor keeps parallelism; at real scale partitions exceed
+        # it anyway so behavior is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas_udf / mapInPandas paths (batched, not per-row).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
