@@ -159,6 +159,7 @@ def dedup_minhash_candidates(
         word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
         minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
     ).persist()
+    base.count()  # eager: both banded join sides must hit the cache, not race it
 
     # narrow banded table: (id, band, bh) — nothing fat crosses the shuffle
     banded = base.select(

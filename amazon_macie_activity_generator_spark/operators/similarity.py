@@ -215,7 +215,8 @@ def embedding_near_dup(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.element_at(budf(F.col(vec_col)), 1).alias("bucket"),
-    )
+    ).persist()
+    base.count()  # eager: the self-join must read the cache, not race it
     l, r = base.alias("l"), base.alias("r")
     pairs = l.join(r, on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")])
     sim = F.round(cosine_expr(F.col("l.v"), F.col("r.v")), 4)

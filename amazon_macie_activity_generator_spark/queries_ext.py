@@ -172,9 +172,12 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the augmented corpus, Hamming <= 3
-    (rows-only: bit votes depend on engine hash). Signatures persist so
-    the banded self-join reads them once, not once per side."""
+    (rows-only: bit votes depend on engine hash). Signatures persist
+    EAGERLY: with a lazy persist both sides of the banded self-join race
+    to compute the signature in the same job and the cache populates too
+    late — one tiny count() action makes the join read it once."""
     sig = simhash64(_docs_aug(spark, sf_dir)).persist()
+    sig.count()
     return simhash_near_pairs(sig, max_hamming=3)
 
 
