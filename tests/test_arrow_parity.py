@@ -1,0 +1,47 @@
+"""The vectorized Arrow paths must agree bit-for-bit with the
+pure-expression paths they accelerate (same hash conventions, same sign
+conventions) — these tests pin that contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.operators.dedup import simhash64
+from amazon_macie_activity_generator_spark.operators.similarity import (
+    srp_bucket_expr,
+    srp_buckets_arrow,
+    srp_planes,
+)
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+
+def test_simhash_arrow_matches_expression(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = simhash64(docs, use_arrow=True).orderBy("id").toPandas()
+    b = simhash64(docs, use_arrow=False).orderBy("id").toPandas()
+    assert a.equals(b)
+    assert (a.simhash >= 0).all()  # bit 63 unused
+
+
+def test_srp_buckets_arrow_matches_expression(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    mats = [srp_planes(64, 10, "srp0"), srp_planes(64, 10, "srp1")]
+    arrow = emb.select(
+        "vec_id",
+        F.element_at(srp_buckets_arrow(mats)(F.col("embedding")), 1).alias("b0"),
+        F.element_at(srp_buckets_arrow(mats)(F.col("embedding")), 2).alias("b1"),
+    ).orderBy("vec_id").toPandas()
+    expr = emb.select(
+        "vec_id",
+        srp_bucket_expr(F.col("embedding"), 10, "srp0", 64).alias("b0"),
+        srp_bucket_expr(F.col("embedding"), 10, "srp1", 64).alias("b1"),
+    ).orderBy("vec_id").toPandas()
+    assert arrow.equals(expr)
+    # buckets stay in [0, 2^planes)
+    assert ((arrow.b0 >= 0) & (arrow.b0 < 1 << 10)).all()
+
+
+def test_srp_planes_deterministic():
+    assert srp_planes(16, 4, "x") == srp_planes(16, 4, "x")
+    assert srp_planes(16, 4, "x") != srp_planes(16, 4, "y")
+    assert all(v in (1.0, -1.0) for row in srp_planes(8, 3, "z") for v in row)

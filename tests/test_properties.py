@@ -1,0 +1,154 @@
+"""Property tests (SURVEY.md §5.3): scaling bounds, slice reassembly,
+zero-fill completeness, square-wave semantics, formula-translator
+equivalence — hypothesis-driven configs, each example batched into a
+single Spark job (lists of cases per example, not a job per case).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.formula import FormulaError, translate_formula
+from amazon_macie_activity_generator_spark.operators.generators import square_expr
+from amazon_macie_activity_generator_spark.operators.scaling import scale_minmax
+from amazon_macie_activity_generator_spark.operators.slicing import slice_array_expr
+
+SLOW = settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --------------------------------------------------- formula translation
+
+@st.composite
+def formulas(draw):
+    """Random arithmetic over t and literals from the documented surface."""
+    def expr(depth: int) -> str:
+        if depth == 0:
+            return draw(st.sampled_from(["t", str(draw(st.integers(1, 50)))]))
+        op = draw(st.sampled_from(["+", "-", "*", "%", "**"]))
+        l, r = expr(depth - 1), expr(depth - 1)
+        if op == "%":
+            # nonzero literal divisor: Python raises on x % 0 while SQL
+            # engines return null/error — out of scope for the property
+            return f"({l} % {draw(st.integers(1, 19))})"
+        if op == "**":
+            return f"({expr(depth - 1)} ** {draw(st.integers(1, 3))})"
+        return f"({l} {op} {r})"
+
+    return expr(draw(st.integers(1, 3)))
+
+
+@SLOW
+@given(formulas())
+def test_formula_translation_matches_python_eval(formula):
+    """translate_formula must agree with Python eval semantics for every
+    whitelisted formula (checked via DuckDB evaluating the SQL, pmod
+    nonneg semantics matching Python %)."""
+    sql, needed = translate_formula(formula)
+    assert not needed
+    con = duckdb.connect()
+    con.execute("CREATE MACRO pmod(a, b) AS ((a % b) + b) % b")
+    for t in (0, 1, 5, 17):
+        got = con.sql(f"SELECT {sql.replace('CAST(t AS DOUBLE)', f'CAST({t} AS DOUBLE)')} AS v").fetchone()[0]
+        want = float(eval(formula, {"__builtins__": {}}, {"t": t}))  # noqa: S307 - test vs reference semantics
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-9), (formula, t)
+
+
+@given(st.sampled_from(["__import__('os')", "t.__class__", "open('x')", "lambda: 1", "[1,2]"]))
+def test_formula_rejects_non_whitelist(bad):
+    with pytest.raises(FormulaError):
+        translate_formula(bad)
+
+
+# ----------------------------------------------------------- slice (T7)
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(-2, 60)), min_size=1, max_size=60))
+def test_slice_reassembly_invariants(spark, cases):
+    """sum(slices) == value; every slice <= slice_size (when slicing
+    applies); v==0 or s<=0 passes through unchanged (main.py:95-113)."""
+    df = spark.createDataFrame(cases, "v long, s long")
+    out = df.select(
+        "v", "s",
+        F.aggregate(slice_array_expr(F.col("v"), F.col("s")), F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("total"),
+        F.array_max(slice_array_expr(F.col("v"), F.col("s"))).alias("mx"),
+        F.size(slice_array_expr(F.col("v"), F.col("s"))).alias("n"),
+    )
+    bad = out.filter(
+        (F.col("total") != F.col("v"))
+        | (((F.col("v") > 0) & (F.col("s") > 0)) & (F.col("mx") > F.greatest("s", F.lit(0))))
+        | (((F.col("v") == 0) | (F.col("s") <= 0)) & (F.col("n") != 1))
+    )
+    assert bad.count() == 0
+
+
+# --------------------------------------------------------- scaling (T1)
+
+@SLOW
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+    st.integers(-50, 50), st.integers(0, 100),
+)
+def test_scale_minmax_bounds_and_constant_clamp(spark, values, lo, span):
+    """Scaled output lands in [lo, hi]; constant input clamps to lo (B4:
+    the reference NaNs on max==min; documented intent is the bottom of
+    the range)."""
+    hi = lo + span
+    rows = [(i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "t long, value double")
+    out = scale_minmax(df, value_col="value", lo=lo, hi=hi, by=[]).collect()
+    assert all(lo <= r.value <= max(lo, hi) for r in out)
+    if len(set(values)) == 1:
+        assert all(r.value == lo for r in out)
+
+
+# ------------------------------------------------------ square wave (G2)
+
+@SLOW
+@given(
+    st.integers(0, 30), st.integers(1, 10), st.integers(0, 30), st.integers(1, 10),
+    st.integers(1, 80),
+)
+def test_square_matches_list_semantics(spark, low, lw, high, hw, n):
+    """square_expr == the reference's repeat-[low]*lw+[high]*hw-truncate
+    list semantics (main.py:447-462) for arbitrary configs."""
+    pattern = [float(low)] * lw + [float(high)] * hw
+    want = [pattern[t % len(pattern)] for t in range(n)]
+    cfg = {"low_value": low, "low_width": lw, "high_value": high, "high_width": hw}
+    got = [
+        r.v
+        for r in spark.range(n).select(
+            square_expr(cfg, F.col("id")).alias("v")
+        ).orderBy("id").collect()
+    ]
+    assert got == want
+
+
+# --------------------------------------------------------- zero-fill (T6)
+
+@SLOW
+@given(st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]), st.integers(1, 25), min_size=1, max_size=4,
+))
+def test_zero_fill_completeness(spark, lengths):
+    """After alignment every (series, t<grid) exists exactly once; fill
+    rows are 0; grid = max series length (B2 intent, README.md:137)."""
+    from amazon_macie_activity_generator_spark.operators.align import zero_fill
+
+    rows = [(s, t, float(t + 1)) for s, n in lengths.items() for t in range(n)]
+    df = spark.createDataFrame(rows, "series_id string, t long, value double")
+    out = zero_fill(spark, df).collect()
+    grid = max(lengths.values())
+    assert len(out) == grid * len(lengths)
+    got = {(r.series_id, r.t): r.value for r in out}
+    assert len(got) == len(out)
+    for s, n in lengths.items():
+        for t in range(grid):
+            assert got[(s, t)] == (float(t + 1) if t < n else 0.0)
