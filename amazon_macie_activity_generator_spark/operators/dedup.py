@@ -295,6 +295,69 @@ def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+# ------------------------------------------------- connected components
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate GROUPS: (id, group_id) where
+    group_id = min doc id reachable in the pair graph — the canonical
+    document. The step that turns candidate pairs into actual dedup
+    decisions (keep group_id, drop the rest).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; converges
+    in O(cluster diameter) rounds (near-dup clusters are shallow).
+    Per round: one join + one groupBy — all shuffles on the node id, and
+    ``localCheckpoint`` cuts lineage so plans don't grow per iteration.
+    Stops early when a round changes nothing (one count() per round)."""
+    # both directions from ONE evaluation of the (possibly expensive)
+    # edge pipeline: explode a 2-element array instead of a self-union
+    bidir = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+                    F.struct(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        bidir.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select("id", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("group_id"))
+
+
 # ----------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(

@@ -170,6 +170,36 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
 """
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: connected components over the exact
+    ngram-Jaccard pairs — (doc_id, group_id = canonical min id). The
+    pairs are deterministic, so the whole iterative algorithm
+    oracle-checks against DuckDB's recursive CTE."""
+    from amazon_macie_activity_generator_spark.operators.dedup import connected_components
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "group_id"
+    )
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({SQL_DEDUP_NGRAM}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+reach(node, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the augmented corpus, Hamming <= 3
     (rows-only: bit votes depend on engine hash). Signatures persist
@@ -652,6 +682,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
     "dedup_simhash": (q_dedup_simhash, None),
     "embedding_near_dup": (q_embedding_near_dup, None),
     "topk_cosine": (q_topk_cosine, SQL_TOPK_COSINE),

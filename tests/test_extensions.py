@@ -202,3 +202,14 @@ def test_multimodal_real_decode_raises(spark, sf_dir):
     media = documents_as_media(docs)
     with pytest.raises((PythonException, Py4JJavaError)):
         extract_media_features(media, decode_stub=False).collect()
+
+
+def test_connected_components_small_graph(spark):
+    from amazon_macie_activity_generator_spark.operators.dedup import connected_components
+
+    # two clusters {1,2,3,9} (chain) and {5,7}, singleton edges only
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], "id_a long, id_b long"
+    )
+    got = {r.id: r.group_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
