@@ -104,3 +104,89 @@ def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFr
             yield _decode_batch(pdf, stub=decode_stub)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+])
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
+) -> DataFrame:
+    """Resize stage (the training-pipeline normalization step) as
+    Arrow-batched mapInPandas. Stub mode emits a deterministic payload
+    digest sized ``width*height//64`` bytes in place of real pixels (a
+    real build calls PIL ``Image.resize`` here); schema/batching/
+    partitioning are the real production shape — fat rows in, fat rows
+    out, so run it AFTER any repartition that spreads payload bytes."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("image codecs not available in this environment")
+            n = max(1, width * height // 64)
+
+            def fake_pixels(b: bytes | None) -> bytes:
+                seed = hashlib.sha256(b or b"").digest()
+                return (seed * (n // len(seed) + 1))[:n]
+
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": pdf["payload"].map(fake_pixels),
+                "width": width,
+                "height": height,
+            })
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("ts_ms", LongType(), False),
+    StructField("frame_payload", BinaryType(), True),
+])
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 16, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame —
+    mapInPandas here is a flat map (output rows != input rows), which is
+    why this is a mapInPandas stage and not a scalar UDF. Stub mode
+    derives a deterministic frame count from the payload digest (a real
+    build seeks with ffmpeg at ``every_ms`` steps)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("video codecs not available in this environment")
+            out: list[dict] = []
+            for _, row in pdf.iterrows():
+                digest = hashlib.sha256(row["payload"] or b"").digest()
+                duration_ms = int.from_bytes(digest[:4], "big") % 600000
+                n = min(max_frames, max(1, duration_ms // every_ms))
+                for i in range(n):
+                    out.append({
+                        "media_id": row["media_id"],
+                        "frame_idx": i,
+                        "ts_ms": i * every_ms,
+                        "frame_payload": digest + i.to_bytes(4, "big"),
+                    })
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "ts_ms", "frame_payload"])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

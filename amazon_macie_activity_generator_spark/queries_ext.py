@@ -411,6 +411,27 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media, decode_stub=True)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize normalization stage over binary media (rows-only:
+    stubbed pixels; shape/determinism asserted in tests)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs, kind="image")
+    out = resize_images(media, width=224, height=224)
+    return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling flat-map stage (rows-only)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs, kind="video")
+    out = sample_frames(media, every_ms=1000, max_frames=8)
+    return out.select("media_id", "frame_idx", "ts_ms")
+
+
 # ------------------------------------------------------------ json / time
 
 def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +714,8 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "multimodal_decode_stub": (q_multimodal_decode_stub, None),
+    "multimodal_resize": (q_multimodal_resize, None),
+    "multimodal_frames": (q_multimodal_frames, None),
     "json_extract_props": (q_json_extract_props, SQL_JSON_EXTRACT),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

@@ -1,0 +1,148 @@
+"""CLI entrypoint, multimodal resize/frame-sample stages, and the
+all-six-shapes golden blueprint (the SampleBlueprint kitchen-sink shape
+coverage: every generator shape + every target type in one run)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.config import parse_blueprint
+from amazon_macie_activity_generator_spark.operators.multimodal import (
+    documents_as_media,
+    resize_images,
+    sample_frames,
+)
+from amazon_macie_activity_generator_spark.plans.pipeline import run_blueprint
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_resize_images_stub(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents").limit(50))
+    out = resize_images(media, width=64, height=64).collect()
+    assert len(out) == 50
+    for r in out[:5]:
+        assert (r.width, r.height) == (64, 64)
+        assert len(r.payload) == 64 * 64 // 64
+    # deterministic: same payload -> same fake pixels
+    again = resize_images(media, width=64, height=64).collect()
+    assert sorted(r.media_id for r in out) == sorted(r.media_id for r in again)
+    assert {r.media_id: bytes(r.payload) for r in out} == {
+        r.media_id: bytes(r.payload) for r in again
+    }
+
+
+def test_resize_without_codec_raises(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents").limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        resize_images(media, decode_stub=False).collect()
+
+
+def test_sample_frames_flatmap(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents").limit(30), kind="video")
+    frames = sample_frames(media, every_ms=1000, max_frames=8)
+    rows = frames.collect()
+    assert len(rows) >= 30  # flat map: >= one frame per video
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r)
+    for mid, fr in per.items():
+        assert len(fr) <= 8
+        idxs = sorted(f.frame_idx for f in fr)
+        assert idxs == list(range(len(fr)))  # dense frame indices
+        assert all(f.ts_ms == f.frame_idx * 1000 for f in fr)
+
+
+# ---------------------------------------------- all-six-shapes golden e2e
+
+ALL_SHAPES_BLUEPRINT = {
+    "commons": {"num_points": 30, "signal_min": 1, "signal_max": 10},
+    "generators": [
+        {"id": "ts1", "shape": "sinusoidal", "config": {"frequency": 0.25}},
+        {"id": "ts2", "shape": "constant", "config": {"num_points": 15, "constant": 20}},
+        {"id": "ts3", "shape": "random", "config": {"type": "uniform"}},
+        {"id": "ts4", "shape": "square",
+         "config": {"high_value": 40, "low_value": 10, "high_width": 5, "low_width": 10}},
+        {"id": "ts5", "shape": "real", "config": {"path": "__SET__"}},
+        {"id": "ts6", "shape": "custom", "config": {"formula": "t * 10"}},
+    ],
+    "targets": [
+        {"type": "s3", "prefix": "sensitive/", "action": "put",
+         "generators": ["ts1", "ts2"],
+         "fake_types": ["bban", "iban", "credit_card_full", "phone_number", "ssn", "address"],
+         "fake_counts": 3},
+        {"type": "s3", "action": "get", "slice_size": 100, "generators": ["ts3", "ts4"]},
+        {"type": "lambda", "function": "test", "generators": ["ts1"], "group_datapoints": True},
+        {"type": "cloudwatch", "namespace": "Test/Timeseries",
+         "generators": ["ts1", "ts2", "ts3", "ts4", "ts5", "ts6"], "group_datapoints": True},
+    ],
+}
+
+
+def test_all_shapes_blueprint_end_to_end(spark, tmp_path):
+    series_file = tmp_path / "real_series.txt"
+    series_file.write_text("\n".join(["5", "9", "", "14", "3", "8"]) + "\n")
+    doc = json.loads(json.dumps(ALL_SHAPES_BLUEPRINT))
+    doc["generators"][4]["config"]["path"] = str(series_file)
+    bp = parse_blueprint(doc)
+
+    out = run_blueprint(spark, bp, str(tmp_path / "out"), run_id="kitchen")
+    fact = spark.read.parquet(str(tmp_path / "out" / "queue"))
+    assert fact.count() == 30  # grid = max num_points
+
+    cw = next(t for t in out["targets"] if t["type"] == "cloudwatch")
+    metrics = spark.read.parquet(cw["metrics"])
+    assert metrics.count() == 6 * 30
+    by_shape = {
+        r.dim_shape: r["count"] for r in metrics.groupBy("dim_shape").count().collect()
+    }
+    assert by_shape == {
+        "sinusoidal": 30, "constant": 30, "random": 30,
+        "square": 30, "real": 30, "custom": 30,
+    }
+    # value sanity per shape semantics
+    vals = {r.dim_id: r for r in metrics.groupBy(F.col("dim_id")).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")).collect()}
+    assert vals["ts2"].hi == 20 and vals["ts2"].lo == 0   # constant, zero-filled past slot 15
+    assert vals["ts4"].hi == 40 and vals["ts4"].lo == 10  # square, full grid
+    assert 1 <= vals["ts1"].lo and vals["ts1"].hi <= 10   # signal-scaled
+    assert 1 <= vals["ts3"].lo and vals["ts3"].hi <= 10
+    # real: zero-padded to the grid BEFORE scaling (S2, main.py:510-529),
+    # so padded zeros land at signal_min
+    assert vals["ts5"].lo == 1 and vals["ts5"].hi <= 10
+
+    put = next(t for t in out["targets"] if t.get("objects"))
+    manifest = spark.read.parquet(put["manifest"])
+    providers = {r.provider for r in manifest.select("provider").distinct().collect()}
+    assert providers <= {"bban", "iban", "credit_card_full", "phone_number", "ssn", "address"}
+    assert len(providers) >= 3
+
+
+# -------------------------------------------------------------------- CLI
+
+def test_cli_generate_and_run(spark, tmp_path):
+    from amazon_macie_activity_generator_spark.__main__ import main
+
+    bp_path = tmp_path / "bp.json"
+    bp_path.write_text(json.dumps({
+        "commons": {"num_points": 12},
+        "generators": [
+            {"id": "a", "shape": "constant", "config": {"constant": 3}},
+            {"id": "b", "shape": "custom", "config": {"formula": "t + 1"}},
+        ],
+        "targets": [
+            {"type": "cloudwatch", "namespace": "X", "generators": ["a", "b"],
+             "group_datapoints": True},
+        ],
+    }))
+    assert main(["generate", str(bp_path), str(tmp_path / "fact"), "--run-id", "cli1"]) == 0
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    assert fact.count() == 24
+    assert main(["run", str(bp_path), str(tmp_path / "runout"), "--run-id", "cli2"]) == 0
+    assert spark.read.parquet(str(tmp_path / "runout" / "queue")).count() == 12
+    assert main(["replay", str(tmp_path / "runout" / "queue"), str(tmp_path / "rp")]) == 0
+    assert spark.read.parquet(str(tmp_path / "rp" / "delivered")).count() == 12
