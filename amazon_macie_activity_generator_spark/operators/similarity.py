@@ -200,6 +200,112 @@ def lsh_bucket_topk(
     )
 
 
+# ------------------------------------------------------------- IVF / ANN
+
+def _assign_udf(centroids: np.ndarray, n_nearest: int = 1):
+    """pandas UDF: indexes of the n nearest centroids (L2) per vector —
+    one matmul per Arrow batch, centroids broadcast in the closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    c_sq = (C * C).sum(axis=1)                            # (k,)
+
+    @pandas_udf("array<int>")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        d = c_sq[None, :] - 2.0 * (V @ C.T)               # + |v|^2, constant per row
+        idx = np.argsort(d, axis=1)[:, :n_nearest].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return assign
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Lloyd's k-means for the IVF coarse quantizer, Spark-shaped:
+    centroids live on the driver (k x dim — tiny) and broadcast into an
+    Arrow-batched assignment UDF each round; the update is one
+    posexplode + groupBy(cluster, pos) avg. Deterministic init: the k
+    lowest-id vectors (stable across partitionings). This is the same
+    structure MLlib uses — per-iteration work is a single keyed shuffle
+    of (cluster, pos, value), never vectors to the driver."""
+    df = df.select(id_col, vec_col).persist()
+    init = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = np.asarray([list(r[0]) for r in init], dtype=np.float64)
+    for _ in range(max_iter):
+        assign = _assign_udf(centroids, 1)
+        assigned = df.select(
+            F.element_at(assign(F.col(vec_col)), 1).alias("cluster"),
+            F.col(vec_col).alias("v"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        for c, posmap in by_cluster.items():
+            for p, m in posmap.items():
+                new_c[c, p] = m
+        if np.allclose(new_c, centroids, atol=1e-9):
+            break
+        centroids = new_c
+    df.unpersist()
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat ANN: k-means coarse quantizer -> inverted lists keyed by
+    cluster -> queries probe their ``nprobe`` nearest lists -> exact
+    cosine re-rank. The 100 TB shape: the index pass writes the corpus
+    bucketed/partitioned by cluster once; each query batch joins only
+    its probed clusters (partition pruning on the cluster key) instead
+    of scanning the corpus."""
+    centroids = kmeans_fit(corpus, k=nlist, max_iter=kmeans_iter, vec_col=vec_col, id_col=id_col)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(_assign_udf(centroids, 1)(F.col(vec_col)), 1).alias("cluster"),
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+        F.explode(_assign_udf(centroids, nprobe)(F.col(vec_col))).alias("cluster"),
+    )
+    cand = c.join(F.broadcast(q), on="cluster").filter(F.col(query_id_col) != F.col(id_col))
+    sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
+    scored = cand.select(query_id_col, id_col, sim.alias("sim")).dropDuplicates(
+        [query_id_col, id_col]
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

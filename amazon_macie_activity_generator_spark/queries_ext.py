@@ -262,6 +262,22 @@ SELECT query_id, vec_id, sim, rank FROM (
 """
 
 
+def q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2 — IVF-flat ANN top-5: k-means coarse quantizer +
+    nprobe inverted-list search + exact re-rank (rows-only: approximate;
+    recall vs brute force asserted in tests)."""
+    from amazon_macie_activity_generator_spark.operators.similarity import ivf_topk
+
+    # plain loader: the IVF path is Arrow/numpy-vectorized, where extra
+    # partitions just multiply per-task Arrow overhead (unlike the
+    # expression-bound paths behind _emb)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, kmeans_iter=3)
+
+
 def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path — SRP-LSH bucketed ANN top-5 (rows-only: approximate
     + hash-engine-local buckets; recall asserted in tests)."""
@@ -708,6 +724,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "embedding_near_dup": (q_embedding_near_dup, None),
     "topk_cosine": (q_topk_cosine, SQL_TOPK_COSINE),
     "topk_cosine_lsh": (q_topk_cosine_lsh, None),
+    "topk_cosine_ivf": (q_topk_cosine_ivf, None),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -45,3 +45,38 @@ def test_srp_planes_deterministic():
     assert srp_planes(16, 4, "x") == srp_planes(16, 4, "x")
     assert srp_planes(16, 4, "x") != srp_planes(16, 4, "y")
     assert all(v in (1.0, -1.0) for row in srp_planes(8, 3, "z") for v in row)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, nlist=8, nprobe=3).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # sims reported by IVF are exact cosines: any overlapping pair agrees
+    exact_sim = {(r.query_id, r.vec_id): r.sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_sim:
+            assert abs(exact_sim[(r.query_id, r.vec_id)] - r.sim) < 1e-9
+
+
+def test_kmeans_deterministic(spark, sf_dir):
+    import numpy as np
+
+    from amazon_macie_activity_generator_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    c1 = kmeans_fit(emb, k=4, max_iter=3)
+    c2 = kmeans_fit(emb, k=4, max_iter=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (4, 64)
