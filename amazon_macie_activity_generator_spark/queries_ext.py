@@ -643,6 +643,131 @@ def q_blueprint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------- analytics breadth (§2.7 gaps)
 
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (absent in the reference, §2.7): per-event-type
+    10-row moving average + running count over event time."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return events.select(
+        "event_id", "event_type",
+        F.round(F.avg("value").over(w.rowsBetween(-9, 0)), 4).alias("moving_avg"),
+        F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_n"),
+    )
+
+
+SQL_ROLLING = """
+SELECT event_id, event_type,
+       round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+       count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS running_n
+FROM events
+"""
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / ROLLUP (absent in the reference, §2.7): subtotals
+    and grand total over the pricing summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty", "n_rows",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality filter -> canonical-form
+    dedup (md5 fingerprint, keep min doc_id) -> drop language-unidentified
+    docs -> per-language survivor stats. The full chain oracle-checks."""
+    from amazon_macie_activity_generator_spark.operators.text import (
+        fingerprint_md5,
+        lang_id_expr,
+        quality_features,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = quality_features(docs).filter(
+        (F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.3)
+    )
+    with_fp = feat.select(
+        "doc_id", "lang", "n_tokens", "quality_score",
+        fingerprint_md5(F.col("text")).alias("fp"),
+        lang_id_expr(F.col("text")).alias("lang_pred"),
+    )
+    canon = with_fp.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("rk") == 1)
+    kept = canon.filter(F.col("lang_pred") != "und")
+    return kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+SQL_CORPUS_CLEAN = f"""
+WITH tok AS (
+  SELECT doc_id, text, lang, length(text) AS n_chars, {_DUCK_TOKS} AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> list_contains({_DUCK_EN_STOP}, t))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stopword_ratio
+  FROM tok
+),
+scored AS (
+  SELECT *,
+         round((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.3 END)
+         * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 1.0 - punct_ratio END)
+         * (0.5 + 0.5 * least(stopword_ratio * 5, 1.0)), 4) AS quality_score,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         list_sort([
+           struct_pack(hits := {_duck_hits('de')}, lang := 'de'),
+           struct_pack(hits := {_duck_hits('en')}, lang := 'en'),
+           struct_pack(hits := {_duck_hits('es')}, lang := 'es'),
+           struct_pack(hits := {_duck_hits('fr')}, lang := 'fr'),
+           struct_pack(hits := {_duck_hits('zh')}, lang := 'zh')
+         ])[-1] AS best
+  FROM feat
+  WHERE n_tokens >= 10 AND round(punct_ratio, 4) <= 0.3
+),
+canon AS (
+  SELECT *, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+  FROM scored
+)
+SELECT lang_pred, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality_score), 4) AS avg_quality
+FROM canon WHERE rk = 1 AND lang_pred <> 'und'
+GROUP BY lang_pred
+"""
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped aggregation over the main fact table (decimal sums for
     cross-engine exactness; filters push to the parquet scan)."""
@@ -741,6 +866,9 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "streaming_tumbling": (q_streaming_tumbling, SQL_TUMBLING),
     "streaming_replay": (q_streaming_replay, None),
     "blueprint_e2e": (q_blueprint_e2e, None),
+    "rolling_stats": (q_rolling_stats, SQL_ROLLING),
+    "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP),
+    "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
     "join_topn_customers": (q_join_topn_customers, SQL_JOIN_TOPN),
     "set_ops_users": (q_set_ops_users, SQL_SET_OPS),
