@@ -55,6 +55,23 @@ def slot_row_json(
     )
 
 
+def unpivot_slot_rows(
+    df: DataFrame,
+    series_ids: list[str],
+    t_col: str = "t",
+    series_col: str = "series_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """R1 inverse — wide slot rows back to the long fact shape via
+    ``unpivot`` (ids=[t], values=series columns). Round-trips with
+    pivot_slot_rows; the consumer-side transform when a sink wants
+    per-series rows out of queue entries."""
+    return df.unpivot(
+        ids=[t_col], values=series_ids,
+        variableColumnName=series_col, valueColumnName=value_col,
+    )
+
+
 def group_datapoints(
     df: DataFrame,
     t_col: str = "t",

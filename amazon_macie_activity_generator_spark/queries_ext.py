@@ -643,6 +643,37 @@ def q_blueprint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------- analytics breadth (§2.7 gaps)
 
+def q_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 inverse — pivot the event series wide, then unpivot back to the
+    long fact shape (zero-filled slots surface as explicit 0 rows)."""
+    from amazon_macie_activity_generator_spark.operators.reshape import (
+        pivot_slot_rows,
+        unpivot_slot_rows,
+    )
+    from amazon_macie_activity_generator_spark.queries import EVENT_TYPES, _events
+    from amazon_macie_activity_generator_spark.sources.real_series import events_as_series
+
+    s = events_as_series(_events(spark, sf_dir)).filter(F.col("t") < 1500)
+    wide = pivot_slot_rows(s, series_ids=EVENT_TYPES, agg="max")
+    long = unpivot_slot_rows(wide, series_ids=EVENT_TYPES)
+    return long.select("t", "series_id", F.round("value", 4).alias("value"))
+
+
+SQL_UNPIVOT = """
+WITH s AS (
+  SELECT event_type AS series_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+),
+grid AS (SELECT DISTINCT t FROM s WHERE t < 1500),
+series AS (SELECT unnest(['click','error','purchase','signup','view']) AS series_id)
+SELECT g.t, se.series_id, round(coalesce(s.value, 0), 4) AS value
+FROM grid g CROSS JOIN series se
+LEFT JOIN s ON s.t = g.t AND s.series_id = se.series_id
+"""
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions (absent in the reference, §2.7): per-event-type
     10-row moving average + running count over event time."""
@@ -866,6 +897,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "streaming_tumbling": (q_streaming_tumbling, SQL_TUMBLING),
     "streaming_replay": (q_streaming_replay, None),
     "blueprint_e2e": (q_blueprint_e2e, None),
+    "unpivot_roundtrip": (q_unpivot_roundtrip, SQL_UNPIVOT),
     "rolling_stats": (q_rolling_stats, SQL_ROLLING),
     "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
