@@ -213,3 +213,26 @@ def test_connected_components_small_graph(spark):
     )
     got = {r.id: r.group_id for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from amazon_macie_activity_generator_spark.operators.skew import salted_agg, salted_join
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dims = (
+        events.select("user_id").distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(3)))
+    )
+    plain = events.join(dims, on="user_id").orderBy("event_id")
+    salted = salted_join(events, dims, on="user_id", salt=4).orderBy("event_id")
+    assert [tuple(r) for r in plain.collect()] == [tuple(r) for r in salted.collect()]
+
+    want = events.groupBy("user_id").agg(
+        F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n_rows")
+    )
+    got = salted_agg(events, key="user_id", value_col="value", salt=4)
+    w = {r.user_id: (round(r.sum_value, 6), r.n_rows) for r in want.collect()}
+    g = {r.user_id: (round(r.sum_value, 6), r.n_rows) for r in got.collect()}
+    assert w == g
