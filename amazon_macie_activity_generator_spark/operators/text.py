@@ -27,25 +27,39 @@ STOPWORDS = {
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+def stopword_hits_tokens(toks: Column, lang: str) -> Column:
+    """Count of tokens (with repeats) in `lang`'s stopword list, from an
+    already-evaluated token array."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     """Count of tokens (with repeats) in `lang`'s stopword list."""
-    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens_expr(text), lambda t: F.array_contains(stop, t)))
+    return stopword_hits_tokens(tokens_expr(text), lang)
 
 
 def lang_id_expr(text: Column) -> Column:
     """Heuristic language-ID: argmax of stopword hit counts; ties and
     zero-evidence fall back to 'und'. Deterministic tie-break by the
-    fixed language order below."""
+    fixed language order below.
+
+    The token array is bound once as a lambda argument — the naive form
+    re-tokenizes the document once per language (see
+    operators/dedup.word_shingles_expr on HOF re-evaluation)."""
     langs = sorted(STOPWORDS)  # de, en, es, fr, zh — fixed order
-    scored = F.array(*[
-        F.struct(stopword_hits(text, lg).alias("hits"), F.lit(lg).alias("lang"))
-        for lg in langs
-    ])
-    # array_max on struct: lexicographic (hits, lang) — ties pick the
-    # lexicographically-largest lang; zero hits -> 'und'.
-    best = F.array_max(scored)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    def best_of(tk: Column) -> Column:
+        scored = F.array(*[
+            F.struct(stopword_hits_tokens(tk, lg).alias("hits"), F.lit(lg).alias("lang"))
+            for lg in langs
+        ])
+        # array_max on struct: lexicographic (hits, lang) — ties pick the
+        # lexicographically-largest lang; zero hits -> 'und'.
+        best = F.array_max(scored)
+        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return F.element_at(F.transform(F.array(tokens_expr(text)), best_of), 1)
 
 
 def token_count_ws(text: Column) -> Column:
@@ -70,12 +84,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
       symbol heuristics as cheap expressions.
     """
     text = F.col(text_col)
-    toks = tokens_expr(text)
+    # one projection evaluates the token array; the feature projection
+    # references it many times, which CollapseProject leaves alone for
+    # non-cheap multi-use aliases — tokens compute once per row, not once
+    # per feature
+    with_toks = df.withColumn("__toks", tokens_expr(text))
+    toks = F.col("__toks")
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
     mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
-    stop_hits = stopword_hits(text, "en")
+    stop_hits = stopword_hits_tokens(toks, "en")
     stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
 
@@ -83,7 +102,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(1.0) - punct_ratio)
     score = F.round(length_ok * punct_ok * (F.lit(0.5) + F.lit(0.5) * F.least(stop_ratio * 5, F.lit(1.0))), 4)
 
-    return df.withColumns({
+    return with_toks.withColumns({
         "n_chars_calc": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
         "n_bpe_tokens": token_count_bpe(text).cast("long"),
@@ -91,7 +110,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "punct_ratio": F.round(punct_ratio, 4),
         "stopword_ratio": F.round(stop_ratio, 4),
         "quality_score": score,
-    })
+    }).drop("__toks")
 
 
 def fingerprint_md5(text: Column) -> Column:
