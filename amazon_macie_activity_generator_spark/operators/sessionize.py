@@ -16,8 +16,14 @@ event-time analytics over the ``events`` table.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING, Any, Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.state import GroupState
 
 
 def tumbling_counts(
@@ -58,4 +64,69 @@ def sessionize(
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
+    )
+
+
+SESSION_STATE_SCHEMA = "last_us long, session_id long, n_events long, start_us long"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, start_us long, end_us long"
+)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the escape hatch for session semantics ``session_window`` can't
+    express (per-user counters, custom close conditions). State per user:
+    (last event time, running session counter, open-session aggregates);
+    each micro-batch closes sessions whose gap exceeded ``gap_minutes``
+    and emits them, keeping the open session in state.
+
+    Batch-mode equivalence: driven over a static DataFrame (or
+    availableNow with all data in one batch), emitted closed sessions +
+    the final open session per user match ``sessionize`` exactly — the
+    test asserts that.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: "GroupState",
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            last_us, session_id, n_events, start_us = state.get
+        else:
+            last_us, session_id, n_events, start_us = None, 0, 0, None
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for us in sorted(int(v) for v in pdf["us"]):
+                if last_us is not None and us - last_us > gap_us:
+                    out.append((user, session_id, n_events, start_us, last_us))
+                    session_id += 1
+                    n_events, start_us = 0, us
+                if start_us is None:
+                    start_us = us
+                n_events += 1
+                last_us = us
+        state.update((last_us, session_id, n_events, start_us))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "n_events", "start_us", "end_us"]
+        )
+
+    prepared = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
     )

@@ -799,6 +799,43 @@ FROM canon WHERE rk = 1 AND lang_pred <> 'und'
 GROUP BY lang_pred
 """
 
+def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session state across micro-batches (rows-only: emits only closed
+    sessions; equivalence with the batch sessionizer asserted in tests)."""
+    import os
+    import tempfile
+    import uuid
+
+    from amazon_macie_activity_generator_spark.operators.sessionize import (
+        sessionize_stateful,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="amag_state_")
+    src = os.path.join(work, "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = "sess_state_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize_stateful(stream, gap_minutes=30)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint over the token stream
+    (rows-only: engine-local hash; md5 variant is the oracle-checked one)."""
+    from amazon_macie_activity_generator_spark.operators.text import fingerprint_rolling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_rolling(F.col("text")).alias("fingerprint"))
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped aggregation over the main fact table (decimal sums for
     cross-engine exactness; filters push to the parquet scan)."""
@@ -892,6 +929,8 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "json_extract_props": (q_json_extract_props, SQL_JSON_EXTRACT),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "sessionize_stateful": (q_sessionize_stateful, None),
+    "doc_fingerprint_rolling": (q_doc_fingerprint_rolling, None),
     "fake_content": (q_fake_content, None),
     "s3_put_activities": (q_s3_put_activities, None),
     "streaming_tumbling": (q_streaming_tumbling, SQL_TUMBLING),

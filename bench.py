@@ -25,6 +25,10 @@ def main() -> None:
     spark = get_spark("amazon-macie-activity-generator-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM/executors/noop-sink path so the first query's timing
+    # is the query, not session startup
+    spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
         df = fn(spark, sf_dir)

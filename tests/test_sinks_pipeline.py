@@ -333,3 +333,42 @@ def test_streaming_sessions_runs(spark, sf_dir, tmp_path):
     assert got.count() > 0
     bad = got.filter(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer: with all data in one batch,
+    emitted closed sessions == batch gaps-and-islands sessions minus each
+    user's final (still-open) session."""
+    from amazon_macie_activity_generator_spark.operators.sessionize import (
+        sessionize,
+        sessionize_stateful,
+    )
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = sessionize_stateful(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sess_state")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in spark.sql("SELECT * FROM sess_state").collect()
+    }
+
+    batch = sessionize(events, gap_minutes=30).collect()
+    last_per_user = {}
+    for r in batch:
+        last_per_user[r.user_id] = max(last_per_user.get(r.user_id, -1), r.session_id)
+    want = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in batch
+        if r.session_id < last_per_user[r.user_id]
+    }
+    assert len(got) > 0
+    assert got == want
