@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 from amazon_macie_activity_generator_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_candidates,
-    ngram_jaccard_pairs,
     simhash64,
     simhash_near_pairs,
 )

@@ -40,7 +40,6 @@ def _load_via_arrow(spark: SparkSession, path: str) -> DataFrame:
     the small driver tables — at real scale the data lands as us-precision
     parquet and never takes this path."""
     import pyarrow.parquet as pq
-    import pyarrow.compute as pc  # noqa: F401
 
     tbl = pq.read_table(path)
     schema = tbl.schema

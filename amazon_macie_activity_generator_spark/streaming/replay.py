@@ -88,10 +88,16 @@ def replay_to_table(
     stream = queue_stream(spark, queue_path, schema)
 
     def _deliver(batch: DataFrame, batch_id: int) -> None:
+        # idempotent delivery: dynamic overwrite of THIS batch's partition
+        # — a replayed micro-batch (crash between write and checkpoint
+        # commit) rewrites identical data instead of appending duplicates.
+        # That is the observable at-most-once contract (main.py:726-731)
+        # without the reference's delete-before-process data loss.
         (
             batch.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("run_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "batch_id")
             .parquet(out_path)
         )
 
