@@ -62,6 +62,43 @@ def _attach_series_stats(df: DataFrame, needed: set[str], value_col: str, by: li
     return df.join(F.broadcast(stats), on=by, how="left")
 
 
+def anomaly_hit_expr(
+    spec: dict,
+    n_points: int,
+    spec_idx: int,
+    t_col: str = "t",
+    identity: tuple[str, ...] = ("run_id", "series_id"),
+    mode: str = "hash",
+) -> Column | None:
+    """Predicate: is slot ``t`` an anomaly slot for this spec? None when
+    the spec selects nothing (counts<=0 / empty clamped range)."""
+    t = F.col(t_col)
+    start = min(int(spec.get("start", 0)), n_points - 1)
+    end = min(int(spec.get("end", n_points - 1)), n_points - 1)
+    counts = int(spec.get("counts", 0))
+    if counts <= 0 or start > n_points - 1 or end < start:
+        return None
+    width = end - start + 1
+
+    if mode == "stride":
+        # deterministic: evenly strided, first `counts` slots in range
+        stride = max(width // counts, 1)
+        return (
+            (t >= F.lit(start)) & (t <= F.lit(end))
+            & (F.pmod(t - F.lit(start), F.lit(stride)) == 0)
+            & (((t - F.lit(start)) / F.lit(stride)).cast("long") < F.lit(counts))
+        )
+    # with-replacement hash draws: slot t is hit iff any of the k draws
+    # lands on it. k is config-scale (<=counts), so an OR chain of k pure
+    # predicates stays in codegen via exists(sequence(0,k-1), ...).
+    ident_cols = [F.col(c) for c in identity]
+    draws = F.sequence(F.lit(0), F.lit(counts - 1))
+    hit_fn = lambda j: (  # noqa: E731
+        F.lit(start) + hash_int(*ident_cols, F.lit(spec_idx), j, n=width, salt="anom")
+    ) == t
+    return F.exists(draws, hit_fn)
+
+
 def apply_anomalies(
     df: DataFrame,
     specs: list[dict],
@@ -76,36 +113,11 @@ def apply_anomalies(
     if not specs:
         return df
     by = by if by is not None else ["series_id"]
-    t = F.col(t_col)
 
     for spec_idx, spec in enumerate(specs):
-        start = min(int(spec.get("start", 0)), n_points - 1)
-        end = min(int(spec.get("end", n_points - 1)), n_points - 1)
-        counts = int(spec.get("counts", 0))
-        if counts <= 0 or start > n_points - 1 or end < start:
+        is_hit = anomaly_hit_expr(spec, n_points, spec_idx, t_col, identity, mode)
+        if is_hit is None:
             continue
-        width = end - start + 1
-
-        if mode == "stride":
-            # deterministic: evenly strided, first `counts` slots in range
-            stride = max(width // counts, 1)
-            is_hit = (
-                (t >= F.lit(start)) & (t <= F.lit(end))
-                & (F.pmod(t - F.lit(start), F.lit(stride)) == 0)
-                & (((t - F.lit(start)) / F.lit(stride)).cast("long") < F.lit(counts))
-            )
-        else:
-            # with-replacement hash draws: slot t is hit iff any of the k
-            # draws lands on it. k is config-scale (<=counts), so an OR
-            # chain of k pure predicates stays in codegen; for large k
-            # this collapses to exists(sequence(0,k-1), ...).
-            ident_cols = [F.col(c) for c in identity]
-            draws = F.sequence(F.lit(0), F.lit(counts - 1))
-            hit_fn = lambda j: (  # noqa: E731
-                F.lit(start) + hash_int(*ident_cols, F.lit(spec_idx), j, n=width, salt="anom")
-            ) == t
-            is_hit = F.exists(draws, hit_fn)
-
         val_expr, needed = _anomaly_value_expr(spec, t_col=t_col)
         df = _attach_series_stats(df, needed, value_col, by)
         df = df.withColumn(value_col, F.when(is_hit, val_expr.cast("double")).otherwise(F.col(value_col)))
