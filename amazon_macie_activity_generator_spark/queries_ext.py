@@ -890,6 +890,62 @@ ORDER BY total_spend DESC, c_custkey LIMIT 10
 """
 
 
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join / NOT EXISTS (§2.7 gap): customers with no big-ticket
+    order (> 300k) — the filter pushes below the anti join."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+"""
+
+
+def q_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (median/p90/p99) —
+    Spark percentile() and DuckDB quantile_cont share linear
+    interpolation; round(4) absorbs FP accumulation order."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per day (the expensive one — two-level agg;
+    approx_count_distinct is the rows-only scale alternative)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(F.col("day").cast("string").alias("day"), "n_users", "n_events")
+
+
+SQL_DISTINCT_DAILY = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: purchasers who clicked but never errored
     (INTERSECT + EXCEPT)."""
@@ -942,4 +998,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
     "join_topn_customers": (q_join_topn_customers, SQL_JOIN_TOPN),
     "set_ops_users": (q_set_ops_users, SQL_SET_OPS),
+    "anti_join_customers": (q_anti_join_customers, SQL_ANTI_JOIN),
+    "percentiles_by_type": (q_percentiles_by_type, SQL_PERCENTILES),
+    "distinct_users_daily": (q_distinct_users_daily, SQL_DISTINCT_DAILY),
 }
