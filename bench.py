@@ -35,6 +35,7 @@ def main() -> None:
         start = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        spark.catalog.clearCache()  # drop per-query persists; keep memory flat
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
