@@ -152,3 +152,43 @@ def test_zero_fill_completeness(spark, lengths):
     for s, n in lengths.items():
         for t in range(grid):
             assert got[(s, t)] == (float(t + 1) if t < n else 0.0)
+
+
+# ------------------------------------------------- determinism invariants
+
+def test_generate_deterministic_across_runs_and_partitionings(spark):
+    """Same blueprint + run_id => identical fact table, regardless of
+    partitioning (hash-counter RNG discipline, SURVEY.md §4.2)."""
+    from amazon_macie_activity_generator_spark.config import parse_blueprint
+    from amazon_macie_activity_generator_spark.plans.generate import generate
+
+    bp = parse_blueprint({
+        "commons": {"num_points": 60, "signal_min": 1, "signal_max": 9,
+                    "noise_min": -2, "noise_max": 2,
+                    "anomalies": {"start": 5, "end": 50, "counts": 4}},
+        "generators": [
+            {"id": "a", "shape": "random", "config": {"type": "uniform"}},
+            {"id": "b", "shape": "sinusoidal", "config": {"frequency": 0.2}},
+        ],
+        "targets": [],
+    })
+    one = {(r.series_id, r.t): r.value for r in generate(spark, bp, run_id="det").collect()}
+    two = {
+        (r.series_id, r.t): r.value
+        for r in generate(spark, bp, run_id="det").repartition(13).collect()
+    }
+    assert one == two
+    other = {(r.series_id, r.t): r.value for r in generate(spark, bp, run_id="other").collect()}
+    assert one != other  # run_id participates in every draw
+
+
+def test_fake_providers_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_macie_activity_generator_spark.functions.fake import fake_document
+
+    doc = fake_document(F.col("id"), fake_types=["ssn", "sentence"], fake_counts=2)
+    base = spark.range(100)
+    a = {r.id: r.d for r in base.select("id", doc.alias("d")).collect()}
+    b = {r.id: r.d for r in base.repartition(17).select("id", doc.alias("d")).collect()}
+    assert a == b
