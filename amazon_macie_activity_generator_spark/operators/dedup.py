@@ -8,9 +8,10 @@ Four tiers, cheapest-first, all shuffle-disciplined for 100 TB:
   minhash signature -> banded bucket join. Candidate generation never
   compares all pairs: the only shuffle is groupBy(band, band_hash), and
   within-bucket pairs are verified with exact Jaccard.
-- SimHash: 64-bit signature via exploded-token bit-vote aggregation;
-  near-dup = small Hamming distance, banded by 16-bit chunks
-  (pigeonhole: distance<=3 guarantees one of 4 chunks matches exactly).
+- SimHash: 64-bit signature as a zero-shuffle map-side projection
+  (JVM token hashing + vectorized Arrow bit-vote fold); near-dup =
+  small Hamming distance, banded by 16-bit chunks (pigeonhole:
+  distance<=3 guarantees one of 4 chunks matches exactly).
 - n-gram Jaccard: exact set similarity on word n-grams for candidate
   pairs (the verifier for the LSH tiers, or standalone with blocking).
 

@@ -5,12 +5,16 @@ Two paths:
   as a pure zip_with/aggregate expression (JVM codegen), per-query top-k
   via a window over the query key — the window partitions by query id,
   so no global sort. The right baseline, and exact.
-- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH (Charikar
-  '02 SRP): deterministic Rademacher planes from xxhash64, bucket id =
-  sign-bit string, candidates = bucket collisions under multi-probe
-  (all Hamming-1 neighbors), exact cosine re-rank within candidates.
-  At 100 TB: corpus bucketing is one narrow pass; queries join only
-  their probe buckets instead of the full corpus.
+- ``lsh_bucket_topk``: scale path 1 — random-hyperplane LSH (Charikar
+  '02 SRP): seeded deterministic Rademacher planes, bucket id = sign-bit
+  string (one numpy matmul in an Arrow UDF; pure-expression twin kept
+  under test), candidates = bucket collisions under multi-probe (all
+  Hamming-1 neighbors), exact cosine re-rank within candidates. At
+  100 TB: corpus bucketing is one narrow pass; queries join only their
+  probe buckets instead of the full corpus.
+- ``ivf_topk``: scale path 2 — IVF-flat: k-means coarse quantizer
+  (centroids on the driver, broadcast into the assignment UDF),
+  inverted lists keyed by cluster, nprobe probing, exact re-rank.
 
 Cosine accumulates in float64 in deterministic index order (matters for
 cross-engine oracle parity).

@@ -132,6 +132,25 @@ def execute_target(
     return result
 
 
+def run_cycles(
+    spark: SparkSession,
+    blueprint: Blueprint,
+    out_dir: str,
+    n_cycles: int = 2,
+    anomaly_mode: str = "hash",
+) -> list[dict[str, Any]]:
+    """Cycle restart (main.py:1128-1133): when a cycle's queue drains the
+    reference regenerates and refills. Batch shape: each cycle is one
+    ``run_blueprint`` with a fresh run_id; the queue table accumulates
+    cycles as partitions (run_id partition pruning gives per-cycle reads),
+    and random generators draw fresh values because run_id participates
+    in every hash draw."""
+    return [
+        run_blueprint(spark, blueprint, out_dir, anomaly_mode=anomaly_mode)
+        for _ in range(n_cycles)
+    ]
+
+
 def run_blueprint(
     spark: SparkSession,
     blueprint: Blueprint,

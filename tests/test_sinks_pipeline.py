@@ -372,3 +372,16 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_run_cycles_accumulates_queue(spark, bp, tmp_path):
+    from amazon_macie_activity_generator_spark.plans.pipeline import run_cycles
+
+    outs = run_cycles(spark, bp, str(tmp_path), n_cycles=2)
+    assert len({o["run_id"] for o in outs}) == 2
+    queue = spark.read.parquet(outs[0]["queue"])
+    assert queue.count() == 40  # 20 slots x 2 cycles
+    assert queue.select("run_id").distinct().count() == 2
+    # per-cycle read prunes to its own run_id partition
+    one = queue.filter(F.col("run_id") == outs[0]["run_id"])
+    assert one.count() == 20
