@@ -16,6 +16,7 @@ folding, codegen, pushdown all apply. No custom rule needed.
 from __future__ import annotations
 
 import ast
+import math
 
 # formula call name -> SQL function name (arity-1 math whitelist)
 _MATH_FUNCS = {
@@ -95,3 +96,89 @@ def translate_formula(formula: str, t_col: str = "t") -> tuple[str, set[str]]:
         raise FormulaError(f"syntax {type(node).__name__} not allowed in formulas")
 
     return emit(tree), needed
+
+
+_SAFE_MATH = {
+    "sin": math.sin, "cos": math.cos, "tan": math.tan, "sqrt": math.sqrt,
+    "abs": abs, "exp": math.exp, "log": math.log, "floor": math.floor,
+    "ceil": math.ceil,
+}
+_SAFE_AGGS = {"max": max, "min": min, "len": len, "sum": sum}
+
+
+def eval_formula_step(formula: str, t: int, datapoints: list[float]) -> float:
+    """Evaluate ONE recurrence step v[t] = f(t, datapoints=v[0..t-1]) by
+    interpreting the whitelisted AST — never ``eval``.
+
+    The reference's custom generator runs ``eval(formula, locals())`` with
+    the partially-built ``datapoints`` list in scope (main.py:473-475), so
+    formulas like ``sum(datapoints) + 1`` define recurrences. A recurrence
+    consumes its own prefix — inherently sequential — so the engine
+    computes these driver-side per series (num_points <= 20,160) and
+    parallelizes the resulting values like a replayed real series.
+
+    Same whitelist as :func:`translate_formula` plus the four
+    ``datapoints`` aggregates; anything else raises FormulaError. An
+    aggregate over the empty prefix at t=0 mirrors Python semantics
+    (``max``/``min`` raise — as the reference would crash — while
+    ``sum``/``len`` are 0)."""
+    tree = ast.parse(formula, mode="eval")
+
+    def ev(node: ast.AST):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+            return node.value
+        if isinstance(node, ast.Name):
+            if node.id == "t":
+                return t
+            raise FormulaError(f"unknown variable {node.id!r} (only 't' allowed)")
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.USub, ast.UAdd)):
+            v = ev(node.operand)
+            return -v if isinstance(node.op, ast.USub) else +v
+        if isinstance(node, ast.BinOp):
+            l, r = ev(node.left), ev(node.right)
+            if isinstance(node.op, ast.Add):
+                return l + r
+            if isinstance(node.op, ast.Sub):
+                return l - r
+            if isinstance(node.op, ast.Mult):
+                return l * r
+            if isinstance(node.op, ast.Div):
+                return l / r
+            if isinstance(node.op, ast.Mod):
+                return l % r
+            if isinstance(node.op, ast.Pow):
+                return l ** r
+            raise FormulaError(f"operator {type(node.op).__name__} not allowed")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.keywords:
+                raise FormulaError("only simple calls f(x) are allowed")
+            name = node.func.id
+            if (
+                name in _SAFE_AGGS
+                and len(node.args) == 1
+                and isinstance(node.args[0], ast.Name)
+                and node.args[0].id == "datapoints"
+            ):
+                try:
+                    return _SAFE_AGGS[name](datapoints)
+                except ValueError as e:
+                    raise FormulaError(
+                        f"{name}(datapoints) over the empty prefix at t=0 "
+                        "(the reference crashes here too)"
+                    ) from e
+            if name in _MATH_FUNCS and len(node.args) == 1:
+                return _SAFE_MATH[name](ev(node.args[0]))
+            raise FormulaError(f"call {name!r} not in whitelist")
+        raise FormulaError(f"syntax {type(node).__name__} not allowed in formulas")
+
+    return ev(tree)
+
+
+def eval_recurrence(formula: str, num_points: int) -> list[float]:
+    """Full recurrence series: v[t] = f(t, v[0..t-1]) for t in [0, n)."""
+    values: list[float] = []
+    for t in range(num_points):
+        values.append(float(eval_formula_step(formula, t, values)))
+    return values

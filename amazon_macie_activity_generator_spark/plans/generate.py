@@ -54,11 +54,16 @@ def generate_series(spark: SparkSession, gen: GeneratorSpec, run_id: str, anomal
         elif shape == "custom":
             expr, needed = G.custom_expr(cfg)
             if needed:
-                raise BlueprintError(
-                    f"generator {gen.id!r}: custom formulas may only use 't' "
-                    "(datapoints aggregates are anomaly-formula-only)"
+                # recurrence formula -> driver-side safe interpreter
+                # (see _raw_series; same path, same values)
+                from amazon_macie_activity_generator_spark.formula import eval_recurrence
+
+                values = eval_recurrence(str(cfg["formula"]), n)
+                df = spark.createDataFrame(
+                    list(enumerate(values)), "t long, value double"
                 )
-            df = df.withColumn("value", expr.cast("double"))
+            else:
+                df = df.withColumn("value", expr.cast("double"))
         elif shape == "random":
             expr, _needs_scale = G.random_expr(cfg, gen.id, run_id, t)
             df = df.withColumn("value", expr.cast("double"))
@@ -104,11 +109,18 @@ def _raw_series(spark: SparkSession, gen: GeneratorSpec, run_id: str) -> DataFra
         elif shape == "custom":
             expr, needed = G.custom_expr(cfg)
             if needed:
-                raise BlueprintError(
-                    f"generator {gen.id!r}: custom formulas may only use 't' "
-                    "(datapoints aggregates are anomaly-formula-only)"
+                # recurrence over its own prefix (reference eval semantics,
+                # main.py:473-475): inherently sequential -> computed
+                # driver-side (n <= 20,160) and parallelized like a real
+                # series; safe AST interpreter, never eval.
+                from amazon_macie_activity_generator_spark.formula import eval_recurrence
+
+                values = eval_recurrence(str(cfg["formula"]), n)
+                df = spark.createDataFrame(
+                    list(enumerate(values)), "t long, value double"
                 )
-            df = df.withColumn("value", expr.cast("double"))
+            else:
+                df = df.withColumn("value", expr.cast("double"))
         elif shape == "random":
             expr, _ = G.random_expr(cfg, gen.id, run_id, t)
             df = df.withColumn("value", expr.cast("double"))

@@ -105,6 +105,32 @@ SELECT t, CAST(CASE WHEN mx = mn THEN ceil(1.0)
 FROM raw, stats
 """
 
+def q_gen_custom_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 recurrence semantics (eval with the prefix in scope,
+    main.py:473-475): ``sum(datapoints) + 1`` doubles each slot -> raw
+    2^(t-1) (1 at t=0), then signal-scaled [1,20]. Closed form in the
+    oracle; round(6) pre-ceil in both engines."""
+    g = GeneratorSpec(
+        "rec1", "custom",
+        {"formula": "sum(datapoints) + 1", "num_points": 20,
+         "signal_min": 1, "signal_max": 20},
+    )
+    df = generate_series(spark, g, run_id="oracle")
+    return df.select("t", F.col("value").cast("long").alias("value"))
+
+
+# raw values are exact powers of two and both engines run the identical
+# IEEE scaling expression, so no pre-ceil rounding is needed (or wanted:
+# one-sided rounding could flip a ceil the other engine doesn't).
+SQL_GEN_RECURRENCE = """
+WITH raw AS (
+  SELECT t, power(2.0, t) AS v FROM range(0, 20) tbl(t)
+), stats AS (SELECT min(v) AS mn, max(v) AS mx FROM raw)
+SELECT t, CAST(CASE WHEN mx = mn THEN ceil(1.0)
+                ELSE ceil((v - mn) / (mx - mn) * 19.0 + 1.0) END AS BIGINT) AS value
+FROM raw, stats
+"""
+
 _CUSTOM_FORMULA = "(t * t) % 97 + 3"
 
 
@@ -386,6 +412,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gen_square": (q_gen_square, SQL_GEN_SQUARE),
     "gen_sinusoidal": (q_gen_sinusoidal, SQL_GEN_SINUSOIDAL),
     "gen_custom_formula": (q_gen_custom_formula, SQL_GEN_CUSTOM),
+    "gen_custom_recurrence": (q_gen_custom_recurrence, SQL_GEN_RECURRENCE),
     "gen_random_uniform": (q_gen_random_uniform, None),
     "real_replay_pad": (q_real_replay_pad, SQL_REAL_REPLAY),
     "scale_minmax": (q_scale_minmax, SQL_SCALE_MINMAX),

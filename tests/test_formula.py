@@ -48,3 +48,42 @@ def test_formula_evaluates_in_spark(spark):
     sql, _ = translate_formula("t * 2 + 1")
     df = spark.range(5).withColumnRenamed("id", "t").select(F.expr(sql).alias("v"))
     assert [r.v for r in df.collect()] == [1.0, 3.0, 5.0, 7.0, 9.0]
+
+
+def test_recurrence_interpreter():
+    from amazon_macie_activity_generator_spark.formula import (
+        FormulaError,
+        eval_formula_step,
+        eval_recurrence,
+    )
+
+    # sum over prefix: doubling recurrence 1, 2, 4, 8...
+    assert eval_recurrence("sum(datapoints) + 1", 5) == [1.0, 2.0, 4.0, 8.0, 16.0]
+    # len over prefix == t
+    assert eval_recurrence("len(datapoints) * 3", 4) == [0.0, 3.0, 6.0, 9.0]
+    # max over empty prefix mirrors the reference crash, as a clear error
+    import pytest
+
+    with pytest.raises(FormulaError, match="empty prefix"):
+        eval_recurrence("max(datapoints) + 1", 3)
+    # injection still rejected in the interpreter
+    with pytest.raises(FormulaError):
+        eval_formula_step("__import__('os')", 0, [])
+
+
+def test_recurrence_generator_end_to_end(spark):
+    from amazon_macie_activity_generator_spark.config import GeneratorSpec
+    from amazon_macie_activity_generator_spark.plans.generate import generate_series
+
+    g = GeneratorSpec(
+        "rec", "custom",
+        {"formula": "sum(datapoints) + 1", "num_points": 10,
+         "signal_min": 1, "signal_max": 20},
+    )
+    vals = [
+        r.value for r in generate_series(spark, g, "run").orderBy("t").collect()
+    ]
+    # raw 1,2,4,...,512 scaled into [1,20]: monotone, endpoints pinned
+    assert len(vals) == 10
+    assert vals[0] == 1 and vals[-1] == 20
+    assert vals == sorted(vals)
