@@ -946,6 +946,33 @@ FROM events GROUP BY 1
 """
 
 
+def q_salted_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/skew.py): per-user sums
+    through a salted partial stage — result identical to the plain
+    groupBy, which is exactly what the oracle checks."""
+    from amazon_macie_activity_generator_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(events.select("user_id", "value"), key="user_id", value_col="value", salt=8)
+    return out.select("user_id", F.round("sum_value", 4).alias("sum_value"), "n_rows")
+
+
+SQL_SALTED_AGG = """
+SELECT user_id, round(sum(value), 4) AS sum_value, count(*) AS n_rows
+FROM events GROUP BY user_id
+"""
+
+
+def q_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct per day (rows-only: sketch values
+    are engine-local; the exact twin is distinct_users_daily). The 100 TB
+    path — one pass, bounded sketch memory, no per-key exact state."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    ).select(F.col("day").cast("string").alias("day"), "approx_users")
+
+
 def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: purchasers who clicked but never errored
     (INTERSECT + EXCEPT)."""
@@ -1001,4 +1028,6 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "anti_join_customers": (q_anti_join_customers, SQL_ANTI_JOIN),
     "percentiles_by_type": (q_percentiles_by_type, SQL_PERCENTILES),
     "distinct_users_daily": (q_distinct_users_daily, SQL_DISTINCT_DAILY),
+    "salted_agg_users": (q_salted_agg_users, SQL_SALTED_AGG),
+    "approx_distinct_daily": (q_approx_distinct_daily, None),
 }

@@ -57,3 +57,42 @@ def test_generation_stays_expression_only(spark):
     })
     plan = _plan(generate(spark, bp, run_id="plantest"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing: both sides bucketed by the join key
+    -> SortMergeJoin with ZERO Exchange operators. The pre-partitioning
+    strategy for repeated big-big joins at 100 TB (write once bucketed,
+    join shuffle-free forever)."""
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    left, right = "bj_left_tbl", "bj_right_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {left}")
+    spark.sql(f"DROP TABLE IF EXISTS {right}")
+    (events.select("event_id", "user_id", "value")
+     .write.bucketBy(8, "user_id").sortBy("user_id")
+     .option("path", str(tmp_path / "l")).saveAsTable(left))
+    (events.groupBy("user_id").count()
+     .write.bucketBy(8, "user_id").sortBy("user_id")
+     .option("path", str(tmp_path / "r")).saveAsTable(right))
+    # at test scale Spark rightly prefers broadcast; disable it to expose
+    # the big-big path bucketing exists for
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(left).join(spark.table(right), on="user_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing replaces the shuffle
+        assert joined.count() == events.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        if saved_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {left}")
+        spark.sql(f"DROP TABLE IF EXISTS {right}")
