@@ -113,6 +113,36 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     }).drop("__toks")
 
 
+# PII surface: the same formats the engine's own fake providers emit
+# (functions/fake.py F1-F11) — generation's defensive complement for
+# training-data hygiene. Patterns restricted to syntax shared by Java
+# regex (Spark) and RE2 (DuckDB) so detection oracle-checks.
+PII_PATTERNS = {
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\(\d{3}\) \d{3}-\d{4}",
+    "aws_key": r"(AKIA|ASIA)[A-Z]{16}",
+    "slack_token": r"xox[apbo]-[0-9-]+",
+}
+
+
+def pii_counts(text: Column) -> Column:
+    """struct<ssn:int, email:int, ...> — occurrences per PII class."""
+    return F.struct(*[
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ])
+
+
+def pii_redact(text: Column, token: str = "[REDACTED]") -> Column:
+    """Mask every PII class with ``token`` (chained regexp_replace —
+    one codegen'd projection, no Python)."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Canonical-form document fingerprint: lowercase, strip non-alnum,
     collapse whitespace, md5. Stable across engines -> exact-dup key."""

@@ -388,6 +388,71 @@ FROM scored
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over documents with deterministically planted
+    sensitive strings (SSN / email / AWS key formats — the very formats
+    the K6 fake providers emit). Counts and the redacted fingerprint both
+    oracle-check: detection finds exactly the plants, redaction removes
+    them all."""
+    from amazon_macie_activity_generator_spark.operators.text import (
+        pii_counts,
+        pii_redact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " ssn %03d-%02d-%04d contact user%d@example.com key AKIA",
+                F.pmod(F.col("doc_id"), F.lit(899)) + 1,
+                F.pmod(F.col("doc_id"), F.lit(99)) + 1,
+                F.pmod(F.col("doc_id"), F.lit(9999)) + 1,
+                F.col("doc_id"),
+            ),
+            F.repeat(F.lit("Q"), 16),
+        ).alias("text"),
+    )
+    c = pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        c["ssn"].cast("long").alias("n_ssn"),
+        c["email"].cast("long").alias("n_email"),
+        c["aws_key"].cast("long").alias("n_aws"),
+        F.md5(pii_redact(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+_PII_RE = {
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\(\d{3}\) \d{3}-\d{4}",
+    "aws_key": r"(AKIA|ASIA)[A-Z]{16}",
+    "slack_token": r"xox[apbo]-[0-9-]+",
+}
+
+_DUCK_REDACT = "text2"
+for _pat in _PII_RE.values():
+    _DUCK_REDACT = f"regexp_replace({_DUCK_REDACT}, '{_pat}', '[REDACTED]', 'g')"
+
+SQL_PII_REDACT = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || printf(' ssn %03d-%02d-%04d contact user%d@example.com key AKIA',
+                        doc_id % 899 + 1, doc_id % 99 + 1, doc_id % 9999 + 1, doc_id)
+              || repeat('Q', 16) AS text2
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '{_PII_RE["ssn"]}')) AS n_ssn,
+       len(regexp_extract_all(text2, '{_PII_RE["email"]}')) AS n_email,
+       len(regexp_extract_all(text2, '{_PII_RE["aws_key"]}')) AS n_aws,
+       md5({_DUCK_REDACT}) AS redacted_md5
+FROM planted
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — canonical-form md5 fingerprint (cross-engine-stable)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1004,6 +1069,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "multimodal_decode_stub": (q_multimodal_decode_stub, None),
     "multimodal_resize": (q_multimodal_resize, None),
