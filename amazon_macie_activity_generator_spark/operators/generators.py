@@ -105,11 +105,26 @@ def random_expr(cfg: dict, series_id: str, run_id: str, t: Column) -> tuple[Colu
     dist = str(cfg.get("type", "uniform"))
     ident = (F.lit(run_id), F.lit(series_id), t)
 
-    def u(salt: str) -> Column:
-        return hash_unit(*ident, salt=salt)
+    if str(cfg.get("rng", "hash")) == "counter":
+        # cross-engine counter RNG (functions/rng.py): oracle-checkable
+        # draws — every op (%, *, xor, >>) exists identically in DuckDB.
+        from amazon_macie_activity_generator_spark.functions.rng import (
+            counter_gauss,
+            counter_offset,
+            counter_unit,
+        )
 
-    def z(salt: str) -> Column:
-        return hash_gauss(*ident, salt=salt)
+        def u(salt: str) -> Column:
+            return counter_unit(F.lit(counter_offset(run_id, series_id, salt)) + t)
+
+        def z(salt: str) -> Column:
+            return counter_gauss(F.lit(counter_offset(run_id, series_id, salt)) + t)
+    else:
+        def u(salt: str) -> Column:
+            return hash_unit(*ident, salt=salt)
+
+        def z(salt: str) -> Column:
+            return hash_gauss(*ident, salt=salt)
 
     alpha = float(cfg.get("alpha", 1.0))
     beta = float(cfg.get("beta", 1.0))

@@ -382,6 +382,73 @@ SELECT to_json(struct_pack(
 FROM s WHERE t < 5 GROUP BY t
 """
 
+from amazon_macie_activity_generator_spark.functions.rng import (  # noqa: E402
+    counter_offset,
+    counter_unit,
+)
+
+_CTR_M = 2147483647
+_CTR_OFF_UNI = counter_offset("oracle", "rndc1", "uni")
+_CTR_OFF_EXP = counter_offset("oracle", "rndx1", "exp")
+
+
+def _ctr_chain_sql(off: int, n: int) -> str:
+    """DuckDB twin of functions/rng.py:counter_int31 — same rounds, same
+    constants, all intermediates < 2^48."""
+    return f"""
+  x1 AS (SELECT t, ((({off} + t) % {_CTR_M - 1} + 1) * 48271) % {_CTR_M} AS x
+         FROM range(0, {n}) tbl(t)),
+  x2 AS (SELECT t, (xor(x, x >> 15) * 69621) % {_CTR_M} AS x FROM x1),
+  x3 AS (SELECT t, (xor(x, x >> 13) * 48271) % {_CTR_M} AS x FROM x2),
+  u  AS (SELECT t, CAST(x AS DOUBLE) / {_CTR_M}.0 AS v FROM x3)"""
+
+
+def q_gen_random_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 uniform draws via the cross-engine counter RNG (rng='counter',
+    functions/rng.py): the oracle-checkable path for random generation —
+    Lehmer rounds + xorshift are pure shared arithmetic, so unlike
+    xxhash64 draws the full pipeline (draw -> signal scale -> int cast,
+    main.py:531-573) value-hash-matches DuckDB exactly."""
+    g = GeneratorSpec(
+        "rndc1", "random",
+        {"type": "uniform", "rng": "counter", "num_points": 1000,
+         "signal_min": 1, "signal_max": 20},
+    )
+    df = generate_series(spark, g, run_id="oracle")
+    return df.select("t", F.col("value").cast("long").alias("value"))
+
+
+SQL_GEN_RANDOM_COUNTER = f"""
+WITH {_ctr_chain_sql(_CTR_OFF_UNI, 1000)},
+  stats AS (SELECT min(v) AS mn, max(v) AS mx FROM u)
+SELECT t, CAST(CASE WHEN mx = mn THEN ceil(1.0)
+               ELSE ceil((v - mn) / (mx - mn) * 19.0 + 1.0) END AS BIGINT) AS value
+FROM u, stats
+"""
+
+
+def q_gen_random_expo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 expovariate (main.py:553: -ln(1-u)/lambda) on the counter RNG,
+    signal-scaled [1,20]. ln is libm -> round(6) pre-ceil in both engines
+    (same discipline as gen_sinusoidal)."""
+    df = G.time_grid(spark, 1000).withColumn(
+        "raw",
+        -F.log(F.lit(1.0) - counter_unit(F.lit(_CTR_OFF_EXP) + F.col("t"))) / F.lit(0.5),
+    )
+    df = scale_minmax(df, value_col="raw", lo=1, hi=20, by=[], round_before_ceil=6)
+    return df.select("t", F.col("raw").cast("long").alias("value"))
+
+
+SQL_GEN_RANDOM_EXPO = f"""
+WITH {_ctr_chain_sql(_CTR_OFF_EXP, 1000)},
+  raw AS (SELECT t, -ln(1.0 - v) / 0.5 AS v FROM u),
+  stats AS (SELECT min(v) AS mn, max(v) AS mx FROM raw)
+SELECT t, CAST(CASE WHEN mx = mn THEN ceil(1.0)
+               ELSE ceil(round((v - mn) / (mx - mn) * 19.0 + 1.0, 6)) END AS BIGINT) AS value
+FROM raw, stats
+"""
+
+
 # ----------------------------------------------------- rows-only (no oracle)
 
 def q_gen_random_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,6 +481,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gen_custom_formula": (q_gen_custom_formula, SQL_GEN_CUSTOM),
     "gen_custom_recurrence": (q_gen_custom_recurrence, SQL_GEN_RECURRENCE),
     "gen_random_uniform": (q_gen_random_uniform, None),
+    "gen_random_counter": (q_gen_random_counter, SQL_GEN_RANDOM_COUNTER),
+    "gen_random_expo": (q_gen_random_expo, SQL_GEN_RANDOM_EXPO),
     "real_replay_pad": (q_real_replay_pad, SQL_REAL_REPLAY),
     "scale_minmax": (q_scale_minmax, SQL_SCALE_MINMAX),
     "noise_bounded": (q_noise_bounded, None),

@@ -120,6 +120,36 @@ def test_random_distributions_produce_scaled_series(spark, rtype, params):
     assert all(1 <= v <= 20 for v in vals)
 
 
+def test_counter_rng_uniform(spark):
+    # cross-engine counter RNG (functions/rng.py counter_int31): raw unit
+    # draws are uniform-ish — chi-square over 20 bins, n=2000, loose 99.9%
+    # critical value (~43.8 at 19 dof)
+    from amazon_macie_activity_generator_spark.functions.rng import counter_unit
+
+    n, bins = 2000, 20
+    df = G.time_grid(spark, n).select(
+        F.floor(counter_unit(F.col("t")) * bins).alias("b")
+    )
+    counts = {r["b"]: r["c"] for r in df.groupBy("b").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == set(range(bins))
+    e = n / bins
+    chi2 = sum((counts[b] - e) ** 2 / e for b in range(bins))
+    assert chi2 < 43.8, f"chi2={chi2}, counts={counts}"
+
+
+def test_counter_rng_mode_deterministic_and_distinct_streams(spark):
+    # rng="counter" plugs into the full G4 pipeline; same identity ->
+    # same draws; different series -> different stream offsets
+    cfg = {"type": "uniform", "rng": "counter", "num_points": 100,
+           "signal_min": 1, "signal_max": 20}
+    a = values(generate_series(spark, GeneratorSpec("s1", "random", cfg), "run"))
+    b = values(generate_series(spark, GeneratorSpec("s1", "random", cfg), "run"))
+    c = values(generate_series(spark, GeneratorSpec("s2", "random", cfg), "run"))
+    assert a == b
+    assert a != c
+    assert all(1 <= v <= 20 for v in a)
+
+
 def test_gamma_raw_moments(spark):
     # sanity on the raw (pre-scale) gamma draws: mean ~ alpha*beta
     from amazon_macie_activity_generator_spark.operators.generators import random_expr
