@@ -194,6 +194,94 @@ def dedup_minhash_candidates(
     )
 
 
+# ------------------------------------------------- MinHash, oracle bridge
+
+def minhash_signature_md5(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """MinHash signature as array<string>: sig[j] = lexicographic min over
+    shingles s of md5(j || ':' || s).
+
+    The ORACLE BRIDGE variant: md5 hex digests are byte-identical across
+    engines, so the whole LSH pipeline (signature -> bands -> candidate
+    pairs) value-hash-matches a DuckDB twin — unlike xxhash64, which only
+    Spark ships. Hashing each shingle ``num_hashes`` times costs more than
+    the affine-family path in ``minhash_signature``; keep this for
+    correctness anchoring and modest num_hashes, the xxhash64 family for
+    production scale. Same min-over-independent-hashes estimator
+    (Broder '97). Shingle array bound via the array-wrap lambda (see
+    word_shingles_expr) so it is built once, not per hash."""
+    sh = word_shingles_expr(text, shingle_k)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        F.array(sh),
+        lambda sh_arr: F.transform(
+            seeds,
+            lambda j: F.array_min(
+                F.transform(
+                    sh_arr,
+                    lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+                )
+            ),
+        ),
+    )
+    return F.element_at(sig, 1)
+
+
+def dedup_minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """X2 oracle-bridge: LSH candidate pairs from the md5 signature,
+    verified with exact shingle Jaccard. Same plan shape as
+    ``dedup_minhash_candidates`` (narrow banded shuffle, skew hazards and
+    AQE handling identical); returns (id_a, id_b, jaccard), id_a < id_b."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
+        minhash_signature_md5(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    ).persist()
+    base.count()  # eager: both banded join sides must hit the cache
+
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"),
+        ),
+    )
+    banded = base.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[F.col("l.band") == F.col("r.band"), F.col("l.bh") == F.col("r.bh"),
+                F.col("l.id") < F.col("r.id")],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("id", "shingles")
+    verified = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        verified.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash64(

@@ -101,6 +101,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash_candidates(_docs_aug(spark, sf_dir), jaccard_threshold=0.7)
 
 
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 oracle bridge — the FULL MinHash-LSH pipeline (signature ->
+    banding -> bucket join -> exact-Jaccard verify) value-hash-checked:
+    md5-based signatures (operators/dedup.py:minhash_signature_md5) are
+    byte-identical across engines, so unlike the xxhash64 family the
+    candidate generation itself is oracle-verified, not just invariants.
+    16 hashes x 4 bands over the augmented corpus, threshold 0.7."""
+    from amazon_macie_activity_generator_spark.operators.dedup import (
+        dedup_minhash_md5_pairs,
+    )
+
+    return dedup_minhash_md5_pairs(
+        _docs_aug(spark, sf_dir), num_hashes=16, bands=4, jaccard_threshold=0.7
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs: probe docs (doc_id % 50 == 0)
     against the augmented corpus (planted near-dups), threshold 0.2.
@@ -166,6 +182,42 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
              THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.g, b.g)))
              ELSE 0.0 END, 4) >= 0.2
+"""
+
+
+_DUCK_JAC = (
+    "round(CASE WHEN len(list_distinct(list_concat(a.g, b2.g))) > 0 "
+    "THEN CAST(len(list_intersect(a.g, b2.g)) AS DOUBLE) "
+    "/ len(list_distinct(list_concat(a.g, b2.g))) ELSE 0.0 END, 4)"
+)
+
+SQL_DEDUP_MINHASH_MD5 = f"""
+WITH docs_aug AS ({_DUCK_DOCS_AUG}),
+tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM docs_aug),
+sh AS (SELECT doc_id, {_DUCK_3GRAMS} AS g FROM tok),
+sig AS (
+  SELECT doc_id, g,
+         list_transform(generate_series(0, 15),
+           j -> list_aggregate(
+                  list_transform(g, s -> md5(CAST(j AS VARCHAR) || ':' || s)),
+                  'min')) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '|')) AS bh
+  FROM sig, range(0, 4) AS b(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b, {_DUCK_JAC} AS jaccard
+FROM cand c
+JOIN sh a  ON a.doc_id = c.id_a
+JOIN sh b2 ON b2.doc_id = c.id_b
+WHERE {_DUCK_JAC} >= 0.7
 """
 
 
@@ -1058,6 +1110,7 @@ SELECT user_id FROM events WHERE event_type = 'error'
 EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_minhash_md5": (q_dedup_minhash_md5, SQL_DEDUP_MINHASH_MD5),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
     "dedup_simhash": (q_dedup_simhash, None),
