@@ -449,6 +449,92 @@ FROM raw, stats
 """
 
 
+def q_noise_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 oracle bridge — the full bounded-noise semantics (main.py:588-604:
+    draw N(0,1) per point, min-max rescale the noise VECTOR into
+    [noise_min, noise_max], add, clamp at 0) on counter-RNG gauss draws.
+    Box-Muller uses libm sqrt/log/cos -> round(6) pre-ceil in both engines
+    (same discipline as gen_sinusoidal). Constant-10 base series, noise
+    [0, 5]."""
+    from amazon_macie_activity_generator_spark.functions.rng import counter_gauss
+
+    df = G.time_grid(spark, 1000).withColumn("value", F.lit(10.0))
+    df = df.withColumn("__raw", counter_gauss(F.lit(_CTR_OFF_NZ) + F.col("t")))
+    df = scale_minmax(
+        df, value_col="__raw", lo=0, hi=5, by=[], out_col="__noise", round_before_ceil=6
+    )
+    return df.select(
+        "t",
+        F.greatest(F.lit(0.0), F.col("value") + F.col("__noise")).cast("long").alias("value"),
+    )
+
+
+_CTR_OFF_NZ = counter_offset("oracle", "noisec", "nz")
+_CTR_GAUSS_SPREAD = 1 << 20
+_TWO_PI = 2.0 * math.pi
+
+SQL_NOISE_COUNTER = f"""
+WITH {_ctr_chain_sql(_CTR_OFF_NZ, 1000)},
+  u2c AS (SELECT t, ((({_CTR_OFF_NZ + _CTR_GAUSS_SPREAD} + t) % {_CTR_M - 1} + 1) * 48271) % {_CTR_M} AS x
+          FROM range(0, 1000) tbl(t)),
+  u2b AS (SELECT t, (xor(x, x >> 15) * 69621) % {_CTR_M} AS x FROM u2c),
+  u2a AS (SELECT t, (xor(x, x >> 13) * 48271) % {_CTR_M} AS x FROM u2b),
+  z AS (
+    SELECT u.t,
+           sqrt(-2.0 * ln(greatest(u.v, 1e-16)))
+             * cos({_TWO_PI!r} * (CAST(u2a.x AS DOUBLE) / {_CTR_M}.0)) AS v
+    FROM u JOIN u2a ON u.t = u2a.t
+  ),
+  stats AS (SELECT min(v) AS mn, max(v) AS mx FROM z)
+SELECT t, CAST(greatest(0.0, 10.0 + (CASE WHEN mx = mn THEN ceil(0.0)
+               ELSE ceil(round((v - mn) / (mx - mn) * 5.0 + 0.0, 6)) END)) AS BIGINT) AS value
+FROM z, stats
+"""
+
+
+def q_fake_formats_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3 format-parity bridge: ITIN ('9%02d-7%d-%04d', main.py:117-124)
+    and CVE ('CVE-%d-%04d', main.py:141-149) strings assembled from
+    counter-RNG digit streams — exact string equality with the DuckDB twin
+    proves the format assembly (printf semantics, modular digit derivation)
+    cross-engine. The production providers (functions/fake.py) draw from
+    xxhash64 streams and are format/regex-tested rows-only."""
+    from amazon_macie_activity_generator_spark.functions.rng import counter_int31
+
+    def d(off: int, mod: int):
+        return F.pmod(counter_int31(F.lit(off) + F.col("t")), F.lit(mod))
+
+    itin = F.format_string(
+        "9%02d-7%d-%04d",
+        d(_CTR_OFF_F[0], 100), d(_CTR_OFF_F[1], 10), d(_CTR_OFF_F[2], 10000),
+    )
+    cve = F.format_string(
+        "CVE-%d-%04d",
+        F.lit(1999) + d(_CTR_OFF_F[3], 27), d(_CTR_OFF_F[4], 9999) + 1,
+    )
+    return G.time_grid(spark, 2000).select("t", itin.alias("itin"), cve.alias("cve"))
+
+
+_CTR_OFF_F = [counter_offset("oracle", "fake", s)
+              for s in ("itin1", "itin2", "itin3", "cve1", "cve2")]
+
+_SQL_FAKE_STREAMS = ",\n   ".join(
+    f"((({off} + t) % {_CTR_M - 1} + 1) * 48271) % {_CTR_M} AS {c}"
+    for off, c in zip(_CTR_OFF_F, "abcde")
+)
+
+SQL_FAKE_FORMATS_COUNTER = f"""
+WITH x1 AS (SELECT t, {_SQL_FAKE_STREAMS}
+  FROM range(0, 2000) tbl(t)),
+x2 AS (SELECT t, {", ".join(f"(xor({c}, {c} >> 15) * 69621) % {_CTR_M} AS {c}" for c in "abcde")} FROM x1),
+x3 AS (SELECT t, {", ".join(f"(xor({c}, {c} >> 13) * 48271) % {_CTR_M} AS {c}" for c in "abcde")} FROM x2)
+SELECT t,
+  printf('9%02d-7%d-%04d', a % 100, b % 10, c % 10000) AS itin,
+  printf('CVE-%d-%04d', 1999 + d % 27, e % 9999 + 1) AS cve
+FROM x3
+"""
+
+
 # ----------------------------------------------------- rows-only (no oracle)
 
 def q_gen_random_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,6 +569,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gen_random_uniform": (q_gen_random_uniform, None),
     "gen_random_counter": (q_gen_random_counter, SQL_GEN_RANDOM_COUNTER),
     "gen_random_expo": (q_gen_random_expo, SQL_GEN_RANDOM_EXPO),
+    "noise_counter": (q_noise_counter, SQL_NOISE_COUNTER),
+    "fake_formats_counter": (q_fake_formats_counter, SQL_FAKE_FORMATS_COUNTER),
     "real_replay_pad": (q_real_replay_pad, SQL_REAL_REPLAY),
     "scale_minmax": (q_scale_minmax, SQL_SCALE_MINMAX),
     "noise_bounded": (q_noise_bounded, None),
