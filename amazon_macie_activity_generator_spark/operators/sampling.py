@@ -1,0 +1,50 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+A training pipeline needs splits that are STABLE: the same document must
+land in the same split on every run, every engine, every cluster size —
+otherwise held-out data leaks into training across reruns. Spark's
+``df.sample``/``TABLESAMPLE`` are seed+partitioning dependent, so we
+derive split membership from a content hash instead (same discipline as
+the engine's RNG rules, SURVEY.md §4.2).
+
+Cross-engine design: the bucket is the first 6 hex chars of
+``md5(salt || key)`` compared lexicographically against a hex threshold —
+lowercase-hex string order equals numeric order, and md5 is byte-identical
+everywhere, so the split oracle-checks in DuckDB with the same two
+expressions. No engine-local hash, no float rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 1 << 24  # first 6 hex chars
+
+
+def split_threshold_hex(fraction: float) -> str:
+    """Hex threshold t such that P(md5_prefix < t) == round(fraction * 2^24) / 2^24."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return format(int(round(fraction * _HEX_SPACE)), "06x")
+
+
+def hash_bucket_hex(key: Column, salt: str = "split") -> Column:
+    """First 6 hex chars of md5(salt || ':' || key) — the split bucket."""
+    return F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string"))), 1, 6)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    train_fraction: float = 0.9,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'train' or 'holdout' by hashed key. Pure map-side
+    projection — zero shuffles, stable under repartition/retry/engine."""
+    thr = split_threshold_hex(train_fraction)
+    bucket = hash_bucket_hex(F.col(key_col), salt)
+    return df.withColumn(
+        out_col, F.when(bucket < F.lit(thr), F.lit("train")).otherwise(F.lit("holdout"))
+    )

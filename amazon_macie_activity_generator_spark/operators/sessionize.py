@@ -39,6 +39,33 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window_hours: int = 2,
+    slide_hours: int = 1,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Overlapping (sliding/hopping) event-time windows: each event lands
+    in window_hours/slide_hours consecutive windows. Uses Spark's native
+    ``F.window(ts, window, slide)`` — the built-in expands the per-event
+    window list and explodes JVM-side; the only shuffle is the aggregation
+    (fan-out factor = window/slide, so a 2h/1h hop doubles rows pre-agg —
+    map-side combine absorbs it)."""
+    by = by if by is not None else ["event_type"]
+    w = F.window("ts", f"{window_hours} hours", f"{slide_hours} hours")
+    return (
+        events.groupBy(w.alias("win"), *by)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("win_start"),
+            *by, "n_events", "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

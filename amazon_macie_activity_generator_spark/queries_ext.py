@@ -656,6 +656,96 @@ def q_s3_put_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s3_put_activity_rows(dp, target, key_cols=("event_id",))
 
 
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — 2-hour windows hopping every hour (each event in 2 windows).
+    Spark's native window(ts, '2 hours', '1 hour'); the oracle expands the
+    window membership with a generate_series cross join."""
+    from amazon_macie_activity_generator_spark.operators.sessionize import sliding_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return sliding_counts(events, window_hours=2, slide_hours=1)
+
+
+SQL_SLIDING = """
+SELECT CAST(date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS VARCHAR) AS win_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events, range(0, 2) AS k(k)
+GROUP BY 1, 2
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split (operators/sampling.py): bucket =
+    md5 prefix vs hex threshold — engine-stable, so the exact membership
+    (not just the ratio) oracle-checks. Per-lang counts prove stratified
+    stability."""
+    from amazon_macie_activity_generator_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", train_fraction=0.9)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+from amazon_macie_activity_generator_spark.operators.sampling import (  # noqa: E402
+    split_threshold_hex,
+)
+
+SQL_HASH_SPLIT = f"""
+SELECT lang,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                 < '{split_threshold_hex(0.9)}'
+            THEN 'train' ELSE 'holdout' END AS split,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 quantization (operators/similarity.py:quantize_int8):
+    per-vector scale, integer checksum of the quantized codes (exact
+    cross-engine), and L2 reconstruction error (round 4)."""
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        dequant_error,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = quantize_int8(F.col("embedding"))
+    out = emb.select("vec_id", qz.alias("qz"), "embedding")
+    return out.select(
+        "vec_id",
+        F.round(F.col("qz.scale"), 6).alias("scale6"),
+        F.aggregate(F.col("qz.q"), F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
+        F.round(dequant_error(F.col("embedding"), F.col("qz")), 4).alias("err4"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH qz AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                ELSE CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT) END) AS codes
+  FROM qz
+)
+SELECT vec_id, round(scale, 6) AS scale6,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS q_sum,
+       round(sqrt(list_aggregate(
+         list_transform(list_zip(embedding, codes),
+           p -> pow(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale, 2.0)),
+         'sum')), 4) AS err4
+FROM q
+"""
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2/X6 streaming — watermarked tumbling-window counts via Structured
     Streaming (availableNow drain, complete mode), value-matching the same
@@ -1129,6 +1219,9 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "multimodal_frames": (q_multimodal_frames, None),
     "json_extract_props": (q_json_extract_props, SQL_JSON_EXTRACT),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
+    "sliding_counts": (q_sliding_counts, SQL_SLIDING),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_stateful": (q_sessionize_stateful, None),
     "doc_fingerprint_rolling": (q_doc_fingerprint_rolling, None),

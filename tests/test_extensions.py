@@ -236,3 +236,72 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     w = {r.user_id: (round(r.sum_value, 6), r.n_rows) for r in want.collect()}
     g = {r.user_id: (round(r.sum_value, 6), r.n_rows) for r in got.collect()}
     assert w == g
+
+
+# --------------------------------------------- sampling / quantize / sliding
+
+def test_hash_split_stable_and_proportional(spark):
+    from amazon_macie_activity_generator_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id", train_fraction=0.8)
+    b = hash_split(df.repartition(7), "doc_id", train_fraction=0.8)
+    pa = {r["doc_id"]: r["split"] for r in a.collect()}
+    pb = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert pa == pb  # partitioning-invariant membership
+    frac = sum(1 for v in pa.values() if v == "train") / len(pa)
+    assert abs(frac - 0.8) < 0.02
+    # different salt -> different split
+    c = hash_split(df, "doc_id", train_fraction=0.8, salt="other")
+    pc = {r["doc_id"]: r["split"] for r in c.collect()}
+    assert pa != pc
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        dequant_error,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id long, embedding array<float>",
+    )
+    qz = quantize_int8(F.col("embedding"))
+    rows = df.select(
+        "id", qz.alias("qz"), dequant_error(F.col("embedding"), qz).alias("err")
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert all(-127 <= c <= 127 for c in by_id[1]["qz"]["q"])
+    # max-|x| element hits +/-127 exactly
+    assert min(by_id[1]["qz"]["q"]) == -127
+    # per-element error bounded by scale/2
+    assert by_id[1]["err"] <= by_id[1]["qz"]["scale"] / 2 * 4 ** 0.5 + 1e-9
+    # zero vector: scale 0, all-zero codes, zero error
+    assert by_id[2]["qz"]["scale"] == 0.0
+    assert set(by_id[2]["qz"]["q"]) == {0}
+    assert by_id[2]["err"] == 0.0
+
+
+def test_sliding_counts_fanout(spark):
+    from amazon_macie_activity_generator_spark.operators.sessionize import (
+        sliding_counts,
+        tumbling_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", "a", 1.0), (2, "2024-01-01 11:15:00", "a", 2.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    slid = sliding_counts(df, window_hours=2, slide_hours=1)
+    rows = {(r["win_start"], r["n_events"]) for r in slid.collect()}
+    # event@10:30 -> windows starting 09:00, 10:00; event@11:15 -> 10:00, 11:00
+    assert rows == {
+        ("2024-01-01 09:00:00", 1),
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 11:00:00", 1),
+    }
+    # total window-rows = events x (window/slide)
+    total = slid.agg(F.sum("n_events")).first()[0]
+    assert total == df.count() * 2
+    assert tumbling_counts(df).count() == 2
