@@ -48,3 +48,26 @@ def hash_split(
     return df.withColumn(
         out_col, F.when(bucket < F.lit(thr), F.lit("train")).otherwise(F.lit("holdout"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling — rebalance a skewed corpus
+    (cap dominant languages/sources) in one map-only filter: keep a row
+    iff its md5 bucket clears the stratum's threshold. Strata absent from
+    ``fractions`` keep everything. Zero shuffles; membership is stable
+    across engines/partitioning like hash_split."""
+    thr = None
+    for stratum, frac in sorted(fractions.items()):
+        hexthr = F.lit(split_threshold_hex(frac))
+        thr = (
+            F.when(F.col(stratum_col) == stratum, hexthr) if thr is None
+            else thr.when(F.col(stratum_col) == stratum, hexthr)
+        )
+    thr = thr.otherwise(F.lit("ffffff")) if thr is not None else F.lit("ffffff")
+    return df.filter(hash_bucket_hex(F.col(key_col), salt) < thr)

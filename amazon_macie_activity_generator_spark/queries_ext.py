@@ -703,6 +703,58 @@ FROM documents GROUP BY 1, 2
 """
 
 
+_STRAT_FRACTIONS = {"en": 0.25, "zh": 0.5}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: cap en to 25% and zh to 50%, keep the rest —
+    deterministic per-stratum membership (operators/sampling.py), so the
+    exact surviving doc set oracle-checks."""
+    from amazon_macie_activity_generator_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", _STRAT_FRACTIONS)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents
+WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 6)
+      < CASE lang WHEN 'en' THEN '{split_threshold_hex(0.25)}'
+                  WHEN 'zh' THEN '{split_threshold_hex(0.5)}'
+                  ELSE 'ffffff' END
+GROUP BY lang
+"""
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — corpus token-frequency table (the wordcount of training-data
+    curation: stopword lists, vocab pruning). Explode whitespace tokens,
+    one agg; top 20 with deterministic (count desc, token asc) tiebreak."""
+    from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_TOKEN_FREQ = f"""
+SELECT tok AS token, count(*) AS n
+FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding int8 quantization (operators/similarity.py:quantize_int8):
     per-vector scale, integer checksum of the quantized codes (exact
@@ -1221,6 +1273,8 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
     "sliding_counts": (q_sliding_counts, SQL_SLIDING),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "token_freq": (q_token_freq, SQL_TOKEN_FREQ),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_stateful": (q_sessionize_stateful, None),

@@ -305,3 +305,20 @@ def test_sliding_counts_fanout(spark):
     total = slid.agg(F.sum("n_events")).first()[0]
     assert total == df.count() * 2
     assert tumbling_counts(df).count() == 2
+
+
+def test_stratified_sample_caps_only_named_strata(spark):
+    from amazon_macie_activity_generator_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 0.3})
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 2000          # unnamed stratum untouched
+    assert abs(counts["en"] / 1000 - 0.3) < 0.05
+    # deterministic: second run keeps the identical doc set
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, "doc_id", "lang", {"en": 0.3}).collect())
+    assert a == b

@@ -96,3 +96,34 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {left}")
         spark.sql(f"DROP TABLE IF EXISTS {right}")
+
+
+def test_hash_split_and_quantize_are_map_only(spark, sf_dir):
+    """Split tagging and int8 quantization must stay pure projections:
+    zero Exchange, zero Python eval — at 100 TB these run as map-only
+    column rewrites with no shuffle at all."""
+    from amazon_macie_activity_generator_spark.operators.sampling import hash_split
+    from amazon_macie_activity_generator_spark.operators.similarity import quantize_int8
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(hash_split(docs, "doc_id"))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(emb.select("vec_id", quantize_int8(F.col("embedding")).alias("qz")))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_minhash_md5_join_is_keyed(spark, sf_dir):
+    """LSH candidate generation must join on (band, bh) buckets — a
+    nested-loop/cartesian plan would be the all-pairs comparison LSH
+    exists to avoid."""
+    from amazon_macie_activity_generator_spark.queries_ext import q_dedup_minhash_md5
+
+    df = q_dedup_minhash_md5(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    df.sparkSession.catalog.clearCache()
