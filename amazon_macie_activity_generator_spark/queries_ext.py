@@ -656,6 +656,44 @@ def q_s3_put_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s3_put_activity_rows(dp, target, key_cols=("event_id",))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every click event picks up the
+    latest purchase value at-or-before its timestamp for the same user.
+    Oracle = DuckDB's native ASOF LEFT JOIN — Spark has no built-in, the
+    union+running-last composition IS the operator. No-match rows surface
+    -1.0 (null-free hashing)."""
+    from amazon_macie_activity_generator_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("value"))
+    )
+    out = asof_join(clicks, purchases, ts_col="ts", by=["user_id"], value_col="value")
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts, round(max(value), 4) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.user_id, epoch_us(c.ts) AS ts_us, c.event_id,
+       coalesce(p.value, -1.0) AS asof_value
+FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 — 2-hour windows hopping every hour (each event in 2 windows).
     Spark's native window(ts, '2 hours', '1 hour'); the oracle expands the
@@ -1272,6 +1310,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "json_extract_props": (q_json_extract_props, SQL_JSON_EXTRACT),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
     "sliding_counts": (q_sliding_counts, SQL_SLIDING),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_freq": (q_token_freq, SQL_TOKEN_FREQ),

@@ -322,3 +322,21 @@ def test_stratified_sample_caps_only_named_strata(spark):
     a = sorted(r["doc_id"] for r in kept.collect())
     b = sorted(r["doc_id"] for r in stratified_sample(df, "doc_id", "lang", {"en": 0.3}).collect())
     assert a == b
+
+
+def test_asof_join_tie_and_ordering_semantics(spark):
+    from amazon_macie_activity_generator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0)], "user_id long, ts long, value double"
+    )
+    out = {r["tag"]: r["asof_value"] for r in
+           asof_join(left, right, ts_col="ts", by=["user_id"]).collect()}
+    assert out["a"] == 100.0   # equal ts matches (<= semantics)
+    assert out["b"] == 150.0   # latest prior, not first
+    assert out["c"] is None    # nothing at or before
+    assert out["d"] is None    # key isolation: user 2 sees nothing
