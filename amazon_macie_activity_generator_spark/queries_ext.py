@@ -694,6 +694,74 @@ FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators/interval.py): 8 fixed 90-minute
+    windows (every 3h from the corpus day start) x all events, joined via
+    time-bucket discretization — no nested loop. Counts + value sums per
+    window; DuckDB twin is the plain range join."""
+    from amazon_macie_activity_generator_spark.operators.interval import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    day0 = events.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    intervals = (
+        day0.select(F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"), "d0")
+        .select(
+            "k",
+            (F.col("d0") + F.make_interval(hours=F.col("k") * 3)).alias("start_ts"),
+            (F.col("d0") + F.make_interval(hours=F.col("k") * 3, mins=F.lit(90))).alias("end_ts"),
+        )
+    )
+    hits = interval_join(events, intervals, ts_col="ts", bucket_minutes=30)
+    return hits.groupBy(F.col("k").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH d0 AS (SELECT date_trunc('day', min(ts)) AS d FROM events),
+iv AS (
+  SELECT k, d + k * INTERVAL 3 HOUR AS s,
+         d + k * INTERVAL 3 HOUR + INTERVAL 90 MINUTE AS e
+  FROM d0, range(0, 8) AS r(k)
+)
+SELECT iv.k, count(*) AS n_events, round(sum(ev.value), 4) AS sum_value
+FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts <= iv.e
+GROUP BY iv.k
+"""
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets breadth (§2.7 gap coverage): CUBE over
+    (event_type, hour-of-day) with grouping_id — all four aggregation
+    granularities in one shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").alias("hod")
+    return (
+        events.cube(F.col("event_type"), hod)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hod").cast("long"), F.lit(-1)).alias("hod"),
+            "gid", "n_events", "sum_value",
+        )
+    )
+
+
+SQL_CUBE_EVENTS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(hod AS BIGINT), -1) AS hod,
+       CAST(grouping(event_type) * 2 + grouping(hod) AS BIGINT) AS gid,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, hour(ts) AS hod, value FROM events)
+GROUP BY CUBE (event_type, hod)
+"""
+
+
 def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 — 2-hour windows hopping every hour (each event in 2 windows).
     Spark's native window(ts, '2 hours', '1 hour'); the oracle expands the
@@ -1311,6 +1379,8 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
     "sliding_counts": (q_sliding_counts, SQL_SLIDING),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "cube_events": (q_cube_events, SQL_CUBE_EVENTS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_freq": (q_token_freq, SQL_TOKEN_FREQ),

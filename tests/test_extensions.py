@@ -340,3 +340,22 @@ def test_asof_join_tie_and_ordering_semantics(spark):
     assert out["b"] == 150.0   # latest prior, not first
     assert out["c"] is None    # nothing at or before
     assert out["d"] is None    # key isolation: user 2 sees nothing
+
+
+def test_interval_join_boundaries_and_multi_overlap(spark):
+    from amazon_macie_activity_generator_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:30:00"),
+         (3, "2024-01-01 11:00:00"), (4, "2024-01-01 12:00:01")],
+        "pid long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+         ("B", "2024-01-01 10:30:00", "2024-01-01 12:00:00")],
+        "iid string, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.to_timestamp("start_ts")).withColumn("end_ts", F.to_timestamp("end_ts"))
+    got = {(r["pid"], r["iid"]) for r in
+           interval_join(pts, iv, bucket_minutes=15).select("pid", "iid").collect()}
+    # boundaries inclusive both ends; point 2/3 overlap both; 4 outside all
+    assert got == {(1, "A"), (2, "A"), (2, "B"), (3, "A"), (3, "B")}

@@ -127,3 +127,13 @@ def test_minhash_md5_join_is_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     df.sparkSession.catalog.clearCache()
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    """Range-containment via time-bucket discretization must plan as a
+    keyed join — BNLJ/Cartesian is the quadratic trap it exists to avoid."""
+    from amazon_macie_activity_generator_spark.queries_ext import q_interval_join
+
+    plan = _plan(q_interval_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
