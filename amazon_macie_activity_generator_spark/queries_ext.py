@@ -904,6 +904,47 @@ FROM q
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/X1 streaming — the events table written TWICE into the source
+    (guaranteed duplicates), streamed through watermark-bounded
+    dropDuplicatesWithinWatermark, appended to a memory sink, then counted
+    per type. Dedup is deterministic, so the result value-hash-matches the
+    batch DISTINCT oracle: streaming and batch dedup agree."""
+    import os
+    import tempfile
+    import uuid
+
+    from amazon_macie_activity_generator_spark.streaming.replay import streaming_dedup
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="amag_sdedup_")
+    src = os.path.join(work, "src")
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)  # plant exact duplicates
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_dedup(stream, watermark="2 hours", keys=["event_id"])
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count_distinct(F.col("event_id")).alias("n_ids"))
+    )
+
+
+SQL_STREAMING_DEDUP = """
+SELECT event_type, count(DISTINCT event_id) AS n_events,
+       count(DISTINCT event_id) AS n_ids
+FROM events GROUP BY 1
+"""
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2/X6 streaming — watermarked tumbling-window counts via Structured
     Streaming (availableNow drain, complete mode), value-matching the same
@@ -1391,6 +1432,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "fake_content": (q_fake_content, None),
     "s3_put_activities": (q_s3_put_activities, None),
     "streaming_tumbling": (q_streaming_tumbling, SQL_TUMBLING),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_replay": (q_streaming_replay, None),
     "blueprint_e2e": (q_blueprint_e2e, None),
     "unpivot_roundtrip": (q_unpivot_roundtrip, SQL_UNPIVOT),

@@ -146,3 +146,21 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermark-bounded streaming deduplication: at-most-once delivery of
+    each key (the streaming twin of the queue dedup ids, main.py:698-706,
+    and of X1 exact dedup).
+
+    ``dropDuplicatesWithinWatermark`` keeps dedup state only for the
+    watermark horizon — the scale-correct form: plain dropDuplicates on a
+    stream grows its state table forever, which no 100 TB/day stream
+    survives. Late duplicates beyond the watermark are dropped by design
+    (same at-most-once stance as the reference's delete-then-process)."""
+    keys = keys if keys is not None else ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
