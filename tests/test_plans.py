@@ -137,3 +137,25 @@ def test_interval_join_avoids_nested_loop(spark, sf_dir):
     plan = _plan(q_interval_join(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_product_anywhere_in_catalog(spark, sf_dir):
+    """Sweep EVERY batch catalog query's physical plan: a CartesianProduct
+    is never acceptable at 100 TB. (Streaming queries execute eagerly and
+    single-row-stats broadcasts legitimately plan BroadcastNestedLoopJoin,
+    so only the cartesian check is global.)"""
+    import __spark_entry__ as entrymod
+
+    skip = {"streaming_tumbling", "streaming_replay", "streaming_dedup",
+            "sessionize_stateful", "blueprint_e2e"}  # eager/side-effecting
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        if name in skip:
+            continue
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        finally:
+            spark.catalog.clearCache()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian plans: {offenders}"
