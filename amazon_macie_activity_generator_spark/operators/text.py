@@ -161,3 +161,35 @@ def fingerprint_rolling(text: Column, window: int = 8, mod: int = 1 << 31) -> Co
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * 131 + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)),
     )
+
+
+def chunk_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window preparation step of a training pipeline. Chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens), stride = chunk - overlap.
+
+    One projection builds the token array, one explode fans out chunk
+    starts; no shuffle at all — at 100 TB this is a map-only rewrite whose
+    output feeds straight into dedup/tokenize stages. Returns
+    (id, chunk_idx, n_tok, chunk_text)."""
+    from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+
+    stride = chunk_tokens - overlap
+    base = df.select(F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = base.select("id", "toks", F.explode(starts).alias("s"))
+    chunk = F.slice("toks", F.col("s") + 1, chunk_tokens)
+    return exploded.select(
+        "id",
+        (F.col("s") / stride).cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_tok"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -505,6 +505,85 @@ FROM planted
 """
 
 
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — context-window chunking (operators/text.py:chunk_docs):
+    50-token chunks, 10-token overlap; md5 of each chunk text hashes the
+    exact split points cross-engine."""
+    from amazon_macie_activity_generator_spark.operators.text import chunk_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_docs(docs, chunk_tokens=50, overlap=10)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_idx",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+SQL_DOC_CHUNK = f"""
+WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 40)) AS s
+  FROM tok
+)
+SELECT doc_id, s // 40 AS chunk_idx,
+       CAST(len(list_slice(toks, s + 1, s + 50)) AS BIGINT) AS n_tok,
+       md5(array_to_string(list_slice(toks, s + 1, s + 50), ' ')) AS chunk_md5
+FROM s
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — TF-IDF: term frequency per doc x ln(N/df), top-3 terms per
+    doc for doc_id < 20 with deterministic (score desc, token asc)
+    tiebreak. The df table is a narrow token-keyed agg broadcast back —
+    same two-pass discipline as the scaling stats."""
+    from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(tokens_expr(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") < 20)
+        .join(F.broadcast(dfreq), on="token")
+        .withColumn("score", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS score
+  FROM tf JOIN dfreq USING (token), n
+  WHERE tf.doc_id < 20
+)
+SELECT doc_id, token, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — canonical-form md5 fingerprint (cross-engine-stable)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1411,6 +1490,8 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_chunk": (q_doc_chunk, SQL_DOC_CHUNK),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "multimodal_decode_stub": (q_multimodal_decode_stub, None),

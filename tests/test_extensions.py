@@ -359,3 +359,26 @@ def test_interval_join_boundaries_and_multi_overlap(spark):
            interval_join(pts, iv, bucket_minutes=15).select("pid", "iid").collect()}
     # boundaries inclusive both ends; point 2/3 overlap both; 4 outside all
     assert got == {(1, "A"), (2, "A"), (2, "B"), (3, "A"), (3, "B")}
+
+
+def test_chunk_docs_overlap_and_coverage(spark):
+    from amazon_macie_activity_generator_spark.operators.text import chunk_docs
+
+    text = " ".join(f"w{i}" for i in range(95))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                               "doc_id long, text string")
+    rows = chunk_docs(df, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    # 95 tokens, stride 40 -> starts 0, 40, 80 -> sizes 50, 50, 15
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tok"] for r in c1] == [50, 50, 15]
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = c1[0]["chunk_text"].split(), c1[1]["chunk_text"].split()
+    assert a[-10:] == b[:10]
+    # every token covered, in order
+    merged = a + b[10:] + c1[2]["chunk_text"].split()[10:]
+    assert merged == text.split()
+    assert [r["n_tok"] for r in by_doc[2]] == [2]
+    assert [r["n_tok"] for r in by_doc[3]] == [0]
