@@ -841,6 +841,58 @@ GROUP BY CUBE (event_type, hod)
 """
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal exact dedup: md5 over the opaque BINARY payload column
+    (operators/multimodal.py schema) — the dedup key a media pipeline
+    uses when bytes are all it has. Payloads here are utf-8 text bytes,
+    so the oracle digests the text: identical bytes, identical md5."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        documents_as_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return (
+        media.groupBy(F.md5("payload").alias("payload_md5"))
+        .agg(F.min("media_id").alias("media_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_MEDIA_DEDUP = """
+SELECT md5(text) AS payload_md5, min(doc_id) AS media_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group selection (eval-set picking): order each
+    user's events by a hash of the event id and keep the first 2 — stable
+    under any partitioning, exact membership oracle-checks."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("ps:"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("user_id").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        events.filter(F.col("user_id") < 30)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("user_id", "event_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_PER_GROUP_SAMPLE = """
+SELECT user_id, event_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY md5('ps:' || CAST(event_id AS VARCHAR)) ASC, event_id ASC
+         ) AS rank
+  FROM events WHERE user_id < 30
+) WHERE rank <= 2
+"""
+
+
 def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 — 2-hour windows hopping every hour (each event in 2 windows).
     Spark's native window(ts, '2 hours', '1 hour'); the oracle expands the
@@ -1494,6 +1546,8 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
+    "per_group_sample": (q_per_group_sample, SQL_PER_GROUP_SAMPLE),
     "multimodal_decode_stub": (q_multimodal_decode_stub, None),
     "multimodal_resize": (q_multimodal_resize, None),
     "multimodal_frames": (q_multimodal_frames, None),
