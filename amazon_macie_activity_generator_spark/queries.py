@@ -535,6 +535,78 @@ FROM x3
 """
 
 
+_CTR_OFF_PAR = counter_offset("oracle", "rndp1", "par")
+_CTR_OFF_WEI = counter_offset("oracle", "rndw1", "wei")
+_CTR_OFF_TRI = counter_offset("oracle", "rndt1", "tri")
+
+
+def q_gen_random_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 paretovariate (main.py:555-557: (1-u)^(-1/alpha), alpha=2.5) on
+    the counter RNG, signal-scaled [1,20], round(6) pre-ceil (pow is libm)."""
+    df = G.time_grid(spark, 1000).withColumn(
+        "raw",
+        F.pow(F.lit(1.0) - counter_unit(F.lit(_CTR_OFF_PAR) + F.col("t")), F.lit(-1.0 / 2.5)),
+    )
+    df = scale_minmax(df, value_col="raw", lo=1, hi=20, by=[], round_before_ceil=6)
+    return df.select("t", F.col("raw").cast("long").alias("value"))
+
+
+SQL_GEN_RANDOM_PARETO = f"""
+WITH {_ctr_chain_sql(_CTR_OFF_PAR, 1000)},
+  raw AS (SELECT t, pow(1.0 - v, {-1.0 / 2.5!r}) AS v FROM u),
+  stats AS (SELECT min(v) AS mn, max(v) AS mx FROM raw)
+SELECT t, CAST(CASE WHEN mx = mn THEN ceil(1.0)
+               ELSE ceil(round((v - mn) / (mx - mn) * 19.0 + 1.0, 6)) END AS BIGINT) AS value
+FROM raw, stats
+"""
+
+
+def q_gen_random_weibull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 weibullvariate (main.py:559-561: alpha*(-ln(1-u))^(1/beta),
+    alpha=1, beta=1.5) on the counter RNG, signal-scaled [1,20]."""
+    df = G.time_grid(spark, 1000).withColumn(
+        "raw",
+        F.pow(-F.log(F.lit(1.0) - counter_unit(F.lit(_CTR_OFF_WEI) + F.col("t"))),
+              F.lit(1.0 / 1.5)),
+    )
+    df = scale_minmax(df, value_col="raw", lo=1, hi=20, by=[], round_before_ceil=6)
+    return df.select("t", F.col("raw").cast("long").alias("value"))
+
+
+SQL_GEN_RANDOM_WEIBULL = f"""
+WITH {_ctr_chain_sql(_CTR_OFF_WEI, 1000)},
+  raw AS (SELECT t, pow(-ln(1.0 - v), {1.0 / 1.5!r}) AS v FROM u),
+  stats AS (SELECT min(v) AS mn, max(v) AS mx FROM raw)
+SELECT t, CAST(CASE WHEN mx = mn THEN ceil(1.0)
+               ELSE ceil(round((v - mn) / (mx - mn) * 19.0 + 1.0, 6)) END AS BIGINT) AS value
+FROM raw, stats
+"""
+
+
+def q_gen_random_triangular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 triangular (main.py:541-545) through the FULL pipeline with
+    rng='counter': drawn directly in [5,10] (not rescaled), int-cast (T5).
+    sqrt is IEEE correctly-rounded, so no rounding shim is needed — the
+    whole path is bit-exact cross-engine."""
+    g = GeneratorSpec(
+        "rndt1", "random",
+        {"type": "triangular", "rng": "counter", "num_points": 1000,
+         "signal_min": 5, "signal_max": 10},
+    )
+    df = generate_series(spark, g, run_id="oracle")
+    return df.select("t", F.col("value").cast("long").alias("value"))
+
+
+SQL_GEN_RANDOM_TRIANGULAR = f"""
+WITH {_ctr_chain_sql(_CTR_OFF_TRI, 1000)}
+SELECT t, CAST(floor(
+  CASE WHEN v < 0.5
+       THEN 5.0 + sqrt(v * 12.5)
+       ELSE 10.0 - sqrt((1.0 - v) * 12.5) END) AS BIGINT) AS value
+FROM u
+"""
+
+
 # ----------------------------------------------------- rows-only (no oracle)
 
 def q_gen_random_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +641,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "gen_random_uniform": (q_gen_random_uniform, None),
     "gen_random_counter": (q_gen_random_counter, SQL_GEN_RANDOM_COUNTER),
     "gen_random_expo": (q_gen_random_expo, SQL_GEN_RANDOM_EXPO),
+    "gen_random_pareto": (q_gen_random_pareto, SQL_GEN_RANDOM_PARETO),
+    "gen_random_weibull": (q_gen_random_weibull, SQL_GEN_RANDOM_WEIBULL),
+    "gen_random_triangular": (q_gen_random_triangular, SQL_GEN_RANDOM_TRIANGULAR),
     "noise_counter": (q_noise_counter, SQL_NOISE_COUNTER),
     "fake_formats_counter": (q_fake_formats_counter, SQL_FAKE_FORMATS_COUNTER),
     "real_replay_pad": (q_real_replay_pad, SQL_REAL_REPLAY),
