@@ -159,3 +159,25 @@ def test_no_cartesian_product_anywhere_in_catalog(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian plans: {offenders}"
+
+
+def test_partitioned_table_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + a literal partition predicate must prune
+    at planning time: the scan's PartitionFilters carry the predicate and
+    only the matching directory is read. This is the layout the queue
+    table (sinks/local.py write_queue: partitionBy(run_id, batch_id)) and
+    any date-partitioned 100 TB fact table rely on."""
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = _plan(df)
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    # the predicate reached the scan's partition filters (pruned at listing
+    # time, before any file IO), not just a post-scan Filter node
+    assert "event_type" in pf_line and "click" in pf_line
+    n_click = events.filter(F.col("event_type") == "click").count()
+    assert df.count() == n_click
