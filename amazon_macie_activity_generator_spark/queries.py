@@ -631,6 +631,7 @@ def q_noise_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from amazon_macie_activity_generator_spark.queries_ext import EXT_QUERIES  # noqa: E402
+from amazon_macie_activity_generator_spark.queries_ext2 import EXT2_QUERIES  # noqa: E402
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gen_constant": (q_gen_constant, SQL_GEN_CONSTANT),
@@ -657,4 +658,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "group_collect": (q_group_collect, SQL_GROUP_COLLECT),
     "payload_json": (q_payload_json, SQL_PAYLOAD_JSON),
     **EXT_QUERIES,
+    **EXT2_QUERIES,
 }

@@ -1,0 +1,475 @@
+"""Second extension catalog: retrieval / corpus-hygiene / clustering /
+analytics-breadth queries over the driver tables.
+
+These extend SURVEY.md §2.8 (the reference — a time-series activity
+generator, /root/reference/src/main.py — has none of this; the north star
+adds the operators a 100 TB training-data pipeline needs):
+
+- ``contamination_ngram``  benchmark-contamination check via word 5-gram
+  overlap (train split vs held-out split) — the standard decontamination
+  pass before LLM training.
+- ``bm25_search``          BM25 full-text ranking for a fixed query.
+- ``inverted_index``       token -> postings-list build.
+- ``repetition_ratio``     intra-document repetition quality signals.
+- ``kmeans_assign``        one deterministic Lloyd iteration over the
+  embeddings table, cross-engine oracle-checked (the building block under
+  semantic dedup / IVF; the iterative fit lives in
+  operators/similarity.py:kmeans_fit and is recall-tested rows-only).
+- ``revenue_by_nation``    TPC-H Q5-shaped 6-table join (broadcast dims).
+- ``dedup_latest_event``   keep-newest dedup by (user_id, event_type).
+
+Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
+
+Scale notes (local[32] tests, 1000-executor design):
+- All six dimension tables in ``revenue_by_nation`` are broadcast; the
+  only shuffles are lineitem->orders hash joins on their natural keys and
+  the final nation aggregate.
+- ``contamination_ngram`` / ``inverted_index`` shuffle once on the token
+  (n-gram) key; the benchmark-gram side of the contamination join is tiny
+  by construction and broadcast.
+- ``bm25_search`` computes corpus stats (N, avgdl, df) as a single-row
+  aggregate crossJoin-broadcast back — two passes over the corpus, no
+  wide shuffle; top-k is TakeOrdered (no global sort materialization).
+- ``kmeans_assign`` broadcasts the k=8 centroid table at every step;
+  per-dim centroid means shuffle k*dim rows only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+# DuckDB fragment: whitespace tokens of lowercased text (matches
+# operators.dedup.tokens_expr exactly; same fragment as queries_ext).
+_DUCK_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# contamination_ngram — word-5-gram overlap between train and benchmark docs
+# --------------------------------------------------------------------------
+
+_NGRAM_N = 5
+
+
+def _five_grams(toks):
+    """Distinct word 5-grams of a token array (empty when < 5 tokens)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - _NGRAM_N),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _NGRAM_N)),
+    )
+    return F.array_distinct(F.when(n >= _NGRAM_N, grams).otherwise(F.array()))
+
+
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: docs with doc_id % 10 == 0 act as the held-out
+    benchmark; every other doc reports how many of its distinct word
+    5-grams also occur in any benchmark doc. The benchmark gram set is
+    small by construction -> broadcast to the train side (no shuffle of
+    the big side beyond its own gram explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_five_grams(tokens_expr(F.col("text")))).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    per_doc = (
+        train.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contamination_rate"),
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(tk) - {_NGRAM_N - 2}, 1)),
+                   i -> array_to_string(list_slice(tk, i, i + {_NGRAM_N - 1}), ' '))
+  )) AS gram
+  FROM toks
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       count(b.gram) AS n_contaminated,
+       round(count(b.gram) / count(*), 4) AS contamination_rate
+FROM grams g LEFT JOIN bench b USING (gram)
+WHERE g.doc_id % 10 <> 0
+GROUP BY g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# bm25_search — classic BM25 ranking for a fixed 3-term query
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 25
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over the documents table for the fixed query
+    {spark, hash, window}: idf = ln(1 + (N - df + .5)/(df + .5)),
+    tf-saturated with k1=1.2, b=0.75 length normalization. Corpus stats
+    (N, avgdl, per-term df) come from one single-row aggregate that is
+    crossJoin-broadcast back onto the docs — the 100 TB plan is two scans
+    and a TakeOrdered top-k, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens_expr(F.col("text"))
+    )
+    def _tf(term: str):
+        # NB: a 2-arg lambda would be read by F.filter as (element, index)
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)]
+    scored_src = docs.select("doc_id", F.size("__toks").alias("dl"), *tf_cols)
+    stats = scored_src.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = scored_src.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df_t = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        denom = tf + F.lit(_BM25_K1) * (
+            F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        term = idf * tf * F.lit(_BM25_K1 + 1.0) / denom
+        score = term if score is None else score + term
+    return (
+        j.select("doc_id", F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+def _duck_tf(term: str) -> str:
+    return f"len(list_filter(tk, x -> x = '{term}'))"
+
+
+SQL_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+), scored_src AS (
+  SELECT doc_id, len(tk) AS dl,
+         {", ".join(f"{_duck_tf(t)} AS tf_{i}" for i, t in enumerate(_BM25_TERMS))}
+  FROM toks
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {", ".join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+                    for i in range(len(_BM25_TERMS)))}
+  FROM scored_src
+)
+SELECT doc_id, bm25 FROM (
+  SELECT doc_id, round({" + ".join(
+    f"ln(1.0 + (n_docs - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+    f" * CAST(tf_{i} AS DOUBLE) * {_BM25_K1 + 1.0}"
+    f" / (CAST(tf_{i} AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl))"
+    for i in range(len(_BM25_TERMS)))}, 4) AS bm25
+  FROM scored_src, stats
+)
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# inverted_index — token -> postings list (capped), the retrieval substrate
+# --------------------------------------------------------------------------
+
+_POSTINGS_CAP = 8
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an inverted index over documents: one row per distinct token
+    with document frequency and the first 8 doc_ids as a postings prefix.
+    One shuffle on the token key; collect_list stays bounded because the
+    per-token groups are the shuffle partitions' natural unit (at 100 TB
+    the cap would move into a window row_number < cap before the
+    collect to bound skewed tokens' state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("token")
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    capped = postings.withColumn("rn", F.row_number().over(w))
+    return (
+        capped.groupBy("token")
+        .agg(
+            F.max("rn").cast("long").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.when(F.col("rn") <= _POSTINGS_CAP, F.col("doc_id")))),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH postings AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token FROM documents
+)
+SELECT token, count(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id ORDER BY doc_id))[1:{_POSTINGS_CAP}], ',') AS postings
+FROM postings
+GROUP BY token
+"""
+
+
+# --------------------------------------------------------------------------
+# repetition_ratio — intra-document repetition quality signals
+# --------------------------------------------------------------------------
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition features (a Gopher-style quality rule family):
+    distinct-token ratio and the share of the single most frequent token.
+    Expressed as explode -> two-level aggregate so the token counting is a
+    map-side-combinable groupBy, not a per-row O(vocab*len) array scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    per_token = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_token.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_token_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+            F.round(F.col("top_token_count") / F.col("n_tokens"), 4).alias("top_token_share"),
+        )
+    )
+
+
+SQL_REPETITION = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+), per_token AS (
+  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+       round(count(*) / sum(c), 4) AS distinct_ratio,
+       round(max(c) / sum(c), 4) AS top_token_share
+FROM per_token
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# kmeans_assign — one deterministic Lloyd iteration, cross-engine checkable
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration over embeddings: seeds are the
+    k=8 vectors with vec_id < 8; assign-all -> recompute per-cluster
+    means (rounded to 6 dp in BOTH engines to pin down FP summation
+    order) -> re-assign; emit (vec_id, cluster, dist). The 8-row centroid
+    table is broadcast at each assignment; the mean recompute shuffles
+    only k*dim rows (posexplode -> groupBy(cluster, dim)). This is the
+    verified kernel under operators/similarity.py:kmeans_fit (iterative,
+    rows-only) and the IVF ANN index."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    seeds = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        j = points.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cluster", _sq_dist(F.col("v"), F.col("c")).alias("dist")
+        )
+        best = j.groupBy("vec_id", "v").agg(
+            F.min(F.struct("dist", "cluster")).alias("best")
+        )
+        return best.select("vec_id", "v", F.col("best.cluster").alias("cluster"),
+                           F.col("best.dist").alias("dist"))
+
+    a0 = assign(emb, seeds)
+    cent1 = (
+        a0.select("cluster", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+    )
+    a1 = assign(emb, cent1)
+    return a1.select("vec_id", "cluster", F.round("dist", 4).alias("dist"))
+
+
+SQL_KMEANS_ASSIGN = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cluster, v AS c FROM emb WHERE vec_id < {_KM_K}
+), d0 AS (
+  SELECT e.vec_id, e.v, s.cluster,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                                 i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))) AS dist
+  FROM emb e CROSS JOIN seeds s
+), a0 AS (
+  SELECT vec_id, v, cluster, dist FROM d0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+), cent1 AS (
+  SELECT cluster, list(m ORDER BY dim) AS c FROM (
+    SELECT cluster, dim, round(avg(x), 6) AS m
+    FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a0)
+    GROUP BY cluster, dim
+  ) GROUP BY cluster
+), d1 AS (
+  SELECT e.vec_id, c1.cluster,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                                 i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) AS dist
+  FROM emb e CROSS JOIN cent1 c1
+)
+SELECT vec_id, cluster, round(dist, 4) AS dist FROM d1
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# revenue_by_nation — TPC-H Q5-shaped six-table join, broadcast dims
+# --------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by supplier nation for ASIA, orders placed in 1996 — the
+    Q5 join shape. customer/supplier/nation/region are broadcast (the
+    plan has exactly two shuffle joins: lineitem->orders on l_orderkey
+    and nothing else wide); the date filter is pushed to the orders scan.
+    Local sums of double are order-sensitive at the 1e-9 level, so both
+    engines round the revenue to 2 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # range predicate, not year(): comparisons on the raw column reach the
+    # parquet scan as PushedFilters; a function call would not
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dims), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_latest_event — keep-newest dedup by key (CDC compaction shape)
+# --------------------------------------------------------------------------
+
+def q_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only the newest event per (user_id, event_type) — the
+    changelog-compaction / SCD-1 shape. Single shuffle on the dedup key;
+    at scale this is the max_by/window top-1 pattern, never a self-join.
+    Ties on ts break by highest event_id (deterministic)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+SQL_DEDUP_LATEST = """
+SELECT user_id, event_type, event_id, round(value, 4) AS value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+EXT2_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "contamination_ngram": (q_contamination_ngram, SQL_CONTAMINATION),
+    "bm25_search": (q_bm25_search, SQL_BM25),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION),
+    "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "dedup_latest_event": (q_dedup_latest_event, SQL_DEDUP_LATEST),
+}

@@ -181,3 +181,43 @@ def test_partitioned_table_prunes_partitions(spark, sf_dir, tmp_path):
     assert "event_type" in pf_line and "click" in pf_line
     n_click = events.filter(F.col("event_type") == "click").count()
     assert df.count() == n_click
+
+
+def test_revenue_by_nation_plan(spark, sf_dir):
+    """Q5-shaped join: every dimension join is broadcast (no SortMergeJoin
+    on a dim) and the order-date range predicate reaches the orders scan
+    as PushedFilters — the two properties that keep this plan alive when
+    lineitem is 100 TB."""
+    fn, _ = QUERIES["revenue_by_nation"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed), pushed
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark gram set is small by construction; the train-side
+    join must be broadcast, never a shuffle of the big gram table."""
+    fn, _ = QUERIES["contamination_ngram"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_single_row_stats_broadcast(spark, sf_dir):
+    """Corpus stats join is a 1-row broadcast (BroadcastNestedLoopJoin is
+    the legitimate plan for a cross join with a single-row side); top-k is
+    TakeOrdered, not a global Sort+Limit materialization."""
+    fn, _ = QUERIES["bm25_search"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_latest_event_single_shuffle(spark, sf_dir):
+    """Keep-newest dedup: exactly one exchange (the window key shuffle)."""
+    fn, _ = QUERIES["dedup_latest_event"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # hashpartitioning only (+AQE read)
+    assert "CartesianProduct" not in plan
