@@ -34,6 +34,16 @@ from amazon_macie_activity_generator_spark.sources.real_series import real_serie
 DEFAULT_START_TIME = "2024-01-01T00:00:00"
 
 
+def _driver_series_df(spark: SparkSession, values: list[float]) -> DataFrame:
+    """Materialize a driver-computed series (recurrence prefix semantics,
+    n <= 20,160) as (t, value). Partition count sized to the data — the
+    default defaultParallelism slices would spread 20 rows over 32 tasks
+    and pay per-task overhead on every downstream stage."""
+    slices = max(1, min(spark.sparkContext.defaultParallelism, len(values) // 2048))
+    rdd = spark.sparkContext.parallelize(list(enumerate(values)), slices)
+    return spark.createDataFrame(rdd, "t long, value double")
+
+
 def generate_series(spark: SparkSession, gen: GeneratorSpec, run_id: str, anomaly_mode: str = "hash") -> DataFrame:
     """One generator -> (run_id, series_id, shape, t, value double)."""
     cfg = gen.config
@@ -59,9 +69,7 @@ def generate_series(spark: SparkSession, gen: GeneratorSpec, run_id: str, anomal
                 from amazon_macie_activity_generator_spark.formula import eval_recurrence
 
                 values = eval_recurrence(str(cfg["formula"]), n)
-                df = spark.createDataFrame(
-                    list(enumerate(values)), "t long, value double"
-                )
+                df = _driver_series_df(spark, values)
             else:
                 df = df.withColumn("value", expr.cast("double"))
         elif shape == "random":
@@ -116,9 +124,7 @@ def _raw_series(spark: SparkSession, gen: GeneratorSpec, run_id: str) -> DataFra
                 from amazon_macie_activity_generator_spark.formula import eval_recurrence
 
                 values = eval_recurrence(str(cfg["formula"]), n)
-                df = spark.createDataFrame(
-                    list(enumerate(values)), "t long, value double"
-                )
+                df = _driver_series_df(spark, values)
             else:
                 df = df.withColumn("value", expr.cast("double"))
         elif shape == "random":
