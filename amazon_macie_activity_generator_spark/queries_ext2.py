@@ -464,6 +464,71 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# streaming_join — watermarked stream-stream interval join
+# --------------------------------------------------------------------------
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: clicks joined to
+    the purchases that follow within 1 hour for the same user, both sides
+    watermarked 2 hours so join state is GC-ed as event time advances —
+    the canonical funnel join. The equality key (user_id) hash-partitions
+    both streams; the time bound caps per-key state, so state size is
+    O(events per user per watermark horizon) regardless of total volume.
+    Oracle: the identical batch join in DuckDB (stream and batch engines
+    must agree on the drained result)."""
+    import os
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="amag_ssjoin_")
+    src = os.path.join(work, "src")
+    events.write.parquet(src)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(events.schema).parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks, buys = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = "ssjoin_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.select(
+            F.col("c_user").alias("user_id"),
+            F.col("c_id").alias("click_id"),
+            F.col("p_id").alias("purchase_id"),
+        )
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SQL_STREAMING_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 EXT2_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "contamination_ngram": (q_contamination_ngram, SQL_CONTAMINATION),
     "bm25_search": (q_bm25_search, SQL_BM25),
@@ -472,4 +537,5 @@ EXT2_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "dedup_latest_event": (q_dedup_latest_event, SQL_DEDUP_LATEST),
+    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
 }
