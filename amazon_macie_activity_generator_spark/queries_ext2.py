@@ -465,6 +465,223 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type
 
 
 # --------------------------------------------------------------------------
+# semantic_dedup — cluster-prefiltered embedding near-dup (the scale path)
+# --------------------------------------------------------------------------
+
+_SEM_THRESH = 0.999
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, scale path: assign every embedding to its nearest
+    seed centroid (vec_id < 8), then search for near-duplicate pairs ONLY
+    within a cluster — O(sum k_i^2) instead of the O(n^2) all-pairs join
+    (at 100 TB, k ~ sqrt(n) clusters makes each bucket self-join small and
+    the shuffle key is the cluster id). Planted positives: every 50th
+    vector reappears with a deterministic per-dimension perturbation; the
+    pair filter is cosine >= 0.999, far above random 64-dim cosines
+    (~N(0, 1/8)) and below the planted ~0.999999, so FP drift can't flip
+    membership. Fully oracle-checked — same augmentation, same seeds,
+    same arithmetic in DuckDB."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    pert = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.0005) * (((i + 1) % 7) - F.lit(3.0))),
+        ).alias("v"),
+    )
+    aug = emb.unionByName(pert)
+    seeds = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+    d = aug.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "v", "cluster", _sq_dist(F.col("v"), F.col("c")).alias("dist")
+    )
+    assigned = (
+        d.groupBy("vec_id", "v")
+        .agg(F.min(F.struct("dist", "cluster")).alias("best"))
+        .select("vec_id", "v", F.col("best.cluster").alias("cluster"))
+    )
+    a = assigned.select("cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (norm("va") * norm("vb")))
+        .filter(F.col("cos") >= _SEM_THRESH)
+    )
+    return pairs.select("cluster", "id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), aug AS (
+  SELECT vec_id, v FROM emb
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, len(v) + 1),
+                        i -> v[i] * (1.0 + 0.0005 * ((i % 7) - 3.0))) AS v
+  FROM emb WHERE vec_id % 50 = 0
+), seeds AS (
+  SELECT vec_id AS cluster, v AS c FROM emb WHERE vec_id < {_KM_K}
+), assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT a.vec_id, a.v, s.cluster,
+           list_sum(list_transform(range(1, len(a.v) + 1),
+                                   i -> (a.v[i] - s.c[i]) * (a.v[i] - s.c[i]))) AS dist
+    FROM aug a CROSS JOIN seeds s
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)
+SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+FROM assigned a JOIN assigned b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {_SEM_THRESH}
+"""
+
+
+# --------------------------------------------------------------------------
+# grouping_sets_parts — explicit GROUPING SETS (completes rollup/cube trio)
+# --------------------------------------------------------------------------
+
+def q_grouping_sets_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part brand, by part type, and grand total in ONE pass —
+    explicit GROUPING SETS with grouping_id to tag each stratum (rollup
+    and cube live in rollup_pricing / cube_events; this is the third
+    member). part is broadcast into lineitem; the grouping-sets expand
+    happens after the join, so lineitem is scanned once. First use of the
+    driver's `part` table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j.createOrReplaceTempView("part_rev")
+    return spark.sql("""
+        SELECT p_brand, p_type, grouping__id AS gid,
+               round(sum(rev), 2) AS revenue, count(*) AS n_items
+        FROM part_rev
+        GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT p_brand, p_type,
+       CAST(grouping(p_brand) * 2 + grouping(p_type) AS BIGINT) AS gid,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# interpolate_gaps — linear interpolation over missing time slots
+# --------------------------------------------------------------------------
+
+def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair beyond the reference's zero-fill (T6): build a sparse
+    per-type minute-slot series from events (only slots with traffic),
+    expand to the full grid, and LINEARLY INTERPOLATE interior gaps from
+    the nearest observed neighbors (edges hold the boundary value). Window
+    functions only — last_value(ignoreNulls) forward + first_value
+    backward per series — so it shuffles once on the series key. At 100 TB
+    the grid join prunes to each series' own slot range first."""
+    events = load_table(spark, sf_dir, "events")
+    slot = (F.unix_timestamp("ts") / 60).cast("long")
+    # NB: no pre-round here — interpolating between 4-dp rationals lands
+    # on exact .00005 boundaries where the engines' round modes disagree;
+    # raw double sums interpolate boundary-free and round once at the end
+    sparse = (
+        events.groupBy(F.col("event_type").alias("series_id"), slot.alias("t"))
+        .agg(F.sum("value").alias("value"))
+    )
+    bounds = sparse.groupBy("series_id").agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    grid = bounds.select(
+        "series_id", F.explode(F.sequence("t0", "t1")).alias("t")
+    )
+    full = grid.join(sparse, ["series_id", "t"], "left")
+    # both directions as RUNNING frames (unboundedPreceding..current): a
+    # shrinking current..unboundedFollowing frame re-aggregates per row —
+    # O(n^2) per series — while running frames stream in O(n)
+    wf = Window.partitionBy("series_id").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wb = (
+        Window.partitionBy("series_id").orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_v = F.last("value", ignorenulls=True).over(wf)
+    next_v = F.last("value", ignorenulls=True).over(wb)
+    prev_t = F.last(F.when(F.col("value").isNotNull(), F.col("t")), ignorenulls=True).over(wf)
+    next_t = F.last(F.when(F.col("value").isNotNull(), F.col("t")), ignorenulls=True).over(wb)
+    interp = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v + (next_v - prev_v) * (F.col("t") - prev_t) / (next_t - prev_t)
+        )
+    )
+    # explicit floor-rounding, NOT round(): interpolants between 2-decimal
+    # endpoints land exactly on .xxxx5 where Spark (HALF_UP on shortest
+    # repr) and DuckDB (binary-double) disagree; floor(x*1e4+0.5)/1e4 is
+    # the same IEEE arithmetic in both engines
+    return full.select(
+        "series_id", "t",
+        (F.floor(interp * 10000 + F.lit(0.5)) / 10000.0).alias("value"),
+        F.col("value").isNull().alias("was_gap"),
+    )
+
+
+SQL_INTERPOLATE = """
+WITH sparse AS (
+  SELECT event_type AS series_id,
+         CAST(floor(epoch(ts) / 60) AS BIGINT) AS t,
+         sum(value) AS value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT series_id, min(t) AS t0, max(t) AS t1 FROM sparse GROUP BY series_id
+), grid AS (
+  SELECT series_id, unnest(range(t0, t1 + 1)) AS t FROM bounds
+), full_grid AS (
+  SELECT g.series_id, g.t, s.value FROM grid g
+  LEFT JOIN sparse s ON g.series_id = s.series_id AND g.t = s.t
+), neighbors AS (
+  SELECT series_id, t, value,
+    last_value(value IGNORE NULLS) OVER
+      (PARTITION BY series_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    first_value(value IGNORE NULLS) OVER
+      (PARTITION BY series_id ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    last_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER
+      (PARTITION BY series_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    first_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER
+      (PARTITION BY series_id ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM full_grid
+)
+SELECT series_id, t,
+       floor((CASE WHEN value IS NOT NULL THEN value
+                   WHEN prev_v IS NULL THEN next_v
+                   WHEN next_v IS NULL THEN prev_v
+                   ELSE prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+              END) * 10000 + 0.5) / 10000.0 AS value,
+       value IS NULL AS was_gap
+FROM neighbors
+"""
+
+
+# --------------------------------------------------------------------------
 # streaming_join — watermarked stream-stream interval join
 # --------------------------------------------------------------------------
 
@@ -538,4 +755,7 @@ EXT2_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "dedup_latest_event": (q_dedup_latest_event, SQL_DEDUP_LATEST),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "grouping_sets_parts": (q_grouping_sets_parts, SQL_GROUPING_SETS),
+    "interpolate_gaps": (q_interpolate_gaps, SQL_INTERPOLATE),
 }
