@@ -69,24 +69,29 @@ def _five_grams(toks):
 def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination pass: docs with doc_id % 10 == 0 act as the held-out
     benchmark; every other doc reports how many of its distinct word
-    5-grams also occur in any benchmark doc. The benchmark gram set is
-    small by construction -> broadcast to the train side (no shuffle of
-    the big side beyond its own gram explode)."""
+    5-grams also occur in any benchmark doc. ONE corpus scan: explode
+    grams once, flag each gram row with a whole-partition window max of
+    "appears in a benchmark doc" (single shuffle on the gram key), then
+    re-aggregate per train doc — no second scan, no broadcast build, and
+    the gram shuffle is the same hash partitioning an LSH band join would
+    use at 100 TB. The local file arrives as one input split while gram
+    construction is CPU-bound, so spread it first (at real scale
+    maxPartitionBytes provides the splits and this is a no-op)."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     grams = docs.select(
         "doc_id", F.explode(_five_grams(tokens_expr(F.col("text")))).alias("gram")
     )
-    bench = (
-        grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
-        .withColumn("hit", F.lit(1))
+    in_bench = F.max((F.col("doc_id") % 10 == 0).cast("int")).over(
+        Window.partitionBy("gram")
     )
-    train = grams.filter(F.col("doc_id") % 10 != 0)
+    flagged = grams.withColumn("hit", in_bench)
     per_doc = (
-        train.join(F.broadcast(bench), "gram", "left")
+        flagged.filter(F.col("doc_id") % 10 != 0)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+            F.sum("hit").alias("n_contaminated"),
         )
     )
     return per_doc.select(

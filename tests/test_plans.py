@@ -196,13 +196,19 @@ def test_revenue_by_nation_plan(spark, sf_dir):
     assert any("o_orderdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed), pushed
 
 
-def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
-    """The benchmark gram set is small by construction; the train-side
-    join must be broadcast, never a shuffle of the big gram table."""
+def test_contamination_single_scan_no_join(spark, sf_dir):
+    """One corpus scan, zero joins: the bench-membership flag is a
+    whole-partition window over the gram key, then one re-aggregation per
+    doc. Three exchanges max: the CPU-spread repartition, the gram-key
+    window, the per-doc aggregate. (Formatted explain prints each node in
+    the tree AND the detail list — count the numbered detail nodes.)"""
+    import re
+
     fn, _ = QUERIES["contamination_ngram"]
     plan = _plan(fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
 
 
 def test_bm25_single_row_stats_broadcast(spark, sf_dir):
