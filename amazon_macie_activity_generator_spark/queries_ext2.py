@@ -327,6 +327,9 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
+    # single local input split + CPU-bound distance math -> spread first
+    # (no-op at real scale where maxPartitionBytes provides the splits)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     seeds = emb.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("c")
     )
@@ -491,6 +494,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     pert = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(
