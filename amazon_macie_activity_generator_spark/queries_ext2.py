@@ -564,6 +564,154 @@ WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
 
 
 # --------------------------------------------------------------------------
+# value_histogram — fixed-width bucket histogram (width_bucket shape)
+# --------------------------------------------------------------------------
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event_type: 10 buckets of
+    width 50, top bucket open-ended. Pure map-side bucket expression +
+    one aggregation — the one-pass histogram any dashboard needs; at
+    100 TB the bucket key is low-cardinality so partial aggregation
+    collapses nearly all rows map-side."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
+    return (
+        events.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type, CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+       count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# unigram_logprob — corpus LM scoring (perplexity proxy per document)
+# --------------------------------------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per doc: train token frequencies over
+    the whole corpus (one aggregate), broadcast the tiny vocabulary back,
+    and score each doc as the mean negative log-probability of its tokens
+    — the classic cheap perplexity proxy used to filter training data.
+    Two corpus passes, vocab-sized broadcast, no wide shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("nll", -F.log(F.col("c") / F.col("total")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 4).alias("mean_nll"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), total AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(c / total)), 4) AS mean_nll
+FROM tok JOIN vocab USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# topk_per_group — per-group top-k (window row_number pattern)
+# --------------------------------------------------------------------------
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest docs per source — the per-group top-k window shape
+    (global top-k lives in join_topn_customers). One shuffle on the group
+    key; rank state is O(k) per group under AQE."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "rk", "doc_id", "n_chars")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# robust_outliers — median/MAD outlier flags (anomaly-detection adjacent)
+# --------------------------------------------------------------------------
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event_type: median + MAD (median absolute
+    deviation), outlier = deviation > 3*MAD (+1e-9 margin so a 1-ulp
+    cross-engine difference in the interpolated medians can't flip a
+    boundary row). Two grouped exact-percentile passes with broadcast
+    joins back — the same two-pass agg+broadcast shape as T1 scaling; at
+    100 TB swap exact percentile for approx_percentile and keep the plan.
+    Thematically this is the reference's anomaly machinery (T4,
+    main.py:606-641) inverted: detection instead of injection."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("dev") > 3 * F.col("mad") + 1e-9).cast("long")).alias("n_outliers"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+        )
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN d.dev > 3 * m.mad + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(any_value(d.med), 4) AS med, round(any_value(m.mad), 4) AS mad
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # grouping_sets_parts — explicit GROUPING SETS (completes rollup/cube trio)
 # --------------------------------------------------------------------------
 
@@ -767,4 +915,8 @@ EXT2_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "grouping_sets_parts": (q_grouping_sets_parts, SQL_GROUPING_SETS),
     "interpolate_gaps": (q_interpolate_gaps, SQL_INTERPOLATE),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
 }
