@@ -564,6 +564,100 @@ WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
 
 
 # --------------------------------------------------------------------------
+# table_profile — single-pass column profiling (the data-quality preamble)
+# --------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the events table — count / nulls / distincts /
+    min / max per column, ONE scan: all aggregates run in a single pass,
+    then the one-row result unpivots to a row per column (profiling 100 TB
+    must never scan once per column). Timestamps are formatted to fixed
+    6-digit micros so both engines stringify identically."""
+    events = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def smin(c):
+        x = F.min(c)
+        return F.date_format(x, _TS_FMT_SPARK) if c == "ts" else x.cast("string")
+
+    def smax(c):
+        x = F.max(c)
+        return F.date_format(x, _TS_FMT_SPARK) if c == "ts" else x.cast("string")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            smin(c).alias(f"{c}__min"),
+            smax(c).alias(f"{c}__max"),
+        ]
+    one = load_table(spark, sf_dir, "events").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+def _duck_profile_row(c: str) -> str:
+    if c == "ts":
+        mn, mx = (
+            f"strftime(min({c}), '{_TS_FMT_DUCK}')",
+            f"strftime(max({c}), '{_TS_FMT_DUCK}')",
+        )
+    else:
+        mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+    return (
+        f"SELECT '{c}' AS \"column\", count(*) AS n_rows,"
+        f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+        f" count(DISTINCT {c}) AS n_distinct, {mn} AS min_value, {mx} AS max_value"
+        " FROM events"
+    )
+
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    _duck_profile_row(c) for c in ["event_id", "ts", "user_id", "event_type", "value"]
+)
+
+
+# --------------------------------------------------------------------------
+# scd2_intervals — change-history validity intervals via lead()
+# --------------------------------------------------------------------------
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style history: each user's events become validity intervals
+    [ts, next ts) via lead() over (user_id, ordered by ts, event_id) —
+    the standard change-data-capture history build. Single shuffle on the
+    key; the open interval (last row) has valid_to NULL."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), _TS_FMT_SPARK).alias("valid_to"),
+    )
+
+
+SQL_SCD2 = f"""
+SELECT user_id, event_type, round(value, 4) AS value,
+       strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '{_TS_FMT_DUCK}') AS valid_to
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # value_histogram — fixed-width bucket histogram (width_bucket shape)
 # --------------------------------------------------------------------------
 
@@ -919,4 +1013,6 @@ EXT2_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2),
 }

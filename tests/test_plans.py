@@ -227,3 +227,14 @@ def test_dedup_latest_event_single_shuffle(spark, sf_dir):
     plan = _plan(fn(spark, sf_dir))
     assert plan.count("Exchange") <= 2  # hashpartitioning only (+AQE read)
     assert "CartesianProduct" not in plan
+
+
+def test_table_profile_single_pass(spark, sf_dir):
+    """Profiling computes every column's stats in ONE scan — a per-column
+    scan loop would read a 100 TB table five times."""
+    import re
+
+    fn, _ = QUERIES["table_profile"]
+    plan = _plan(fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
