@@ -142,3 +142,25 @@ def test_grouping_sets_strata_consistent(spark, sf_dir):
     by_brand = sum(r.n_items for r in rows if r.p_brand is not None)
     by_type = sum(r.n_items for r in rows if r.p_type is not None)
     assert by_brand == total[0].n_items == by_type
+
+
+def test_table_profile_matches_table_shape(spark, sf_dir):
+    rows = {r.column: r for r in _run("table_profile", spark, sf_dir).collect()}
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert set(rows) == {"event_id", "ts", "user_id", "event_type", "value"}
+    for r in rows.values():
+        assert r.n_rows == n
+        assert r.n_nulls + r.n_distinct <= r.n_rows + 1  # distincts exclude null
+    assert rows["event_id"].n_distinct == n  # primary key
+
+
+def test_scd2_intervals_chain_per_user(spark, sf_dir):
+    """Exactly one open interval (valid_to NULL) per user, and interval
+    count equals event count."""
+    from pyspark.sql import functions as F
+
+    df = _run("scd2_intervals", spark, sf_dir)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert df.count() == n_events
+    opens = df.filter(F.col("valid_to").isNull()).groupBy("user_id").count()
+    assert opens.filter(F.col("count") != 1).count() == 0
