@@ -564,6 +564,46 @@ WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
 
 
 # --------------------------------------------------------------------------
+# value_ranks — ranking-function family in one pass
+# --------------------------------------------------------------------------
+
+def q_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile over one shuffle: events
+    ranked within event_type by integer value (ties share rank — rank
+    functions are deterministic because they depend only on the ordering
+    KEY, not physical row order; the ntile uses the (value, event_id)
+    total order for the same reason). Completes the window-function
+    surface next to row_number (topk_per_group) and lead (scd2)."""
+    events = load_table(spark, sf_dir, "events")
+    # floor(), not cast: Spark's double->long cast truncates while
+    # DuckDB's rounds half-away — floor is identical in both engines
+    v = F.floor("value")
+    w_ties = Window.partitionBy("event_type").orderBy(v)
+    w_total = Window.partitionBy("event_type").orderBy(v, "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        v.alias("v_int"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.round(F.percent_rank().over(w_ties), 6).alias("pct_rank"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+SQL_VALUE_RANKS = """
+SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS v_int,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY floor(value), event_id) AS INT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY floor(value))
+"""
+
+
+# --------------------------------------------------------------------------
 # table_profile — single-pass column profiling (the data-quality preamble)
 # --------------------------------------------------------------------------
 
@@ -1015,4 +1055,5 @@ EXT2_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "robust_outliers": (q_robust_outliers, SQL_ROBUST_OUTLIERS),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2),
+    "value_ranks": (q_value_ranks, SQL_VALUE_RANKS),
 }
