@@ -889,9 +889,14 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type minute-slot series from events (only slots with traffic),
     expand to the full grid, and LINEARLY INTERPOLATE interior gaps from
     the nearest observed neighbors (edges hold the boundary value). Window
-    functions only — last_value(ignoreNulls) forward + first_value
-    backward per series — so it shuffles once on the series key. At 100 TB
-    the grid join prunes to each series' own slot range first."""
+    functions only — running frames in both directions (see
+    operators/interpolate.py) — so it shuffles once on the series key. At
+    100 TB the grid join prunes to each series' own slot range first."""
+    from amazon_macie_activity_generator_spark.operators.interpolate import (
+        expand_grid,
+        interpolate_linear,
+    )
+
     events = load_table(spark, sf_dir, "events")
     slot = (F.unix_timestamp("ts") / 60).cast("long")
     # NB: no pre-round here — interpolating between 4-dp rationals lands
@@ -901,38 +906,15 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.col("event_type").alias("series_id"), slot.alias("t"))
         .agg(F.sum("value").alias("value"))
     )
-    bounds = sparse.groupBy("series_id").agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
-    grid = bounds.select(
-        "series_id", F.explode(F.sequence("t0", "t1")).alias("t")
-    )
-    full = grid.join(sparse, ["series_id", "t"], "left")
-    # both directions as RUNNING frames (unboundedPreceding..current): a
-    # shrinking current..unboundedFollowing frame re-aggregates per row —
-    # O(n^2) per series — while running frames stream in O(n)
-    wf = Window.partitionBy("series_id").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    wb = (
-        Window.partitionBy("series_id").orderBy(F.desc("t"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    prev_v = F.last("value", ignorenulls=True).over(wf)
-    next_v = F.last("value", ignorenulls=True).over(wb)
-    prev_t = F.last(F.when(F.col("value").isNotNull(), F.col("t")), ignorenulls=True).over(wf)
-    next_t = F.last(F.when(F.col("value").isNotNull(), F.col("t")), ignorenulls=True).over(wb)
-    interp = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
-        F.when(prev_v.isNull(), next_v)
-        .when(next_v.isNull(), prev_v)
-        .otherwise(
-            prev_v + (next_v - prev_v) * (F.col("t") - prev_t) / (next_t - prev_t)
-        )
-    )
+    filled = interpolate_linear(expand_grid(sparse))
     # explicit floor-rounding, NOT round(): interpolants between 2-decimal
     # endpoints land exactly on .xxxx5 where Spark (HALF_UP on shortest
     # repr) and DuckDB (binary-double) disagree; floor(x*1e4+0.5)/1e4 is
     # the same IEEE arithmetic in both engines
-    return full.select(
+    return filled.select(
         "series_id", "t",
-        (F.floor(interp * 10000 + F.lit(0.5)) / 10000.0).alias("value"),
-        F.col("value").isNull().alias("was_gap"),
+        (F.floor(F.col("value") * 10000 + F.lit(0.5)) / 10000.0).alias("value"),
+        "was_gap",
     )
 
 

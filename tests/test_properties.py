@@ -192,3 +192,38 @@ def test_fake_providers_partition_invariant(spark):
     a = {r.id: r.d for r in base.select("id", doc.alias("d")).collect()}
     b = {r.id: r.d for r in base.repartition(17).select("id", doc.alias("d")).collect()}
     assert a == b
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 40), st.floats(-100, 100, allow_nan=False, width=32)),
+    min_size=2, max_size=15, unique_by=lambda p: p[0],
+))
+def test_interpolate_linear_properties(spark, points):
+    """Linear interpolation invariants on arbitrary sparse series:
+    observed slots unchanged, grid complete, every interior gap exactly on
+    the segment between its neighbors, edge gaps clamped to the boundary."""
+    from amazon_macie_activity_generator_spark.operators.interpolate import (
+        expand_grid,
+        interpolate_linear,
+    )
+
+    observed = dict(points)
+    sparse = spark.createDataFrame(
+        [("s", t, float(v)) for t, v in points], "series_id string, t long, value double"
+    )
+    out = {r.t: r for r in interpolate_linear(expand_grid(sparse)).collect()}
+    ts = sorted(observed)
+    lo, hi = ts[0], ts[-1]
+    assert sorted(out) == list(range(lo, hi + 1))  # complete grid
+    for t, r in out.items():
+        if t in observed:
+            assert not r.was_gap and r.value == observed[t]
+        else:
+            assert r.was_gap
+            prev_t = max(x for x in ts if x < t)
+            next_t = min(x for x in ts if x > t)
+            pv, nv = observed[prev_t], observed[next_t]
+            want = pv + (nv - pv) * (t - prev_t) / (next_t - prev_t)
+            assert abs(r.value - want) < 1e-9
+            assert min(pv, nv) - 1e-9 <= r.value <= max(pv, nv) + 1e-9
