@@ -34,6 +34,22 @@ from amazon_macie_activity_generator_spark.sources.real_series import real_serie
 DEFAULT_START_TIME = "2024-01-01T00:00:00"
 
 
+def _scale_driver_side(values: list[float], cfg: dict) -> list[float]:
+    """scale_signal for a series already materialized at the driver:
+    the same IEEE arithmetic as operators.scaling.scale_expr (incl. the
+    B4 constant-input clamp), so results are bit-identical to the
+    cluster-side path — but without shipping a 20k-point series through
+    an agg + broadcast join just to learn its min/max."""
+    import math
+
+    lo = float(cfg.get("signal_min", 1))
+    hi = float(cfg.get("signal_max", 20))
+    mn, mx = min(values), max(values)
+    if mx == mn:
+        return [float(math.ceil(lo))] * len(values)
+    return [float(math.ceil((v - mn) / (mx - mn) * (hi - lo) + lo)) for v in values]
+
+
 def _driver_series_df(spark: SparkSession, values: list[float]) -> DataFrame:
     """Materialize a driver-computed series (recurrence prefix semantics,
     n <= 20,160) as (t, value). Partition count sized to the data — the
@@ -50,6 +66,7 @@ def generate_series(spark: SparkSession, gen: GeneratorSpec, run_id: str, anomal
     n = gen.num_points
     shape = gen.shape
 
+    scaled_driver_side = False
     if shape == "real":
         df = real_series_from_file(spark, cfg.get("path") or cfg["key"], n)
     else:
@@ -65,11 +82,14 @@ def generate_series(spark: SparkSession, gen: GeneratorSpec, run_id: str, anomal
             expr, needed = G.custom_expr(cfg)
             if needed:
                 # recurrence formula -> driver-side safe interpreter
-                # (see _raw_series; same path, same values)
+                # (see _raw_series; same path, same values); the series is
+                # in hand, so signal-scale it here too instead of paying
+                # an agg + broadcast join for its min/max
                 from amazon_macie_activity_generator_spark.formula import eval_recurrence
 
                 values = eval_recurrence(str(cfg["formula"]), n)
-                df = _driver_series_df(spark, values)
+                df = _driver_series_df(spark, _scale_driver_side(values, cfg))
+                scaled_driver_side = True
             else:
                 df = df.withColumn("value", expr.cast("double"))
         elif shape == "random":
@@ -85,7 +105,7 @@ def generate_series(spark: SparkSession, gen: GeneratorSpec, run_id: str, anomal
     needs_scaling = shape in ("sinusoidal", "custom", "real") or (
         shape == "random" and cfg.get("type", "uniform") != "triangular"
     )
-    if needs_scaling:
+    if needs_scaling and not scaled_driver_side:
         df = scale_signal(df, cfg, value_col="value", by=["series_id"])
         df = df.withColumn("value", F.col("value").cast("double"))
 
