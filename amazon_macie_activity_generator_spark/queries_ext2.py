@@ -473,6 +473,54 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type
 
 
 # --------------------------------------------------------------------------
+# streaming_append_windows — append-mode finalized-window semantics
+# --------------------------------------------------------------------------
+
+def q_streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows in APPEND mode: a window row is
+    emitted exactly once, when the watermark passes its end — the
+    finalized-result semantics production streaming jobs rely on (the
+    complete-mode twin is streaming_tumbling). After an availableNow
+    drain the emitted set is exactly the windows whose end <= max(ts) -
+    watermark; the oracle states that closure rule in SQL."""
+    import os
+    import tempfile
+    import uuid
+
+    from amazon_macie_activity_generator_spark.streaming.replay import (
+        streaming_tumbling_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="amag_append_")
+    src = os.path.join(work, "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = "append_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_tumbling_counts(stream, "1 hour", "2 hours")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+SQL_STREAMING_APPEND = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', any_value(ts)) + INTERVAL 1 HOUR
+       <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+"""
+
+
+# --------------------------------------------------------------------------
 # semantic_dedup — cluster-prefiltered embedding near-dup (the scale path)
 # --------------------------------------------------------------------------
 
@@ -1038,4 +1086,5 @@ EXT2_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2),
     "value_ranks": (q_value_ranks, SQL_VALUE_RANKS),
+    "streaming_append_windows": (q_streaming_append_windows, SQL_STREAMING_APPEND),
 }

@@ -147,7 +147,8 @@ def test_no_cartesian_product_anywhere_in_catalog(spark, sf_dir):
     import __spark_entry__ as entrymod
 
     skip = {"streaming_tumbling", "streaming_replay", "streaming_dedup",
-            "streaming_join", "sessionize_stateful", "blueprint_e2e"}  # eager/side-effecting
+            "streaming_join", "streaming_append_windows",
+            "sessionize_stateful", "blueprint_e2e"}  # eager/side-effecting
     offenders = []
     for name, fn in entrymod.queries().items():
         if name in skip:
