@@ -5,18 +5,31 @@ These extend SURVEY.md §2.8 (the reference — a time-series activity
 generator, /root/reference/src/main.py — has none of this; the north star
 adds the operators a 100 TB training-data pipeline needs):
 
-- ``contamination_ngram``  benchmark-contamination check via word 5-gram
-  overlap (train split vs held-out split) — the standard decontamination
-  pass before LLM training.
+- ``contamination_ngram``  benchmark-decontamination via word 5-gram
+  overlap (single scan, gram-key window — the standard pass before LLM
+  training).
 - ``bm25_search``          BM25 full-text ranking for a fixed query.
 - ``inverted_index``       token -> postings-list build.
 - ``repetition_ratio``     intra-document repetition quality signals.
+- ``unigram_logprob``      corpus-LM mean NLL per doc (perplexity proxy).
 - ``kmeans_assign``        one deterministic Lloyd iteration over the
   embeddings table, cross-engine oracle-checked (the building block under
   semantic dedup / IVF; the iterative fit lives in
   operators/similarity.py:kmeans_fit and is recall-tested rows-only).
+- ``semantic_dedup``       cluster-prefiltered near-dup pairs (planted
+  positives; O(sum k_i^2), never all-pairs).
 - ``revenue_by_nation``    TPC-H Q5-shaped 6-table join (broadcast dims).
+- ``grouping_sets_parts``  explicit GROUPING SETS over part x lineitem.
 - ``dedup_latest_event``   keep-newest dedup by (user_id, event_type).
+- ``value_histogram``      fixed-width bucket histogram.
+- ``robust_outliers``      median/MAD outlier flags.
+- ``topk_per_group``       per-group top-k via row_number.
+- ``value_ranks``          rank/dense_rank/percent_rank/ntile, 1 shuffle.
+- ``table_profile``        all-column stats in one scan.
+- ``scd2_intervals``       CDC validity intervals via lead().
+- ``interpolate_gaps``     linear gap repair (operators/interpolate.py).
+- ``streaming_join``       watermarked stream-stream funnel join.
+- ``streaming_append_windows`` append-mode finalized-window semantics.
 
 Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
 
