@@ -1,0 +1,205 @@
+"""Third extension catalog: sequence analytics + classic warehouse shapes
+the earlier catalogs didn't cover.
+
+The reference (a time-series activity generator, /root/reference/src/main.py)
+has none of this; these extend SURVEY.md §2.8's north-star set:
+
+- ``event_gaps``         per-entity inter-arrival gaps via lag() — the
+  sequence-delta window shape (the precursor to sessionization and
+  rate-anomaly detection; complements ``sessionize``'s gap *thresholding*
+  with the raw gap *measurement*).
+- ``char_entropy``       per-document Shannon character entropy — the
+  classic cheap gibberish/boilerplate filter in LLM data pipelines
+  (low-entropy = repeated chars/markup, high-entropy = random noise);
+  complements ``repetition_ratio`` (token-level) at the character level.
+- ``small_qty_revenue``  TPC-H Q17-shaped correlated scalar aggregate:
+  lineitems below 0.2x their part's average quantity, revenue per brand.
+  The "compare each row to its group's aggregate" join shape.
+- ``large_orders``       TPC-H Q18-shaped HAVING-then-join: orders whose
+  total quantity exceeds a threshold, joined back to the order header.
+
+Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
+
+Scale notes (local[32] tests, 1000-executor design):
+- ``event_gaps`` is one shuffle (hash by user_id) + an in-partition sort;
+  no global sort, no driver round-trip.
+- ``char_entropy`` explodes to one row per character but immediately
+  partial-aggregates to (doc_id, ch) counts map-side — the shuffle carries
+  at most |alphabet| rows per doc, not n_chars. Two doc_id-keyed shuffles.
+- ``small_qty_revenue`` self-joins lineitem with its per-part averages:
+  both sides shuffle on l_partkey once (co-partitioned hash join); the
+  part dimension is broadcast. No boundary FP risk: l_quantity is
+  integral so per-part sums (and hence 0.2*avg) are bit-exact in both
+  engines.
+- ``large_orders`` partial-aggregates lineitem map-side, filters to the
+  few qualifying orderkeys, and AQE converts the join back to orders
+  into a broadcast join at runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# event_gaps — per-user inter-arrival deltas (lag window)
+# --------------------------------------------------------------------------
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds between consecutive events per user, ordered by (ts,
+    event_id) for a deterministic tiebreak. First event per user has no
+    predecessor and is dropped. Both engines count epoch-second boundary
+    crossings (unix_timestamp floor == date_diff('second', ...)), so
+    sub-second timestamps compare identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_s"),
+        )
+    )
+
+
+SQL_EVENT_GAPS = """
+SELECT user_id, event_id, gap_s FROM (
+  SELECT user_id, event_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+) WHERE gap_s IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# char_entropy — per-doc Shannon character entropy (quality filter)
+# --------------------------------------------------------------------------
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H = log2(n) - sum(c*log2 c)/n over per-doc character counts — the
+    single-division form avoids a per-row p=c/n divide. The explode is
+    tamed by map-side partial aggregation: the shuffle carries (doc_id,
+    ch) pairs (bounded by the alphabet), never one row per character.
+    Empty fragments from the empty-pattern split are filtered on both
+    engines (Spark keeps a trailing '', DuckDB doesn't)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    freq = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").cast("double")
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_seen"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2(F.col("c"))) / n, 4
+        ).alias("entropy_bits"),
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), freq AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chars_seen,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+FROM freq GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# small_qty_revenue — TPC-H Q17 shape (row vs its group's aggregate)
+# --------------------------------------------------------------------------
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 20% of their part's
+    average, rolled up per brand (TPC-H Q17 generalized from one brand to
+    all). The correlated scalar subquery becomes an aggregate + equi-join
+    on l_partkey; the part dimension is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    th = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_th")
+    )
+    small = li.join(th, "l_partkey").filter(F.col("l_quantity") < F.col("qty_th"))
+    return (
+        small.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            small["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH th AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_th
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN th USING (l_partkey)
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < th.qty_th
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# large_orders — TPC-H Q18 shape (HAVING filter, join back to header)
+# --------------------------------------------------------------------------
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total lineitem quantity exceeds 250 (TPC-H Q18's
+    large-volume-customer shape). The aggregate side shrinks to a handful
+    of keys after the HAVING filter, so AQE turns the join back to the
+    order header into a broadcast. sum_qty is a sum of integral doubles —
+    bit-exact cross-engine, so the > 250 boundary is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return orders.join(big, orders["o_orderkey"] == big["l_orderkey"]).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "sum_qty"
+    )
+
+
+SQL_LARGE_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big ON o_orderkey = big.l_orderkey
+"""
+
+
+EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+}
