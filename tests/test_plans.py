@@ -257,3 +257,43 @@ def test_entry_flagship_plan_clean(spark):
     plan = _plan(entrymod.entry(spark))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_event_gaps_single_shuffle_partitioned_window(spark, sf_dir):
+    """The lag() window must be partitioned by user_id (one hash shuffle,
+    in-partition sort) — never an unpartitioned global-order window."""
+    fn, _ = QUERIES["event_gaps"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Window" in plan
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_exchanges == 1
+    assert "SinglePartition" not in plan
+
+
+def test_char_entropy_partial_agg_no_python(spark, sf_dir):
+    """The per-character explode must partial-aggregate map-side (the
+    shuffle carries (doc_id, ch) counts, not one row per character) and
+    stay expression-only — no Python round trip per character."""
+    fn, _ = QUERIES["char_entropy"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Generate" in plan  # the explode
+    assert "partial_count" in plan or "partial" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_small_qty_revenue_broadcasts_part(spark, sf_dir):
+    """The part dimension must be broadcast; only the lineitem self-join
+    on l_partkey may shuffle."""
+    fn, _ = QUERIES["small_qty_revenue"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_large_orders_partial_aggregates_lineitem(spark, sf_dir):
+    """The HAVING-side aggregate must partial-aggregate map-side before
+    the shuffle; at runtime AQE broadcasts the shrunken side."""
+    fn, _ = QUERIES["large_orders"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "partial_sum" in plan
