@@ -17,6 +17,9 @@ has none of this; these extend SURVEY.md §2.8's north-star set:
   The "compare each row to its group's aggregate" join shape.
 - ``large_orders``       TPC-H Q18-shaped HAVING-then-join: orders whose
   total quantity exceeds a threshold, joined back to the order header.
+- ``streaming_left_join`` watermarked LEFT OUTER stream-stream join —
+  null-padded rows emitted on state eviction; the oracle states the
+  min-of-both-sides watermark closure rule in SQL.
 
 Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
 
@@ -197,9 +200,94 @@ JOIN (
 """
 
 
+# --------------------------------------------------------------------------
+# streaming_left_join — watermarked LEFT OUTER stream-stream join
+# --------------------------------------------------------------------------
+
+def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream funnel join: every click, matched to the
+    purchases that follow within 1 hour for the same user; clicks with no
+    purchase emit a null-padded row once the watermark proves no match
+    can still arrive. The subtlety the oracle must state: the global
+    watermark is the MINIMUM over both sides' watermark nodes, and each
+    side computes it from its own post-filter max event time — so a
+    click's outer row emits iff click_ts + 1h <= least(max click ts, max
+    purchase ts) - 2h, not max(ts) overall. availableNow's final no-data
+    microbatch advances the watermark and flushes the evicted state.
+    Nulls are coalesced to -1 (with a `matched` flag) so both engines
+    hash identically. Inner twin: queries_ext2.q_streaming_join."""
+    import os
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="amag_lojoin_")
+    src = os.path.join(work, "src")
+    events.write.parquet(src)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(events.schema).parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks, buys = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    name = "lojoin_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.select(
+            F.col("c_user").alias("user_id"),
+            F.col("c_id").alias("click_id"),
+            F.coalesce(F.col("p_id"), F.lit(-1)).alias("purchase_id"),
+            F.col("p_id").isNotNull().alias("matched"),
+        )
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SQL_STREAMING_LEFT_JOIN = """
+WITH c AS (
+  SELECT user_id, event_id AS cid, ts AS cts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+         - INTERVAL 2 HOUR AS w
+)
+SELECT c.user_id, c.cid AS click_id, p.pid AS purchase_id, TRUE AS matched
+FROM c JOIN p
+  ON c.user_id = p.user_id AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 1 HOUR
+UNION ALL
+SELECT c.user_id, c.cid, -1, FALSE
+FROM c, wm
+WHERE c.cts + INTERVAL 1 HOUR <= wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = c.user_id AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 1 HOUR
+  )
+"""
+
+
 EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
     "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "streaming_left_join": (q_streaming_left_join, SQL_STREAMING_LEFT_JOIN),
 }
