@@ -17,6 +17,8 @@ has none of this; these extend SURVEY.md §2.8's north-star set:
   The "compare each row to its group's aggregate" join shape.
 - ``large_orders``       TPC-H Q18-shaped HAVING-then-join: orders whose
   total quantity exceeds a threshold, joined back to the order header.
+- ``rolling_time_window`` time-based RANGE window frame (preceding-1h
+  per-user aggregates on an integer epoch-seconds ordering key).
 - ``streaming_left_join`` watermarked LEFT OUTER stream-stream join —
   null-padded rows emitted on state eviction; the oracle states the
   min-of-both-sides watermark closure rule in SQL.
@@ -201,6 +203,44 @@ JOIN (
 
 
 # --------------------------------------------------------------------------
+# rolling_time_window — RANGE-frame window over event time
+# --------------------------------------------------------------------------
+
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity in the preceding hour, per event: a time-based
+    RANGE frame (complements rolling_stats' ROWS frames). Both engines
+    order the frame by integer epoch seconds (unix_timestamp floor ==
+    floor(epoch(ts))), so the 3600-second boundary and peer-row grouping
+    are bit-identical despite microsecond timestamps. One hash shuffle on
+    user_id; the frame is a running window, never re-aggregated per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+SQL_ROLLING_TIME_WINDOW = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 4) AS sum_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # streaming_left_join — watermarked LEFT OUTER stream-stream join
 # --------------------------------------------------------------------------
 
@@ -289,5 +329,6 @@ EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
     "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "rolling_time_window": (q_rolling_time_window, SQL_ROLLING_TIME_WINDOW),
     "streaming_left_join": (q_streaming_left_join, SQL_STREAMING_LEFT_JOIN),
 }
