@@ -19,6 +19,11 @@ has none of this; these extend SURVEY.md §2.8's north-star set:
   total quantity exceeds a threshold, joined back to the order header.
 - ``rolling_time_window`` time-based RANGE window frame (preceding-1h
   per-user aggregates on an integer epoch-seconds ordering key).
+- ``mom_revenue_change``  aggregate-then-window composition (monthly
+  revenue + lag() percent deltas).
+- ``fuzzy_name_pairs``    blocked Levenshtein similarity join — the
+  entity-resolution pattern: quadratic comparison confined to small
+  (p_type, p_size) blocks.
 - ``streaming_left_join`` watermarked LEFT OUTER stream-stream join —
   null-padded rows emitted on state eviction; the oracle states the
   min-of-both-sides watermark closure rule in SQL.
@@ -203,6 +208,89 @@ JOIN (
 
 
 # --------------------------------------------------------------------------
+# mom_revenue_change — aggregate-then-window composition
+# --------------------------------------------------------------------------
+
+def q_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas: aggregate orders to months, then
+    lag() over the (tiny) aggregate — the standard two-stage analytic
+    composition. The window runs over ~80 month rows, so the
+    SinglePartition sort is a non-issue at any scale (the data-sized work
+    is the partial-aggregated month rollup)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_rev", F.lag("rev").over(w))
+        .filter(F.col("prev_rev").isNotNull())
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.round("rev", 2).alias("revenue"),
+            F.round((F.col("rev") - F.col("prev_rev")) / F.col("prev_rev") * 100, 4)
+            .alias("pct_change"),
+        )
+    )
+
+
+SQL_MOM_REVENUE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month, rev, lag(rev) OVER (ORDER BY month) AS prev_rev FROM monthly
+)
+SELECT strftime(month, '%Y-%m') AS month,
+       round(rev, 2) AS revenue,
+       round((rev - prev_rev) / prev_rev * 100, 4) AS pct_change
+FROM lagged WHERE prev_rev IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# fuzzy_name_pairs — blocked Levenshtein similarity join (entity resolution)
+# --------------------------------------------------------------------------
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names via edit distance, blocked on
+    (p_type, p_size) so the quadratic comparison runs inside small blocks
+    (max ~16 members per block at sf0.01) instead of all 2000^2 pairs —
+    the classic entity-resolution blocking strategy; at 100 TB the block
+    key is the unit of shuffle and no block is bigger than a task.
+    levenshtein() is JVM-side; the p_partkey < ordering dedups mirror
+    pairs."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_type", "p_size"
+    )
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        "p_type", "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        "p_type", "p_size",
+    )
+    return (
+        a.join(b, ["p_type", "p_size"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_type = b.p_type AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+# --------------------------------------------------------------------------
 # rolling_time_window — RANGE-frame window over event time
 # --------------------------------------------------------------------------
 
@@ -329,6 +417,8 @@ EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
     "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "mom_revenue_change": (q_mom_revenue_change, SQL_MOM_REVENUE),
+    "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "rolling_time_window": (q_rolling_time_window, SQL_ROLLING_TIME_WINDOW),
     "streaming_left_join": (q_streaming_left_join, SQL_STREAMING_LEFT_JOIN),
 }

@@ -40,6 +40,12 @@ def assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFra
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     assert list(s.columns) == list(d.columns), f"{name}: columns {list(s.columns)} != {list(d.columns)}"
     for col in s.columns:
+        # driver compares schemas too: int32-vs-int64 drift (e.g. Spark's
+        # levenshtein returns int) must fail here, not at the driver
+        assert s[col].dtype == d[col].dtype, (
+            f"{name}.{col}: dtype {s[col].dtype} != {d[col].dtype}"
+        )
+    for col in s.columns:
         sv, dv = s[col].tolist(), d[col].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):
             if isinstance(a, float) and isinstance(b, float):
