@@ -1,0 +1,112 @@
+"""Semantic invariants for the third extension catalog (queries_ext3):
+properties the DuckDB hash-oracle can't express — bounds, structural
+guarantees, cross-operator consistency."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.queries import QUERIES
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+
+def _run(name, spark, sf_dir):
+    fn, _ = QUERIES[name]
+    return fn(spark, sf_dir)
+
+
+def test_event_gaps_nonnegative_and_counts(spark, sf_dir):
+    """Gaps are ordered so never negative; exactly one row per event
+    minus one per distinct user (the first event has no predecessor)."""
+    gaps = _run("event_gaps", spark, sf_dir)
+    assert gaps.filter(F.col("gap_s") < 0).count() == 0
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert gaps.count() == n_events - n_users
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(distinct chars in the doc) — Shannon's bound; and
+    every document is scored."""
+    ent = _run("char_entropy", spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(ent) == docs.count()
+    for r in ent:
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(r.n_chars_seen, 2)) + 1e-9
+
+
+def test_small_qty_revenue_threshold_holds(spark, sf_dir):
+    """Every contributing lineitem is strictly below 0.2x its part's
+    average quantity — re-derived independently of the query's join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    th = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("th"))
+    n_small = li.join(th, "l_partkey").filter(F.col("l_quantity") < F.col("th")).count()
+    out = _run("small_qty_revenue", spark, sf_dir)
+    total_lines = out.agg(F.sum("n_lines")).first()[0]
+    assert total_lines == n_small
+
+
+def test_large_orders_all_exceed_threshold(spark, sf_dir):
+    rows = _run("large_orders", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.sum_qty > 250
+
+
+def test_fuzzy_name_pairs_canonical_and_blocked(spark, sf_dir):
+    """Pairs are canonical (key_a < key_b, so no mirrors/self-pairs) and
+    within the edit-distance cap."""
+    rows = _run("fuzzy_name_pairs", spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.key_a < r.key_b
+        assert 0 <= r.edit_dist <= 4
+        assert (r.key_a, r.key_b) not in seen
+        seen.add((r.key_a, r.key_b))
+
+
+def test_rolling_time_window_contains_self(spark, sf_dir):
+    """Each event's 1h frame includes at least itself, and the frame
+    count never exceeds that user's total events."""
+    out = _run("rolling_time_window", spark, sf_dir)
+    assert out.filter(F.col("n_1h") < 1).count() == 0
+    totals = load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    assert (
+        out.join(totals, "user_id").filter(F.col("n_1h") > F.col("count")).count() == 0
+    )
+
+
+def test_streaming_left_join_consistent_with_inner(spark, sf_dir):
+    """Matched rows of the left-outer join are exactly the inner join's
+    rows; unmatched rows carry the -1 sentinel."""
+    outer = _run("streaming_left_join", spark, sf_dir).cache()
+    inner = _run("streaming_join", spark, sf_dir)
+    matched = outer.filter(F.col("matched"))
+    assert matched.count() == inner.count()
+    assert (
+        matched.select("user_id", "click_id", "purchase_id")
+        .exceptAll(inner.select("user_id", "click_id", "purchase_id"))
+        .count() == 0
+    )
+    assert outer.filter(~F.col("matched") & (F.col("purchase_id") != -1)).count() == 0
+
+
+def test_mom_revenue_change_consistent_with_monthly_sums(spark, sf_dir):
+    """pct_change re-derives from consecutive monthly revenue sums."""
+    rows = {r.month: r for r in _run("mom_revenue_change", spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = {
+        r.month: r.rev
+        for r in orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        ).agg(F.sum("o_totalprice").alias("rev")).collect()
+    }
+    months = sorted(monthly)
+    assert set(rows) == set(months[1:])
+    for prev, cur in zip(months, months[1:]):
+        expect = (monthly[cur] - monthly[prev]) / monthly[prev] * 100
+        assert abs(rows[cur].pct_change - expect) < 1e-3
