@@ -297,3 +297,33 @@ def test_large_orders_partial_aggregates_lineitem(spark, sf_dir):
     fn, _ = QUERIES["large_orders"]
     plan = _plan(fn(spark, sf_dir))
     assert "partial_sum" in plan
+
+
+def test_fuzzy_pairs_join_is_keyed_on_blocks(spark, sf_dir):
+    """The quadratic compare must ride an equi-join on the block key
+    (p_type, p_size) — never a cartesian with a levenshtein filter."""
+    fn, _ = QUERIES["fuzzy_name_pairs"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_rolling_time_window_partitioned_frame(spark, sf_dir):
+    """The RANGE frame must be partitioned by user_id — one hash
+    exchange, no SinglePartition global sort."""
+    fn, _ = QUERIES["rolling_time_window"]
+    plan = _plan(fn(spark, sf_dir))
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_exchanges == 1
+    assert "SinglePartition" not in plan
+
+
+def test_mom_revenue_partial_aggregates_before_window(spark, sf_dir):
+    """The data-sized work (month rollup) must partial-aggregate map-side;
+    only the ~80 aggregate rows reach the single-partition lag window."""
+    fn, _ = QUERIES["mom_revenue_change"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "Window" in plan
