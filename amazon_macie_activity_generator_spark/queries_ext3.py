@@ -19,6 +19,8 @@ has none of this; these extend SURVEY.md §2.8's north-star set:
   total quantity exceeds a threshold, joined back to the order header.
 - ``rolling_time_window`` time-based RANGE window frame (preceding-1h
   per-user aggregates on an integer epoch-seconds ordering key).
+- ``hourly_activity_spine`` calendar-grain zero-fill: dense hour x type
+  grid via sequence() spine, silent hours as literal 0 (T6's twin).
 - ``mom_revenue_change``  aggregate-then-window composition (monthly
   revenue + lag() percent deltas).
 - ``fuzzy_name_pairs``    blocked Levenshtein similarity join — the
@@ -204,6 +206,60 @@ JOIN (
   SELECT l_orderkey, sum(l_quantity) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
 ) big ON o_orderkey = big.l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# hourly_activity_spine — calendar-grain zero-fill (T6's wall-clock twin)
+# --------------------------------------------------------------------------
+
+def q_hourly_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hour x event_type grid with zero-filled counts — the
+    calendar-grain twin of the reference's slot-index zero-fill
+    (operators/align.py, main.py:686-696): reporting spines must show
+    silent hours as 0, not as missing rows. The spine is sequence() over
+    the min..max hour (one tiny single-row aggregate), cross-joined with
+    the distinct types (both broadcast); the only data-sized work is the
+    hourly pre-aggregate the spine left-joins against."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(daily), ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+SQL_HOURLY_SPINE = """
+WITH spine AS (
+  SELECT unnest(generate_series(
+    (SELECT date_trunc('hour', min(ts)) FROM events),
+    (SELECT date_trunc('hour', max(ts)) FROM events),
+    INTERVAL 1 HOUR)) AS hour
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour, event_type,
+       coalesce(n, 0) AS n_events
+FROM spine CROSS JOIN types
+LEFT JOIN hourly USING (hour, event_type)
 """
 
 
@@ -417,6 +473,7 @@ EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
     "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "hourly_activity_spine": (q_hourly_activity_spine, SQL_HOURLY_SPINE),
     "mom_revenue_change": (q_mom_revenue_change, SQL_MOM_REVENUE),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "rolling_time_window": (q_rolling_time_window, SQL_ROLLING_TIME_WINDOW),
