@@ -44,6 +44,14 @@ def _scale_driver_side(values: list[float], cfg: dict) -> list[float]:
 
     lo = float(cfg.get("signal_min", 1))
     hi = float(cfg.get("signal_max", 20))
+    # Python's min/max propagate NaN position-dependently while Spark's
+    # F.min/F.max order NaN above every value — bit-identity only holds
+    # on finite input, so fail fast instead of silently diverging.
+    if not all(math.isfinite(v) for v in values):
+        raise ValueError(
+            "driver-side scaling requires finite series values; a recurrence "
+            "that reaches NaN/inf must be fixed (or scaled cluster-side)"
+        )
     mn, mx = min(values), max(values)
     if mx == mn:
         return [float(math.ceil(lo))] * len(values)

@@ -495,8 +495,11 @@ def q_streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized-result semantics production streaming jobs rely on (the
     complete-mode twin is streaming_tumbling). After an availableNow
     drain the emitted set is exactly the windows whose end <= max(ts) -
-    watermark; the oracle states that closure rule in SQL."""
+    watermark; the oracle states that closure rule in SQL (max(ts)
+    truncated to milliseconds — the precision Spark's watermark tracker
+    uses)."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -506,17 +509,24 @@ def q_streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="amag_append_")
-    src = os.path.join(work, "src")
-    events.write.parquet(src)
-    stream = spark.readStream.schema(events.schema).parquet(src)
-    name = "append_" + uuid.uuid4().hex[:8]
-    q = (
-        streaming_tumbling_counts(stream, "1 hour", "2 hours")
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+    try:
+        src = os.path.join(work, "src")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        name = "append_" + uuid.uuid4().hex[:8]
+        q = (
+            streaming_tumbling_counts(stream, "1 hour", "2 hours")
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+    finally:
+        # the memory sink holds the drained rows; the parquet copy and
+        # checkpoint are dead weight once the query terminates
+        shutil.rmtree(work, ignore_errors=True)
     return spark.table(name).select(
         F.col("bucket").cast("string").alias("bucket"),
         "event_type", "n_events", "sum_value",
@@ -529,7 +539,8 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
 FROM events
 GROUP BY 1, 2
 HAVING date_trunc('hour', any_value(ts)) + INTERVAL 1 HOUR
-       <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+       <= (SELECT date_trunc('milliseconds', max(ts)) FROM events)
+          - INTERVAL 2 HOUR
 """
 
 
@@ -674,10 +685,20 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of the events table — count / nulls / distincts /
-    min / max per column, ONE scan: all aggregates run in a single pass,
-    then the one-row result unpivots to a row per column (profiling 100 TB
-    must never scan once per column). Timestamps are formatted to fixed
-    6-digit micros so both engines stringify identically."""
+    min / max per column, then a one-row unpivot to a row per column.
+
+    Shape chosen for 100 TB: putting five exact ``count_distinct``s in a
+    single ``agg`` makes Catalyst plan an Expand that replicates every
+    input row ~6x through the shuffle (round 1's slowest query). Instead
+    the non-distinct aggregates (count/nulls/min/max — map-side
+    combinable) run in ONE full-width pass, and each exact distinct runs
+    as its own single-distinct aggregation over a pruned one-column scan
+    — Spark rewrites a lone distinct into two hash aggregates keyed on
+    the column, no Expand. Total column-bytes read ~2x the single pass
+    versus 6x row replication; the six one-row results meet in broadcast
+    joins that move bytes, not data. (When estimates suffice, prefer the
+    HLL single-pass — see approx_distinct_daily.) Timestamps format to
+    fixed 6-digit micros so both engines stringify identically."""
     events = load_table(spark, sf_dir, "events")
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
 
@@ -694,11 +715,14 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
             smin(c).alias(f"{c}__min"),
             smax(c).alias(f"{c}__max"),
         ]
-    one = load_table(spark, sf_dir, "events").agg(*aggs)
+    one = events.agg(*aggs)
+    for c in cols:
+        one = one.crossJoin(F.broadcast(
+            events.agg(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        ))
     stack_args = ", ".join(
         f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
     )
@@ -1029,45 +1053,51 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the identical batch join in DuckDB (stream and batch engines
     must agree on the drained result)."""
     import os
+    import shutil
     import tempfile
     import uuid
 
     events = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="amag_ssjoin_")
-    src = os.path.join(work, "src")
-    events.write.parquet(src)
+    try:
+        src = os.path.join(work, "src")
+        events.write.parquet(src)
 
-    def side(event_type: str, prefix: str) -> DataFrame:
-        return (
-            spark.readStream.schema(events.schema).parquet(src)
-            .filter(F.col("event_type") == event_type)
-            .select(
-                F.col("user_id").alias(f"{prefix}_user"),
-                F.col("event_id").alias(f"{prefix}_id"),
-                F.col("ts").alias(f"{prefix}_ts"),
+        def side(event_type: str, prefix: str) -> DataFrame:
+            return (
+                spark.readStream.schema(events.schema).parquet(src)
+                .filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                )
+                .withWatermark(f"{prefix}_ts", "2 hours")
             )
-            .withWatermark(f"{prefix}_ts", "2 hours")
-        )
 
-    clicks, buys = side("click", "c"), side("purchase", "p")
-    joined = clicks.join(
-        buys,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-    )
-    name = "ssjoin_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.select(
-            F.col("c_user").alias("user_id"),
-            F.col("c_id").alias("click_id"),
-            F.col("p_id").alias("purchase_id"),
+        clicks, buys = side("click", "c"), side("purchase", "p")
+        joined = clicks.join(
+            buys,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
         )
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+        name = "ssjoin_" + uuid.uuid4().hex[:8]
+        q = (
+            joined.select(
+                F.col("c_user").alias("user_id"),
+                F.col("c_id").alias("click_id"),
+                F.col("p_id").alias("purchase_id"),
+            )
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.table(name)
 
 

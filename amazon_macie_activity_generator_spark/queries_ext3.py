@@ -401,47 +401,55 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nulls are coalesced to -1 (with a `matched` flag) so both engines
     hash identically. Inner twin: queries_ext2.q_streaming_join."""
     import os
+    import shutil
     import tempfile
     import uuid
 
     events = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="amag_lojoin_")
-    src = os.path.join(work, "src")
-    events.write.parquet(src)
+    try:
+        src = os.path.join(work, "src")
+        events.write.parquet(src)
 
-    def side(event_type: str, prefix: str) -> DataFrame:
-        return (
-            spark.readStream.schema(events.schema).parquet(src)
-            .filter(F.col("event_type") == event_type)
-            .select(
-                F.col("user_id").alias(f"{prefix}_user"),
-                F.col("event_id").alias(f"{prefix}_id"),
-                F.col("ts").alias(f"{prefix}_ts"),
+        def side(event_type: str, prefix: str) -> DataFrame:
+            return (
+                spark.readStream.schema(events.schema).parquet(src)
+                .filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                )
+                .withWatermark(f"{prefix}_ts", "2 hours")
             )
-            .withWatermark(f"{prefix}_ts", "2 hours")
-        )
 
-    clicks, buys = side("click", "c"), side("purchase", "p")
-    joined = clicks.join(
-        buys,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    )
-    name = "lojoin_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.select(
-            F.col("c_user").alias("user_id"),
-            F.col("c_id").alias("click_id"),
-            F.coalesce(F.col("p_id"), F.lit(-1)).alias("purchase_id"),
-            F.col("p_id").isNotNull().alias("matched"),
+        clicks, buys = side("click", "c"), side("purchase", "p")
+        joined = clicks.join(
+            buys,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
         )
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+        name = "lojoin_" + uuid.uuid4().hex[:8]
+        q = (
+            joined.select(
+                F.col("c_user").alias("user_id"),
+                F.col("c_id").alias("click_id"),
+                F.coalesce(F.col("p_id"), F.lit(-1)).alias("purchase_id"),
+                F.col("p_id").isNotNull().alias("matched"),
+            )
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+    finally:
+        # the memory sink holds the drained rows; the parquet copy and
+        # checkpoint are dead weight once the query terminates
+        shutil.rmtree(work, ignore_errors=True)
     return spark.table(name)
 
 
@@ -451,7 +459,11 @@ WITH c AS (
 ), p AS (
   SELECT user_id, event_id AS pid, ts AS pts FROM events WHERE event_type = 'purchase'
 ), wm AS (
-  SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+  -- Spark's watermark tracker advances at millisecond precision, so the
+  -- oracle truncates each side's max event time to ms before taking the
+  -- min-across-sides global watermark.
+  SELECT least((SELECT date_trunc('milliseconds', max(cts)) FROM c),
+               (SELECT date_trunc('milliseconds', max(pts)) FROM p))
          - INTERVAL 2 HOUR AS w
 )
 SELECT c.user_id, c.cid AS click_id, p.pid AS purchase_id, TRUE AS matched

@@ -147,7 +147,8 @@ def test_no_cartesian_product_anywhere_in_catalog(spark, sf_dir):
     import __spark_entry__ as entrymod
 
     skip = {"streaming_tumbling", "streaming_replay", "streaming_dedup",
-            "streaming_join", "streaming_append_windows",
+            "streaming_join", "streaming_left_join",
+            "streaming_append_windows",
             "sessionize_stateful", "blueprint_e2e"}  # eager/side-effecting
     offenders = []
     for name, fn in entrymod.queries().items():
@@ -230,15 +231,49 @@ def test_dedup_latest_event_single_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_table_profile_single_pass(spark, sf_dir):
-    """Profiling computes every column's stats in ONE scan — a per-column
-    scan loop would read a 100 TB table five times."""
+def test_table_profile_no_expand(spark, sf_dir):
+    """Round 1 put five exact count_distincts in one agg, and Catalyst's
+    Expand replicated every row ~6x through the shuffle (the slowest r1
+    query). The fixed shape: ONE full-width pass for the map-side
+    combinable aggs, plus one pruned single-column scan per exact
+    distinct (a lone distinct rewrites to two hash aggregates — no
+    Expand), met by one-row broadcast joins. Pin: no Expand, no
+    cartesian, exactly 6 scans of which 5 read a single column."""
     import re
 
     fn, _ = QUERIES["table_profile"]
     plan = _plan(fn(spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
-    assert "Join" not in plan
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 6
+    n_fields = sorted(
+        ln.count(":") - 1 for ln in plan.splitlines() if "ReadSchema" in ln
+    )
+    assert n_fields == [1, 1, 1, 1, 1, 5]
+
+
+def test_semantic_dedup_cluster_prefilter_shape(spark, sf_dir):
+    """Pair search must stay inside clusters: the centroid assignment is
+    a broadcast of the 8-row seed frame (BNLJ on a tiny side is the
+    legitimate plan), and the a-b pair join is a KEYED join on the
+    cluster id — never a cartesian all-pairs — with no Python eval node
+    anywhere in the DAG."""
+    fn, _ = QUERIES["semantic_dedup"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the id_a < id_b pair join keyed on cluster plans as a hash join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_kmeans_assign_broadcast_centroids_no_python(spark, sf_dir):
+    """Each Lloyd assignment broadcasts the k-row centroid frame (tiny
+    side -> BNLJ is correct); the mean recompute shuffles only k*dim
+    rows. No cartesian, no Python eval — pure column expressions."""
+    fn, _ = QUERIES["kmeans_assign"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_interpolation_uses_running_frames_only(spark, sf_dir):
