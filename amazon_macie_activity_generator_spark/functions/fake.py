@@ -457,6 +457,32 @@ FAKE_PROVIDERS: dict[str, Callable[[Column], Column]] = {
     "file_name": file_name, "file_path": file_path, "profile": profile,
 }
 
+def generic_provider(pname: str) -> Callable[[Column], Column]:
+    """Dynamic-dispatch fallback for provider names outside the curated
+    registry. The reference resolves ANY ``fake_types`` name against the
+    Faker object at runtime (main.py:988-991 via call_object_method), so
+    a blueprint may name e.g. 'company' or any of Faker's hundreds of
+    providers; erroring at analyze time would reject blueprints the
+    reference accepts. The fallback emits deterministic seeded lorem
+    text (2-5 words, seeded by provider name AND row key) so unknown
+    providers still produce stable, distinct-per-provider content."""
+
+    def provider(key: Column) -> Column:
+        n = _randint(key, f"gen0:{pname}", 2, 5).cast("int")
+        words = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: _word(key, _h(key, f"gen1:{pname}", i)),
+        )
+        return F.array_join(words, " ")
+
+    return provider
+
+
+def resolve_provider(pname: str) -> Callable[[Column], Column]:
+    """Registry hit if curated, seeded generic fallback otherwise."""
+    return FAKE_PROVIDERS.get(pname) or generic_provider(pname)
+
+
 FAKE_HEADER = (
     "Sample Report - No identification of actual persons or "
     "places is intended or should be inferred" + CRLF + CRLF
@@ -479,15 +505,14 @@ def fake_document(
     - content = header + fake_counts provider lines (main.py:1002-1008)
     """
     fake_types = fake_types or ["sentence"]
-    unknown = [t for t in fake_types if t not in FAKE_PROVIDERS]
-    if unknown:
-        raise ValueError(f"unknown fake provider(s): {unknown}")
 
     provider = _choice(key, "prov", fake_types)
     # content: dispatch the chosen provider via a when-chain; line i keyed
-    # by (key, line, i) so repeated lines differ.
+    # by (key, line, i) so repeated lines differ. Names outside the
+    # curated registry fall back to the seeded generic provider, mirroring
+    # the reference's dynamic Faker dispatch (main.py:988-991).
     def lines_for(pname: str) -> Column:
-        fn = FAKE_PROVIDERS[pname]
+        fn = resolve_provider(pname)
         return F.concat(*[
             F.concat(fn(_h(key, "line", i)).cast("string"), F.lit(CRLF))
             for i in range(fake_counts)

@@ -330,13 +330,137 @@ def q_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path — SRP-LSH bucketed ANN top-5 (rows-only: approximate
-    + hash-engine-local buckets; recall asserted in tests)."""
+    """X3 scale path — SRP-LSH bucketed ANN top-5. Fully oracle-checked:
+    the Rademacher hyperplanes are deterministic seeded literals, so the
+    oracle SQL embeds the SAME planes (as sign-bit masks) and re-derives
+    buckets, Hamming-1 probes, the candidate join, and the exact-cosine
+    re-rank in DuckDB."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_bucket_topk(emb, queries, k=5, planes=10)
+
+
+def _srp_mask_values(dim: int = 64, planes: int = 10, tables: int = 4) -> str:
+    """The SRP planes as SQL VALUES rows (tbl, p, mask): bit i of mask set
+    iff plane entry i is +1. Same seeded srp_planes the Spark path uses —
+    the oracle replays the identical projection."""
+    from amazon_macie_activity_generator_spark.operators.similarity import srp_planes
+
+    rows = []
+    for t in range(tables):
+        mat = srp_planes(dim, planes, salt=f"srp{t}")
+        for p, row in enumerate(mat):
+            mask = sum(1 << i for i, s in enumerate(row) if s > 0)
+            rows.append(f"({t},{p},{mask})")
+    return ", ".join(rows)
+
+
+# SRP dot against a ±1 plane encoded as a bitmask: +v[i] where bit i set,
+# -v[i] otherwise. Sequential list_sum mirrors Spark's left-fold; the
+# numpy matmul on the Spark side differs only in FP summation order,
+# which can only matter for a dot exactly at the sign threshold.
+_DUCK_SRP_LSH = f"""
+planes(tbl, p, mask) AS (VALUES {{masks}}),
+bits AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+               i -> CAST(e.embedding[i + 1] AS DOUBLE) *
+                    (CASE WHEN ((pl.mask >> i) & 1) = 1 THEN 1.0 ELSE -1.0 END)
+             )) >= 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl
+),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bits WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, tbl, bucket FROM qb
+  UNION ALL
+  SELECT query_id, tbl, xor(bucket, CAST(1 AS BIGINT) << pp.p) AS bucket
+  FROM qb CROSS JOIN (SELECT unnest(range(10)) AS p) pp
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, b.vec_id
+  FROM probes pr JOIN bits b USING (tbl, bucket)
+  WHERE b.vec_id != pr.query_id
+),
+lsh_scored AS (
+  SELECT c.query_id, c.vec_id, {_DUCK_COS} AS sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5) q ON q.query_id = c.query_id
+),
+lsh_topk AS (
+  SELECT query_id, vec_id, sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM lsh_scored
+  ) WHERE rank <= 5
+)
+"""
+
+SQL_TOPK_COSINE_LSH = (
+    "WITH " + _DUCK_SRP_LSH.format(masks=_srp_mask_values())
+    + "\nSELECT query_id, vec_id, sim, rank FROM lsh_topk"
+)
+
+
+def q_topk_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement as a first-class query: recall@5 of the
+    SRP-LSH top-k against exact brute-force top-k, per query vector.
+    Deterministic end-to-end (seeded planes, tie-break on vec_id), so the
+    oracle recomputes BOTH pipelines in SQL and must agree exactly."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "vec_id")
+    ann = lsh_bucket_topk(emb, queries, k=5, planes=10).select("query_id", "vec_id")
+    overlap = exact.join(ann, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            overlap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")),
+            "query_id", "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+SQL_TOPK_RECALL_LSH = (
+    "WITH " + _DUCK_SRP_LSH.format(masks=_srp_mask_values())
+    + f""",
+exact_scored AS (
+  SELECT q.query_id, e.vec_id, {_DUCK_COS} AS sim
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5) q
+  WHERE e.vec_id != q.query_id
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+    FROM exact_scored
+  ) WHERE rank <= 5
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(l.vec_id) AS BIGINT) AS n_overlap,
+       round(count(l.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall_at_5
+FROM exact_topk x
+LEFT JOIN lsh_topk l ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+GROUP BY x.query_id
+"""
+)
 
 
 # -------------------------------------------------------------------- text
@@ -1536,7 +1660,8 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dedup_simhash": (q_dedup_simhash, None),
     "embedding_near_dup": (q_embedding_near_dup, None),
     "topk_cosine": (q_topk_cosine, SQL_TOPK_COSINE),
-    "topk_cosine_lsh": (q_topk_cosine_lsh, None),
+    "topk_cosine_lsh": (q_topk_cosine_lsh, SQL_TOPK_COSINE_LSH),
+    "topk_recall_lsh": (q_topk_recall_lsh, SQL_TOPK_RECALL_LSH),
     "topk_cosine_ivf": (q_topk_cosine_ivf, None),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

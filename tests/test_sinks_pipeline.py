@@ -29,6 +29,7 @@ from amazon_macie_activity_generator_spark.sinks.local import (
     metrics_rows,
     s3_get_activity_rows,
     s3_put_activity_rows,
+    write_objects_local,
 )
 
 # ------------------------------------------------------------- providers
@@ -118,8 +119,49 @@ def test_fake_document_k6_semantics(spark):
         payload_lines = [ln for ln in r.content[len(fake.FAKE_HEADER):].split("\r\n") if ln]
         assert len(payload_lines) == 3  # fake_counts
     assert any("/itin/" in r.object_key for r in rows)
-    with pytest.raises(ValueError):
-        fake.fake_document(F.col("id"), fake_types=["nope"])
+
+
+def test_fake_document_generic_provider_dispatch(spark):
+    """fake_types names outside the curated registry must not error: the
+    reference resolves ANY name against the Faker object at runtime
+    (main.py:988-991), so unknown names fall back to a seeded generic
+    provider — deterministic, non-empty, distinct per provider name."""
+    doc = fake.fake_document(
+        F.col("id"), fake_types=["company", "color_name"], fake_counts=2
+    )
+    rows = spark.range(100).select(doc.alias("d")).select("d.*").collect()
+    assert {r.provider for r in rows} == {"company", "color_name"}
+    for r in rows[:10]:
+        assert r.content.startswith(fake.FAKE_HEADER)
+        payload = [ln for ln in r.content[len(fake.FAKE_HEADER):].split("\r\n") if ln]
+        assert len(payload) == 2 and all(payload)
+    assert rows == spark.range(100).select(doc.alias("d")).select("d.*").collect()
+    # same key, different provider name -> different seeded content
+    a = spark.range(50).select(fake.resolve_provider("company")(F.col("id")).alias("x"))
+    b = spark.range(50).select(fake.resolve_provider("color_name")(F.col("id")).alias("x"))
+    assert a.collect() != b.collect()
+
+
+def test_s3_put_unlisted_provider_e2e(spark, tmp_path):
+    """A blueprint target naming an unlisted Faker provider runs the full
+    K6 path (activity rows -> local object writer) end-to-end."""
+    sel = spark.range(1, 6).select(
+        F.lit("r").alias("run_id"), F.lit("ts9").alias("series_id"),
+        F.col("id").alias("t"), F.lit(2).alias("value"),
+    )
+    rows_df = s3_put_activity_rows(
+        sel, {"fake_types": ["company"], "fake_counts": 1, "prefix": "gen/"}
+    )
+    out = str(tmp_path / "objs")
+    write_objects_local(rows_df, out)
+    rows = rows_df.collect()
+    assert len(rows) == 10  # one per unit of value
+    assert all(r.provider == "company" for r in rows)
+    import os
+    written = [os.path.join(dp, f) for dp, _, fs in os.walk(out) for f in fs]
+    assert len(written) == 10
+    body = open(written[0], newline="").read()
+    assert body.startswith(fake.FAKE_HEADER) and len(body) > len(fake.FAKE_HEADER)
 
 
 # ------------------------------------------------------------------ sinks
@@ -276,6 +318,65 @@ def test_streaming_replay_at_most_once(spark, bp, tmp_path):
     delivered = spark.read.parquet(str(tmp_path / "delivered"))
     assert delivered.count() == 20  # one delivery per slot despite double enqueue
     assert delivered.select("t").distinct().count() == 20
+
+
+def test_replay_crash_recovery_resumes_from_checkpoint(spark, tmp_path):
+    """Kill the replay mid-stream, restart from the SAME checkpoint, and
+    assert the exactly-once observable: every (run_id, t) delivered once —
+    committed micro-batches are not re-delivered after the restart, the
+    dedup state recovers from the checkpoint, and a mid-flight batch
+    replays idempotently (same batch_id -> dynamic partition overwrite).
+    This substantiates the at-most-once claim at scale: recovery is
+    checkpoint-driven, not rely-on-nobody-crashing."""
+    import time
+
+    from amazon_macie_activity_generator_spark.streaming.replay import (
+        queue_stream,
+        replay,
+    )
+
+    # 8 single-file queue writes -> 8 micro-batches at maxFilesPerTrigger=1
+    qpath = str(tmp_path / "queue")
+    for t in range(8):
+        (
+            spark.createDataFrame(
+                [("crashrun", t, float(t))], "run_id string, t long, value double"
+            )
+            .coalesce(1).write.mode("append").parquet(qpath)
+        )
+    schema = spark.read.parquet(qpath).schema
+    out, ck = str(tmp_path / "delivered"), str(tmp_path / "ckpt")
+
+    def _deliver(batch, batch_id):
+        (
+            batch.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "batch_id")
+            .parquet(out)
+        )
+
+    # phase 1: paced trigger; stop ("crash") after >=1 completed batch,
+    # long before the 8-batch drain could finish at this cadence
+    q1 = replay(queue_stream(spark, qpath, schema), _deliver, ck, cadence_seconds=2)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        time.sleep(0.2)
+    q1.stop()
+    pre = spark.read.parquet(out).count()
+    assert 0 < pre < 8  # genuinely mid-stream
+
+    # phase 2: restart from the same checkpoint, drain everything left
+    q2 = replay(
+        queue_stream(spark, qpath, schema), _deliver, ck, available_now=True
+    )
+    q2.awaitTermination(120)
+    delivered = spark.read.parquet(out)
+    assert delivered.count() == 8
+    assert delivered.select("t").distinct().count() == 8
+    assert delivered.agg(F.sum("value")).first()[0] == sum(range(8))
 
 
 def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
