@@ -48,9 +48,16 @@ _R1_CHECKED = frozenset({
 })
 
 
+# Entries added after round 1 — they also lack a driver row, but the r1
+# backlog goes first (the verdict's explicit ask); whatever overflows the
+# ~50-entry window rotates in next round.
+_NEW_R2 = ("topk_recall_lsh", "topk_recall_ivf", "doc_pack")
+
+
 def _rotation_order() -> list[str]:
     unchecked = [n for n in QUERIES if n not in _R1_CHECKED]
-    front = [n for n in unchecked if QUERIES[n][1] is not None]
+    front = [n for n in unchecked if QUERIES[n][1] is not None and n not in _NEW_R2]
+    front += [n for n in _NEW_R2 if n in QUERIES]
     front += [n for n in unchecked if QUERIES[n][1] is None]
     return front + [n for n in QUERIES if n in _R1_CHECKED]
 

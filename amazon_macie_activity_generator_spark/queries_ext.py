@@ -658,6 +658,86 @@ FROM s
 """
 
 
+_PACK_LEN = 512
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk layout LLM pretraining
+    uses: per language, documents concatenate in doc_id order and split
+    into fixed 512-token training sequences; a document may straddle a
+    boundary and contribute tokens to two (or more) sequences. One
+    window cumsum gives each doc its token offset, a sequence explode
+    fans a doc to every training sequence it touches, and a groupBy
+    rolls up per-sequence fill stats. At 100 TB the partition key is
+    (lang, input shard) so each window partition is one shard — the
+    layout then matches how packing actually runs, shard-local with no
+    global sort. Output: per (lang, seq_id) doc count, token fill, and
+    doc-id span; every sequence except each language's last must be
+    exactly full (asserted by the fill column both engines compute)."""
+    from pyspark.sql import Window
+
+    from amazon_macie_activity_generator_spark.operators.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    with_off = toks.withColumn(
+        "off", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    L = F.lit(_PACK_LEN)
+    spans = with_off.select(
+        "doc_id", "lang", "n_tok", "off",
+        F.explode(
+            F.sequence(
+                (F.col("off") / L).cast("long"),
+                ((F.col("off") + F.col("n_tok") - 1) / L).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    tok_in_seq = (
+        F.least((F.col("seq_id") + 1) * L, F.col("off") + F.col("n_tok"))
+        - F.greatest(F.col("seq_id") * L, F.col("off"))
+    )
+    return (
+        spans.withColumn("tok_in_seq", tok_in_seq)
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_in_seq").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+SQL_DOC_PACK = f"""
+WITH toks AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, len({_DUCK_TOKS}) AS n_tok FROM documents
+  ) WHERE n_tok > 0
+), with_off AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off
+  FROM toks
+), spans AS (
+  SELECT doc_id, lang, n_tok, off,
+         unnest(range(off // {_PACK_LEN}, (off + n_tok - 1) // {_PACK_LEN} + 1)) AS seq_id
+  FROM with_off
+)
+SELECT lang, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least((seq_id + 1) * {_PACK_LEN}, off + n_tok)
+                - greatest(seq_id * {_PACK_LEN}, off)) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM spans
+GROUP BY lang, seq_id
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — TF-IDF: term frequency per doc x ln(N/df), top-3 terms per
     doc for doc_id < 20 with deterministic (score desc, token asc)
@@ -1668,6 +1748,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_chunk": (q_doc_chunk, SQL_DOC_CHUNK),
+    "doc_pack": (q_doc_pack, SQL_DOC_PACK),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),

@@ -404,6 +404,188 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
 
 
 # --------------------------------------------------------------------------
+# topk_recall_ivf — IVF ANN quality, fully oracle-checked
+# --------------------------------------------------------------------------
+
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+
+def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of an IVF-flat ANN search against exact brute force, per
+    query vector — the driver-gated twin of the rows-only
+    ``topk_cosine_ivf`` (whose numpy k-means quantizer is FP-order
+    dependent). This variant is deterministic end to end so BOTH
+    pipelines replay in SQL: coarse quantizer = seed vectors vec_id < 16
+    refined by ONE Lloyd step with means rounded to 6 dp (the
+    kmeans_assign kernel), queries probe their nprobe=4 nearest
+    centroids, candidates re-rank by exact cosine. Scale shape is the
+    IVF one: corpus assigned once (16-row broadcast centroid table),
+    candidate join keyed on the cluster id, never all-pairs."""
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_expr,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    seeds = emb.filter(F.col("vec_id") < _IVF_NLIST).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+
+    def assign(points: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+        j = points.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cluster", _sq_dist(F.col("v"), F.col("c")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("rn", "dist")
+        )
+
+    a0 = assign(emb, seeds, 1)
+    cent1 = (
+        a0.select("cluster", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+    )
+    corpus = assign(emb, cent1, 1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = assign(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
+        cent1, _IVF_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster")
+
+    cand = corpus.join(F.broadcast(probes), "cluster").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.round(cosine_expr(F.col("v"), F.col("qv")), 4).alias("sim"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    ann = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id")
+    )
+
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        emb_raw,
+        emb_raw.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+    ).select("query_id", "vec_id")
+    overlap = exact.join(ann, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            overlap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")),
+            "query_id", "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+_DUCK_COS_QV = (
+    "round(list_aggregate(list_transform(list_zip(e.embedding, q.qv), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
+    "(sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
+    "sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"
+)
+
+SQL_TOPK_RECALL_IVF = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cluster, v AS c FROM emb WHERE vec_id < {_IVF_NLIST}
+), d0 AS (
+  SELECT e.vec_id, e.v, s.cluster,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                                 i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))) AS dist
+  FROM emb e CROSS JOIN seeds s
+), a0 AS (
+  SELECT vec_id, v, cluster FROM d0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+), cent1 AS (
+  SELECT cluster, list(m ORDER BY dim) AS c FROM (
+    SELECT cluster, dim, round(avg(x), 6) AS m
+    FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a0)
+    GROUP BY cluster, dim
+  ) GROUP BY cluster
+), d1 AS (
+  SELECT e.vec_id, e.v, c1.cluster,
+         list_sum(list_transform(range(1, len(e.v) + 1),
+                                 i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) AS dist
+  FROM emb e CROSS JOIN cent1 c1
+), corpus AS (
+  SELECT vec_id, cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+), probes AS (
+  SELECT vec_id AS query_id, cluster FROM d1 WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) <= {_IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id
+  FROM probes p JOIN corpus c USING (cluster)
+  WHERE c.vec_id != p.query_id
+), ivf_scored AS (
+  SELECT cd.query_id, cd.vec_id, {_DUCK_COS_QV} AS sim
+  FROM cand cd
+  JOIN embeddings e ON e.vec_id = cd.vec_id
+  JOIN (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5) q ON q.query_id = cd.query_id
+), ivf_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= 5
+), exact_scored AS (
+  SELECT q.query_id, e.vec_id, {_DUCK_COS_QV} AS sim
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5) q
+  WHERE e.vec_id != q.query_id
+), exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+    FROM exact_scored
+  ) WHERE rank <= 5
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(i.vec_id) AS BIGINT) AS n_overlap,
+       round(count(i.vec_id) / CAST(count(*) AS DOUBLE), 4) AS recall_at_5
+FROM exact_topk x
+LEFT JOIN ivf_topk i ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+GROUP BY x.query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # revenue_by_nation — TPC-H Q5-shaped six-table join, broadcast dims
 # --------------------------------------------------------------------------
 
@@ -1116,6 +1298,7 @@ EXT2_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "topk_recall_ivf": (q_topk_recall_ivf, SQL_TOPK_RECALL_IVF),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "dedup_latest_event": (q_dedup_latest_event, SQL_DEDUP_LATEST),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
