@@ -263,10 +263,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dups via SRP-LSH buckets (rows-only: bucket
-    assignment is hash-engine-local; cosine itself is exact). Corpus is
-    augmented with slightly-perturbed copies (vec_id+1000000, first
-    component nudged) so near-dup pairs exist to find."""
+    """Embedding-cosine near-dups via SRP-LSH buckets. Fully
+    oracle-checked: the 8 seeded Rademacher planes are deterministic
+    literals, so the oracle embeds them as sign-bit masks and re-derives
+    bucket ids, the bucket self-join, and the exact-cosine filter in
+    DuckDB. Corpus is augmented with slightly-perturbed copies
+    (vec_id+1000000, first component nudged) so near-dup pairs exist to
+    find."""
     emb = _emb(spark, sf_dir)
     pert = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -277,6 +280,48 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     return embedding_near_dup(emb.unionByName(pert), threshold=0.9, planes=8)
+
+
+def _neardup_mask_values(dim: int = 64, planes: int = 8, salt: str = "srp") -> str:
+    """The single-table SRP planes behind embedding_near_dup, as SQL
+    VALUES rows (p, mask) — same seeded srp_planes the Spark path uses."""
+    from amazon_macie_activity_generator_spark.operators.similarity import srp_planes
+
+    mat = srp_planes(dim, planes, salt)
+    return ", ".join(
+        f"({p},{sum(1 << i for i, s in enumerate(row) if s > 0)})"
+        for p, row in enumerate(mat)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [CAST(embedding[1] AS DOUBLE) + 0.05]
+           || list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % 20 = 0
+), planes(p, mask) AS (VALUES {{masks}}),
+b AS (
+  SELECT a.vec_id, any_value(a.v) AS v,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+               i -> a.v[i + 1] *
+                    (CASE WHEN ((pl.mask >> i) & 1) = 1 THEN 1.0 ELSE -1.0 END)
+             )) >= 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM aug a CROSS JOIN planes pl
+  GROUP BY a.vec_id
+)
+SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(l.v, r.v), z -> z[1] * z[2])) /
+             (sqrt(list_sum(list_transform(l.v, x -> x * x))) *
+              sqrt(list_sum(list_transform(r.v, x -> x * x)))), 4) AS sim
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round(list_sum(list_transform(list_zip(l.v, r.v), z -> z[1] * z[2])) /
+            (sqrt(list_sum(list_transform(l.v, x -> x * x))) *
+             sqrt(list_sum(list_transform(r.v, x -> x * x)))), 4) >= 0.9
+""".format(masks=_neardup_mask_values())
 
 
 # -------------------------------------------------------------- similarity
@@ -820,10 +865,40 @@ FROM documents
 
 
 def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full stub decode incl. fake dimensions (rows-only)."""
+    """Full stub decode incl. fake dimensions. Oracle-checked: the fake
+    width/height derive from the sha256 hex prefix, which the oracle
+    re-derives with a positional hex-digit sum; duration_ms (NULL for
+    images) is pinned to -1 in both engines so the all-null column can't
+    dtype-drift between pandas and DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs, kind="image")
-    return extract_media_features(media, decode_stub=True)
+    out = extract_media_features(media, decode_stub=True)
+    return out.select(
+        "media_id", "kind", "n_bytes", "width", "height",
+        F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+        "content_hash",
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH d AS (
+  SELECT doc_id AS media_id, 'image' AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS content_hash
+  FROM documents
+), h AS (
+  SELECT *, CAST(list_sum(list_transform(range(8),
+        i -> CAST(strpos('0123456789abcdef', substr(content_hash, i + 1, 1)) - 1 AS BIGINT)
+             * CAST(power(16, 7 - i) AS BIGINT))) AS BIGINT) AS h16
+  FROM d
+)
+SELECT media_id, kind, n_bytes,
+       (h16 % 1920) + 1 AS width,
+       ((h16 // 1920) % 1080) + 1 AS height,
+       CAST(-1 AS BIGINT) AS duration_ms,
+       content_hash
+FROM h
+"""
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,13 +913,32 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling flat-map stage (rows-only)."""
+    """Video frame-sampling flat-map stage. Oracle-checked: the stub's
+    frame count comes from the sha256-derived fake duration
+    (min(8, max(1, duration_ms // 1000))), which the oracle re-derives
+    and fans out with a range unnest."""
     from amazon_macie_activity_generator_spark.operators.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs, kind="video")
     out = sample_frames(media, every_ms=1000, max_frames=8)
     return out.select("media_id", "frame_idx", "ts_ms")
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         CAST(list_sum(list_transform(range(8),
+           i -> CAST(strpos('0123456789abcdef', substr(sha256(text), i + 1, 1)) - 1 AS BIGINT)
+                * CAST(power(16, 7 - i) AS BIGINT))) AS BIGINT) % 600000 AS duration_ms
+  FROM documents
+), f AS (
+  SELECT media_id,
+         unnest(range(least(8, greatest(1, duration_ms // 1000)))) AS frame_idx
+  FROM h
+)
+SELECT media_id, frame_idx, frame_idx * 1000 AS ts_ms FROM f
+"""
 
 
 # ------------------------------------------------------------ json / time
@@ -1738,7 +1832,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
     "dedup_simhash": (q_dedup_simhash, None),
-    "embedding_near_dup": (q_embedding_near_dup, None),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "topk_cosine": (q_topk_cosine, SQL_TOPK_COSINE),
     "topk_cosine_lsh": (q_topk_cosine_lsh, SQL_TOPK_COSINE_LSH),
     "topk_recall_lsh": (q_topk_recall_lsh, SQL_TOPK_RECALL_LSH),
@@ -1754,9 +1848,9 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
     "per_group_sample": (q_per_group_sample, SQL_PER_GROUP_SAMPLE),
-    "multimodal_decode_stub": (q_multimodal_decode_stub, None),
+    "multimodal_decode_stub": (q_multimodal_decode_stub, SQL_MULTIMODAL_DECODE),
     "multimodal_resize": (q_multimodal_resize, None),
-    "multimodal_frames": (q_multimodal_frames, None),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "json_extract_props": (q_json_extract_props, SQL_JSON_EXTRACT),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
     "sliding_counts": (q_sliding_counts, SQL_SLIDING),
