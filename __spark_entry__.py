@@ -50,8 +50,11 @@ _R1_CHECKED = frozenset({
 
 # Entries added after round 1 — they also lack a driver row, but the r1
 # backlog goes first (the verdict's explicit ask); whatever overflows the
-# ~50-entry window rotates in next round.
-_NEW_R2 = ("topk_recall_lsh", "topk_recall_ivf", "doc_pack")
+# ~50-entry window rotates in next round. Order = check priority.
+_NEW_R2 = (
+    "topk_recall_lsh", "topk_recall_ivf", "doc_pack",
+    "bpe_pair_counts", "mix_sampling_weights", "winnowing_fingerprint",
+)
 
 
 def _rotation_order() -> list[str]:

@@ -26,6 +26,15 @@ has none of this; these extend SURVEY.md §2.8's north-star set:
 - ``fuzzy_name_pairs``    blocked Levenshtein similarity join — the
   entity-resolution pattern: quadratic comparison confined to small
   (p_type, p_size) blocks.
+- ``bpe_pair_counts``     the BPE-training inner loop: corpus-wide
+  adjacent-token-pair counts, top-20 merge candidates. One pair-keyed
+  map-side-combinable shuffle per merge iteration.
+- ``mix_sampling_weights`` domain-mixture reweighting: per-source
+  upsample factor balancing every domain to the largest (exact-integer
+  token counts; the single FP op is one division per group).
+- ``winnowing_fingerprint`` MOSS winnowing (k-gram md5 + w-window min):
+  robust fingerprints at ~1/w the all-grams storage; any shared
+  substring >= w+k-1 tokens shares a fingerprint.
 - ``streaming_left_join`` watermarked LEFT OUTER stream-stream join —
   null-padded rows emitted on state eviction; the oracle states the
   min-of-both-sides watermark closure rule in SQL.
@@ -385,6 +394,163 @@ WINDOW w AS (
 
 
 # --------------------------------------------------------------------------
+# bpe_pair_counts — the core BPE-training statistic
+# --------------------------------------------------------------------------
+
+_DUCK_TOKS3 = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: count every adjacent
+    token pair across the corpus and emit the top 20 merge candidates
+    (count desc, pair asc tiebreak). Pairs form inside each document's
+    token array with arrays_zip(toks, toks[1:]) — no self-join, no
+    window: the explode feeds straight into a map-side-combinable count,
+    so the shuffle carries (pair, partial_count), and the top-20 is a
+    TakeOrdered, not a global sort. At 100 TB this is exactly one
+    pair-keyed shuffle per merge iteration."""
+    from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_expr(F.col("text")).alias("tk"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.concat_ws(" ", F.col("p")["0"], F.col("p")["1"]).alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counted.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("pair"))
+        ).cast("int"))
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH toks AS (
+  SELECT {_DUCK_TOKS3} AS tk FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+                i -> tk[i] || ' ' || tk[i + 1])) AS pair
+  FROM toks
+), counted AS (
+  SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+FROM counted
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# mix_sampling_weights — domain reweighting for training mixtures
+# --------------------------------------------------------------------------
+
+def q_mix_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per source, the upsample factor that
+    balances every domain to the largest one (epochs_per_source =
+    max_domain_tokens / domain_tokens — the standard oversampling rule
+    when a mixture spec wants under-represented domains repeated).
+    Deterministic cross-engine: token counts are exact integers, the max
+    is exact, and the only FP op is one int/int division per group —
+    no order-dependent double summation anywhere."""
+    from amazon_macie_activity_generator_spark.operators.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", token_count_ws(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    mx = per_src.agg(F.max("n_tokens").alias("mx"))
+    return (
+        per_src.crossJoin(F.broadcast(mx))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("mx") / F.col("n_tokens"), 6).alias("upsample_factor"),
+        )
+    )
+
+
+SQL_MIX_SAMPLING_WEIGHTS = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_DUCK_TOKS3})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round((SELECT max(n_tokens) FROM per_src) / CAST(n_tokens AS DOUBLE), 6)
+         AS upsample_factor
+FROM per_src
+"""
+
+
+# --------------------------------------------------------------------------
+# winnowing_fingerprint — MOSS-style robust document fingerprints
+# --------------------------------------------------------------------------
+
+_WIN_K = 5   # k-gram length
+_WIN_W = 4   # winnowing window
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken '03): hash every token
+    k-gram, slide a w-hash window, keep each window's minimum — the
+    guarantee is any shared substring of length >= w+k-1 yields at least
+    one shared fingerprint, at ~1/w the storage of all-grams. Hash is
+    md5 (deterministic cross-engine, like doc_fingerprint); the window
+    min is a bounded ROWS frame over the in-document gram order — one
+    doc-keyed shuffle, no self-join. Output: distinct (doc_id,
+    fingerprint) pairs, the near-dup index a plagiarism/contamination
+    checker would build at corpus scale."""
+    from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tk"))
+    n_grams = F.greatest(F.size("tk") - (_WIN_K - 1), F.lit(0))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, _WIN_K))),
+            )
+        ).alias("pos", "h"),
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        .select("doc_id", F.col("fp").alias("fingerprint"))
+        .distinct()
+    )
+
+
+SQL_WINNOWING = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS3} AS tk FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - {_WIN_K - 2}, 1)),
+                i -> md5(array_to_string(list_slice(tk, i, i + {_WIN_K - 1}), ' ')))) AS h,
+         unnest(range(1, greatest(len(tk) - {_WIN_K - 2}, 1))) AS pos
+  FROM toks
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fingerprint
+FROM grams
+"""
+
+
+# --------------------------------------------------------------------------
 # streaming_left_join — watermarked LEFT OUTER stream-stream join
 # --------------------------------------------------------------------------
 
@@ -489,5 +655,8 @@ EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "mom_revenue_change": (q_mom_revenue_change, SQL_MOM_REVENUE),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "rolling_time_window": (q_rolling_time_window, SQL_ROLLING_TIME_WINDOW),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "mix_sampling_weights": (q_mix_sampling_weights, SQL_MIX_SAMPLING_WEIGHTS),
+    "winnowing_fingerprint": (q_winnowing_fingerprint, SQL_WINNOWING),
     "streaming_left_join": (q_streaming_left_join, SQL_STREAMING_LEFT_JOIN),
 }

@@ -415,6 +415,86 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert (merged.sum_value_s == merged.sum_value_b).all()
 
 
+def test_streaming_agg_state_survives_restart(spark, sf_dir, tmp_path):
+    """Stateful-aggregation crash recovery: a watermarked tumbling agg
+    writing to a file sink is stopped mid-drain and restarted from the
+    SAME checkpoint. The window state (partial counts) and the file-sink
+    manifest must both recover: the final parquet holds every
+    watermark-closed window exactly once, matching the batch twin — no
+    duplicated windows from the pre-crash run, no lost partials."""
+    import time
+
+    from amazon_macie_activity_generator_spark.operators.sessionize import tumbling_counts
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+    from amazon_macie_activity_generator_spark.streaming.replay import (
+        streaming_tumbling_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    # many small files -> many micro-batches, so the stop lands mid-drain.
+    # Files are written sequentially in EVENT-TIME order (FileStreamSource
+    # drains oldest-modification-first), so the watermark never drops a
+    # straggler and every closed window's count is complete — the same
+    # arrival discipline a time-partitioned queue gives the real pipeline.
+    from pyspark.sql import Window as W
+
+    ev = events.withColumn("__chunk", F.ntile(16).over(W.orderBy("ts")))
+    for i in range(1, 17):
+        (
+            ev.filter(F.col("__chunk") == i).drop("__chunk")
+            .coalesce(1).write.mode("append").parquet(src)
+        )
+    out, ck = str(tmp_path / "agg_out"), str(tmp_path / "agg_ck")
+
+    def start(trigger_now: bool):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        agg = streaming_tumbling_counts(stream, "1 hour", "2 hours")
+        w = (
+            agg.select(F.col("bucket").cast("string").alias("bucket"),
+                       "event_type", "n_events", "sum_value")
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ck)
+        )
+        if trigger_now:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime="1 seconds")
+        return w.start()
+
+    q1 = start(trigger_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q1.recentProgress if p["numInputRows"] > 0]) >= 2:
+            break
+        time.sleep(0.2)
+    q1.stop()  # crash mid-drain: 16 single-file batches can't all be done
+
+    q2 = start(trigger_now=True)
+    q2.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out).toPandas()
+        .sort_values(["bucket", "event_type"], ignore_index=True)
+    )
+    want = (
+        tumbling_counts(events, "hour")
+        .select(F.col("bucket").cast("string").alias("bucket"),
+                "event_type", "n_events", "sum_value")
+        .toPandas()
+    )
+    # exactly-once: no window emitted twice across the two runs
+    assert not got.duplicated(["bucket", "event_type"]).any()
+    assert len(got) > 0
+    merged = got.merge(want, on=["bucket", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)  # every emitted window exists in batch
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.sum_value_s == merged.sum_value_b).all()
+
+
 def test_streaming_sessions_runs(spark, sf_dir, tmp_path):
     from amazon_macie_activity_generator_spark.sources.tables import load_table
     from amazon_macie_activity_generator_spark.streaming.replay import streaming_sessions
