@@ -276,6 +276,51 @@ def test_kmeans_assign_broadcast_centroids_no_python(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_doc_pack_partitioned_window_single_scan(spark, sf_dir):
+    """Packing's cumsum must run per-lang (per-shard at scale) — an
+    unpartitioned window would single-thread the corpus; and the whole
+    layout comes from ONE scan with no Python eval."""
+    import re
+
+    fn, _ = QUERIES["doc_pack"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bpe_pair_counts_partial_agg_takeordered(spark, sf_dir):
+    """Pair counting must partial-aggregate map-side (the shuffle carries
+    (pair, partial_count), not one row per pair occurrence) and pick the
+    top-20 with TakeOrdered — a global sort of the pair table is the
+    100 TB trap."""
+    fn, _ = QUERIES["bpe_pair_counts"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winnowing_single_scan_bounded_exchanges(spark, sf_dir):
+    """Winnowing is one scan + a doc-keyed window + a distinct — two hash
+    exchanges, never a global one."""
+    import re
+
+    fn, _ = QUERIES["winnowing_fingerprint"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_mix_weights_no_cartesian_no_python(spark, sf_dir):
+    """The balance-to-largest factor joins a one-row max via broadcast —
+    BNLJ on the scalar frame is fine, a CartesianProduct is not."""
+    fn, _ = QUERIES["mix_sampling_weights"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_interpolation_uses_running_frames_only(spark, sf_dir):
     """Both neighbor lookups must be running frames — a shrinking
     currentRow..unboundedFollowing frame re-aggregates per row (O(n^2)
