@@ -441,6 +441,56 @@ def job(key: Column) -> Column:
     return _choice(key, "job", _JOBS)
 
 
+_COMPANY_SUFFIXES = ["Inc", "LLC", "Group", "Ltd", "PLC", "and Sons"]
+
+
+def company(key: Column) -> Column:
+    """Faker .company() analog: 'Capitalized-Lastname Suffix'."""
+    return F.concat(
+        F.initcap(_choice(key, "co1", _LAST_NAMES)), F.lit(" "),
+        F.initcap(_choice(key, "co2", _WORDS)), F.lit(" "),
+        _choice(key, "co3", _COMPANY_SUFFIXES),
+    )
+
+
+def user_name(key: Column) -> Column:
+    """Faker .user_name() analog: first-initial + last name + 2 digits."""
+    return F.concat(
+        F.substring(_choice(key, "un1", _FIRST_NAMES), 1, 1),
+        _choice(key, "un2", _LAST_NAMES),
+        F.lpad(_randint(key, "un3", 0, 99).cast("string"), 2, "0"),
+    )
+
+
+def url(key: Column) -> Column:
+    """Faker .url() analog on reserved example domains."""
+    return F.concat(
+        F.lit("https://"), _word(key, "u1"), F.lit("."),
+        _choice(key, "u2", _DOMAINS), F.lit("/"), _word(key, "u3"),
+    )
+
+
+def ipv4(key: Column) -> Column:
+    """Dotted-quad in the TEST-NET-3 (203.0.113.0/24) documentation range."""
+    return F.concat(F.lit("203.0.113."), _randint(key, "ip4", 0, 255).cast("string"))
+
+
+def mac_address(key: Column) -> Column:
+    """Six seeded hex octets, colon-separated."""
+    return F.lower(F.concat_ws(
+        ":", *[F.lpad(F.conv(_randint(key, f"mac{i}", 0, 255).cast("string"), 10, 16), 2, "0")
+               for i in range(6)]
+    ))
+
+
+def date_of_birth(key: Column) -> Column:
+    """ISO date between 1950-01-01 and ~2004 (seeded day offset)."""
+    return F.date_format(
+        F.date_add(F.lit("1950-01-01").cast("date"), _randint(key, "dob", 0, 20000).cast("int")),
+        "yyyy-MM-dd",
+    )
+
+
 # ----------------------------------------------------------- registry
 
 FAKE_PROVIDERS: dict[str, Callable[[Column], Column]] = {
@@ -455,6 +505,8 @@ FAKE_PROVIDERS: dict[str, Callable[[Column], Column]] = {
     "ssn": ssn, "address": address, "zipcode": zipcode, "bban": bban,
     "iban": iban, "credit_card_full": credit_card_full, "name": name,
     "file_name": file_name, "file_path": file_path, "profile": profile,
+    "company": company, "user_name": user_name, "url": url, "ipv4": ipv4,
+    "mac_address": mac_address, "date_of_birth": date_of_birth,
 }
 
 def generic_provider(pname: str) -> Callable[[Column], Column]:

@@ -51,6 +51,13 @@ PROVIDER_PATTERNS = {
     "iban": r"^GB\d{2}[A-Z]{4}\d{14}$",
     "bban": r"^[A-Z]{4}\d{14}$",
     "email": r"^[a-z]+\.[a-z]+@[a-z.]+$",
+    # round-2 curated stock providers
+    "company": r"^[A-Z][a-z]+ [A-Z][a-z]+ (Inc|LLC|Group|Ltd|PLC|and Sons)$",
+    "user_name": r"^[a-z]{2,}\d{2}$",
+    "url": r"^https://[a-z]+\.(example\.(com|org|net)|mail\.example|test\.example)/[a-z]+$",
+    "ipv4": r"^203\.0\.113\.\d{1,3}$",
+    "mac_address": r"^([0-9a-f]{2}:){5}[0-9a-f]{2}$",
+    "date_of_birth": r"^(19[5-9]\d|200[0-5])-\d{2}-\d{2}$",
 }
 
 
@@ -127,17 +134,17 @@ def test_fake_document_generic_provider_dispatch(spark):
     (main.py:988-991), so unknown names fall back to a seeded generic
     provider — deterministic, non-empty, distinct per provider name."""
     doc = fake.fake_document(
-        F.col("id"), fake_types=["company", "color_name"], fake_counts=2
+        F.col("id"), fake_types=["catch_phrase", "color_name"], fake_counts=2
     )
     rows = spark.range(100).select(doc.alias("d")).select("d.*").collect()
-    assert {r.provider for r in rows} == {"company", "color_name"}
+    assert {r.provider for r in rows} == {"catch_phrase", "color_name"}
     for r in rows[:10]:
         assert r.content.startswith(fake.FAKE_HEADER)
         payload = [ln for ln in r.content[len(fake.FAKE_HEADER):].split("\r\n") if ln]
         assert len(payload) == 2 and all(payload)
     assert rows == spark.range(100).select(doc.alias("d")).select("d.*").collect()
     # same key, different provider name -> different seeded content
-    a = spark.range(50).select(fake.resolve_provider("company")(F.col("id")).alias("x"))
+    a = spark.range(50).select(fake.resolve_provider("catch_phrase")(F.col("id")).alias("x"))
     b = spark.range(50).select(fake.resolve_provider("color_name")(F.col("id")).alias("x"))
     assert a.collect() != b.collect()
 
@@ -150,13 +157,13 @@ def test_s3_put_unlisted_provider_e2e(spark, tmp_path):
         F.col("id").alias("t"), F.lit(2).alias("value"),
     )
     rows_df = s3_put_activity_rows(
-        sel, {"fake_types": ["company"], "fake_counts": 1, "prefix": "gen/"}
+        sel, {"fake_types": ["catch_phrase"], "fake_counts": 1, "prefix": "gen/"}
     )
     out = str(tmp_path / "objs")
     write_objects_local(rows_df, out)
     rows = rows_df.collect()
     assert len(rows) == 10  # one per unit of value
-    assert all(r.provider == "company" for r in rows)
+    assert all(r.provider == "catch_phrase" for r in rows)
     import os
     written = [os.path.join(dp, f) for dp, _, fs in os.walk(out) for f in fs]
     assert len(written) == 10
