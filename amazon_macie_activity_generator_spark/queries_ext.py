@@ -137,7 +137,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_ex = (
         base_ex.filter(F.col("id") % 50 == 0)
         .withColumnsRenamed({"id": "pid", "n_grams": "p_grams"})
-    )
+    ).persist()  # the probe set is ~2% of the corpus but its lineage is a FULL
+    probe_ex.count()  # scan (the % filter can't push down) — cache the small
+    # frame so building the broadcast doesn't re-read the whole corpus
     inter = (
         base_ex.join(F.broadcast(probe_ex), on="gram")
         .filter(F.col("pid") < F.col("id"))

@@ -458,7 +458,8 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
             ).alias("c")
         )
-    )
+    ).persist()  # k rows — the "write the IVF index once" barrier: both the
+    cent1.count()  # corpus assignment and the query probes read it, not its lineage
     corpus = assign(emb, cent1, 1)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
