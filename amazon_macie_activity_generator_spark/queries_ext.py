@@ -298,31 +298,33 @@ def _neardup_mask_values(dim: int = 64, planes: int = 8, salt: str = "srp") -> s
 
 SQL_EMBEDDING_NEAR_DUP = f"""
 WITH aug AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  -- pert flag keeps row identity even if vec_id + 1000000 ever collides
+  -- with a native id (the Spark side keeps such rows distinct too)
+  SELECT vec_id, 0 AS pert,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000,
+  SELECT vec_id + 1000000, 1 AS pert,
          [CAST(embedding[1] AS DOUBLE) + 0.05]
            || list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
   FROM embeddings WHERE vec_id % 20 = 0
 ), planes(p, mask) AS (VALUES {{masks}}),
 b AS (
-  SELECT a.vec_id, any_value(a.v) AS v,
+  SELECT a.vec_id, a.pert, any_value(a.v) AS v,
          CAST(sum(CASE WHEN list_sum(list_transform(range(64),
                i -> a.v[i + 1] *
                     (CASE WHEN ((pl.mask >> i) & 1) = 1 THEN 1.0 ELSE -1.0 END)
              )) >= 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
   FROM aug a CROSS JOIN planes pl
-  GROUP BY a.vec_id
+  GROUP BY a.vec_id, a.pert
 )
-SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
-       round(list_sum(list_transform(list_zip(l.v, r.v), z -> z[1] * z[2])) /
-             (sqrt(list_sum(list_transform(l.v, x -> x * x))) *
-              sqrt(list_sum(list_transform(r.v, x -> x * x)))), 4) AS sim
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-WHERE round(list_sum(list_transform(list_zip(l.v, r.v), z -> z[1] * z[2])) /
-            (sqrt(list_sum(list_transform(l.v, x -> x * x))) *
-             sqrt(list_sum(list_transform(r.v, x -> x * x)))), 4) >= 0.9
+SELECT DISTINCT id_a, id_b, sim FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(l.v, r.v), z -> z[1] * z[2])) /
+               (sqrt(list_sum(list_transform(l.v, x -> x * x))) *
+                sqrt(list_sum(list_transform(r.v, x -> x * x)))), 4) AS sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+) WHERE sim >= 0.9
 """.format(masks=_neardup_mask_values())
 
 

@@ -509,12 +509,9 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_COS_QV = (
-    "round(list_aggregate(list_transform(list_zip(e.embedding, q.qv), "
-    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
-    "(sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
-    "sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"
-)
+# the load-bearing cross-engine cosine expression — single definition in
+# queries_ext so a precision tweak can never drift between the catalogs
+from amazon_macie_activity_generator_spark.queries_ext import _DUCK_COS as _DUCK_COS_QV  # noqa: E402
 
 SQL_TOPK_RECALL_IVF = f"""
 WITH emb AS (

@@ -512,16 +512,18 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tk"))
-    n_grams = F.greatest(F.size("tk") - (_WIN_K - 1), F.lit(0))
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, _WIN_K))),
-            )
-        ).alias("pos", "h"),
-    )
+    n_grams = F.size("tk") - (_WIN_K - 1)
+    # sequence(1, 0) yields the DESCENDING [1, 0] and slice(tk, 0, k) is an
+    # illegal start index — a doc with < k tokens must produce an empty
+    # gram array, not crash the job (the oracle's range() already does)
+    gram_hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, _WIN_K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.posexplode(gram_hashes).alias("pos", "h"))
     w = (
         Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(0, _WIN_W - 1)

@@ -110,3 +110,23 @@ def test_mom_revenue_change_consistent_with_monthly_sums(spark, sf_dir):
     for prev, cur in zip(months, months[1:]):
         expect = (monthly[cur] - monthly[prev]) / monthly[prev] * 100
         assert abs(rows[cur].pct_change - expect) < 1e-3
+
+
+def test_winnowing_survives_short_documents(spark, tmp_path):
+    """A doc with fewer than k=5 tokens must contribute zero fingerprints,
+    not crash the job (sequence(1, 0) is descending and slice(tk, 0, k)
+    is an illegal start — regression for the short-doc guard)."""
+    from amazon_macie_activity_generator_spark.queries_ext3 import q_winnowing_fingerprint
+
+    rows = [
+        (1, "a b c", "en", "srcA", 5),                       # < k tokens
+        (2, "", "en", "srcA", 0),                            # empty
+        (3, "one two three four five six seven", "en", "srcA", 33),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_winnowing_fingerprint(spark, str(tmp_path))
+    got = {r.doc_id for r in out.collect()}
+    assert got == {3}  # only the >= 5-token doc fingerprints

@@ -342,15 +342,21 @@ def test_replay_crash_recovery_resumes_from_checkpoint(spark, tmp_path):
         replay,
     )
 
-    # 8 single-file queue writes -> 8 micro-batches at maxFilesPerTrigger=1
+    # 8 single-file queue writes -> 8 micro-batches at maxFilesPerTrigger=1.
+    # Only the first 4 exist before the "crash": the stop is mid-stream by
+    # construction, not by winning a race against the trigger cadence.
     qpath = str(tmp_path / "queue")
-    for t in range(8):
-        (
-            spark.createDataFrame(
-                [("crashrun", t, float(t))], "run_id string, t long, value double"
+
+    def enqueue(ts):
+        for t in ts:
+            (
+                spark.createDataFrame(
+                    [("crashrun", t, float(t))], "run_id string, t long, value double"
+                )
+                .coalesce(1).write.mode("append").parquet(qpath)
             )
-            .coalesce(1).write.mode("append").parquet(qpath)
-        )
+
+    enqueue(range(4))
     schema = spark.read.parquet(qpath).schema
     out, ck = str(tmp_path / "delivered"), str(tmp_path / "ckpt")
 
@@ -363,9 +369,8 @@ def test_replay_crash_recovery_resumes_from_checkpoint(spark, tmp_path):
             .parquet(out)
         )
 
-    # phase 1: paced trigger; stop ("crash") after >=1 completed batch,
-    # long before the 8-batch drain could finish at this cadence
-    q1 = replay(queue_stream(spark, qpath, schema), _deliver, ck, cadence_seconds=2)
+    # phase 1: paced trigger; stop ("crash") after >=1 completed batch
+    q1 = replay(queue_stream(spark, qpath, schema), _deliver, ck, cadence_seconds=1)
     deadline = time.time() + 120
     while time.time() < deadline:
         if any(p["numInputRows"] > 0 for p in q1.recentProgress):
@@ -373,7 +378,8 @@ def test_replay_crash_recovery_resumes_from_checkpoint(spark, tmp_path):
         time.sleep(0.2)
     q1.stop()
     pre = spark.read.parquet(out).count()
-    assert 0 < pre < 8  # genuinely mid-stream
+    assert 0 < pre <= 4  # mid-stream: the last 4 rows don't even exist yet
+    enqueue(range(4, 8))
 
     # phase 2: restart from the same checkpoint, drain everything left
     q2 = replay(
