@@ -774,10 +774,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
+    # zero-norm guard (same contract as operators.similarity.cosine_expr):
+    # a zero vector has cosine 0 to everything, not a divide-by-zero abort
+    denom = norm("va") * norm("vb")
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", dot / (norm("va") * norm("vb")))
+        .withColumn("cos", F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom))
         .filter(F.col("cos") >= _SEM_THRESH)
     )
     return pairs.select("cluster", "id_a", "id_b", F.round("cos", 6).alias("cos"))
@@ -803,15 +806,17 @@ WITH emb AS (
     FROM aug a CROSS JOIN seeds s
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
 )
-SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
-FROM assigned a JOIN assigned b
-  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {_SEM_THRESH}
+SELECT cluster, id_a, id_b, round(cos, 6) AS cos FROM (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(b.v, x -> x * x))) = 0
+              THEN 0.0
+              ELSE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                   / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x * x)))) END AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+) WHERE cos >= {_SEM_THRESH}
 """
 
 

@@ -1,0 +1,80 @@
+"""Edge-input robustness sweep: every batch catalog query must survive a
+corpus containing the degenerate rows a real 100 TB crawl always has —
+empty documents, sub-k-gram documents, NULL text, unicode, a single
+giant-ish doc, zero/short embedding vectors. A query may return fewer
+rows for them; it must never throw (the winnowing short-doc crash was
+exactly this class of latent bug).
+
+The fixture copies sf0.001 for the relational tables and replaces
+documents/embeddings with edge versions that keep the real schemas.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from amazon_macie_activity_generator_spark.queries import QUERIES
+
+# eager/side-effecting or non-document-dependent streaming paths — the
+# sweep targets batch analytic queries (same skip set as the plan sweep)
+SKIP = {
+    "streaming_tumbling", "streaming_replay", "streaming_dedup",
+    "streaming_join", "streaming_left_join", "streaming_append_windows",
+    "sessionize_stateful", "blueprint_e2e",
+}
+
+EDGE_DOCS = [
+    (1, "", "en", "src0", 0),                                    # empty
+    (2, "one", "en", "src0", 3),                                 # 1 token
+    (3, "a b c d", "en", "src1", 7),                             # k-1 tokens
+    (4, None, "en", "src1", 0),                                  # NULL text
+    (5, "café naïve 中文 emoji \U0001f600 ok", "fr", "src2", 30),
+    (6, " ".join(f"tok{i % 97}" for i in range(3000)), "en", "src2", 20000),
+    (7, "the the the the the the the the", "en", "src3", 31),    # pure repetition
+    (8, "  \t \n  ", "en", "src3", 7),                           # whitespace only
+] + [
+    # enough ordinary docs that group-by / join queries have real work
+    (100 + i, f"plain document number {i} with shared tokens alpha beta gamma", "en",
+     f"src{i % 4}", 60)
+    for i in range(40)
+]
+
+EDGE_VECS = (
+    [(0, [0.0] * 64, 0)]                       # zero vector: cosine 0/0
+    + [(1, [1.0] + [0.0] * 63, 0)]
+    + [(i, [((i * 31 + d * 7) % 13 - 6) / 6.0 for d in range(64)], i % 3)
+       for i in range(2, 40)]
+)
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("edge_sf")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"]:
+        shutil.copytree(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"),
+                        dirs_exist_ok=True) if __import__("os").path.isdir(
+            f"{src}/{t}.parquet") else shutil.copy(
+            f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
+    spark.createDataFrame(
+        EDGE_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(dst / "documents.parquet"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in EDGE_VECS],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(str(dst / "embeddings.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", [n for n in QUERIES if n not in SKIP])
+def test_query_survives_edge_corpus(spark, edge_sf_dir, name):
+    fn, _ = QUERIES[name]
+    try:
+        df = fn(spark, edge_sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        spark.catalog.clearCache()
