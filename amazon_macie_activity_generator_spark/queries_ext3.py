@@ -26,6 +26,11 @@ has none of this; these extend SURVEY.md §2.8's north-star set:
 - ``fuzzy_name_pairs``    blocked Levenshtein similarity join — the
   entity-resolution pattern: quadratic comparison confined to small
   (p_type, p_size) blocks.
+- ``event_funnel``        ordered view->click->purchase conversion: the
+  chained conditional-min funnel (exact integer counts, no window
+  cascade, user-keyed shuffles only).
+- ``retention_cohorts``   first-seen cohort x day-offset distinct-user
+  matrix (the warehouse retention triangle).
 - ``bpe_pair_counts``     the BPE-training inner loop: corpus-wide
   adjacent-token-pair counts, top-20 merge candidates. One pair-keyed
   map-side-combinable shuffle per merge iteration.
@@ -394,6 +399,110 @@ WINDOW w AS (
 
 
 # --------------------------------------------------------------------------
+# event_funnel — ordered-step conversion counts
+# --------------------------------------------------------------------------
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: per user, the first view,
+    the first click strictly after it, the first purchase strictly after
+    that; emit per-stage converted-user counts. One user-keyed shuffle:
+    the three stage timestamps come from conditional aggregation over a
+    single grouped pass (min(ts) FILTER per type, then the ordered
+    chaining is two scalar comparisons on the one-row-per-user frame) —
+    no self-joins, no window cascade. Counts are exact integers, so the
+    oracle matches bit-for-bit."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
+    )
+    # the first click AFTER the first view needs the conditional min keyed
+    # on the view time — a second grouped pass joined back would shuffle
+    # twice; instead re-aggregate with the view time broadcast via a join
+    # on user_id (both sides already hash-partitioned on user_id -> the
+    # second exchange is elided by Catalyst's output-partitioning reuse)
+    v = per_user.select("user_id", "v_ts")
+    c = (
+        events.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    stages = per_user.join(c, "user_id", "left").join(p, "user_id", "left")
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("v_ts").isNotNull().cast("long")).alias("viewed"),
+        F.sum(F.col("c_ts").isNotNull().cast("long")).alias("clicked_after_view"),
+        F.sum(F.col("p_ts").isNotNull().cast("long")).alias("purchased_after_click"),
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+), u AS (SELECT DISTINCT user_id FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS viewed,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS clicked_after_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS purchased_after_click
+FROM u
+"""
+
+
+# --------------------------------------------------------------------------
+# retention_cohorts — first-seen cohort x day-offset matrix
+# --------------------------------------------------------------------------
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date, counted by
+    how many distinct users of each cohort return k days later. Two
+    shuffles — the per-user min (user-keyed) and the cohort x offset
+    distinct count (cohort-keyed); day offsets capped at 7 to keep the
+    matrix narrow."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    acts = events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+    j = acts.join(first, "user_id").withColumn(
+        "day_offset",
+        F.datediff(F.col("day"), F.col("cohort")).cast("long"),
+    ).filter(F.col("day_offset") <= 7)
+    return (
+        j.groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort"), "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+SQL_RETENTION = """
+WITH first AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events GROUP BY user_id
+), acts AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM acts a JOIN first f USING (user_id)
+WHERE date_diff('day', f.cohort, a.day) <= 7
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # bpe_pair_counts — the core BPE-training statistic
 # --------------------------------------------------------------------------
 
@@ -657,6 +766,8 @@ EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "mom_revenue_change": (q_mom_revenue_change, SQL_MOM_REVENUE),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "rolling_time_window": (q_rolling_time_window, SQL_ROLLING_TIME_WINDOW),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "mix_sampling_weights": (q_mix_sampling_weights, SQL_MIX_SAMPLING_WEIGHTS),
     "winnowing_fingerprint": (q_winnowing_fingerprint, SQL_WINNOWING),
