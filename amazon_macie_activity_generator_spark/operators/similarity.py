@@ -88,7 +88,10 @@ def srp_planes(dim: int, planes: int, salt: str = "srp") -> list[list[float]]:
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
-    return df.select(F.size(F.col(vec_col))).first()[0]
+    row = df.select(F.size(F.col(vec_col))).first()
+    # empty corpus: the plane matrix is never applied to a row, any
+    # positive dim keeps construction (and the downstream plan) valid
+    return row[0] if row is not None else 1
 
 
 def _bucket_from(dv: Column, mat: list[list[float]]) -> Column:
@@ -244,6 +247,9 @@ def kmeans_fit(
     init = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
+    if not init:  # empty corpus -> no clusters; callers assign nothing
+        df.unpersist()
+        return np.zeros((1, 1), dtype=np.float64)
     centroids = np.asarray([list(r[0]) for r in init], dtype=np.float64)
     for _ in range(max_iter):
         assign = _assign_udf(centroids, 1)

@@ -78,3 +78,29 @@ def test_query_survives_edge_corpus(spark, edge_sf_dir, name):
         df.write.format("noop").mode("overwrite").save()
     finally:
         spark.catalog.clearCache()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """sf0.001 relational tables + EMPTY events/documents/embeddings: a
+    fresh deployment or a fully-filtered partition must not abort
+    (regression: _infer_dim/first() and kmeans init crashed on 0 rows)."""
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("empty_sf")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"]:
+        shutil.copy(f"{src}/{t}.parquet", str(dst / f"{t}.parquet"))
+    for t in ["events", "documents", "embeddings"]:
+        load_table(spark, src, t).limit(0).write.parquet(str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", [n for n in QUERIES if n not in SKIP])
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    fn, _ = QUERIES[name]
+    try:
+        fn(spark, empty_sf_dir).write.format("noop").mode("overwrite").save()
+    finally:
+        spark.catalog.clearCache()
