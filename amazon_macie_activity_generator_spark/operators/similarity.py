@@ -328,14 +328,22 @@ def embedding_near_dup(
     exact cosine filter. Returns (id_a, id_b, sim)."""
     dim = dim if dim is not None else _infer_dim(df, vec_col)
     budf = srp_buckets_arrow([srp_planes(dim, planes, "srp")])
+    # norm per ROW here, not per pair inside the self-join — the join
+    # side's O(pairs * dim) norm recompute is the dominant redundant work
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
         F.element_at(budf(F.col(vec_col)), 1).alias("bucket"),
     ).persist()
     base.count()  # eager: the self-join must read the cache, not race it
     l, r = base.alias("l"), base.alias("r")
     pairs = l.join(r, on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")])
-    sim = F.round(cosine_expr(F.col("l.v"), F.col("r.v")), 4)
+    denom = F.col("l.nrm") * F.col("r.nrm")
+    sim = F.round(
+        F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot_expr(F.col("l.v"), F.col("r.v")) / denom
+        ), 4,
+    )
     return (
         pairs.select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), sim.alias("sim"))
         .filter(F.col("sim") >= threshold)

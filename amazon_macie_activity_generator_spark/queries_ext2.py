@@ -766,17 +766,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("dist", "cluster")).alias("best"))
         .select("vec_id", "v", F.col("best.cluster").alias("cluster"))
     )
-    a = assigned.select("cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select("cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    # norms precompute per ROW before the pair join — computing them per
+    # PAIR (the naive form) does O(pairs * dim) redundant work inside the
+    # join, the dominant cost of a bucket self-join at scale
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sides = assigned.withColumn("nrm", norm)
+    a = sides.select("cluster", F.col("vec_id").alias("id_a"),
+                     F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = sides.select("cluster", F.col("vec_id").alias("id_b"),
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
     # zero-norm guard (same contract as operators.similarity.cosine_expr):
     # a zero vector has cosine 0 to everything, not a divide-by-zero abort
-    denom = norm("va") * norm("vb")
+    denom = F.col("na") * F.col("nb")
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))

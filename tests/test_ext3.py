@@ -130,3 +130,13 @@ def test_winnowing_survives_short_documents(spark, tmp_path):
     out = q_winnowing_fingerprint(spark, str(tmp_path))
     got = {r.doc_id for r in out.collect()}
     assert got == {3}  # only the >= 5-token doc fingerprints
+
+
+def test_event_funnel_monotone(spark, sf_dir):
+    """Funnel stages can only shrink: users >= viewed >= clicked-after-
+    view >= purchased-after-click."""
+    from amazon_macie_activity_generator_spark.queries_ext3 import q_event_funnel
+
+    r = q_event_funnel(spark, sf_dir).first()
+    assert r.n_users >= r.viewed >= r.clicked_after_view >= r.purchased_after_click
+    assert r.purchased_after_click >= 0
