@@ -757,6 +757,74 @@ WHERE c.cts + INTERVAL 1 HOUR <= wm.w
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_keep_best — representative selection per near-dup group
+# --------------------------------------------------------------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the step AFTER group resolution in a
+    real dedup pipeline (C4/RefinedWeb-style: keep one member per
+    duplicate cluster): for every near-dup group keep exactly one
+    document (longest text, doc_id tie-break); ungrouped documents pass
+    through as keep=true singletons.
+
+    Scale shape: the argmax aggregate and the keep-decision join run
+    ONLY on the grouped subset — a few percent of the corpus at real
+    near-dup rates — and the group table joins back onto the corpus as
+    a broadcast; the full corpus is never windowed or shuffled on a
+    group key. Output: (doc_id, group_id, keep) for the whole augmented
+    corpus."""
+    from amazon_macie_activity_generator_spark.queries_ext import _docs_aug, q_dedup_groups
+
+    corpus = _docs_aug(spark, sf_dir).select("doc_id", "n_chars")
+    groups = q_dedup_groups(spark, sf_dir)  # (doc_id, group_id), grouped docs only
+    members = groups.join(corpus, "doc_id")
+    # argmax by (n_chars DESC, doc_id ASC) via lexicographic struct min —
+    # one map-side-combinable agg over the tiny grouped subset
+    best = (
+        members.groupBy("group_id")
+        .agg(F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("d"))).alias("b"))
+        .select("group_id", F.col("b.d").alias("kept_doc"))
+    )
+    decided = groups.join(best, "group_id").select(
+        "doc_id", "group_id", (F.col("doc_id") == F.col("kept_doc")).alias("keep")
+    )
+    singles = corpus.join(groups.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("group_id"), F.lit(True).alias("keep")
+    )
+    return decided.unionByName(singles)
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH groups AS ({groups_sql}),
+aug AS ({aug_sql}),
+members AS (
+  SELECT g.doc_id, g.group_id, a.n_chars FROM groups g JOIN aug a USING (doc_id)
+),
+best AS (
+  SELECT group_id, doc_id AS kept_doc FROM (
+    SELECT group_id, doc_id,
+           row_number() OVER (PARTITION BY group_id ORDER BY n_chars DESC, doc_id) AS rk
+    FROM members
+  ) WHERE rk = 1
+)
+SELECT m.doc_id, m.group_id, m.doc_id = b.kept_doc AS keep
+FROM members m JOIN best b USING (group_id)
+UNION ALL
+SELECT a.doc_id, a.doc_id AS group_id, TRUE AS keep
+FROM aug a ANTI JOIN groups g ON a.doc_id = g.doc_id
+"""
+
+
+def _sql_dedup_keep_best() -> str:
+    from amazon_macie_activity_generator_spark.queries_ext import (
+        _DUCK_DOCS_AUG,
+        SQL_DEDUP_GROUPS,
+    )
+
+    return SQL_DEDUP_KEEP_BEST.format(groups_sql=SQL_DEDUP_GROUPS, aug_sql=_DUCK_DOCS_AUG)
+
+
 EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
@@ -772,4 +840,5 @@ EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "mix_sampling_weights": (q_mix_sampling_weights, SQL_MIX_SAMPLING_WEIGHTS),
     "winnowing_fingerprint": (q_winnowing_fingerprint, SQL_WINNOWING),
     "streaming_left_join": (q_streaming_left_join, SQL_STREAMING_LEFT_JOIN),
+    "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
 }

@@ -407,3 +407,18 @@ def test_mom_revenue_partial_aggregates_before_window(spark, sf_dir):
     plan = _plan(fn(spark, sf_dir))
     assert "partial_sum" in plan
     assert "Window" in plan
+
+
+def test_pair_join_norms_hoisted_below_join(spark, sf_dir):
+    """Cosine-pair queries must compute vector norms per ROW (pre-join
+    projection), never per PAIR: a SQRT inside a Filter/Join condition
+    means O(pairs * dim) redundant work — the dominant cost of a bucket
+    self-join at scale."""
+    for name in ("semantic_dedup", "embedding_near_dup"):
+        fn, _ = QUERIES[name]
+        plan = _plan(fn(spark, sf_dir))
+        assert "SQRT" in plan, name  # norms exist somewhere (guard stays live)
+        for ln in plan.splitlines():
+            s = ln.strip()
+            if s.startswith("Condition") or s.startswith("Join condition"):
+                assert "SQRT" not in s, (name, s[:160])
