@@ -55,6 +55,7 @@ _NEW_R2 = (
     "topk_recall_lsh", "topk_recall_ivf", "doc_pack",
     "bpe_pair_counts", "mix_sampling_weights", "winnowing_fingerprint",
     "event_funnel", "retention_cohorts", "dedup_keep_best",
+    "dedup_incremental",
 )
 
 

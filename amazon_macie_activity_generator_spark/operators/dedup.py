@@ -226,6 +226,38 @@ def minhash_signature_md5(text: Column, num_hashes: int = 16, shingle_k: int = 3
     return F.element_at(sig, 1)
 
 
+def _md5_base_and_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared md5-LSH front end: (persisted base with shingles + signature,
+    exploded band-bucket table). The base persists EAGERLY — every caller
+    reads it from at least two branches (banded join + shingle verify),
+    and a lazy persist lets the branches race to populate it."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
+        minhash_signature_md5(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    ).persist()
+    base.count()
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"),
+        ),
+    )
+    banded = base.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    return base, banded
+
+
 def dedup_minhash_md5_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -239,24 +271,7 @@ def dedup_minhash_md5_pairs(
     verified with exact shingle Jaccard. Same plan shape as
     ``dedup_minhash_candidates`` (narrow banded shuffle, skew hazards and
     AQE handling identical); returns (id_a, id_b, jaccard), id_a < id_b."""
-    rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
-        minhash_signature_md5(F.col(text_col), num_hashes, shingle_k).alias("sig"),
-    ).persist()
-    base.count()  # eager: both banded join sides must hit the cache
-
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"),
-        ),
-    )
-    banded = base.select("id", F.explode(band_structs).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    base, banded = _md5_base_and_bands(df, text_col, id_col, num_hashes, bands, shingle_k)
     pairs = (
         banded.alias("l")
         .join(
@@ -279,6 +294,73 @@ def dedup_minhash_md5_pairs(
         verified.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_incremental_md5(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental near-dup: a NEW batch checked against an EXISTING
+    corpus with NO corpus self-join — the shape of a continuously
+    ingesting pipeline, where only the delta is deduped and the corpus
+    acts as an index. One row per batch doc: (doc_id, dup_of, jaccard,
+    is_new) where dup_of is the best-matching corpus doc (highest
+    verified Jaccard, min id tie-break) or -1 when the doc is new.
+
+    Scale shape: the corpus side stays map-side throughout — banded
+    signatures are a projection, the bucket join broadcasts the (small)
+    batch bands, and verification broadcasts the candidate list back
+    onto the corpus; the corpus is never shuffled on a content key. In
+    production the corpus band index is a stored table amortized across
+    batches; rebuilding it here per call keeps the same plan shape."""
+    c_base, c_bands = _md5_base_and_bands(
+        corpus, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    b_base, b_bands = _md5_base_and_bands(
+        batch, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    cand = (
+        c_bands.alias("c")
+        .join(
+            F.broadcast(b_bands.alias("b")),
+            on=[F.col("c.band") == F.col("b.band"), F.col("c.bh") == F.col("b.bh")],
+        )
+        .select(F.col("b.id").alias("bid"), F.col("c.id").alias("cid"))
+        .dropDuplicates(["bid", "cid"])
+    )
+    with_bsh = cand.join(
+        F.broadcast(b_base.select(F.col("id").alias("bid"), F.col("shingles").alias("sh_b"))),
+        on="bid",
+    )
+    ver = c_base.select(F.col("id").alias("cid"), F.col("shingles").alias("sh_c")).join(
+        F.broadcast(with_bsh), on="cid"
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size(F.array_union("sh_b", "sh_c"))
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4)
+    best = (
+        ver.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .groupBy("bid")
+        .agg(F.min(F.struct((-F.col("jaccard")).alias("nj"), F.col("cid").alias("c"))).alias("m"))
+        .select("bid", F.col("m.c").alias("dup_of"), (-F.col("m.nj")).alias("jaccard"))
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(best.withColumnRenamed("bid", "doc_id")), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            F.col("dup_of").isNull().alias("is_new"),
+        )
     )
 
 

@@ -758,6 +758,87 @@ WHERE c.cts + INTERVAL 1 HOUR <= wm.w
 
 
 # --------------------------------------------------------------------------
+# dedup_incremental — new batch vs existing corpus (no self-join)
+# --------------------------------------------------------------------------
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup (operators/dedup.py:dedup_incremental_md5):
+    documents = the indexed corpus; the batch mixes true near-dups (every
+    doc_id % 100 == 0 reappears at +1000000 with two extra tokens) with
+    genuinely new docs (every doc_id % 100 == 50 at +2000000 with the
+    token order reversed — same vocabulary, different shingles). The full
+    md5-LSH path (signature -> bands -> asymmetric bucket join -> exact
+    Jaccard verify -> per-doc argmax) value-hash-checks cross-engine."""
+    from amazon_macie_activity_generator_spark.operators.dedup import (
+        dedup_incremental_md5,
+        tokens_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate")).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 100 == 50).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(tokens_expr(F.col("text")))).alias("text"),
+    )
+    return dedup_incremental_md5(corpus, near.unionByName(fresh), jaccard_threshold=0.7)
+
+
+def _sql_dedup_incremental() -> str:
+    from amazon_macie_activity_generator_spark.queries_ext import (
+        _DUCK_3GRAMS,
+        _DUCK_JAC,
+        _DUCK_TOKS,
+    )
+
+    sig = (
+        "list_transform(generate_series(0, 15), "
+        "j -> list_aggregate(list_transform(g, s -> md5(CAST(j AS VARCHAR) || ':' || s)), 'min'))"
+    )
+    bnd = "md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '|'))"
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate' AS text
+  FROM documents WHERE doc_id % 100 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_reverse({_DUCK_TOKS}), ' ') AS text
+  FROM documents WHERE doc_id % 100 = 50
+),
+ctok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus),
+cg AS (SELECT doc_id, {_DUCK_3GRAMS} AS g FROM ctok),
+csig AS (SELECT doc_id, g, {sig} AS sig FROM cg),
+cbands AS (SELECT doc_id, b.b AS band, {bnd} AS bh FROM csig, range(0, 4) AS b(b)),
+btok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM batch),
+bg AS (SELECT doc_id, {_DUCK_3GRAMS} AS g FROM btok),
+bsig AS (SELECT doc_id, g, {sig} AS sig FROM bg),
+bbands AS (SELECT doc_id, b.b AS band, {bnd} AS bh FROM bsig, range(0, 4) AS b(b)),
+cand AS (
+  SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+  FROM bbands bb JOIN cbands cb ON bb.band = cb.band AND bb.bh = cb.bh
+),
+ver AS (
+  SELECT cand.bid, cand.cid, {_DUCK_JAC} AS jaccard
+  FROM cand JOIN bg a ON a.doc_id = cand.bid JOIN cg b2 ON b2.doc_id = cand.cid
+),
+best AS (
+  SELECT bid, cid, jaccard,
+         row_number() OVER (PARTITION BY bid ORDER BY jaccard DESC, cid) AS rk
+  FROM ver WHERE jaccard >= 0.7
+)
+SELECT b.doc_id,
+       coalesce(best.cid, -1) AS dup_of,
+       coalesce(best.jaccard, 0.0) AS jaccard,
+       best.cid IS NULL AS is_new
+FROM batch b LEFT JOIN best ON best.bid = b.doc_id AND best.rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_keep_best — representative selection per near-dup group
 # --------------------------------------------------------------------------
 
@@ -841,4 +922,5 @@ EXT3_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "winnowing_fingerprint": (q_winnowing_fingerprint, SQL_WINNOWING),
     "streaming_left_join": (q_streaming_left_join, SQL_STREAMING_LEFT_JOIN),
     "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
+    "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
 }
