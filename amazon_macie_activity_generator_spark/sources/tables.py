@@ -11,14 +11,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table, robust to sessions we didn't configure: the
     driver passes its own SparkSession, so the nanos-compat flag is set
     here at runtime (it is a runtime-settable legacy conf), with a
-    pyarrow rewrite fallback if a future Spark freezes it."""
+    pyarrow rewrite fallback if a future Spark freezes it.
+
+    The driver tables store timestamps as parquet TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false, which Spark 4 surfaces as TIMESTAMP_NTZ when
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on (its default).
+    NTZ breaks ``unix_micros`` and ``withWatermark`` (both require
+    TIMESTAMP), so every NTZ column is normalized to TimestampType here —
+    under a UTC session timezone the cast is value-identity, matching
+    DuckDB's naive-timestamp reading of the same files."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         try:
@@ -32,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div: float division of epoch-nanos loses precision
         # (2^53 < 1.7e18) and shifts timestamps by up to a microsecond
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 
