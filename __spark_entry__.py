@@ -22,49 +22,51 @@ from amazon_macie_activity_generator_spark.queries import QUERIES  # noqa: E402
 # Driver-verification rotation.
 #
 # The correctness harness checks the first ~50 entries of queries() in
-# insertion order each round. Round 1's artifact (CORRECTNESS_r01.json)
-# covered the catalog's natural head — these 50 names — leaving the
-# ext2/ext3/streaming/sink entries without a driver row. Rotate them to
-# the front so round 2's window lands on the unchecked set (oracle-backed
-# entries first: they produce the strong hash-match signal; rows-only
-# entries after; the previously-checked head goes last).
+# insertion order each round; the catalog is larger than the window, so
+# the order is ranked by how badly each entry needs a driver row:
+#
+#   0. failed in the latest round's artifact (a fix needs a green row)
+#   1. never driver-checked in any round (includes newly added entries)
+#   2. checked only in rounds before the latest (stale evidence — the
+#      testdata changed between r2 and r3)
+#   3. passed in the latest round (freshest evidence, safe to rotate out)
+#
+# Within a rank, oracle-backed entries go before rows-only ones (hash
+# match is the strong signal), preserving catalog insertion order.
 # --------------------------------------------------------------------------
-_R1_CHECKED = frozenset({
-    "gen_constant", "gen_square", "gen_sinusoidal", "gen_custom_formula",
-    "gen_custom_recurrence", "gen_random_uniform", "gen_random_counter",
-    "gen_random_expo", "gen_random_pareto", "gen_random_weibull",
-    "gen_random_triangular", "noise_counter", "fake_formats_counter",
-    "real_replay_pad", "scale_minmax", "noise_bounded",
-    "anomaly_inject_stride", "align_zero_fill", "slice_explode",
-    "chunk_rows", "pivot_slot_row", "group_collect", "payload_json",
-    "dedup_exact", "dedup_minhash_md5", "dedup_minhash",
-    "dedup_simhash", "dedup_ngram_jaccard", "embedding_near_dup",
-    "dedup_groups", "topk_cosine", "topk_cosine_lsh", "topk_cosine_ivf",
-    "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
-    "doc_chunk", "tfidf_top_terms", "pii_redact", "multimodal_features",
-    "media_dedup", "per_group_sample", "multimodal_decode_stub",
-    "multimodal_resize", "multimodal_frames", "json_extract_props",
-    "tumbling_counts", "sliding_counts", "asof_join",
-})
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-# Entries added after round 1 — they also lack a driver row, but the r1
-# backlog goes first (the verdict's explicit ask); whatever overflows the
-# ~50-entry window rotates in next round. Order = check priority.
-_NEW_R2 = (
-    "topk_recall_lsh", "topk_recall_ivf", "doc_pack",
-    "bpe_pair_counts", "mix_sampling_weights", "winnowing_fingerprint",
-    "event_funnel", "retention_cohorts", "dedup_keep_best",
-    "dedup_incremental",
-)
+def _load_correctness(fname: str) -> dict:
+    try:
+        import json
+
+        with open(os.path.join(_HERE, fname)) as f:
+            return json.load(f)
+    except Exception:
+        return {}
 
 
 def _rotation_order() -> list[str]:
-    unchecked = [n for n in QUERIES if n not in _R1_CHECKED]
-    front = [n for n in unchecked if QUERIES[n][1] is not None and n not in _NEW_R2]
-    front += [n for n in _NEW_R2 if n in QUERIES]
-    front += [n for n in unchecked if QUERIES[n][1] is None]
-    return front + [n for n in QUERIES if n in _R1_CHECKED]
+    latest = _load_correctness("CORRECTNESS_r02.json")
+    earlier: set[str] = set(_load_correctness("CORRECTNESS_r01.json"))
+
+    def rank(name: str) -> tuple[int, int]:
+        if name in latest:
+            row = latest[name] or {}
+            failed = bool(row.get("err")) or any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            r = 0 if failed else 3
+        elif name in earlier:
+            r = 2
+        else:
+            r = 1
+        return (r, 0 if QUERIES[name][1] is not None else 1)
+
+    names = list(QUERIES)
+    return sorted(names, key=lambda n: (rank(n), names.index(n)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
