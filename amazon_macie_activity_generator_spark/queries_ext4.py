@@ -1,0 +1,564 @@
+"""Fourth extension catalog: sequence modeling, language-model statistics,
+asymmetric dedup, and categorical-association shapes.
+
+The reference (/root/reference/src/main.py) is a time-series activity
+generator with none of this surface; these extend SURVEY.md §2.8's
+north-star set with the remaining operations a large-scale training-data
+pipeline runs:
+
+- ``markov_transitions``  per-user event-type transition matrix (counts +
+  conditional probabilities) — the next-event model behind clickstream
+  prediction and synthetic-sequence generation.
+- ``session_paths``       top entry paths (first three event types per
+  user, in time order) — the classic clickstream path-analysis rollup.
+- ``ntile_bins``          equi-DEPTH value histogram per event type via
+  ntile(4) (complements ``value_histogram``'s equi-WIDTH binning).
+- ``pmi_collocations``    corpus-wide adjacent-pair PMI — the standard
+  collocation / multiword-expression extractor over token streams.
+- ``bigram_logprob``      per-document mean bigram log-likelihood under an
+  add-one-smoothed corpus bigram LM — the fluency/quality score that
+  upgrades ``unigram_logprob`` with sequence context.
+- ``dedup_containment``   asymmetric near-dup: shingle CONTAINMENT
+  |A∩B|/|A| (Broder '97's other resemblance measure) — catches quotes /
+  subset documents that symmetric Jaccard misses.
+- ``chi2_source_lang``    per-source chi-squared association against the
+  corpus language distribution — the categorical drift / balance check
+  run before fixing a training mixture.
+- ``copurchase_pairs``    item-item co-occurrence (parts sharing an
+  order) — the graph-projection rollup behind co-click / co-purchase
+  recommenders.
+
+Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
+
+Scale notes (local[32] tests, 1000-executor design):
+- ``markov_transitions`` / ``session_paths``: one hash shuffle on
+  user_id, in-partition sort, then a tiny (|types|^2- or path-keyed)
+  map-side-combinable count. No global sort; the per-user window never
+  sees more than one user's rows.
+- ``pmi_collocations`` / ``bigram_logprob``: pair and unigram counts are
+  map-side-combinable aggregations (shuffle carries partial counts, not
+  tokens); the LM join keys on (w1, w2) — at 100 TB both sides hash on
+  the pair key once, and the scalar totals (token count, vocab size)
+  ride along as broadcast one-row frames, never a driver collect.
+- ``dedup_containment``: inverted-index bucket join on the shingle key —
+  candidate pairs only ever form inside one shingle's posting list, never
+  an all-pairs product. A document-frequency cap on the posting lists
+  (df <= 1000 here) bounds the worst list so one boilerplate shingle
+  cannot quadratically explode a partition; AQE skew-join covers the
+  rest.
+- ``chi2_source_lang``: two grouped counts plus a margins join on tiny
+  (source x lang) frames — broadcast all the way.
+- ``copurchase_pairs``: the self-join is keyed on l_orderkey, so pair
+  fan-out is bounded by max order width (7 lineitems in TPC-H-ish data),
+  keeping the join linear in lineitem count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.operators.dedup import (
+    tokens_expr,
+    word_shingles_expr,
+)
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+_DUCK_TOKS4 = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# markov_transitions — next-event transition matrix
+# --------------------------------------------------------------------------
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts and conditional probabilities over
+    each user's time-ordered event sequence ((ts, event_id) is a total
+    order, so lag() is deterministic). The result is |types|^2 rows at
+    most: the user-keyed window shuffle dominates and the count is
+    map-side combinable; prob denominators come from a window over the
+    tiny counted frame, not a second pass over events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+FROM trans
+"""
+
+
+# --------------------------------------------------------------------------
+# session_paths — top entry paths (first three events per user)
+# --------------------------------------------------------------------------
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-three-event paths: each user's first three event types in
+    (ts, event_id) order, joined with '>' into a path string, counted
+    across users. Users with fewer than three events are excluded (their
+    truncated paths would conflate with genuine short journeys). The
+    rank-3 filter happens before the path shuffle, so the count stage
+    sees three rows per user, not the full event history."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = (
+        first3.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.concat_ws(
+                ">",
+                F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+                F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+                F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+            ).alias("path"),
+        )
+        .filter(F.col("k") == 3)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), first3 AS (
+  SELECT user_id,
+         count(*) AS k,
+         max(CASE WHEN rn = 1 THEN event_type END) || '>' ||
+         max(CASE WHEN rn = 2 THEN event_type END) || '>' ||
+         max(CASE WHEN rn = 3 THEN event_type END) AS path
+  FROM ranked WHERE rn <= 3
+  GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM first3 WHERE k = 3
+GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# ntile_bins — equi-depth histogram per event type
+# --------------------------------------------------------------------------
+
+def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles of ``value`` per event type: ntile(4) over the
+    total order (value, event_id) — the tiebreak makes bin assignment
+    deterministic and identical across engines (both implement SQL ntile's
+    floor/remainder split). Per-bin stats are exact except the mean, which
+    is rounded to 6 dp to absorb summation-order jitter."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("bin", F.ntile(4).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+    )
+
+
+SQL_NTILE_BINS = """
+SELECT event_type, bin, count(*) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi,
+       round(avg(value), 6) AS mean_value
+FROM (
+  SELECT event_type, value,
+         CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+              AS INT) AS bin
+  FROM events
+)
+GROUP BY event_type, bin
+"""
+
+
+# --------------------------------------------------------------------------
+# pmi_collocations — pointwise mutual information of adjacent pairs
+# --------------------------------------------------------------------------
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI over adjacent token pairs:
+    pmi(x,y) = ln( (n_xy / N_bi) / ((n_x / N_uni) * (n_y / N_uni)) )
+    with a min-count floor of 3 to suppress noise. All counts are exact
+    integers; the division/log chain is written with the same operation
+    order in both engines and rounded to 6 dp, and the final ordering
+    keys on the ROUNDED pmi (then pair) so near-equal doubles cannot
+    reorder across engines. Unigram counts join onto the pair counts by
+    token key (two hash joins); the two scalar totals ride as broadcast
+    one-row frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_expr(F.col("text")).alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    n_uni = uni.agg(F.sum("nw").alias("n_uni"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nxy"))
+    n_bi = big.agg(F.sum("nxy").alias("n_bi"))
+    joined = (
+        big.filter(F.col("nxy") >= 3)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("nw", "n1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("nw", "n2"), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("nxy").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("n1").cast("double") / F.col("n_uni"))
+                * (F.col("n2").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            F.concat_ws(" ", "w1", "w2").alias("pair"),
+            F.col("nxy").alias("n"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT {_DUCK_TOKS4} AS tk FROM documents
+), uni AS (
+  SELECT unnest(tk) AS w FROM toks
+), ucnt AS (
+  SELECT w, count(*) AS nw FROM uni GROUP BY w
+), totals_u AS (SELECT sum(nw) AS n_uni FROM ucnt),
+pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+                i -> [tk[i], tk[i + 1]])) AS p
+  FROM toks
+), bcnt AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS nxy FROM pairs GROUP BY 1, 2
+), totals_b AS (SELECT sum(nxy) AS n_bi FROM bcnt)
+SELECT b.w1 || ' ' || b.w2 AS pair, b.nxy AS n,
+       round(ln((CAST(b.nxy AS DOUBLE) / tb.n_bi)
+                / ((CAST(u1.nw AS DOUBLE) / tu.n_uni)
+                   * (CAST(u2.nw AS DOUBLE) / tu.n_uni))), 6) AS pmi
+FROM bcnt b
+JOIN ucnt u1 ON b.w1 = u1.w
+JOIN ucnt u2 ON b.w2 = u2.w
+CROSS JOIN totals_b tb CROSS JOIN totals_u tu
+WHERE b.nxy >= 3
+ORDER BY pmi DESC, pair
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# bigram_logprob — per-document fluency under a corpus bigram LM
+# --------------------------------------------------------------------------
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-one-smoothed bigram log-likelihood per document:
+    logp(w2 | w1) = ln((c(w1,w2) + 1) / (c(w1) + V)), averaged over the
+    document's bigrams. c(.) are corpus-wide exact integer counts and V
+    is the vocabulary size, so the only FP is the per-bigram ln and the
+    final mean (rounded to 6 dp — the ~150-term sum's order jitter is
+    ~1e-13). Per-doc bigrams join the LM tables on (w1,w2) and w1 — the
+    same two hash joins a 100 TB scoring pass would run; V and nothing
+    else is broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tk"))
+    doc_bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    big = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        doc_bi.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS4} AS tk FROM documents
+), doc_bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk), 1)),
+                i -> [tk[i], tk[i + 1]])) AS p
+  FROM toks
+), db AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM doc_bi
+), bcnt AS (
+  SELECT w1, w2, count(*) AS c2 FROM db GROUP BY 1, 2
+), ucnt AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+), vocab AS (SELECT count(*) AS v FROM ucnt)
+SELECT d.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(CAST(b.c2 + 1 AS DOUBLE) / (u.c1 + vocab.v))), 6)
+         AS avg_logprob
+FROM db d
+JOIN bcnt b ON d.w1 = b.w1 AND d.w2 = b.w2
+JOIN ucnt u ON d.w1 = u.w
+CROSS JOIN vocab
+GROUP BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_containment — asymmetric shingle containment
+# --------------------------------------------------------------------------
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: for document pairs sharing at
+    least one distinct 3-word shingle, containment(a ⊆ b) =
+    |shingles(a) ∩ shingles(b)| / |shingles(a)|, keeping pairs >= 0.8 —
+    the asymmetric measure that flags a document quoting or embedding
+    another even when symmetric Jaccard is low. Candidates come from an
+    inverted-index join on the shingle key (posting lists capped at
+    df <= 1000 as the boilerplate-shingle skew guard), so pair formation
+    is bounded by posting-list width, never all-pairs. Counts are exact
+    integers; the one division is rounded to 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles_expr(F.col("text"), 3)).alias("g")
+    ).dropDuplicates(["doc_id", "g"]).persist()
+    # persist barrier: the distinct shingle table feeds the df cap, both
+    # join sides, AND the size table — without it the tokenize+explode
+    # re-runs four times (the "build the inverted index once" rule)
+    df_cap = (
+        sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 1000)
+    )
+    sh = sh.join(df_cap.select("g"), "g")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "g")
+    b = sh.select(F.col("doc_id").alias("db"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "da"), "da")
+        .select(
+            "da",
+            "db",
+            "shared",
+            F.round(F.col("shared") / F.col("sz"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS4} AS tk FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                END) AS g
+  FROM toks
+), capped AS (
+  SELECT g FROM (SELECT g, count(*) AS df FROM grams GROUP BY g)
+  WHERE df <= 1000
+), sh AS (
+  SELECT grams.doc_id, grams.g FROM grams JOIN capped USING (g)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.da, s.db, s.shared, round(s.shared / z.sz, 6) AS containment
+FROM shared s JOIN sizes z ON s.da = z.doc_id
+WHERE round(s.shared / z.sz, 6) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# chi2_source_lang — categorical association / mixture drift
+# --------------------------------------------------------------------------
+
+def q_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared statistic per source against the corpus-wide language
+    distribution: over the full (source x lang) grid (zero-count cells
+    included — they still contribute E to the statistic),
+    chi2 = sum((O - E)^2 / E) with E = src_total * lang_total / N.
+    Margins and the grid are tiny aggregates of one corpus scan —
+    broadcast joins all the way; counts are exact and the statistic is
+    rounded to 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    src_tot = cells.groupBy("source").agg(F.sum("o").alias("st"))
+    lang_tot = cells.groupBy("lang").agg(F.sum("o").alias("lt"))
+    n = cells.agg(F.sum("o").alias("nn"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(lang_tot))
+        .join(cells, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .withColumn("e", F.col("st").cast("double") * F.col("lt") / F.col("nn"))
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("st").alias("n_docs"),
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                6,
+            ).alias("chi2"),
+            (F.count(F.lit(1)) - 1).alias("dof"),
+        )
+    )
+
+
+SQL_CHI2_SOURCE_LANG = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+), st AS (SELECT source, sum(o) AS st FROM cells GROUP BY 1),
+lt AS (SELECT lang, sum(o) AS lt FROM cells GROUP BY 1),
+n AS (SELECT sum(o) AS nn FROM cells),
+grid AS (
+  SELECT st.source, lt.lang, st.st, lt.lt,
+         coalesce(c.o, 0) AS o,
+         CAST(st.st AS DOUBLE) * lt.lt / n.nn AS e
+  FROM st CROSS JOIN lt
+  LEFT JOIN cells c ON c.source = st.source AND c.lang = lt.lang
+  CROSS JOIN n
+)
+SELECT source, CAST(max(st) AS BIGINT) AS n_docs,
+       round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       count(*) - 1 AS dof
+FROM grid
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# copurchase_pairs — item-item co-occurrence graph projection
+# --------------------------------------------------------------------------
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by number of orders containing both: distinct
+    (order, part) pairs self-joined on the order key with p1 < p2, then a
+    map-side-combinable pair count and a TakeOrdered top-20. Fan-out per
+    order is C(width, 2) with width <= 7 in this schema, so the join
+    stays linear in lineitem count; at 100 TB the order-keyed shuffle is
+    the only data movement."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("p1"), F.asc("p2"))
+        .limit(20)
+    )
+
+
+SQL_COPURCHASE_PAIRS = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, p1, p2
+LIMIT 20
+"""
+
+
+EXT4_QUERIES = {
+    "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
+    "session_paths": (q_session_paths, SQL_SESSION_PATHS),
+    "ntile_bins": (q_ntile_bins, SQL_NTILE_BINS),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "chi2_source_lang": (q_chi2_source_lang, SQL_CHI2_SOURCE_LANG),
+    "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE_PAIRS),
+}

@@ -422,3 +422,55 @@ def test_pair_join_norms_hoisted_below_join(spark, sf_dir):
             s = ln.strip()
             if s.startswith("Condition") or s.startswith("Join condition"):
                 assert "SQRT" not in s, (name, s[:160])
+
+
+def test_markov_transitions_user_keyed_window(spark, sf_dir):
+    """The lag() window must be partitioned by user_id; the transition
+    count must partial-aggregate map-side; the prob denominator comes
+    from a window over the tiny counted frame, not a second events
+    scan."""
+    fn, _ = QUERIES["markov_transitions"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "partial_count" in plan
+    # formatted explain prints each node twice (tree + detail): one scan = 2
+    assert plan.count("Scan parquet") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_and_bigram_lm_partial_agg_no_python(spark, sf_dir):
+    """The pair/unigram counts behind the LM statistics must partial-
+    aggregate map-side (the shuffle carries partial counts, not tokens)
+    and stay expression-only."""
+    for name in ("pmi_collocations", "bigram_logprob"):
+        fn, _ = QUERIES[name]
+        plan = _plan(fn(spark, sf_dir))
+        assert "partial_count" in plan, name
+        assert "Generate" in plan, name  # the explode
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_containment_inverted_index_join_keyed(spark, sf_dir):
+    """Candidate pairs must form via the shingle-keyed inverted-index
+    join — a nested-loop or cartesian plan would be the all-pairs
+    comparison the posting-list join exists to avoid. The persisted
+    shingle table must appear (the build-the-index-once barrier)."""
+    fn, _ = QUERIES["dedup_containment"]
+    df = fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    df.sparkSession.catalog.clearCache()
+
+
+def test_copurchase_join_keyed_on_order(spark, sf_dir):
+    """The self-join must key on l_orderkey (pair fan-out bounded by
+    order width) and the pair count must partial-aggregate before the
+    final TakeOrdered."""
+    fn, _ = QUERIES["copurchase_pairs"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
