@@ -552,6 +552,247 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# pagerank_copurchase — iterative PageRank over the co-purchase graph
+# --------------------------------------------------------------------------
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled PageRank iterations (d = 0.85) over the undirected
+    part co-purchase graph: nodes are parts, edges connect parts sharing
+    an order. Each iteration is the canonical distributed step — join
+    ranks onto edges by source node, send rank/degree along each edge,
+    sum per destination — i.e. one hash join + one map-side-combinable
+    aggregation per iteration, never an adjacency matrix. Ranks are
+    rounded to 12 dp at every iteration in BOTH engines so double
+    summation-order jitter (~1e-16) can't accumulate across iterations;
+    the output is rounded to 6. Dangling nodes don't exist here (an
+    undirected edge gives both endpoints degree >= 1). Top-20 by rank
+    with node-id tiebreak."""
+    d = 0.85
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates()
+        .persist()
+    )  # symmetric by construction; persisted: reused by degree + 3 iterations
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", "deg", "n_nodes",
+        F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("rank"),
+    ).localCheckpoint()
+    # localCheckpoint per iteration cuts the plan-depth growth that makes
+    # iterative DataFrame algorithms quadratic to analyze (same pattern
+    # as operators/dedup.py label propagation)
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"),
+                             (F.col("rank") / F.col("deg")).alias("c")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            ranks.select("node", "deg", "n_nodes")
+            .join(contrib, "node", "left")
+            .select(
+                "node", "deg", "n_nodes",
+                F.round(
+                    (1.0 - d) / F.col("n_nodes")
+                    + d * F.coalesce(F.col("inbound"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+    return out
+
+
+SQL_PAGERANK_COPURCHASE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (
+  SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
+), n AS (SELECT count(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT node, deg, n.n_nodes, round(1.0 / n.n_nodes, 12) AS rank
+  FROM deg CROSS JOIN n
+),
+r1 AS (
+  SELECT r.node, r.deg, r.n_nodes,
+         round(0.15 / r.n_nodes + 0.85 * coalesce(i.inbound, 0.0), 12) AS rank
+  FROM r0 r LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / r.deg) AS inbound
+    FROM edges e JOIN r0 r ON e.src = r.node GROUP BY 1
+  ) i USING (node)
+),
+r2 AS (
+  SELECT r.node, r.deg, r.n_nodes,
+         round(0.15 / r.n_nodes + 0.85 * coalesce(i.inbound, 0.0), 12) AS rank
+  FROM r1 r LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / r.deg) AS inbound
+    FROM edges e JOIN r1 r ON e.src = r.node GROUP BY 1
+  ) i USING (node)
+),
+r3 AS (
+  SELECT r.node, r.deg, r.n_nodes,
+         round(0.15 / r.n_nodes + 0.85 * coalesce(i.inbound, 0.0), 12) AS rank
+  FROM r2 r LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / r.deg) AS inbound
+    FROM edges e JOIN r2 r ON e.src = r.node GROUP BY 1
+  ) i USING (node)
+)
+SELECT node, round(rank, 6) AS rank
+FROM r3
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# triangle_count — graph-motif census on the co-purchase graph
+# --------------------------------------------------------------------------
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the part co-purchase graph using the oriented
+    (p1 < p2) edge list: join edges (a,b)+(b,c) then verify (a,c) — the
+    standard two-hash-join triangle enumeration that counts each
+    triangle exactly once (orientation kills the 6x symmetry). Emits one
+    row: node count, edge count, triangle count. At 100 TB orientation
+    by degree (low-degree first) bounds the skew of the wedge join; here
+    order width <= 7 already bounds it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .dropDuplicates()
+        .persist()
+    )
+    wedges = (
+        edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+        .join(
+            edges.select(F.col("p1").alias("b"), F.col("p2").alias("c")),
+            "b",
+        )
+    )
+    tri = wedges.join(
+        edges.select(F.col("p1").alias("a"), F.col("p2").alias("c")),
+        ["a", "c"],
+    )
+    n_nodes = edges.select(F.col("p1").alias("p")).union(
+        edges.select(F.col("p2").alias("p"))
+    ).distinct().count()
+    n_edges = edges.count()
+    n_tri = tri.count()
+    edges.unpersist()
+    return spark.createDataFrame(
+        [(int(n_nodes), int(n_edges), int(n_tri))],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint",
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), nodes AS (
+  SELECT p1 AS p FROM edges UNION SELECT p2 FROM edges
+), tri AS (
+  SELECT count(*) AS n_tri
+  FROM edges e1
+  JOIN edges e2 ON e1.p2 = e2.p1
+  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT n_tri FROM tri) AS n_triangles
+"""
+
+
+# --------------------------------------------------------------------------
+# gopher_quality_flags — named quality-rule audit table
+# --------------------------------------------------------------------------
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document named quality-rule flags in the style of the Gopher
+    rules (Rae et al. '21): word-count bounds, mean-word-length bounds,
+    and a minimum stopword count, plus the conjunction keep flag. Unlike
+    ``corpus_clean`` (which APPLIES a filter chain and reports survivor
+    stats), this emits the audit table — every doc with every rule's
+    verdict — the shape used to tune thresholds before committing a
+    filter. Single scan, pure expressions, exact integer/ratio rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    stop = F.array([F.lit(w) for w in ["the", "a", "and", "of", "to", "in"]])
+    n_words = F.size(tk)
+    mean_wl = F.round(
+        F.aggregate(tk, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        .cast("double") / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    n_stop = F.size(F.filter(tk, lambda w: F.array_contains(stop, w)))
+    flags = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+    ).select(
+        "doc_id", "n_words", "mean_word_len", "n_stopwords",
+        ((F.col("n_words") >= 10) & (F.col("n_words") <= 100000)).alias("ok_word_count"),
+        ((F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 10.0)).alias("ok_word_len"),
+        (F.col("n_stopwords") >= 2).alias("ok_stopwords"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("ok_word_count") & F.col("ok_word_len") & F.col("ok_stopwords"),
+    )
+
+
+SQL_GOPHER_QUALITY_FLAGS = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         round(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+               / greatest(len(tk), 1), 6) AS mean_word_len,
+         len(list_filter(tk, w -> list_contains(
+             ['the', 'a', 'and', 'of', 'to', 'in'], w))) AS n_stopwords
+  FROM (SELECT doc_id, {_DUCK_TOKS4} AS tk FROM documents)
+)
+SELECT doc_id, n_words, mean_word_len, n_stopwords,
+       n_words >= 10 AND n_words <= 100000 AS ok_word_count,
+       mean_word_len >= 2.0 AND mean_word_len <= 10.0 AS ok_word_len,
+       n_stopwords >= 2 AS ok_stopwords,
+       (n_words >= 10 AND n_words <= 100000)
+         AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+         AND n_stopwords >= 2 AS keep
+FROM feat
+"""
+
+
 EXT4_QUERIES = {
     "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
     "session_paths": (q_session_paths, SQL_SESSION_PATHS),
@@ -561,4 +802,7 @@ EXT4_QUERIES = {
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "chi2_source_lang": (q_chi2_source_lang, SQL_CHI2_SOURCE_LANG),
     "copurchase_pairs": (q_copurchase_pairs, SQL_COPURCHASE_PAIRS),
+    "pagerank_copurchase": (q_pagerank_copurchase, SQL_PAGERANK_COPURCHASE),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "gopher_quality_flags": (q_gopher_quality_flags, SQL_GOPHER_QUALITY_FLAGS),
 }
