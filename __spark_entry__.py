@@ -23,13 +23,18 @@ from amazon_macie_activity_generator_spark.queries import QUERIES  # noqa: E402
 #
 # The correctness harness checks the first ~50 entries of queries() in
 # insertion order each round; the catalog is larger than the window, so
-# the order is ranked by how badly each entry needs a driver row:
+# the order is ranked by how badly each entry needs a driver row.  All
+# CORRECTNESS_r*.json artifacts are globbed; each entry's evidence is the
+# row from the highest round in which it appears:
 #
-#   0. failed in the latest round's artifact (a fix needs a green row)
-#   1. never driver-checked in any round (includes newly added entries)
-#   2. checked only in rounds before the latest (stale evidence — the
-#      testdata changed between r2 and r3)
-#   3. passed in the latest round (freshest evidence, safe to rotate out)
+#   0. latest evidence is a genuine failure (a fix needs a green row)
+#   1. never driver-checked in any round, OR latest evidence is a
+#      `no_oracle` row but the entry now carries an oracle (the oracle
+#      was added/upgraded after that check — it has never been
+#      hash-verified)
+#   2. latest evidence predates the newest round (stale — the testdata
+#      can change between rounds)
+#   3. checked in the newest round and passed (safe to rotate out)
 #
 # Within a rank, oracle-backed entries go before rows-only ones (hash
 # match is the strong signal), preserving catalog insertion order.
@@ -37,36 +42,60 @@ from amazon_macie_activity_generator_spark.queries import QUERIES  # noqa: E402
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _load_correctness(fname: str) -> dict:
-    try:
-        import json
+def _correctness_rounds() -> list[tuple[int, dict]]:
+    """All (round_number, artifact) pairs on disk, ascending by round."""
+    import glob
+    import json
+    import re
 
-        with open(os.path.join(_HERE, fname)) as f:
-            return json.load(f)
-    except Exception:
-        return {}
+    rounds: list[tuple[int, dict]] = []
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rounds.append((int(m.group(1)), json.load(f)))
+        except Exception:
+            continue
+    return sorted(rounds)
 
 
 def _rotation_order() -> list[str]:
-    latest = _load_correctness("CORRECTNESS_r02.json")
-    earlier: set[str] = set(_load_correctness("CORRECTNESS_r01.json"))
+    rounds = _correctness_rounds()
+    max_round = rounds[-1][0] if rounds else 0
+    # Per-entry latest evidence: the row from the highest round naming it.
+    latest_row: dict[str, tuple[int, dict]] = {}
+    for rno, artifact in rounds:  # ascending — later rounds overwrite
+        for name, row in artifact.items():
+            latest_row[name] = (rno, row or {})
 
-    def rank(name: str) -> tuple[int, int]:
-        if name in latest:
-            row = latest[name] or {}
-            failed = bool(row.get("err")) or any(
-                row.get(k) is False
-                for k in ("rows_match", "schema_match", "hash_match")
-            )
-            r = 0 if failed else 3
-        elif name in earlier:
-            r = 2
-        else:
-            r = 1
-        return (r, 0 if QUERIES[name][1] is not None else 1)
+    def rank(name: str) -> int:
+        if name not in latest_row:
+            return 1  # never checked
+        rno, row = latest_row[name]
+        no_oracle = row.get("err") == "no_oracle"
+        failed = (bool(row.get("err")) and not no_oracle) or any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+        if failed:
+            return 0
+        if no_oracle and QUERIES[name][1] is not None:
+            return 1  # oracle added after the last check — never hash-verified
+        if rno < max_round:
+            return 2
+        return 3
 
     names = list(QUERIES)
-    return sorted(names, key=lambda n: (rank(n), names.index(n)))
+    return sorted(
+        names,
+        key=lambda n: (
+            rank(n),
+            0 if QUERIES[n][1] is not None else 1,
+            names.index(n),
+        ),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
