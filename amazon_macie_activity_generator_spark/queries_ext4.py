@@ -387,42 +387,73 @@ GROUP BY d.doc_id
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup detection: for document pairs sharing at
-    least one distinct 3-word shingle, containment(a ⊆ b) =
-    |shingles(a) ∩ shingles(b)| / |shingles(a)|, keeping pairs >= 0.8 —
-    the asymmetric measure that flags a document quoting or embedding
-    another even when symmetric Jaccard is low. Candidates come from an
-    inverted-index join on the shingle key (posting lists capped at
-    df <= 1000 as the boilerplate-shingle skew guard), so pair formation
-    is bounded by posting-list width, never all-pairs. Counts are exact
-    integers; the one division is rounded to 6 dp."""
+    least one distinct 3-word shingle, containment =
+    max(|A ∩ B| / |A|, |A ∩ B| / |B|), keeping pairs >= 0.8 — the
+    SYMMETRIZED asymmetric measure, so a subset document is caught
+    regardless of which side carries the smaller doc_id (one-directional
+    shared/|A| with A = lower id misses a contained doc whose id is the
+    larger of the pair). Candidates come from an inverted-index join on
+    the shingle key, posting lists capped at df <= 1000 (boilerplate-
+    shingle guard); grams with df > 64 additionally go through a
+    two-sided SALTED pair join — each posting list is split into S=8
+    hash buckets and pairs form per (g, salt_a, salt_b) cell, so the
+    worst task builds (1000/8)^2 ≈ 16k pairs instead of ~500k from one
+    1000-df shingle. Pair set identical to the unsalted join; counts are
+    exact integers; the divisions are rounded to 6 dp."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    grams = docs.select(
         "doc_id", F.explode(word_shingles_expr(F.col("text"), 3)).alias("g")
-    ).dropDuplicates(["doc_id", "g"]).persist()
-    # persist barrier: the distinct shingle table feeds the df cap, both
-    # join sides, AND the size table — without it the tokenize+explode
-    # re-runs four times (the "build the inverted index once" rule)
-    df_cap = (
-        sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 1000)
-    )
-    sh = sh.join(df_cap.select("g"), "g")
+    ).dropDuplicates(["doc_id", "g"])
+    df_tbl = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # persist barrier: the capped, df-tagged shingle table feeds the size
+    # table and all four pair-join sides — without it the
+    # tokenize+explode re-runs each time (the "build the index once" rule)
+    sh = grams.join(df_tbl.filter(F.col("df") <= 1000), "g").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("da"), "g")
-    b = sh.select(F.col("doc_id").alias("db"), "g")
-    shared = (
-        a.join(b, "g")
+    heavy_df, n_salt = 64, 8
+    light = sh.filter(F.col("df") <= heavy_df)
+    heavy = sh.filter(F.col("df") > heavy_df)
+    light_pairs = (
+        light.select(F.col("doc_id").alias("da"), "g")
+        .join(light.select(F.col("doc_id").alias("db"), "g"), "g")
         .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+    )
+
+    def _salt(c):
+        return F.pmod(F.xxhash64(c, F.lit("containment-salt")), F.lit(n_salt)).cast("int")
+
+    fan = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ha = (
+        heavy.select(F.col("doc_id").alias("da"), "g")
+        .withColumn("sa", _salt(F.col("da")))
+        .withColumn("sb", fan)
+    )
+    hb = (
+        heavy.select(F.col("doc_id").alias("db"), "g")
+        .withColumn("sb", _salt(F.col("db")))
+        .withColumn("sa", fan)
+    )
+    heavy_pairs = (
+        ha.join(hb, ["g", "sa", "sb"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+    )
+    shared = (
+        light_pairs.unionAll(heavy_pairs)
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    containment = F.round(
+        F.greatest(
+            F.col("shared") / F.col("sz_a"), F.col("shared") / F.col("sz_b")
+        ),
+        6,
+    )
     return (
-        shared.join(sizes.withColumnRenamed("doc_id", "da"), "da")
-        .select(
-            "da",
-            "db",
-            "shared",
-            F.round(F.col("shared") / F.col("sz"), 6).alias("containment"),
-        )
+        shared.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sz_a")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sz_b")), "db")
+        .select("da", "db", "shared", containment.alias("containment"))
         .filter(F.col("containment") >= 0.8)
     )
 
@@ -449,9 +480,12 @@ WITH toks AS (
   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT s.da, s.db, s.shared, round(s.shared / z.sz, 6) AS containment
-FROM shared s JOIN sizes z ON s.da = z.doc_id
-WHERE round(s.shared / z.sz, 6) >= 0.8
+SELECT s.da, s.db, s.shared,
+       round(greatest(s.shared / za.sz, s.shared / zb.sz), 6) AS containment
+FROM shared s
+JOIN sizes za ON s.da = za.doc_id
+JOIN sizes zb ON s.db = zb.doc_id
+WHERE round(greatest(s.shared / za.sz, s.shared / zb.sz), 6) >= 0.8
 """
 
 
@@ -671,63 +705,82 @@ LIMIT 20
 # --------------------------------------------------------------------------
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census over the part co-purchase graph using the oriented
-    (p1 < p2) edge list: join edges (a,b)+(b,c) then verify (a,c) — the
-    standard two-hash-join triangle enumeration that counts each
-    triangle exactly once (orientation kills the 6x symmetry). Emits one
-    row: node count, edge count, triangle count. At 100 TB orientation
-    by degree (low-degree first) bounds the skew of the wedge join; here
-    order width <= 7 already bounds it."""
+    """Triangle census over the part co-purchase graph with DEGREE-ORIENTED
+    edges: each undirected edge points from its lower-degree endpoint to
+    the higher-degree one (id tiebreak), then join edges (a,b)+(b,c) and
+    verify (a,c) — the standard O(m^1.5) construction (node-iterator++ /
+    Cohen's MapReduce form). Orientation counts each triangle exactly
+    once; degree orientation bounds every node's out-degree by O(sqrt(m)),
+    so a power-law hub of degree d no longer yields O(d^2) wedges — the
+    property id-orientation lacks. Fully lazy: the three census counts
+    are single-row aggregates combined with broadcast cross-joins, so
+    building the DataFrame costs nothing (plan inspection / bench setup
+    stay cheap) and the triangle total is orientation-invariant, matching
+    the DuckDB oracle's mirrored orientation."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").dropDuplicates()
     a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    edges = (
+    und = (
         a.join(b, "l_orderkey")
         .filter(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
         .dropDuplicates()
-        .persist()
     )
-    wedges = (
-        edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-        .join(
-            edges.select(F.col("p1").alias("b"), F.col("p2").alias("c")),
-            "b",
+    deg = (
+        und.select(F.col("p1").alias("p"))
+        .unionAll(und.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient low-degree -> high-degree; p1 < p2 already, so the id
+    # tiebreak is "p1 first when degrees are equal".
+    lo_first = F.col("d1") <= F.col("d2")
+    edges = (
+        und.join(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1")), "p1")
+        .join(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2")), "p2")
+        .select(
+            F.when(lo_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(lo_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         )
+        .persist()  # barrier: the edge list feeds three joins + a count
+    )
+    wedges = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).join(
+        edges.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b"
     )
     tri = wedges.join(
-        edges.select(F.col("p1").alias("a"), F.col("p2").alias("c")),
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
         ["a", "c"],
     )
-    n_nodes = edges.select(F.col("p1").alias("p")).union(
-        edges.select(F.col("p2").alias("p"))
-    ).distinct().count()
-    n_edges = edges.count()
-    n_tri = tri.count()
-    edges.unpersist()
-    return spark.createDataFrame(
-        [(int(n_nodes), int(n_edges), int(n_tri))],
-        "n_nodes bigint, n_edges bigint, n_triangles bigint",
-    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
 
 
 SQL_TRIANGLE_COUNT = """
 WITH op AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+), und AS (
   SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
   FROM op a JOIN op b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-), nodes AS (
-  SELECT p1 AS p FROM edges UNION SELECT p2 FROM edges
+), deg AS (
+  SELECT p, count(*) AS d FROM (
+    SELECT p1 AS p FROM und UNION ALL SELECT p2 FROM und
+  ) GROUP BY 1
+), edges AS (
+  -- degree orientation, id tiebreak (p1 < p2 already)
+  SELECT CASE WHEN d1.d <= d2.d THEN u.p1 ELSE u.p2 END AS src,
+         CASE WHEN d1.d <= d2.d THEN u.p2 ELSE u.p1 END AS dst
+  FROM und u JOIN deg d1 ON u.p1 = d1.p JOIN deg d2 ON u.p2 = d2.p
 ), tri AS (
   SELECT count(*) AS n_tri
   FROM edges e1
-  JOIN edges e2 ON e1.p2 = e2.p1
-  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+  JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
 )
-SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
        (SELECT count(*) FROM edges) AS n_edges,
        (SELECT n_tri FROM tri) AS n_triangles
 """
@@ -744,7 +797,13 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``corpus_clean`` (which APPLIES a filter chain and reports survivor
     stats), this emits the audit table — every doc with every rule's
     verdict — the shape used to tune thresholds before committing a
-    filter. Single scan, pure expressions, exact integer/ratio rules."""
+    filter. Single scan, pure expressions, exact integer/ratio rules.
+
+    Boundary rule (deliberate, mirrored in the oracle): ``ok_word_len``
+    compares the 6-dp ROUNDED ``mean_word_len`` against the 2.0/10.0
+    bounds — a doc at 1.9999996 rounds to 2.0 and passes in BOTH
+    engines; zero-token docs get mean_word_len = 0.0 (Spark's aggregate
+    seed; the oracle coalesces DuckDB's NULL list_sum([]) to 0)."""
     docs = load_table(spark, sf_dir, "documents")
     tk = tokens_expr(F.col("text"))
     stop = F.array([F.lit(w) for w in ["the", "a", "and", "of", "to", "in"]])
@@ -776,7 +835,8 @@ SQL_GOPHER_QUALITY_FLAGS = f"""
 WITH feat AS (
   SELECT doc_id,
          len(tk) AS n_words,
-         round(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+         round(CAST(coalesce(list_sum(list_transform(tk, w -> length(w))), 0)
+                    AS DOUBLE)
                / greatest(len(tk), 1), 6) AS mean_word_len,
          len(list_filter(tk, w -> list_contains(
              ['the', 'a', 'and', 'of', 'to', 'in'], w))) AS n_stopwords

@@ -104,3 +104,35 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
         fn(spark, empty_sf_dir).write.format("noop").mode("overwrite").save()
     finally:
         spark.catalog.clearCache()
+
+
+def test_gopher_flags_zero_token_doc_engines_agree(spark, tmp_path):
+    """A whitespace-only document yields zero tokens: Spark's aggregate
+    seed gives mean_word_len 0.0; DuckDB's list_sum([]) is NULL and the
+    oracle must coalesce it to 0 so the two engines agree (the ADVICE
+    divergence — current testdata has no such doc, so pin it here)."""
+    import duckdb
+    import pandas as pd
+
+    from amazon_macie_activity_generator_spark.queries import QUERIES
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["   \t  \n ", "the quick brown fox and the lazy dog of in to"],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [8, 46],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    fn, sql = QUERIES["gopher_quality_flags"]
+    spdf = fn(spark, str(tmp_path)).toPandas().sort_values("doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    ddf = con.sql(sql).df().sort_values("doc_id", ignore_index=True)
+    zero = spdf[spdf.doc_id == 1].iloc[0]
+    assert zero.n_words == 0 and zero.mean_word_len == 0.0 and not zero.keep
+    pd.testing.assert_frame_equal(
+        spdf[sorted(spdf.columns)], ddf[sorted(ddf.columns)], check_dtype=False
+    )

@@ -140,3 +140,29 @@ def test_event_funnel_monotone(spark, sf_dir):
     r = q_event_funnel(spark, sf_dir).first()
     assert r.n_users >= r.viewed >= r.clicked_after_view >= r.purchased_after_click
     assert r.purchased_after_click >= 0
+
+
+def test_containment_catches_subset_with_larger_id(spark, tmp_path):
+    """The ADVICE-flagged gap: a subset document whose doc_id is the
+    LARGER of the pair must still be flagged. Doc 1 is a long base text;
+    doc 9 is a strict prefix (every one of its shingles is contained in
+    doc 1), so shared/|doc9| = 1.0 even though shared/|doc1| is small —
+    only the symmetrized greatest() form keeps the pair."""
+    import pandas as pd
+
+    base = " ".join(f"word{i} filler{i} token{i}" for i in range(40))
+    subset = " ".join(base.split()[:15])  # strict prefix, far under 0.8 of base
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 9],
+            "text": [base, subset],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [len(base), len(subset)],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    fn, _ = QUERIES["dedup_containment"]
+    rows = {(r.da, r.db): r for r in fn(spark, str(tmp_path)).collect()}
+    assert (1, 9) in rows
+    assert rows[(1, 9)].containment == 1.0

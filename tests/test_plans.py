@@ -454,13 +454,19 @@ def test_containment_inverted_index_join_keyed(spark, sf_dir):
     """Candidate pairs must form via the shingle-keyed inverted-index
     join — a nested-loop or cartesian plan would be the all-pairs
     comparison the posting-list join exists to avoid. The persisted
-    shingle table must appear (the build-the-index-once barrier)."""
+    shingle table must appear (the build-the-index-once barrier), and
+    the heavy-gram path must join on the SALTED key (g, sa, sb) — the
+    xxhash64-pmod salt reaching a join keyed on three columns — so one
+    hot shingle's pairs spread across S^2 shuffle cells."""
     fn, _ = QUERIES["dedup_containment"]
     df = fn(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "pmod" in analyzed and "xxhash64" in analyzed
+    assert "sa" in analyzed and "sb" in analyzed
     df.sparkSession.catalog.clearCache()
 
 
@@ -474,3 +480,28 @@ def test_copurchase_join_keyed_on_order(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_count_degree_oriented_and_lazy(spark, sf_dir):
+    """The wedge join must consume the DEGREE-oriented edge list: the
+    degree aggregate (count per endpoint) has to appear upstream of the
+    persisted edges that feed the wedge/closure joins, and building the
+    DataFrame must stay lazy (no eager .count() at construction — the
+    census is a broadcast cross-join of single-row aggregates). All
+    joins keyed, never cartesian on the big side."""
+    fn, _ = QUERIES["triangle_count"]
+    df = fn(spark, sf_dir)
+    plan = _plan(df)
+    # lazy census: one row out of three combined single-row aggregates
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    # degree orientation: the oriented edge list is cached; its build
+    # plan carries the per-endpoint count aggregate and the CASE pick
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "CASE WHEN (d1 <= d2)" in analyzed or "CASE WHEN (d1#" in analyzed
+    assert df.schema.simpleString() == (
+        "struct<n_nodes:bigint,n_edges:bigint,n_triangles:bigint>"
+    )
+    row = df.collect()[0]
+    assert row.n_nodes > 0 and row.n_edges > 0 and row.n_triangles >= 0
+    df.sparkSession.catalog.clearCache()
