@@ -31,6 +31,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    # The NTZ->TIMESTAMP cast below is only value-identity under UTC; if
+    # the set failed (frozen conf), a silent cast would shift every
+    # timestamp by the session's local offset — fail loud instead.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        raise RuntimeError(
+            "load_table requires spark.sql.session.timeZone=UTC (the "
+            "NTZ->TIMESTAMP normalization is only value-preserving under "
+            "UTC), but the session refused the setting"
+        )
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         try:
