@@ -716,7 +716,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single-row aggregates combined with broadcast cross-joins, so
     building the DataFrame costs nothing (plan inspection / bench setup
     stay cheap) and the triangle total is orientation-invariant, matching
-    the DuckDB oracle's mirrored orientation."""
+    the DuckDB oracle's mirrored orientation.
+
+    Bench note: rounds <= 3 ran the census EAGERLY at build time, so
+    BENCH_r03's 3.04 s for this entry measured only a 1-row
+    createDataFrame — the real cost (~13 s at sf0.1) hid in the
+    unbenched build phase. The lazy form surfaces the full cost in the
+    bench timer; the adjacency-intersection closure is what brought the
+    honest number down from ~19 s (wedge-shuffle form)."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").dropDuplicates()
     a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
@@ -726,6 +733,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
         .dropDuplicates()
+        .persist()  # barrier: the order-keyed self-join is the expensive
+        # stage and feeds BOTH the degree aggregate and the orientation
+        # join — uncached it runs twice more
     )
     deg = (
         und.select(F.col("p1").alias("p"))
@@ -745,16 +755,24 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # barrier: the edge list feeds three joins + a count
     )
-    wedges = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).join(
-        edges.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b"
-    )
-    tri = wedges.join(
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-        ["a", "c"],
+    # Edge-iterator with sorted adjacency intersection: triangle x≺y≺z is
+    # counted once at its lowest edge (x,y) as |out(x) ∩ out(y)|. This
+    # never materializes the wedge set (49M rows at sf0.1) through a
+    # shuffle — each edge row carries two adjacency arrays whose length
+    # degree orientation caps at O(sqrt(m)), and the intersect is one
+    # JVM-side expression over sorted arrays.
+    adj = edges.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    tri_cnt = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")), "u")
+        .join(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("t"))
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_tri = tri_cnt.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
+    )
     return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
 
 
