@@ -620,10 +620,17 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", "deg", "n_nodes",
         F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("rank"),
-    ).localCheckpoint()
-    # localCheckpoint per iteration cuts the plan-depth growth that makes
-    # iterative DataFrame algorithms quadratic to analyze (same pattern
-    # as operators/dedup.py label propagation)
+    ).persist()
+    # Lazy persist per iteration: each rank table is read twice by the
+    # next iteration (contribution join + rank update), so the cache
+    # bounds recompute, and with a FIXED iteration count the 3-deep
+    # lineage is cheap to analyze — no localCheckpoint needed. Unlike
+    # (local)checkpoint, persist keeps the build phase action-free:
+    # under AQE even localCheckpoint(eager=False) materializes every
+    # prior stage when the next checkpoint is created, which ran the
+    # whole PageRank at DataFrame-build time, outside the bench timer.
+    # Data-dependent convergence loops (operators/dedup.py label
+    # propagation) still need the checkpoint form.
     for _ in range(3):
         contrib = (
             edges.join(
@@ -645,7 +652,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     12,
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .persist()
         )
     out = (
         ranks.select("node", F.round("rank", 6).alias("rank"))
