@@ -160,7 +160,13 @@ def dedup_minhash_candidates(
         word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
         minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
     ).persist()
-    base.count()  # eager: both banded join sides must hit the cache, not race it
+    # Lazy persist: the InMemoryRelation is a plan barrier whether or not
+    # it is materialized, so CollapseProject still can't inline the
+    # signature into the join sides, and BlockManager's per-partition
+    # locking keeps concurrent branches from double-computing a cached
+    # partition. Keeping the build action-free means the bench timer sees
+    # the real cost (an eager count() here hid ~3 s at sf0.1 in the
+    # unbenched build phase).
 
     # narrow banded table: (id, band, bh) — nothing fat crosses the shuffle
     banded = base.select(
@@ -235,16 +241,17 @@ def _md5_base_and_bands(
     shingle_k: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared md5-LSH front end: (persisted base with shingles + signature,
-    exploded band-bucket table). The base persists EAGERLY — every caller
-    reads it from at least two branches (banded join + shingle verify),
-    and a lazy persist lets the branches race to populate it."""
+    exploded band-bucket table). The lazy persist is the plan barrier —
+    every caller reads the base from at least two branches (banded join +
+    shingle verify), and the InMemoryRelation keeps CollapseProject from
+    inlining the md5x16 signature into each; per-partition cache locking
+    keeps concurrent branches from double-computing it at runtime."""
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
         minhash_signature_md5(F.col(text_col), num_hashes, shingle_k).alias("sig"),
     ).persist()
-    base.count()
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(

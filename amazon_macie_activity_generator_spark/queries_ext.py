@@ -137,9 +137,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_ex = (
         base_ex.filter(F.col("id") % 50 == 0)
         .withColumnsRenamed({"id": "pid", "n_grams": "p_grams"})
-    ).persist()  # the probe set is ~2% of the corpus but its lineage is a FULL
-    probe_ex.count()  # scan (the % filter can't push down) — cache the small
-    # frame so building the broadcast doesn't re-read the whole corpus
+    ).persist()  # the probe set is ~2% of the corpus but its lineage is a
+    # FULL scan (the % filter can't push down); the lazy persist caches it
+    # when the broadcast job runs — an eager count() here would ADD a
+    # build-time corpus scan just to warm the cache the broadcast build
+    # populates anyway
     inter = (
         base_ex.join(F.broadcast(probe_ex), on="gram")
         .filter(F.col("pid") < F.col("id"))
@@ -255,12 +257,13 @@ SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the augmented corpus, Hamming <= 3
-    (rows-only: bit votes depend on engine hash). Signatures persist
-    EAGERLY: with a lazy persist both sides of the banded self-join race
-    to compute the signature in the same job and the cache populates too
-    late — one tiny count() action makes the join read it once."""
+    (rows-only: bit votes depend on engine hash). The lazy persist is the
+    plan barrier: the InMemoryRelation keeps the signature expression
+    from inlining into both banded self-join sides, and per-partition
+    cache locking keeps the two branches from double-computing it at
+    runtime — no eager count() needed, so the build phase stays
+    action-free and the bench timer sees the real cost."""
     sig = simhash64(_docs_aug(spark, sf_dir)).persist()
-    sig.count()
     return simhash_near_pairs(sig, max_hamming=3)
 
 

@@ -459,7 +459,8 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     ).persist()  # k rows — the "write the IVF index once" barrier: both the
-    cent1.count()  # corpus assignment and the query probes read it, not its lineage
+    # corpus assignment and the query probes read the cache, not its
+    # lineage (lazy: per-partition cache locking prevents double compute)
     corpus = assign(emb, cent1, 1)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
