@@ -8,12 +8,17 @@ are fat — ``repartition`` by id before the decode stage to spread bytes,
 and keep decode output narrow (features, not pixels) so downstream
 shuffles move features only.
 
-The actual codec step is STUBBED (no image/audio libs in this
-container): ``decode_stub=True`` derives deterministic fake
-width/height/duration from the payload bytes; ``decode_stub=False``
-raises NotImplementedError where a real pillow/ffmpeg call would go.
-The Spark-side plumbing — schema, batch iteration, UDF signatures — is
-real and tested.
+Codec status: ``decode_stub=True`` derives deterministic fake
+width/height/duration from the payload bytes. ``decode_stub=False`` does
+REAL header-level decoding with no third-party libs — image dimensions
+from BMP/PNG/GIF/PPM/JPEG headers and audio duration from a RIFF/WAVE
+chunk walk (all public file-format layouts); formats that need a full
+codec stack (compressed video, pixel access) yield NULL fields rather
+than crashing the task, matching large-pipeline robustness norms.
+Pixel-level work (``resize_images`` with ``decode_stub=False``) still
+raises NotImplementedError — that genuinely needs PIL/ffmpeg, which this
+container lacks. The Spark-side plumbing — schema, batch iteration, UDF
+signatures — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -63,16 +68,110 @@ def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
+def _parse_image_dims(b: bytes | None) -> tuple[int, int] | None:
+    """Width/height from BMP, PNG, GIF, PPM (P3/P6), or JPEG header bytes.
+    Pure-stdlib parsing of the public file-format layouts; returns None
+    for anything unrecognized or truncated."""
+    if not b or len(b) < 10:
+        return None
+    try:
+        if b[:2] == b"BM" and len(b) >= 26:  # BITMAPINFOHEADER
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            return (w, abs(h)) if w > 0 and h != 0 else None
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:  # IHDR
+            return (
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        if b[:6] in (b"GIF87a", b"GIF89a"):  # logical screen descriptor
+            return (
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+            )
+        if b[:2] in (b"P3", b"P6"):  # PPM: ASCII header, '#' comments
+            toks: list[int] = []
+            for line in b[2:64].split(b"\n"):
+                body = line.split(b"#", 1)[0]
+                toks.extend(int(t) for t in body.split() if t.isdigit())
+                if len(toks) >= 2:
+                    return (toks[0], toks[1])
+            return None
+        if b[:2] == b"\xff\xd8":  # JPEG: walk markers to a SOFn segment
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    return None
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+            return None
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
+def _parse_wav_duration_ms(b: bytes | None) -> int | None:
+    """Duration in ms from a RIFF/WAVE file via the standard chunk walk:
+    block-align and sample-rate from the fmt chunk, frame count from the
+    data chunk size. Returns None for non-WAV or malformed bytes."""
+    if not b or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    sample_rate = block_align = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            block_align = int.from_bytes(b[i + 20 : i + 22], "little")
+        elif cid == b"data":
+            data_size = min(csize, len(b) - i - 8)
+        i += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if not sample_rate or not block_align or data_size is None:
+        return None
+    return (data_size // block_align) * 1000 // sample_rate
+
+
 def _decode_batch(pdf: "pd.DataFrame", stub: bool) -> "pd.DataFrame":
     import hashlib
 
     import pandas as pd
 
     if not stub:
-        # Real implementation would dispatch on kind:
-        #   image -> PIL.Image.open(io.BytesIO(b)) -> size
-        #   audio/video -> ffprobe duration, sample frames
-        raise NotImplementedError("media codecs not available in this environment")
+        # Real header-level decode (module docstring): dims for the
+        # parseable image formats, duration for RIFF/WAVE audio; NULL
+        # fields for formats needing a full codec stack (e.g. video).
+        rows = []
+        for _, r in pdf.iterrows():
+            b = r["payload"]
+            dims = _parse_image_dims(b) if r["kind"] == "image" else None
+            dur = _parse_wav_duration_ms(b) if r["kind"] == "audio" else None
+            rows.append({
+                "media_id": r["media_id"],
+                "kind": r["kind"],
+                "n_bytes": len(b) if b is not None else 0,
+                "width": dims[0] if dims else None,
+                "height": dims[1] if dims else None,
+                "duration_ms": dur,
+                "content_hash": hashlib.sha256(b or b"").hexdigest(),
+            })
+        out = pd.DataFrame(
+            rows,
+            columns=["media_id", "kind", "n_bytes", "width", "height",
+                     "duration_ms", "content_hash"],
+        )
+        for c in ("width", "height", "duration_ms"):
+            out[c] = out[c].astype("Int64")
+        out["n_bytes"] = out["n_bytes"].astype("int64")
+        return out
 
     payloads = pdf["payload"]
     n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
@@ -94,6 +193,83 @@ def _decode_batch(pdf: "pd.DataFrame", stub: bool) -> "pd.DataFrame":
         "duration_ms": duration.where(~is_image).astype("Int64"),
         "content_hash": digest,
     })
+
+
+def _bmp_bytes(media_id: int) -> bytes:
+    """A complete, valid 24-bpp BMP whose dimensions derive from the id:
+    width = 1 + id % 64, height = 1 + id % 48 (rows padded to 4 bytes,
+    deterministic pixel fill). Used to exercise the REAL decode path on
+    genuinely well-formed bytes."""
+    w = 1 + media_id % 64
+    h = 1 + media_id % 48
+    row = (w * 3 + 3) // 4 * 4
+    img_size = row * h
+    header = (
+        b"BM"
+        + (54 + img_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + img_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + bytes((media_id + j) % 256 for j in range(img_size))
+
+
+def _wav_bytes(media_id: int) -> bytes:
+    """A complete PCM mono 16-bit 8 kHz RIFF/WAVE file with
+    n_samples = 100 + id % 400 (so duration_ms = n_samples * 1000 // 8000),
+    deterministic sample fill."""
+    n_samples = 100 + media_id % 400
+    data_size = 2 * n_samples
+    header = (
+        b"RIFF"
+        + (36 + data_size).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + (8000).to_bytes(4, "little")   # sample rate
+        + (16000).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")      # block align
+        + (16).to_bytes(2, "little")     # bits/sample
+        + b"data"
+        + data_size.to_bytes(4, "little")
+    )
+    return header + bytes((media_id + j) % 256 for j in range(data_size))
+
+
+def synthetic_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media table from an id column: even ids get a
+    valid BMP (kind=image), odd ids a valid PCM WAV (kind=audio) — both
+    fully parameterized by the id, so an oracle can predict the decoded
+    dimensions/duration arithmetically while the engine actually parses
+    the bytes. Arrow-batched mapInPandas, same fat-row discipline as the
+    other media stages."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            mids = pdf[id_col].astype("int64")
+            even = mids % 2 == 0
+            yield pd.DataFrame({
+                "media_id": mids,
+                "kind": even.map({True: "image", False: "audio"}),
+                "payload": mids.map(
+                    lambda i: _bmp_bytes(int(i)) if i % 2 == 0 else _wav_bytes(int(i))
+                ),
+                "source_uri": "synthetic://" + mids.astype(str),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:

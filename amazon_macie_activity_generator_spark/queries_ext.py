@@ -908,6 +908,44 @@ FROM h
 """
 
 
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-stub) header decode: deterministic well-formed BMP/WAV
+    payloads are generated from doc_id (operators/multimodal.py
+    synthetic_media), then decode_stub=False actually parses the bytes —
+    BMP dims from the BITMAPINFOHEADER, WAV duration from the RIFF chunk
+    walk. Because payload construction is id-parameterized, the oracle
+    predicts every decoded value arithmetically: the hash check proves
+    the parser read real bytes correctly. NULL-by-kind fields pinned to
+    -1 (same dtype-drift convention as multimodal_decode_stub)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        synthetic_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = synthetic_media(docs.select("doc_id"))
+    out = extract_media_features(media, decode_stub=False)
+    return out.select(
+        "media_id", "kind", "n_bytes",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+    )
+
+
+SQL_MULTIMODAL_DECODE_REAL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 54 + (((1 + doc_id % 64) * 3 + 3) // 4 * 4) * (1 + doc_id % 48)
+            ELSE 44 + 2 * (100 + doc_id % 400) END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 64 ELSE -1 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 48 ELSE -1 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 1
+            THEN (100 + doc_id % 400) * 1000 // 8000 ELSE -1 END AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id < 300
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize normalization stage over binary media (rows-only:
     stubbed pixels; shape/determinism asserted in tests)."""
@@ -1856,6 +1894,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
     "per_group_sample": (q_per_group_sample, SQL_PER_GROUP_SAMPLE),
     "multimodal_decode_stub": (q_multimodal_decode_stub, SQL_MULTIMODAL_DECODE),
+    "multimodal_decode_real": (q_multimodal_decode_real, SQL_MULTIMODAL_DECODE_REAL),
     "multimodal_resize": (q_multimodal_resize, None),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "json_extract_props": (q_json_extract_props, SQL_JSON_EXTRACT),

@@ -146,3 +146,73 @@ def test_cli_generate_and_run(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "runout" / "queue")).count() == 12
     assert main(["replay", str(tmp_path / "runout" / "queue"), str(tmp_path / "rp")]) == 0
     assert spark.read.parquet(str(tmp_path / "rp" / "delivered")).count() == 12
+
+
+# ------------------------------------------------- real header decoding
+
+def test_parse_image_dims_all_formats():
+    """Handcrafted minimal headers for every supported format decode to
+    the right dimensions; garbage and truncated bytes yield None."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _bmp_bytes,
+        _parse_image_dims,
+    )
+
+    # BMP via our own writer (id 10 -> 11 x 11)
+    assert _parse_image_dims(_bmp_bytes(10)) == (11, 11)
+    # PNG: signature + IHDR length/type + 320x200 big-endian
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (320).to_bytes(4, "big") + (200).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00")
+    assert _parse_image_dims(png) == (320, 200)
+    gif = b"GIF89a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little") + b"\x00" * 4
+    assert _parse_image_dims(gif) == (640, 480)
+    ppm = b"P6\n# comment\n123 77\n255\n" + b"\x00" * 16
+    assert _parse_image_dims(ppm) == (123, 77)
+    # JPEG: SOI, APP0 stub segment, SOF0 with 33 wide x 22 high
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + (4).to_bytes(2, "big") + b"JF"
+            + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + (22).to_bytes(2, "big") + (33).to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    assert _parse_image_dims(jpeg) == (33, 22)
+    assert _parse_image_dims(b"not an image at all") is None
+    assert _parse_image_dims(b"BM") is None
+    assert _parse_image_dims(None) is None
+
+
+def test_parse_wav_duration():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _parse_wav_duration_ms,
+        _wav_bytes,
+    )
+
+    # id 7 -> n_samples 107 -> 107 * 1000 // 8000 = 13 ms
+    assert _parse_wav_duration_ms(_wav_bytes(7)) == 13
+    assert _parse_wav_duration_ms(_wav_bytes(399)) == (100 + 399 % 400) * 1000 // 8000
+    assert _parse_wav_duration_ms(b"RIFFxxxxWAVE") is None
+    assert _parse_wav_duration_ms(b"\x00" * 64) is None
+    assert _parse_wav_duration_ms(None) is None
+
+
+def test_real_decode_roundtrip_spark(spark):
+    """synthetic_media -> decode_stub=False over Spark: decoded values
+    equal the generator's parameterization (real bytes, real parse)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media,
+    )
+
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    out = extract_media_features(
+        synthetic_media(ids), decode_stub=False
+    ).collect()
+    assert len(out) == 20
+    for r in out:
+        if r.media_id % 2 == 0:
+            assert r.kind == "image"
+            assert r.width == 1 + r.media_id % 64
+            assert r.height == 1 + r.media_id % 48
+            assert r.duration_ms is None
+        else:
+            assert r.kind == "audio"
+            assert r.width is None and r.height is None
+            assert r.duration_ms == (100 + r.media_id % 400) * 1000 // 8000
+        assert len(r.content_hash) == 64
