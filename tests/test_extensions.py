@@ -193,15 +193,20 @@ def test_multimodal_stub_features(spark, sf_dir):
         assert r.duration_ms is None
 
 
-def test_multimodal_real_decode_raises(spark, sf_dir):
+def test_multimodal_real_decode_unrecognized_bytes_yield_nulls(spark, sf_dir):
+    """decode_stub=False is a REAL header parser now: text bytes are not
+    a recognized media format, so dims/duration come back NULL while
+    n_bytes and the content hash stay real — one bad file must not kill
+    the task (large-pipeline robustness norm)."""
     from amazon_macie_activity_generator_spark.sources.tables import load_table
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PythonException
 
     docs = load_table(spark, sf_dir, "documents").limit(2)
     media = documents_as_media(docs)
-    with pytest.raises((PythonException, Py4JJavaError)):
-        extract_media_features(media, decode_stub=False).collect()
+    rows = extract_media_features(media, decode_stub=False).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.width is None and r.height is None and r.duration_ms is None
+        assert r.n_bytes > 0 and len(r.content_hash) == 64
 
 
 def test_connected_components_small_graph(spark):
