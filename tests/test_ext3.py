@@ -166,3 +166,48 @@ def test_containment_catches_subset_with_larger_id(spark, tmp_path):
     rows = {(r.da, r.db): r for r in fn(spark, str(tmp_path)).collect()}
     assert (1, 9) in rows
     assert rows[(1, 9)].containment == 1.0
+
+
+def test_containment_salted_heavy_path_end_to_end(spark, tmp_path):
+    """The df > 64 salted pair join is DORMANT on the driver testdata
+    (max shingle df at sf0.1 is ~25), so force it: 72 docs share a
+    boilerplate phrase (its 3-grams get df = 74 > 64 -> heavy/salted
+    path) and two extra docs are a subset pair whose shared shingles
+    span BOTH branches (heavy boilerplate grams + light unique grams).
+    The full output must match the entry's own DuckDB oracle on the
+    same corpus — pinning that the salted union aggregates shared
+    counts correctly across branches."""
+    import duckdb
+    import pandas as pd
+
+    from amazon_macie_activity_generator_spark.queries import QUERIES
+
+    boiler = "alpha beta gamma delta epsilon"
+    texts, ids = [], []
+    for i in range(72):
+        ids.append(i)
+        texts.append(f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+    base = f"{boiler} x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    ids += [100, 101]
+    texts += [base, base + " extra"]
+    docs = pd.DataFrame({
+        "doc_id": ids, "text": texts,
+        "lang": ["en"] * len(ids), "source": ["t"] * len(ids),
+        "n_chars": [len(t) for t in texts],
+    })
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+
+    fn, sql = QUERIES["dedup_containment"]
+    spdf = fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    ddf = con.sql(sql).df()
+    cols = sorted(spdf.columns)
+    s = spdf[cols].sort_values(by=cols, ignore_index=True)
+    d = ddf[cols].sort_values(by=cols, ignore_index=True)
+    pd.testing.assert_frame_equal(s, d, check_dtype=False)
+    # the subset pair survives with containment 1.0; the boilerplate-only
+    # pairs (3 shared shingles out of ~11) are below the 0.8 threshold
+    keyed = {(r.da, r.db): r for r in s.itertuples()}
+    assert (100, 101) in keyed and keyed[(100, 101)].containment == 1.0
+    assert all(not (da < 100 and db < 100) for da, db in keyed)
