@@ -44,3 +44,34 @@ def test_events_ts_is_microsecond_timestamp(spark, sf_dir):
     row = df.selectExpr("min(ts) AS lo", "max(ts) AS hi").collect()[0]
     assert isinstance(row.lo, pd.Timestamp) or row.lo is not None
     assert row.lo <= row.hi
+
+
+def test_arrow_fallback_loader_matches_native_read(spark, sf_dir):
+    """The pyarrow fallback (taken when the nanosAsLong conf can't be
+    set) is dormant on every normal run — exercise it directly: same
+    row count as the native path and a microsecond TimestampType ts."""
+    from amazon_macie_activity_generator_spark.sources.tables import _load_via_arrow
+
+    native = load_table(spark, sf_dir, "events")
+    fallback = _load_via_arrow(spark, f"{sf_dir}/events.parquet")
+    assert fallback.count() == native.count()
+    assert fallback.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_load_table_raises_when_utc_cannot_be_pinned(sf_dir):
+    """The fail-loud branch: a session that refuses the UTC timezone set
+    must raise instead of silently shifting NTZ casts."""
+    import pytest
+
+    class _Conf:
+        def set(self, *a):
+            raise RuntimeError("conf is frozen")
+
+        def get(self, key):
+            return "America/New_York"
+
+    class _FrozenSpark:
+        conf = _Conf()
+
+    with pytest.raises(RuntimeError, match="UTC"):
+        load_table(_FrozenSpark(), sf_dir, "events")
