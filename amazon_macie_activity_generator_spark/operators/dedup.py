@@ -133,6 +133,64 @@ def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _banded_self_pairs(
+    banded: DataFrame,
+    heavy_bucket: int = 512,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from an (id, band, bh) bucket table,
+    with the giant-bucket skew guard the LSH join needs at scale: buckets
+    larger than ``heavy_bucket`` (boilerplate / exact-duplicate docs — a
+    bucket of d identical docs forms d^2/2 pairs in ONE task; at the
+    512 default the unsalted worst task builds ~131k pairs, trivially
+    fine, while anything bigger splits) go through
+    a two-sided salted join, splitting each such bucket into ``n_salt``
+    hash cells so pairs form per (band, bh, salt_a, salt_b) cell. Pair
+    set identical to the plain self-join (same construction as
+    queries_ext4.dedup_containment's heavy-gram path)."""
+    from pyspark.sql import Window
+
+    # bucket size via a PARTITIONED window — one shuffle of the narrow
+    # banded table, no separate aggregate + join. Persist barrier: the
+    # size-tagged table feeds all four pair-join sides (uncached, each
+    # side would recompute banded and the size pass).
+    tagged = banded.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+    ).persist()
+    light = tagged.filter(F.col("bsz") <= heavy_bucket)
+    heavy = tagged.filter(F.col("bsz") > heavy_bucket)
+    light_pairs = (
+        light.alias("l")
+        .join(
+            light.alias("r"),
+            on=[F.col("l.band") == F.col("r.band"), F.col("l.bh") == F.col("r.bh"),
+                F.col("l.id") < F.col("r.id")],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+
+    def _salt(c):
+        return F.pmod(F.xxhash64(c, F.lit("lsh-bucket-salt")), F.lit(n_salt)).cast("int")
+
+    fan = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ha = (
+        heavy.select(F.col("id").alias("id_a"), "band", "bh")
+        .withColumn("sa", _salt(F.col("id_a")))
+        .withColumn("sb", fan)
+    )
+    hb = (
+        heavy.select(F.col("id").alias("id_b"), "band", "bh")
+        .withColumn("sb", _salt(F.col("id_b")))
+        .withColumn("sa", fan)
+    )
+    heavy_pairs = (
+        ha.join(hb, ["band", "bh", "sa", "sb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return light_pairs.unionAll(heavy_pairs).dropDuplicates(["id_a", "id_b"])
+
+
 def dedup_minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -146,8 +204,10 @@ def dedup_minhash_candidates(
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     Scale: the self-join is on (band, bh) buckets — skew from giant
-    buckets (boilerplate docs) is the known hazard; AQE skew-join plus
-    an optional bucket-size cap handle it.
+    buckets (boilerplate / exact-duplicate docs) is the known hazard;
+    buckets above 512 docs go through the two-sided salted join in
+    ``_banded_self_pairs`` (pair-set-preserving), and AQE skew-join
+    covers residual sort-merge skew.
     """
     rows = num_hashes // bands
     # Materialize (id, shingles, sig) ONCE. Without this barrier Catalyst's
@@ -173,16 +233,7 @@ def dedup_minhash_candidates(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            on=[F.col("l.band") == F.col("r.band"), F.col("l.bh") == F.col("r.bh"),
-                F.col("l.id") < F.col("r.id")],
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _banded_self_pairs(banded)
 
     # exact-Jaccard verification only for candidates (small set)
     sh = base.select("id", "shingles")
@@ -279,16 +330,7 @@ def dedup_minhash_md5_pairs(
     ``dedup_minhash_candidates`` (narrow banded shuffle, skew hazards and
     AQE handling identical); returns (id_a, id_b, jaccard), id_a < id_b."""
     base, banded = _md5_base_and_bands(df, text_col, id_col, num_hashes, bands, shingle_k)
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            on=[F.col("l.band") == F.col("r.band"), F.col("l.bh") == F.col("r.bh"),
-                F.col("l.id") < F.col("r.id")],
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _banded_self_pairs(banded)
     sh = base.select("id", "shingles")
     verified = (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), on="id_a")

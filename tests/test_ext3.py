@@ -211,3 +211,41 @@ def test_containment_salted_heavy_path_end_to_end(spark, tmp_path):
     keyed = {(r.da, r.db): r for r in s.itertuples()}
     assert (100, 101) in keyed and keyed[(100, 101)].containment == 1.0
     assert all(not (da < 100 and db < 100) for da, db in keyed)
+
+
+def test_minhash_salted_giant_bucket_end_to_end(spark, tmp_path):
+    """Giant-LSH-bucket guard: 72 exact-duplicate docs land in ONE
+    (band, bh) bucket of size 72 > 64, forcing the salted branch of
+    _banded_self_pairs; a few unique docs ride along in the light path.
+    The full output must match the entry's own DuckDB oracle on the
+    same corpus — all C(72,2) duplicate pairs present at jaccard 1.0."""
+    import duckdb
+    import pandas as pd
+
+    from amazon_macie_activity_generator_spark.queries import QUERIES
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    ids = list(range(72)) + [200, 201, 202]
+    texts = [dup] * 72 + [
+        "completely different text about spark catalyst optimizer internals",
+        "another unrelated document mentioning parquet row groups",
+        "third singleton document covering arrow batches and pandas udfs",
+    ]
+    docs = pd.DataFrame({
+        "doc_id": ids, "text": texts,
+        "lang": ["en"] * len(ids), "source": ["t"] * len(ids),
+        "n_chars": [len(t) for t in texts],
+    })
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+
+    fn, sql = QUERIES["dedup_minhash_md5"]
+    spdf = fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS FROM '{tmp_path}/documents.parquet'")
+    ddf = con.sql(sql).df()
+    cols = sorted(spdf.columns)
+    s = spdf[cols].sort_values(by=cols, ignore_index=True)
+    d = ddf[cols].sort_values(by=cols, ignore_index=True)
+    pd.testing.assert_frame_equal(s, d, check_dtype=False)
+    dup_pairs = s[(s.jaccard == 1.0)]
+    assert len(dup_pairs) >= 72 * 71 // 2
