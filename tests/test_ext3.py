@@ -214,11 +214,12 @@ def test_containment_salted_heavy_path_end_to_end(spark, tmp_path):
 
 
 def test_minhash_salted_giant_bucket_end_to_end(spark, tmp_path):
-    """Giant-LSH-bucket guard: 72 exact-duplicate docs land in ONE
-    (band, bh) bucket of size 72 > 64, forcing the salted branch of
-    _banded_self_pairs; a few unique docs ride along in the light path.
-    The full output must match the entry's own DuckDB oracle on the
-    same corpus — all C(72,2) duplicate pairs present at jaccard 1.0."""
+    """Duplicate-cluster LSH corpus vs the entry's own DuckDB oracle:
+    72 exact-duplicate docs land in ONE (band, bh) bucket (below the
+    512 salting threshold, so this exercises the light path on a
+    worst-case-shaped bucket; the salted branch itself is pinned by
+    test_banded_self_pairs_salted_branch_equivalence). All C(72,2)
+    duplicate pairs must come back at jaccard 1.0."""
     import duckdb
     import pandas as pd
 
@@ -249,3 +250,37 @@ def test_minhash_salted_giant_bucket_end_to_end(spark, tmp_path):
     pd.testing.assert_frame_equal(s, d, check_dtype=False)
     dup_pairs = s[(s.jaccard == 1.0)]
     assert len(dup_pairs) >= 72 * 71 // 2
+
+
+def test_banded_self_pairs_salted_branch_equivalence(spark):
+    """Pair-set equality of the salted heavy branch: with the threshold
+    forced low, buckets route through the two-sided salted join and must
+    produce exactly the same (id_a, id_b) set as the plain self-join —
+    including a 70-doc bucket (salted) next to small buckets (light)."""
+    from pyspark.sql import functions as F
+
+    from amazon_macie_activity_generator_spark.operators.dedup import _banded_self_pairs
+
+    rows = [(i, 0, 111) for i in range(70)]        # one giant bucket
+    rows += [(100 + i, 1, 222) for i in range(5)]  # small bucket
+    rows += [(200, 2, 333)]                        # singleton
+    rows += [(100 + i, 0, 444) for i in range(3)]  # same ids, other band
+    banded = spark.createDataFrame(rows, "id long, band int, bh long")
+    plain = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[F.col("l.band") == F.col("r.band"), F.col("l.bh") == F.col("r.bh"),
+                F.col("l.id") < F.col("r.id")],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    salted = _banded_self_pairs(banded, heavy_bucket=8, n_salt=4)
+    expected = {(r.id_a, r.id_b) for r in plain.collect()}
+    got = {(r.id_a, r.id_b) for r in salted.collect()}
+    assert got == expected
+    # 2415 giant-bucket pairs + 10 small-bucket pairs; the other-band
+    # bucket's 3 pairs duplicate small-bucket pairs and collapse
+    assert len(expected) == 70 * 69 // 2 + 5 * 4 // 2
+    spark.catalog.clearCache()
