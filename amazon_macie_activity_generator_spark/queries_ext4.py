@@ -611,15 +611,19 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "l_orderkey")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .dropDuplicates()
         .repartition("src")
+        .dropDuplicates()
         .persist()
     )  # symmetric by construction; persisted AND hash-partitioned on src:
     # the cached partitioning is reused by the degree aggregate and by
     # every iteration's contribution join, so each iteration shuffles
     # only the node-sized rank table, never the edge list (measured
     # ~30% faster at sf0.1; at cluster scale this is the difference
-    # between shuffling E and shuffling V per iteration)
+    # between shuffling E and shuffling V per iteration).
+    # repartition BEFORE dropDuplicates: HashPartitioning(src) satisfies
+    # the (src, dst) clustered distribution the dedup aggregate needs
+    # (same src => same partition), so the dedup runs on the repartition
+    # exchange directly — one edge-list shuffle instead of two.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -745,16 +749,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "l_orderkey")
         .filter(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
+        .repartition("p1")
         .dropDuplicates()
         .persist()  # barrier: the order-keyed self-join is the expensive
         # stage and feeds BOTH the degree aggregate and the orientation
-        # join — uncached it runs twice more
+        # join — uncached it runs twice more.
+        # repartition("p1") BEFORE dropDuplicates: HashPartitioning(p1)
+        # satisfies the (p1, p2) dedup distribution, so the dedup runs on
+        # that one exchange AND the cached table is already partitioned
+        # for the p1-keyed orientation join — one edge shuffle, not two.
     )
     deg = (
         und.select(F.col("p1").alias("p"))
         .unionAll(und.select(F.col("p2").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()  # node-sized; read by both orientation joins + n_nodes
     )
     # Orient low-degree -> high-degree; p1 < p2 already, so the id
     # tiebreak is "p1 first when degrees are equal".
