@@ -45,6 +45,34 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(F.aggregate(_dvec(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def pair_dot_arrow():
+    """Arrow-vectorized pair dot product, bit-identical to ``dot_expr``:
+    elementwise multiply then a row-wise float64 CUMSUM — cumsum
+    accumulates strictly left-to-right, the same association as the
+    sequential left fold, so values (and 4-dp rounds, and oracle
+    hashes) are unchanged.
+
+    Tradeoff (measured, scripts/scale_probe.py on an 8x corpus):
+    at dim=64 the JVM left-fold WON 4.0 s vs 9.6 s end-to-end — the
+    Arrow path must materialize both pair vectors into an
+    ArrowEvalPython stage (~1 KB/pair of transfer) while the fold
+    streams inside the join's output projection.  This primitive pays
+    off only when per-pair compute dominates per-pair transfer (much
+    larger dim, or reuse of the moved batch for several measures);
+    otherwise prefer ``dot_expr``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
+        return pd.Series((A * B).cumsum(axis=1, dtype=np.float64)[:, -1])
+
+    return pair_dot
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     denom = norm_expr(a) * norm_expr(b)
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot_expr(a, b) / denom)
@@ -316,16 +344,52 @@ def ivf_topk(
     )
 
 
+def auto_planes(n: int, target_bucket: int = 256, floor: int = 4, cap: int = 24) -> int:
+    """Plane count that keeps expected SRP bucket occupancy near
+    ``target_bucket`` as the corpus grows: planes = ceil(log2(n /
+    target_bucket)).  A FIXED plane count is the quadratic-scale trap —
+    2^planes buckets means occupancy grows linearly with n and the
+    bucket self-join grows ~n^2/2^planes (measured: exponent 2.05 on a
+    1x->4x corpus probe with planes=8).  Scaling planes with log2(n)
+    holds occupancy — and thus candidate pairs per input row — constant,
+    which is what makes the self-join linear at 100 TB."""
+    import math
+
+    return min(cap, max(floor, math.ceil(math.log2(max(n / max(target_bucket, 1), 2.0)))))
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,
-    planes: int = 10,
+    planes: int | str = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    heavy_bucket: int = 4096,
+    n_salt: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
-    exact cosine filter. Returns (id_a, id_b, sim)."""
+    exact cosine filter. Returns (id_a, id_b, sim).
+
+    Scale controls:
+
+    - ``planes="auto"`` sizes the bucket space to the corpus
+      (``auto_planes``: one driver-side count, then ceil(log2(n/256))
+      planes), keeping expected occupancy — and candidate pairs per row
+      — constant as n grows.  A fixed plane count is only appropriate
+      when an oracle needs the exact bucket ids pinned (the catalog
+      entry pins 8 for its DuckDB twin).
+    - Buckets larger than ``heavy_bucket`` (near-identical embedding
+      clusters, or an under-planed corpus) go through a two-sided SALTED
+      self-join — each giant bucket splits into ``n_salt`` hash cells and
+      pairs form per (bucket, salt_a, salt_b) cell, so one popular bucket
+      cannot pin its d^2/2 pair formation to a single task.  Pair set is
+      identical to the plain join (same construction as
+      operators/dedup._banded_self_pairs).  Bucket sizes come from a
+      bucket-keyed aggregate (<= 2^planes rows, broadcast back), never a
+      window shuffle of the vector-carrying rows."""
+    if planes == "auto":
+        planes = auto_planes(df.count())
     dim = dim if dim is not None else _infer_dim(df, vec_col)
     budf = srp_buckets_arrow([srp_planes(dim, planes, "srp")])
     # norm per ROW here, not per pair inside the self-join — the join
@@ -336,16 +400,55 @@ def embedding_near_dup(
         F.element_at(budf(F.col(vec_col)), 1).alias("bucket"),
     ).persist()
     base.count()  # eager: the self-join must read the cache, not race it
-    l, r = base.alias("l"), base.alias("r")
-    pairs = l.join(r, on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")])
-    denom = F.col("l.nrm") * F.col("r.nrm")
+    bsz = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    tagged = base.join(F.broadcast(bsz), "bucket")
+    light = tagged.filter(F.col("bsz") <= heavy_bucket)
+    heavy = tagged.filter(F.col("bsz") > heavy_bucket)
+    l, r = light.alias("l"), light.alias("r")
+    light_pairs = l.join(
+        r, on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")]
+    ).select(
+        F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+        F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+        F.col("l.nrm").alias("na"), F.col("r.nrm").alias("nb"),
+    )
+
+    def _salt(c):
+        return F.pmod(F.xxhash64(c, F.lit("srp-bucket-salt")), F.lit(n_salt)).cast("int")
+
+    fan = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ha = (
+        heavy.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"), "bucket")
+        .withColumn("sa", _salt(F.col("id_a")))
+        .withColumn("sb", fan)
+    )
+    hb = (
+        heavy.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"), "bucket")
+        .withColumn("sb", _salt(F.col("id_b")))
+        .withColumn("sa", fan)
+    )
+    heavy_pairs = (
+        ha.join(hb, ["bucket", "sa", "sb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
+    )
+    pairs = light_pairs.unionAll(heavy_pairs)
+    # Verify stage: JVM-side left-fold dot. Measured against the Arrow
+    # pair-dot alternative (pair_dot_arrow) on an 8x corpus probe: the
+    # expression form won 4.0 s vs 9.6 s end-to-end — at dim=64 moving
+    # 2 vectors/pair into Python costs more than the interpreted fold,
+    # and the fold stays inside the join's streamed output instead of
+    # forcing a materialized ArrowEvalPython stage.
+    denom = F.col("na") * F.col("nb")
     sim = F.round(
         F.when(denom == 0, F.lit(0.0)).otherwise(
-            dot_expr(F.col("l.v"), F.col("r.v")) / denom
+            dot_expr(F.col("va"), F.col("vb")) / denom
         ), 4,
     )
     return (
-        pairs.select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), sim.alias("sim"))
+        pairs.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -80,3 +80,31 @@ def test_kmeans_deterministic(spark, sf_dir):
     c2 = kmeans_fit(emb, k=4, max_iter=3)
     assert np.array_equal(c1, c2)
     assert c1.shape == (4, 64)
+
+
+def test_pair_dot_arrow_bit_identical_to_expr(spark):
+    """The Arrow pair-dot (cumsum fold) must be BIT-identical to the
+    sequential left-fold expression — same association order, so
+    unrounded float64 results match exactly, not just to 4 dp."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        dot_expr,
+        pair_dot_arrow,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-3, 3) for _ in range(64)], [rnd.uniform(-3, 3) for _ in range(64)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        "id",
+        dot_expr(F.col("a"), F.col("b")).alias("d_expr"),
+        pair_dot_arrow()(F.col("a"), F.col("b")).alias("d_arrow"),
+    ).collect()
+    for r in out:
+        assert r.d_expr == r.d_arrow, (r.id, r.d_expr, r.d_arrow)

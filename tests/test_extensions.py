@@ -387,3 +387,63 @@ def test_chunk_docs_overlap_and_coverage(spark):
     assert merged == text.split()
     assert [r["n_tok"] for r in by_doc[2]] == [2]
     assert [r["n_tok"] for r in by_doc[3]] == [0]
+
+
+def test_auto_planes_tracks_corpus_size():
+    """auto_planes holds expected bucket occupancy constant: each 2x of
+    the corpus adds one plane (doubling the bucket space), bounded by
+    the floor (tiny corpora) and cap (astronomically large ones)."""
+    from amazon_macie_activity_generator_spark.operators.similarity import auto_planes
+
+    assert auto_planes(256 * 256) == 8
+    assert auto_planes(256 * 512) == 9
+    assert auto_planes(256 * 1024) == 10
+    # floor: a corpus smaller than one target bucket still gets >= 4 planes
+    assert auto_planes(10) == 4
+    assert auto_planes(0) == 4
+    # cap
+    assert auto_planes(2**60) == 24
+
+
+def test_embedding_near_dup_salted_equals_plain(spark):
+    """The giant-bucket salted branch must be pair-set AND sim-value
+    identical to the plain bucket self-join. A cluster of 12
+    near-identical vectors lands in one SRP bucket; heavy_bucket=4
+    forces that bucket through the two-sided salted join, while
+    heavy_bucket=10^9 keeps everything on the light path."""
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    rows = []
+    for i in range(12):  # near-identical cluster (same bucket, sims ~1)
+        rows.append((i, [1.0, 2.0, 3.0 + i * 1e-4, 4.0]))
+    for i in range(12, 20):  # scattered others
+        rows.append((i, [float(i), float(-i), 1.0, float(i % 3)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    plain = embedding_near_dup(df, threshold=0.9, planes=6, heavy_bucket=10**9)
+    salted = embedding_near_dup(df, threshold=0.9, planes=6, heavy_bucket=4, n_salt=4)
+    p = {(r.id_a, r.id_b): r.sim for r in plain.collect()}
+    s = {(r.id_a, r.id_b): r.sim for r in salted.collect()}
+    assert p == s
+    # the cluster's C(12,2) pairs all survive at sim ~1
+    assert sum(1 for (a, b) in p if a < 12 and b < 12) == 66
+    spark.catalog.clearCache()
+
+
+def test_embedding_near_dup_auto_planes_finds_planted_pair(spark):
+    """planes='auto' (one driver-side count -> log2-scaled plane count)
+    must still find a planted near-duplicate pair."""
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    rows = [(i, [float(i + 1), float((i * 7) % 5 - 2), 1.0, 0.5]) for i in range(50)]
+    rows.append((999, [51.0, (50 * 7) % 5 - 2 + 1e-3, 1.0, 0.5]))  # near-dup of i=50? plant vs i=49
+    rows.append((1000, [50.0, float((49 * 7) % 5 - 2), 1.0, 0.5]))  # exact dup of i=49
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r.id_a, r.id_b): r.sim for r in
+           embedding_near_dup(df, threshold=0.999, planes="auto").collect()}
+    assert (49, 1000) in out and out[(49, 1000)] == 1.0
+    spark.catalog.clearCache()
