@@ -43,6 +43,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SMALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders"]
 ID_OFFSET = 10_000_000
+USER_OFFSET = 1_000_000
 
 # Queries worth probing: the ones whose sf0.1 cost is dominated by the
 # scaled tables (documents / embeddings / lineitem) rather than fixed
@@ -59,6 +60,18 @@ PROBE_QUERIES = {
     "copurchase_pairs": "lineitem",
     "pagerank_copurchase": "lineitem",
     "triangle_count": "lineitem",
+    # events family: copies carry disjoint users over the SAME time range,
+    # so per-user work is constant and time-bucket density grows with K —
+    # the realistic shape of traffic growth.
+    "asof_join": "events",
+    "interval_join": "events",
+    "event_funnel": "events",
+    "markov_transitions": "events",
+    "distinct_users_daily": "events",
+    "salted_agg_users": "events",
+    "retention_cohorts": "events",
+    "winnowing_fingerprint": "documents",
+    "bm25_search": "documents",
 }
 
 STRESS_QUERIES = ["dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_containment"]
@@ -86,10 +99,28 @@ EXTRA_PROBES = {"embedding_near_dup_auto": _near_dup_auto}
 def build_scaled_dir(spark, sf_dir: str, out_dir: str, k: int, stress: bool) -> None:
     """Write a K-fold scaled copy of the sf tables into out_dir."""
     os.makedirs(out_dir, exist_ok=True)
-    for t in SMALL_TABLES + ["events"]:
+    for t in SMALL_TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), dst)
+
+    # events: disjoint users/event ids per copy over the SAME time range
+    # (traffic growth: per-user history constant, per-time-bucket density
+    # x K). Loaded via load_table so the nanos ts is normalized once; the
+    # scaled copy is written as plain TIMESTAMP micros.
+    from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    evparts = []
+    for i in range(k):
+        evparts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * ID_OFFSET))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * USER_OFFSET))
+        )
+    scaled_ev = evparts[0]
+    for p in evparts[1:]:
+        scaled_ev = scaled_ev.unionByName(p)
+    scaled_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     parts = []
