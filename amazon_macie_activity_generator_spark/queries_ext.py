@@ -947,14 +947,32 @@ FROM documents WHERE doc_id < 300
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize normalization stage over binary media (rows-only:
-    stubbed pixels; shape/determinism asserted in tests)."""
+    """Image-resize normalization stage over binary media. Fully
+    oracle-checked (upgraded from rows-only): the stub emits a
+    deterministic payload — sha256(input payload) repeated to
+    width*height//64 bytes — so the oracle re-derives the byte length
+    arithmetically AND the first 32 payload bytes as sha256(text),
+    proving the mapInPandas stage transformed the real input bytes."""
     from amazon_macie_activity_generator_spark.operators.multimodal import resize_images
 
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs, kind="image")
     out = resize_images(media, width=224, height=224)
-    return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
+    return out.select(
+        "media_id", "width", "height",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.expr("substring(payload, 1, 32)"))).alias("head_hash"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id AS media_id,
+       CAST(224 AS BIGINT) AS width,
+       CAST(224 AS BIGINT) AS height,
+       CAST(224 * 224 // 64 AS BIGINT) AS n_bytes,
+       sha256(text) AS head_hash
+FROM documents
+"""
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1895,7 +1913,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "per_group_sample": (q_per_group_sample, SQL_PER_GROUP_SAMPLE),
     "multimodal_decode_stub": (q_multimodal_decode_stub, SQL_MULTIMODAL_DECODE),
     "multimodal_decode_real": (q_multimodal_decode_real, SQL_MULTIMODAL_DECODE_REAL),
-    "multimodal_resize": (q_multimodal_resize, None),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "json_extract_props": (q_json_extract_props, SQL_JSON_EXTRACT),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING),
