@@ -634,6 +634,7 @@ from amazon_macie_activity_generator_spark.queries_ext import EXT_QUERIES  # noq
 from amazon_macie_activity_generator_spark.queries_ext2 import EXT2_QUERIES  # noqa: E402
 from amazon_macie_activity_generator_spark.queries_ext3 import EXT3_QUERIES  # noqa: E402
 from amazon_macie_activity_generator_spark.queries_ext4 import EXT4_QUERIES  # noqa: E402
+from amazon_macie_activity_generator_spark.queries_ext5 import EXT5_QUERIES  # noqa: E402
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "gen_constant": (q_gen_constant, SQL_GEN_CONSTANT),
@@ -663,4 +664,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **EXT2_QUERIES,
     **EXT3_QUERIES,
     **EXT4_QUERIES,
+    **EXT5_QUERIES,
 }

@@ -1,0 +1,475 @@
+"""Fifth extension catalog: embedding-space classification, robust
+anomaly statistics, chunk-level exact dedup, and cross-source content
+overlap.
+
+The reference (/root/reference/src/main.py) is a time-series activity
+generator with none of this surface; these extend SURVEY.md §2.8's
+north-star set with four more operations a large-scale training-data
+pipeline runs:
+
+- ``knn_classify``     leave-one-out 5-NN majority-vote label prediction
+  over the embedding table, reported as a per-label accuracy table — the
+  standard embedding-quality probe (is the space linearly usable?) run
+  before training on auto-labeled data.
+- ``psi_value_drift``  per-event-type PSI (population stability index)
+  between the early and late halves of the stream's time range — the
+  standard distribution-drift gate run on every feature/metric before
+  refreshing a training set (robust_outliers covers point anomalies;
+  PSI catches the distribution itself moving).
+- ``dedup_chunk_exact``  C4-style chunk-level exact dedup: per document,
+  the fraction of its non-overlapping 8-token chunks that also occur in
+  some OTHER document — the "boilerplate ratio" filter that document-
+  level hashing misses (Raffel et al. '20 dedupe at the span level).
+- ``source_overlap``   pairwise shingle-overlap matrix between sources
+  (shared distinct 3-shingles + Jaccard) — the cross-source duplication
+  audit run before fixing a training mixture, so double-counted content
+  is discovered *between* corpora, not just within one.
+
+Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
+
+Scale notes (local[32] tests, 1000-executor design):
+- ``knn_classify``: the query side (100 vectors) broadcasts into a single
+  corpus scan — the corpus is never shuffled or self-joined. The vote /
+  argmax windows run on the neighbors frame (|queries| x k rows), which
+  also broadcasts into the label-lookup join. At a 100 TB corpus the
+  brute-force scan is the exact baseline; the SRP-LSH bucketed path
+  (``topk_cosine_lsh``, operators/similarity.py:149) is the drop-in
+  candidate generator when the query side is itself large.
+- ``psi_value_drift``: one stats pass and one (type, segment, bin)
+  grouped count over the stream — both map-side combinable — with the
+  |types|-row stats frame broadcast back; the bin grid / pivot / PSI sum
+  all run on tiny |types| x 20 frames. No windows over the event stream.
+- ``dedup_chunk_exact``: chunking is a per-row projection (no shuffle);
+  the duplicate census is one chunk-keyed shuffle with a map-side
+  combinable distinct-doc count, joined back keyed on the same chunk —
+  candidate work only ever forms inside one chunk's hash bucket.
+- ``source_overlap``: the self-join is keyed on the shingle; per-shingle
+  fan-out is bounded by (#sources that contain it)^2, and the output is
+  |sources|^2 rows. Per-source totals broadcast. With millions of
+  sources the same plan holds after capping per-shingle source lists
+  (the df-cap guard of dedup_containment, queries_ext4.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_macie_activity_generator_spark.operators.dedup import (
+    tokens_expr,
+    word_shingles_expr,
+)
+from amazon_macie_activity_generator_spark.operators.similarity import brute_force_topk
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+_DUCK_TOKS5 = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+# cosine between a corpus row (e.embedding) and a broadcast query vector
+# (q.qv), rounded to 4 dp — same recipe as queries_ext.SQL_TOPK_COSINE so
+# tie-breaks are cross-engine stable.
+_DUCK_COS5 = (
+    "round(list_aggregate(list_transform(list_zip(e.embedding, q.qv), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
+    "(sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
+    "sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"
+)
+
+
+# --------------------------------------------------------------------------
+# knn_classify — leave-one-out 5-NN majority-vote accuracy per label
+# --------------------------------------------------------------------------
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 — per-label accuracy of a leave-one-out 5-NN majority-vote
+    classifier over ``embeddings`` (query set: vec_id < 100).
+
+    Determinism: neighbor rank breaks ties on (rounded sim desc, vec_id
+    asc) inside brute_force_topk; the vote argmax breaks count ties on
+    the smaller label. Both rules are mirrored in the oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nbrs = brute_force_topk(emb, queries, k=5)
+
+    # label lookup: the neighbors frame is |queries| x k rows — broadcast
+    # it into the corpus scan, never the reverse.
+    labeled = emb.select("vec_id", "label").join(
+        F.broadcast(nbrs.select("query_id", "vec_id")), "vec_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.col("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .withColumn("correct", correct)
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("correct").alias("n_correct"),
+            F.round(F.avg(F.col("correct").cast("double")), 6).alias("accuracy"),
+        )
+    )
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id < 100
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_DUCK_COS5} AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+nbrs AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+),
+votes AS (
+  SELECT n.query_id, e.label, count(*) AS c
+  FROM nbrs n JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, label) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT q.true_label,
+       count(*) AS n,
+       CAST(sum(CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(avg(CASE WHEN p.pred_label = q.true_label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM pred p JOIN q USING (query_id)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# psi_value_drift — population stability index, early vs late half
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_EPS = 1e-6
+
+
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 — per-event-type PSI (population stability index) of the
+    value distribution between the EARLY and LATE halves of that type's
+    time range: 10 equi-width bins over the type's global [min, max],
+    PSI = sum over bins of (p_early - p_late) * ln((p_early + eps) /
+    (p_late + eps)). The standard drift gate (PSI > 0.2 = significant
+    shift) run before refreshing a training set.
+
+    Empty bins count with p = 0 (the eps smoothing keeps ln finite), so
+    the bin grid is materialized for every (type, segment, bin) cell —
+    built from the |types|-row stats frame, not the stream. Determinism:
+    bin edges and the midpoint split use exact min/max aggregates; both
+    engines run identical IEEE arithmetic on them.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", F.unix_micros(F.col("ts")).alias("us"))
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.min("us").alias("tmn"),
+        F.max("us").alias("tmx"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    seg = F.when(
+        F.col("us") <= (F.col("tmn") + F.col("tmx")) / F.lit(2), F.lit("early")
+    ).otherwise(F.lit("late"))
+    width = F.col("mx") - F.col("mn")
+    bin_ = (
+        F.when(
+            width > 0,
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width * _PSI_BINS),
+                F.lit(_PSI_BINS - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    counts = (
+        j.select("event_type", seg.alias("seg"), bin_.alias("bin"))
+        .groupBy("event_type", "seg", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    # full (type, seg, bin) grid so empty bins enter the PSI sum as p = 0
+    grid = (
+        stats.select("event_type")
+        .select(
+            "event_type",
+            F.explode(F.array(F.lit("early"), F.lit("late"))).alias("seg"),
+        )
+        .select(
+            "event_type", "seg",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
+        )
+    )
+    filled = grid.join(counts, ["event_type", "seg", "bin"], "left").select(
+        "event_type", "seg", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    totals = filled.groupBy("event_type", "seg").agg(F.sum("c").alias("tot"))
+    p = filled.join(totals, ["event_type", "seg"]).withColumn(
+        "p", F.col("c") / F.greatest(F.col("tot"), F.lit(1))
+    )
+    wide = p.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("seg") == "early", F.col("p")).otherwise(0.0)).alias("p1"),
+        F.sum(F.when(F.col("seg") == "late", F.col("p")).otherwise(0.0)).alias("p2"),
+        F.sum(F.when(F.col("seg") == "early", F.col("c")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("seg") == "late", F.col("c")).otherwise(0)).alias("c2"),
+    )
+    term = (F.col("p1") - F.col("p2")) * F.log(
+        (F.col("p1") + _PSI_EPS) / (F.col("p2") + _PSI_EPS)
+    )
+    return wide.groupBy("event_type").agg(
+        F.sum("c1").alias("n_early"),
+        F.sum("c2").alias("n_late"),
+        F.round(F.sum(term), 6).alias("psi"),
+    )
+
+
+SQL_PSI_VALUE_DRIFT = f"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us FROM events
+),
+stats AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx,
+         min(us) AS tmn, max(us) AS tmx
+  FROM ev GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN e.us <= (s.tmn + s.tmx) / 2 THEN 'early' ELSE 'late' END AS seg,
+         CAST(CASE WHEN s.mx - s.mn > 0
+              THEN least(floor((e.value - s.mn) / (s.mx - s.mn) * {_PSI_BINS}), {_PSI_BINS - 1})
+              ELSE 0 END AS INT) AS bin
+  FROM ev e JOIN stats s USING (event_type)
+),
+counts AS (
+  SELECT event_type, seg, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT s.event_type, seg.seg, CAST(b.i AS INT) AS bin
+  FROM stats s
+  CROSS JOIN (SELECT unnest(['early', 'late']) AS seg) seg
+  CROSS JOIN (SELECT unnest(range({_PSI_BINS})) AS i) b
+),
+filled AS (
+  SELECT g.event_type, g.seg, g.bin, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c USING (event_type, seg, bin)
+),
+totals AS (
+  SELECT event_type, seg, sum(c) AS tot FROM filled GROUP BY 1, 2
+),
+p AS (
+  SELECT f.event_type, f.seg, f.bin, f.c,
+         f.c / greatest(t.tot, 1) AS p
+  FROM filled f JOIN totals t USING (event_type, seg)
+),
+wide AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN seg = 'early' THEN p ELSE 0.0 END) AS p1,
+         sum(CASE WHEN seg = 'late' THEN p ELSE 0.0 END) AS p2,
+         sum(CASE WHEN seg = 'early' THEN c ELSE 0 END) AS c1,
+         sum(CASE WHEN seg = 'late' THEN c ELSE 0 END) AS c2
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(c1) AS BIGINT) AS n_early,
+       CAST(sum(c2) AS BIGINT) AS n_late,
+       round(sum((p1 - p2) * ln((p1 + {_PSI_EPS}) / (p2 + {_PSI_EPS}))), 6) AS psi
+FROM wide
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_chunk_exact — C4-style chunk-level duplicate ratio per document
+# --------------------------------------------------------------------------
+
+_CHUNK = 8  # tokens per non-overlapping chunk; trailing partial chunks drop
+
+
+def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 — per-document chunk-level exact-duplicate audit: split each
+    document into non-overlapping 8-token chunks (trailing partial chunk
+    dropped), count how many of its chunk INSTANCES also occur in at
+    least one other document, and flag keep = dup_ratio <= 0.5.
+
+    This is the span-level dedup document-level hashing misses (C4 /
+    Raffel et al. '20 remove repeated three-sentence spans; tokens stand
+    in for sentences here because the corpus has no punctuation).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    n_full = F.floor(F.size("tk") / _CHUNK).cast("int")
+    # sequence(0, -1) would yield [0, -1] (negative step), so gate on >= 1 chunk
+    idx = F.when(
+        n_full >= 1, F.sequence(F.lit(0), n_full - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = (
+        docs.select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("tk"), i * _CHUNK + 1, _CHUNK)
+                    ),
+                )
+            ).alias("chunk"),
+        )
+    )
+    freq = chunks.groupBy("chunk").agg(F.count_distinct("doc_id").alias("ndocs"))
+    per_doc = (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+            F.coalesce(F.col("n_dup_chunks"), F.lit(0)).alias("n_dup_chunks"),
+        )
+    )
+    ratio = F.round(
+        F.col("n_dup_chunks") / F.greatest(F.col("n_chunks"), F.lit(1)), 6
+    )
+    return out.withColumn("dup_ratio", ratio).withColumn(
+        "keep", F.col("dup_ratio") <= 0.5
+    )
+
+
+SQL_DEDUP_CHUNK_EXACT = f"""
+WITH tk AS (
+  SELECT doc_id, {_DUCK_TOKS5} AS tk FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(CAST(floor(len(tk) / {_CHUNK}.0) AS BIGINT)),
+                i -> array_to_string(tk[(i * {_CHUNK} + 1):(i * {_CHUNK} + {_CHUNK})], ' '))) AS chunk
+  FROM tk
+),
+freq AS (
+  SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY 1
+),
+per_doc AS (
+  SELECT c.doc_id,
+         count(*) AS n_chunks,
+         sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+  FROM chunks c JOIN freq f USING (chunk)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       round(coalesce(p.n_dup_chunks, 0) / greatest(coalesce(p.n_chunks, 0), 1), 6) AS dup_ratio,
+       round(coalesce(p.n_dup_chunks, 0) / greatest(coalesce(p.n_chunks, 0), 1), 6) <= 0.5 AS keep
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# source_overlap — pairwise shingle overlap between sources
+# --------------------------------------------------------------------------
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 — cross-source duplication audit: for every pair of sources,
+    the number of distinct 3-word shingles they share and the Jaccard of
+    their shingle sets. Pairs with zero shared shingles are omitted.
+
+    The self-join is keyed on the shingle, so pair formation is bounded
+    per shingle by (#sources containing it)^2 — never an all-pairs
+    product over documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source", F.explode(word_shingles_expr(F.col("text"), 3)).alias("sh")
+        )
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        # (source, shingle) rows are distinct, so count(*) IS the number
+        # of distinct shared shingles
+        .agg(F.count("*").alias("n_shared"))
+    )
+    totals = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select("source_a", "source_b", "n_shared", jac.alias("jaccard"))
+    )
+
+
+_DUCK_3SH5 = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(toks) - 3, 0) + 1), "
+    "i -> array_to_string(toks[i + 1 : i + 3], ' ')))"
+)
+
+SQL_SOURCE_OVERLAP = f"""
+WITH tok AS (
+  SELECT source, {_DUCK_TOKS5} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, unnest({_DUCK_3SH5}) AS sh FROM tok
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, count(*) AS n_sh FROM sh GROUP BY 1
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       round(p.n_shared / (ta.n_sh + tb.n_sh - p.n_shared), 6) AS jaccard
+FROM pairs p
+JOIN totals ta ON ta.source = p.source_a
+JOIN totals tb ON tb.source = p.source_b
+"""
+
+
+EXT5_QUERIES = {
+    "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
+    "psi_value_drift": (q_psi_value_drift, SQL_PSI_VALUE_DRIFT),
+    "dedup_chunk_exact": (q_dedup_chunk_exact, SQL_DEDUP_CHUNK_EXACT),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+}

@@ -505,3 +505,58 @@ def test_triangle_count_degree_oriented_and_lazy(spark, sf_dir):
     row = df.collect()[0]
     assert row.n_nodes > 0 and row.n_edges > 0 and row.n_triangles >= 0
     df.sparkSession.catalog.clearCache()
+
+
+def test_knn_classify_broadcasts_query_side(spark, sf_dir):
+    """The brute-force scan must broadcast the tiny query side into the
+    corpus scan (BroadcastNestedLoopJoin with a broadcast build — the
+    corpus itself is never shuffled for pair formation), the vote /
+    truth lookups must be broadcast hash joins, and every window must be
+    partitioned (by query_id). Expression-only: no Python eval."""
+    fn, _ = QUERIES["knn_classify"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast cross of |q| rows
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_psi_drift_broadcast_stats_and_partial_agg(spark, sf_dir):
+    """The |types|-row stats frame must come back to the event stream
+    via a broadcast hash join (the stream is never shuffled for the
+    join), the (type, seg, bin) census must partial-aggregate map-side,
+    and every grid/total join runs on tiny frames — no cartesian over
+    the stream, no Python eval."""
+    fn, _ = QUERIES["psi_value_drift"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_dedup_keyed_on_chunk(spark, sf_dir):
+    """The duplicate census must form via the chunk-keyed join of the
+    exploded chunk stream against the per-chunk distinct-doc counts —
+    never a cartesian — and the counts must partial-aggregate."""
+    fn, _ = QUERIES["dedup_chunk_exact"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Generate" in plan  # the chunk explode
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_overlap_keyed_on_shingle(spark, sf_dir):
+    """Pair formation must key on the shingle (fan-out bounded per
+    shingle by the number of sources containing it) — never an all-pairs
+    product over documents — and the per-source totals must join back
+    broadcast."""
+    fn, _ = QUERIES["source_overlap"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "Generate" in plan  # the shingle explode
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
