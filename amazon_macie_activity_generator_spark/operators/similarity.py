@@ -89,12 +89,31 @@ def brute_force_topk(
     """Exact top-k: (query_id, vec_id, sim) — k rows per query.
 
     Ties broken by rounded sim desc then vec_id asc, so results are
-    fully deterministic (and cross-engine stable)."""
+    fully deterministic (and cross-engine stable).
+
+    Norms are hoisted to per-ROW columns on both sides before the join
+    (same move as embedding_near_dup / semantic_dedup): computing them
+    per PAIR does O(pairs * dim) redundant work inside the join — the
+    dominant cost once |queries| grows. Bit-identical to cosine_expr
+    (same ops, same zero-norm contract), so oracle hashes are unchanged."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
     )
-    joined = corpus.crossJoin(F.broadcast(q)).filter(F.col(query_id_col) != F.col(id_col))
-    sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
+    corpus_n = corpus.select(
+        F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("__cn")
+    )
+    joined = corpus_n.crossJoin(F.broadcast(q)).filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    denom = F.col("__cn") * F.col("__qn")
+    sim = F.round(
+        F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot_expr(F.col(vec_col), F.col("__qvec")) / denom
+        ),
+        4,
+    )
     scored = joined.select(query_id_col, id_col, sim.alias("sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (

@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -28,6 +30,25 @@ def main() -> None:
     # warm the JVM/executors/noop-sink path so the first query's timing
     # is the query, not session startup
     spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode("overwrite").save()
+
+    # also warm the Python worker pool: the first pandas-UDF task on each
+    # core pays worker spawn + pandas/numpy import (~8 s across 32 cores,
+    # measured), which otherwise lands on whichever Arrow-path query runs
+    # first (dedup_simhash in catalog order). Workers are reused
+    # (spark.python.worker.reuse defaults true), so one warm pass moves
+    # that session-infra cost out of every query timing.
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm_worker(s: pd.Series) -> pd.Series:
+        return s
+
+    (
+        spark.range(64 * 1000)
+        .repartition(64)
+        .select(_warm_worker(col("id")).alias("w"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -72,6 +72,11 @@ PROBE_QUERIES = {
     "retention_cohorts": "events",
     "winnowing_fingerprint": "documents",
     "bm25_search": "documents",
+    # round-4 ext5 additions
+    "dedup_chunk_exact": "documents",
+    "source_overlap": "documents",
+    "knn_classify": "embeddings",
+    "psi_value_drift": "events",
 }
 
 STRESS_QUERIES = ["dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_containment"]
