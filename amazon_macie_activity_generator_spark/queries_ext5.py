@@ -24,6 +24,10 @@ pipeline runs:
   (shared distinct 3-shingles + Jaccard) — the cross-source duplication
   audit run before fixing a training mixture, so double-counted content
   is discovered *between* corpora, not just within one.
+- ``training_mix``     the composed end-to-end assembly decision table:
+  quality gate -> exact dedup among survivors -> domain-mixture
+  upsample factor, one row per document with the why of every
+  keep/drop — the pipeline the individual operators exist to serve.
 
 Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
 
@@ -467,9 +471,119 @@ JOIN totals tb ON tb.source = p.source_b
 """
 
 
+# --------------------------------------------------------------------------
+# training_mix — end-to-end training-set assembly decision table
+# --------------------------------------------------------------------------
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 — the composed pipeline a training run actually executes, as
+    one decision table: Gopher-style quality gate (word-count bounds,
+    mean-word-length bounds, stopword minimum — exact rules of
+    ``gopher_quality_flags``) -> exact dedup among quality survivors
+    (canonical = min doc_id per identical text, ``dedup_exact``
+    semantics) -> domain-mixture upsample factor over the surviving
+    corpus (balance-to-largest, ``mix_sampling_weights`` semantics).
+    One row per document: why it was kept/dropped and, if kept, how
+    often it repeats per epoch.
+
+    Scale shape: one corpus scan computes all per-doc features; the
+    dedup census is one text-keyed grouped aggregation over quality
+    survivors (at 100 TB key on md5(text) — same census, 16-byte
+    shuffle keys); the per-source totals and the global max ride back
+    as broadcast one-row/|sources|-row frames. No windows, no pair
+    joins, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    stop = F.array([F.lit(w) for w in ["the", "a", "and", "of", "to", "in"]])
+    n_words = F.size(tk)
+    mean_wl = F.round(
+        F.aggregate(tk, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        .cast("double") / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    n_stop = F.size(F.filter(tk, lambda w: F.array_contains(stop, w)))
+    feat = docs.select(
+        "doc_id", "source", "text",
+        n_words.cast("long").alias("n_tokens"),
+        (
+            (n_words >= 10) & (n_words <= 100000)
+            & (mean_wl >= 2.0) & (mean_wl <= 10.0)
+            & (n_stop >= 2)
+        ).alias("quality_keep"),
+    )
+    canon = (
+        feat.filter(F.col("quality_keep"))
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("canon_id"))
+    )
+    with_canon = feat.join(canon, "text", "left").select(
+        "doc_id", "source", "n_tokens", "quality_keep",
+        (F.col("quality_keep") & (F.col("doc_id") == F.col("canon_id"))).alias(
+            "dedup_keep"
+        ),
+    )
+    kept = with_canon.withColumn(
+        "final_keep", F.col("quality_keep") & F.col("dedup_keep")
+    )
+    per_src = (
+        kept.filter(F.col("final_keep"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+    )
+    mx = per_src.agg(F.max("src_tokens").alias("mx"))
+    return (
+        kept.join(F.broadcast(per_src), "source", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id", "source", "n_tokens", "quality_keep", "dedup_keep",
+            "final_keep",
+            F.when(
+                F.col("final_keep"),
+                F.round(F.col("mx") / F.col("src_tokens"), 6),
+            ).otherwise(F.lit(0.0)).alias("upsample_factor"),
+        )
+    )
+
+
+SQL_TRAINING_MIX = f"""
+WITH feat AS (
+  SELECT doc_id, source, text,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         (len(tk) >= 10 AND len(tk) <= 100000
+          AND round(CAST(coalesce(list_sum(list_transform(tk, w -> length(w))), 0)
+                         AS DOUBLE) / greatest(len(tk), 1), 6) BETWEEN 2.0 AND 10.0
+          AND len(list_filter(tk, w -> list_contains(
+                ['the', 'a', 'and', 'of', 'to', 'in'], w))) >= 2) AS quality_keep
+  FROM (SELECT doc_id, source, text, {_DUCK_TOKS5} AS tk FROM documents)
+),
+canon AS (
+  SELECT text, min(doc_id) AS canon_id FROM feat WHERE quality_keep GROUP BY text
+),
+kept AS (
+  SELECT f.doc_id, f.source, f.n_tokens, f.quality_keep,
+         (f.quality_keep AND f.doc_id = c.canon_id) AS dedup_keep,
+         (f.quality_keep AND f.doc_id = c.canon_id) AS final_keep
+  FROM feat f LEFT JOIN canon c USING (text)
+),
+per_src AS (
+  SELECT source, sum(n_tokens) AS src_tokens FROM kept WHERE final_keep GROUP BY source
+)
+SELECT k.doc_id, k.source, k.n_tokens,
+       k.quality_keep,
+       coalesce(k.dedup_keep, FALSE) AS dedup_keep,
+       coalesce(k.final_keep, FALSE) AS final_keep,
+       CASE WHEN coalesce(k.final_keep, FALSE)
+            THEN round((SELECT max(src_tokens) FROM per_src) / CAST(p.src_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS upsample_factor
+FROM kept k LEFT JOIN per_src p USING (source)
+"""
+
+
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "psi_value_drift": (q_psi_value_drift, SQL_PSI_VALUE_DRIFT),
     "dedup_chunk_exact": (q_dedup_chunk_exact, SQL_DEDUP_CHUNK_EXACT),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "training_mix": (q_training_mix, SQL_TRAINING_MIX),
 }

@@ -560,3 +560,16 @@ def test_source_overlap_keyed_on_shingle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_training_mix_single_scan_broadcast_totals(spark, sf_dir):
+    """The composed pipeline must stay join-light: the dedup census is a
+    text-keyed grouped aggregation (partial-aggregated), the per-source
+    totals and global max come back broadcast, and nothing drops to
+    Python or a cartesian over documents."""
+    fn, _ = QUERIES["training_mix"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_count" in plan  # the census
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
