@@ -161,6 +161,122 @@ GROUP BY 1
 """
 
 
+def q_knn_classify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 scale path — the same leave-one-out 5-NN vote, but neighbors
+    come from the SRP-LSH candidate generator (4 tables x 10 sign bits,
+    Hamming-1 multi-probe) instead of the exact corpus scan: the shape
+    that holds when the query side is itself large (candidates form via
+    the (table, bucket)-keyed join, never a full cross product).
+
+    Fully oracle-checked like ``topk_cosine_lsh``: the seeded planes are
+    embedded in the SQL as sign-bit masks and the whole bucket ->
+    probe -> candidate -> re-rank -> vote pipeline is re-derived in
+    DuckDB. Queries with zero LSH candidates drop out of the accuracy
+    table in both engines (same inner joins).
+    """
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        lsh_bucket_topk,
+    )
+    from amazon_macie_activity_generator_spark.queries_ext import _emb
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nbrs = lsh_bucket_topk(emb, queries, k=5, planes=10)
+    labeled = emb.select("vec_id", "label").join(
+        F.broadcast(nbrs.select("query_id", "vec_id")), "vec_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.col("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .withColumn("correct", correct)
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("correct").alias("n_correct"),
+            F.round(F.avg(F.col("correct").cast("double")), 6).alias("accuracy"),
+        )
+    )
+
+
+def _sql_knn_classify_lsh() -> str:
+    """Oracle: the SRP pipeline of queries_ext.SQL_TOPK_COSINE_LSH with
+    the query cutoff at 100 plus the vote/argmax/accuracy tail."""
+    from amazon_macie_activity_generator_spark.queries_ext import _srp_mask_values
+
+    cos = _DUCK_COS5.replace("q.qv", "q2.qv")
+    return f"""
+WITH planes(tbl, p, mask) AS (VALUES {_srp_mask_values()}),
+bits AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+               i -> CAST(e.embedding[i + 1] AS DOUBLE) *
+                    (CASE WHEN ((pl.mask >> i) & 1) = 1 THEN 1.0 ELSE -1.0 END)
+             )) >= 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl
+),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bits WHERE vec_id < 100),
+probes AS (
+  SELECT query_id, tbl, bucket FROM qb
+  UNION ALL
+  SELECT query_id, tbl, xor(bucket, CAST(1 AS BIGINT) << pp.p) AS bucket
+  FROM qb CROSS JOIN (SELECT unnest(range(10)) AS p) pp
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, b.vec_id
+  FROM probes pr JOIN bits b USING (tbl, bucket)
+  WHERE b.vec_id != pr.query_id
+),
+lsh_scored AS (
+  SELECT c.query_id, e.vec_id, {cos} AS sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 100) q2 ON q2.query_id = c.query_id
+),
+nbrs AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+    FROM lsh_scored
+  ) WHERE rnk <= 5
+),
+votes AS (
+  SELECT n.query_id, e.label, count(*) AS c
+  FROM nbrs n JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, label) AS r
+    FROM votes
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, label AS true_label
+  FROM embeddings WHERE vec_id < 100
+)
+SELECT q.true_label,
+       count(*) AS n,
+       CAST(sum(CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(avg(CASE WHEN p.pred_label = q.true_label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM pred p JOIN q USING (query_id)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # psi_value_drift — population stability index, early vs late half
 # --------------------------------------------------------------------------
@@ -582,6 +698,7 @@ FROM kept k LEFT JOIN per_src p USING (source)
 
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
+    "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
     "psi_value_drift": (q_psi_value_drift, SQL_PSI_VALUE_DRIFT),
     "dedup_chunk_exact": (q_dedup_chunk_exact, SQL_DEDUP_CHUNK_EXACT),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),

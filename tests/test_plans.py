@@ -573,3 +573,14 @@ def test_training_mix_single_scan_broadcast_totals(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan or "partial_count" in plan  # the census
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_lsh_candidates_keyed_on_bucket(spark, sf_dir):
+    """The ANN classifier's candidates must form via the (table, bucket)-
+    keyed join — never a cross product over the corpus — and the vote /
+    label joins stay hash joins."""
+    fn, _ = QUERIES["knn_classify_lsh"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
