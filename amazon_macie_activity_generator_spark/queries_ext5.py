@@ -10,7 +10,9 @@ pipeline runs:
 - ``knn_classify``     leave-one-out 5-NN majority-vote label prediction
   over the embedding table, reported as a per-label accuracy table — the
   standard embedding-quality probe (is the space linearly usable?) run
-  before training on auto-labeled data.
+  before training on auto-labeled data. ``knn_classify_lsh`` is the same
+  vote over SRP-LSH candidates — the shape that survives a large query
+  side — with the full bucket pipeline re-derived in its oracle.
 - ``psi_value_drift``  per-event-type PSI (population stability index)
   between the early and late halves of the stream's time range — the
   standard distribution-drift gate run on every feature/metric before

@@ -79,7 +79,13 @@ PROBE_QUERIES = {
     "psi_value_drift": "events",
 }
 
-STRESS_QUERIES = ["dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_containment"]
+STRESS_QUERIES = [
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_containment",
+    # round-4: chunk dedup forms no pairs (census only) and exact-copy
+    # replication adds no new (source, shingle) rows for source_overlap —
+    # both should stay FLAT under stress, not merely complete
+    "dedup_chunk_exact", "source_overlap",
+]
 
 
 def _near_dup_auto(spark, sf_dir: str):
