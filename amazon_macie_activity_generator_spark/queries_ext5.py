@@ -30,6 +30,9 @@ pipeline runs:
   quality gate -> exact dedup among survivors -> domain-mixture
   upsample factor, one row per document with the why of every
   keep/drop — the pipeline the individual operators exist to serve.
+- ``bpe_merges``       the BPE tokenizer TRAINING loop (three unrolled
+  greedy merge rounds over the whole corpus), completing X8's
+  single-round candidate count with the actual learned merge table.
 
 Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
 
@@ -590,6 +593,116 @@ JOIN totals tb ON tb.source = p.source_b
 
 
 # --------------------------------------------------------------------------
+# bpe_merges — three unrolled rounds of greedy BPE merge training
+# --------------------------------------------------------------------------
+
+def _bpe_top_pair(cur: DataFrame) -> DataFrame:
+    """Most frequent adjacent token pair of the current corpus state:
+    overlapping zip counts (standard BPE statistics), tie-break on
+    (w1, w2) ascending. One pair-keyed map-side-combinable shuffle plus
+    a TakeOrdered — the same shape as bpe_pair_counts, once per round."""
+    pairs = cur.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(1)
+    )
+
+
+def _bpe_apply(cur: DataFrame, top: DataFrame) -> DataFrame:
+    """Merge every non-overlapping left-to-right occurrence of the top
+    pair: tokens are re-joined with DOUBLE spaces (so adjacent pattern
+    occurrences never share a delimiter character and literal replace-all
+    is exactly the greedy merge), replaced, re-split. A map-side
+    projection — the 1-row top pair broadcasts."""
+    s = F.concat(F.lit("  "), F.concat_ws("  ", F.col("tk")), F.lit("  "))
+    pat = F.concat(F.lit(" "), F.col("w1"), F.lit("  "), F.col("w2"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("w1"), F.lit("_"), F.col("w2"), F.lit(" "))
+    merged = F.replace(s, pat, rep)
+    return cur.crossJoin(F.broadcast(top.select("w1", "w2"))).select(
+        F.filter(F.split(merged, " +"), lambda t: t != "").alias("tk")
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8b — the BPE TRAINING LOOP itself, not just one round's
+    candidates: three unrolled greedy merge iterations (count adjacent
+    pairs -> take the most frequent -> merge all its non-overlapping
+    occurrences corpus-wide -> recount), emitting the learned merge
+    table (round, pair, merged token, count at selection time).
+
+    Iterative like pagerank_copurchase: each round is one pair-keyed
+    map-side-combinable shuffle plus a global top-1 whose single row
+    broadcasts into a map-side re-tokenization — no corpus self-join,
+    no window over the corpus. Counting uses overlapping-zip statistics
+    and merging is non-overlapping left-to-right, both mirrored exactly
+    in the DuckDB oracle (the double-space join guarantees literal
+    replace-all == greedy fold in BOTH engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(tokens_expr(F.col("text")).alias("tk"))
+    out = None
+    for r in (1, 2, 3):
+        top = _bpe_top_pair(cur)
+        row = top.select(
+            F.lit(r).alias("merge_round"), "w1", "w2",
+            F.concat(F.col("w1"), F.lit("_"), F.col("w2")).alias("merged"),
+            "n",
+        )
+        out = row if out is None else out.unionByName(row)
+        if r < 3:
+            cur = _bpe_apply(cur, top)
+    return out
+
+
+_BPE_DUCK_ROUND = """
+p{r} AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+                i -> [tk[i], tk[i + 1]])) AS pr
+  FROM t{r}
+),
+top{r} AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n
+  FROM p{r} GROUP BY 1, 2
+  ORDER BY n DESC, w1, w2 LIMIT 1
+)"""
+
+_BPE_DUCK_APPLY = """
+t{nxt} AS (
+  SELECT list_filter(string_split_regex(
+           replace('  ' || array_to_string(tk, '  ') || '  ',
+                   (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM top{r}),
+                   (SELECT ' ' || w1 || '_' || w2 || ' ' FROM top{r})),
+           ' +'), x -> x <> '') AS tk
+  FROM t{r}
+)"""
+
+SQL_BPE_MERGES = (
+    f"WITH t0 AS (SELECT {_DUCK_TOKS5} AS tk FROM documents),"
+    + _BPE_DUCK_ROUND.format(r=0) + ","
+    + _BPE_DUCK_APPLY.format(r=0, nxt=1) + ","
+    + _BPE_DUCK_ROUND.format(r=1) + ","
+    + _BPE_DUCK_APPLY.format(r=1, nxt=2) + ","
+    + _BPE_DUCK_ROUND.format(r=2)
+    + """
+SELECT 1 AS merge_round, w1, w2, w1 || '_' || w2 AS merged, CAST(n AS BIGINT) AS n FROM top0
+UNION ALL
+SELECT 2 AS merge_round, w1, w2, w1 || '_' || w2 AS merged, CAST(n AS BIGINT) AS n FROM top1
+UNION ALL
+SELECT 3 AS merge_round, w1, w2, w1 || '_' || w2 AS merged, CAST(n AS BIGINT) AS n FROM top2
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # training_mix — end-to-end training-set assembly decision table
 # --------------------------------------------------------------------------
 
@@ -705,4 +818,5 @@ EXT5_QUERIES = {
     "dedup_chunk_exact": (q_dedup_chunk_exact, SQL_DEDUP_CHUNK_EXACT),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
 }

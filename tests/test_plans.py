@@ -584,3 +584,16 @@ def test_knn_lsh_candidates_keyed_on_bucket(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bpe_merges_per_round_partial_agg(spark, sf_dir):
+    """Each unrolled merge round must partial-aggregate its pair count
+    map-side (the shuffle carries (pair, partial_count), not tokens) and
+    the 1-row top pair broadcasts into the re-tokenization — the corpus
+    is never self-joined or windowed."""
+    fn, _ = QUERIES["bpe_merges"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("partial_count") >= 3  # one per round
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
