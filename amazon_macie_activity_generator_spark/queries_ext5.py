@@ -33,6 +33,10 @@ pipeline runs:
 - ``bpe_merges``       the BPE tokenizer TRAINING loop (three unrolled
   greedy merge rounds over the whole corpus), completing X8's
   single-round candidate count with the actual learned merge table.
+- ``bpe_encode``       ENCODE with that tokenizer: the same three learned
+  merges applied to every document, reported as the per-document token
+  budget (n_raw, n_bpe, n_merged, compression) a pipeline uses to size
+  a corpus after switching tokenizers.
 
 Same contract as queries.py: name -> (spark_builder, duckdb_sql | None).
 
@@ -617,18 +621,19 @@ def _bpe_top_pair(cur: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_apply(cur: DataFrame, top: DataFrame) -> DataFrame:
+def _bpe_apply(cur: DataFrame, top: DataFrame, carry: tuple = ()) -> DataFrame:
     """Merge every non-overlapping left-to-right occurrence of the top
     pair: tokens are re-joined with DOUBLE spaces (so adjacent pattern
     occurrences never share a delimiter character and literal replace-all
     is exactly the greedy merge), replaced, re-split. A map-side
-    projection — the 1-row top pair broadcasts."""
+    projection — the 1-row top pair broadcasts. ``carry`` columns
+    (e.g. doc_id for the encode path) pass through untouched."""
     s = F.concat(F.lit("  "), F.concat_ws("  ", F.col("tk")), F.lit("  "))
     pat = F.concat(F.lit(" "), F.col("w1"), F.lit("  "), F.col("w2"), F.lit(" "))
     rep = F.concat(F.lit(" "), F.col("w1"), F.lit("_"), F.col("w2"), F.lit(" "))
     merged = F.replace(s, pat, rep)
     return cur.crossJoin(F.broadcast(top.select("w1", "w2"))).select(
-        F.filter(F.split(merged, " +"), lambda t: t != "").alias("tk")
+        *carry, F.filter(F.split(merged, " +"), lambda t: t != "").alias("tk")
     )
 
 
@@ -677,7 +682,7 @@ top{r} AS (
 
 _BPE_DUCK_APPLY = """
 t{nxt} AS (
-  SELECT list_filter(string_split_regex(
+  SELECT {carry}list_filter(string_split_regex(
            replace('  ' || array_to_string(tk, '  ') || '  ',
                    (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM top{r}),
                    (SELECT ' ' || w1 || '_' || w2 || ' ' FROM top{r})),
@@ -688,9 +693,9 @@ t{nxt} AS (
 SQL_BPE_MERGES = (
     f"WITH t0 AS (SELECT {_DUCK_TOKS5} AS tk FROM documents),"
     + _BPE_DUCK_ROUND.format(r=0) + ","
-    + _BPE_DUCK_APPLY.format(r=0, nxt=1) + ","
+    + _BPE_DUCK_APPLY.format(r=0, nxt=1, carry="") + ","
     + _BPE_DUCK_ROUND.format(r=1) + ","
-    + _BPE_DUCK_APPLY.format(r=1, nxt=2) + ","
+    + _BPE_DUCK_APPLY.format(r=1, nxt=2, carry="") + ","
     + _BPE_DUCK_ROUND.format(r=2)
     + """
 SELECT 1 AS merge_round, w1, w2, w1 || '_' || w2 AS merged, CAST(n AS BIGINT) AS n FROM top0
@@ -698,6 +703,66 @@ UNION ALL
 SELECT 2 AS merge_round, w1, w2, w1 || '_' || w2 AS merged, CAST(n AS BIGINT) AS n FROM top1
 UNION ALL
 SELECT 3 AS merge_round, w1, w2, w1 || '_' || w2 AS merged, CAST(n AS BIGINT) AS n FROM top2
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# bpe_encode — apply the learned merge table back to the corpus
+# --------------------------------------------------------------------------
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8c — ENCODE with the tokenizer ``bpe_merges`` trains: re-derive
+    the same three greedy merges (identical statistics, so the learned
+    table is by construction the one training emits), apply all three to
+    every document, and report the per-document encoding outcome:
+    (doc_id, n_raw, n_bpe, n_merged, compression) — the token-budget
+    accounting a pipeline runs to size a training corpus after switching
+    tokenizers.
+
+    Scale shape: identical to the training loop — each round is one
+    pair-keyed map-side-combinable shuffle plus a broadcast 1-row merge
+    applied as a map-side projection with doc_id carried through; the
+    final stats are a per-row projection of the encoded state. The
+    corpus is shuffled only on pair keys, never on content or doc id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id",
+        tokens_expr(F.col("text")).alias("tk"),
+    ).withColumn("n_raw", F.size("tk").cast("long"))
+    for r in (1, 2, 3):
+        top = _bpe_top_pair(cur)
+        cur = _bpe_apply(cur, top, carry=("doc_id", "n_raw"))
+    n_bpe = F.size("tk").cast("long")
+    return cur.select(
+        "doc_id",
+        "n_raw",
+        n_bpe.alias("n_bpe"),
+        (F.col("n_raw") - n_bpe).alias("n_merged"),
+        F.when(F.col("n_raw") > 0, F.round(n_bpe / F.col("n_raw"), 4))
+        .otherwise(F.lit(1.0))
+        .alias("compression"),
+    )
+
+
+SQL_BPE_ENCODE = (
+    f"WITH t0 AS (SELECT doc_id, {_DUCK_TOKS5} AS tk FROM documents),"
+    + _BPE_DUCK_ROUND.format(r=0) + ","
+    + _BPE_DUCK_APPLY.format(r=0, nxt=1, carry="doc_id, ") + ","
+    + _BPE_DUCK_ROUND.format(r=1) + ","
+    + _BPE_DUCK_APPLY.format(r=1, nxt=2, carry="doc_id, ") + ","
+    + _BPE_DUCK_ROUND.format(r=2) + ","
+    + _BPE_DUCK_APPLY.format(r=2, nxt=3, carry="doc_id, ")
+    + """
+SELECT t0.doc_id,
+       CAST(len(t0.tk) AS BIGINT) AS n_raw,
+       CAST(len(t3.tk) AS BIGINT) AS n_bpe,
+       CAST(len(t0.tk) - len(t3.tk) AS BIGINT) AS n_merged,
+       CASE WHEN len(t0.tk) > 0
+            THEN round(CAST(len(t3.tk) AS DOUBLE) / len(t0.tk), 4)
+            ELSE 1.0 END AS compression
+FROM t0 JOIN t3 USING (doc_id)
 """
 )
 
@@ -819,4 +884,5 @@ EXT5_QUERIES = {
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
 }

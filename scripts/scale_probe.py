@@ -77,6 +77,10 @@ PROBE_QUERIES = {
     "source_overlap": "documents",
     "knn_classify": "embeddings",
     "psi_value_drift": "events",
+    # bpe_merges: each round is a pair-keyed partial agg over all tokens,
+    # so cost should be ~linear in corpus volume; copy-tagged tokens mean
+    # the top pair differs per copy, exercising the top-1 + merge path.
+    "bpe_merges": "documents",
 }
 
 STRESS_QUERIES = [

@@ -586,6 +586,19 @@ def test_knn_lsh_candidates_keyed_on_bucket(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_bpe_encode_per_round_partial_agg_and_no_doc_shuffle(spark, sf_dir):
+    """The encode path keeps the training loop's shape (pair-keyed
+    partial agg per round, broadcast 1-row merge) and never shuffles or
+    windows the corpus on doc_id — the per-doc stats are a map-side
+    projection of the carried columns."""
+    fn, _ = QUERIES["bpe_encode"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("partial_count") >= 3
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bpe_merges_per_round_partial_agg(spark, sf_dir):
     """Each unrolled merge round must partial-aggregate its pair count
     map-side (the shuffle carries (pair, partial_count), not tokens) and
