@@ -93,6 +93,10 @@ def _rotation_order() -> list[str]:
         key=lambda n: (
             rank(n),
             0 if QUERIES[n][1] is not None else 1,
+            # within (rank, oracle-backed): oldest evidence first, so a
+            # stale r01 row is refreshed before a stale r03 one when the
+            # window can't fit every stale entry
+            latest_row.get(n, (-1, {}))[0],
             names.index(n),
         ),
     )

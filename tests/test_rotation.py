@@ -74,6 +74,22 @@ def test_stale_evidence_outranks_fresh_pass(tmp_path, monkeypatch):
     assert order.index(stale) < order.index(fresh)
 
 
+def test_oldest_stale_evidence_refreshed_first(tmp_path, monkeypatch):
+    # Three stale entries with evidence from r1/r2/r3 and a newest round
+    # r4: within rank 2 the r1-era row must come first, regardless of
+    # catalog insertion order.
+    oracle_backed = [n for n in QUERIES if QUERIES[n][1] is not None]
+    e1, e2, e3, fresh = oracle_backed[6], oracle_backed[2], oracle_backed[9], oracle_backed[0]
+    _write(tmp_path, "CORRECTNESS_r1.json", {e3: PASS_ROW})
+    _write(tmp_path, "CORRECTNESS_r2.json", {e2: PASS_ROW})
+    _write(tmp_path, "CORRECTNESS_r3.json", {e1: PASS_ROW})
+    _write(tmp_path, "CORRECTNESS_r4.json", {fresh: PASS_ROW})
+    _with_here(tmp_path, monkeypatch)
+    order = entrymod._rotation_order()
+    assert order.index(e3) < order.index(e2) < order.index(e1)
+    assert order.index(fresh) > order.index(e1)
+
+
 def test_no_artifacts_preserves_catalog_order_oracle_first(tmp_path, monkeypatch):
     _with_here(tmp_path, monkeypatch)
     order = entrymod._rotation_order()
