@@ -650,10 +650,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window over the corpus. Counting uses overlapping-zip statistics
     and merging is non-overlapping left-to-right, both mirrored exactly
     in the DuckDB oracle (the double-space join guarantees literal
-    replace-all == greedy fold in BOTH engines).
+    replace-all == greedy fold in BOTH engines). Each round's corpus
+    state persists (pagerank's pattern) so round k's statistics read the
+    materialized round k-1 instead of replaying the whole merge chain
+    from parquet — the batch analogue of checkpointing tokenizer state
+    between merge rounds; at 100 TB the persist becomes a stored table.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cur = docs.select(tokens_expr(F.col("text")).alias("tk"))
+    cur = docs.select(tokens_expr(F.col("text")).alias("tk")).persist()
     out = None
     for r in (1, 2, 3):
         top = _bpe_top_pair(cur)
@@ -664,7 +668,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
         if r < 3:
-            cur = _bpe_apply(cur, top)
+            cur = _bpe_apply(cur, top).persist()
     return out
 
 
@@ -725,15 +729,17 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied as a map-side projection with doc_id carried through; the
     final stats are a per-row projection of the encoded state. The
     corpus is shuffled only on pair keys, never on content or doc id.
+    Per-round persists bound recomputation exactly as in the training
+    loop (see ``q_bpe_merges``).
     """
     docs = load_table(spark, sf_dir, "documents")
     cur = docs.select(
         "doc_id",
         tokens_expr(F.col("text")).alias("tk"),
-    ).withColumn("n_raw", F.size("tk").cast("long"))
+    ).withColumn("n_raw", F.size("tk").cast("long")).persist()
     for r in (1, 2, 3):
         top = _bpe_top_pair(cur)
-        cur = _bpe_apply(cur, top, carry=("doc_id", "n_raw"))
+        cur = _bpe_apply(cur, top, carry=("doc_id", "n_raw")).persist()
     n_bpe = F.size("tk").cast("long")
     return cur.select(
         "doc_id",
