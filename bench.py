@@ -57,6 +57,9 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
         spark.catalog.clearCache()  # drop per-query persists; keep memory flat
+        # absorb the (async) cache-eviction work OUTSIDE any timer, so it
+        # is not attributed to whichever query happens to run next
+        spark.range(1).count()
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
