@@ -50,9 +50,22 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Two timers per entry. `queries` (the headline metric, comparable
+    # across rounds) times materialization of the returned plan; `build`
+    # times the builder call itself.  For most entries build is plan
+    # construction (~ms), but a few are legitimately eager there and the
+    # split keeps that work visible instead of letting it escape timing:
+    # streaming replays execute the stream at build (Structured Streaming
+    # cannot hand back an unexecuted batch result), connected-components
+    # entries run a convergence loop with per-round early-stop counts,
+    # and the IVF/auto-planes paths collect KB-sized model state to embed
+    # as plan literals.
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
+        start = time.perf_counter()
         df = fn(spark, sf_dir)
+        builds[name] = round(time.perf_counter() - start, 4)
         start = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
@@ -77,6 +90,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "build_secs": builds,
+            "build_total": round(sum(builds.values()), 4),
             "n_queries": len(timings),
             "sf": sf_val,
         }, fh, sort_keys=True)
@@ -89,6 +104,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "n_queries": len(timings),
+        "build_total": round(sum(builds.values()), 4),
         "detail": "BENCH_DETAIL.json",
         "sf": sf_val,
     }
