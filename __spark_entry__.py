@@ -58,7 +58,9 @@ def _correctness_rounds() -> list[tuple[int, dict]]:
                 rounds.append((int(m.group(1)), json.load(f)))
         except Exception:
             continue
-    return sorted(rounds)
+    # key on the round number only: two artifacts parsing to the same
+    # round (r3 vs r03) must not fall through to dict comparison
+    return sorted(rounds, key=lambda t: t[0])
 
 
 def _rotation_order() -> list[str]:

@@ -149,14 +149,15 @@ def _decode_batch(pdf: "pd.DataFrame", stub: bool) -> "pd.DataFrame":
         # Real header-level decode (module docstring): dims for the
         # parseable image formats, duration for RIFF/WAVE audio; NULL
         # fields for formats needing a full codec stack (e.g. video).
+        # column-wise zip, not iterrows: per-row Series construction is
+        # the exact row-at-a-time tax this Arrow-batched stage avoids
         rows = []
-        for _, r in pdf.iterrows():
-            b = r["payload"]
-            dims = _parse_image_dims(b) if r["kind"] == "image" else None
-            dur = _parse_wav_duration_ms(b) if r["kind"] == "audio" else None
+        for mid, kind, b in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+            dims = _parse_image_dims(b) if kind == "image" else None
+            dur = _parse_wav_duration_ms(b) if kind == "audio" else None
             rows.append({
-                "media_id": r["media_id"],
-                "kind": r["kind"],
+                "media_id": mid,
+                "kind": kind,
                 "n_bytes": len(b) if b is not None else 0,
                 "width": dims[0] if dims else None,
                 "height": dims[1] if dims else None,

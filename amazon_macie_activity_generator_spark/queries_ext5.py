@@ -75,7 +75,13 @@ from amazon_macie_activity_generator_spark.operators.dedup import (
 from amazon_macie_activity_generator_spark.operators.similarity import brute_force_topk
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
-_DUCK_TOKS5 = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+# shared oracle fragments: the ext5 oracles tokenize/shingle exactly as
+# the ext catalog does — import, don't re-declare, so a tokenizer-regex
+# change can never de-sync the two modules' DuckDB sides
+from amazon_macie_activity_generator_spark.queries_ext import (  # noqa: E402
+    _DUCK_3GRAMS as _DUCK_3SH5,
+    _DUCK_TOKS as _DUCK_TOKS5,
+)
 
 # cosine between a corpus row (e.embedding) and a broadcast query vector
 # (q.qv), rounded to 4 dp — same recipe as queries_ext.SQL_TOPK_COSINE so
@@ -567,12 +573,6 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_3SH5 = (
-    "list_distinct(list_transform("
-    "range(0, greatest(len(toks) - 3, 0) + 1), "
-    "i -> array_to_string(toks[i + 1 : i + 3], ' ')))"
-)
-
 SQL_SOURCE_OVERLAP = f"""
 WITH tok AS (
   SELECT source, {_DUCK_TOKS5} AS toks FROM documents
@@ -627,13 +627,28 @@ def _bpe_apply(cur: DataFrame, top: DataFrame, carry: tuple = ()) -> DataFrame:
     occurrences never share a delimiter character and literal replace-all
     is exactly the greedy merge), replaced, re-split. A map-side
     projection — the 1-row top pair broadcasts. ``carry`` columns
-    (e.g. doc_id for the encode path) pass through untouched."""
+    (e.g. doc_id for the encode path) pass through untouched.
+
+    A corpus state with no adjacent pair at all (every doc has <= 1
+    token) makes ``top`` EMPTY; a plain crossJoin would then silently
+    drop every row. Instead the pair attaches via a broadcast left join
+    on a constant key and an absent pair coalesces to a chr(1) sentinel
+    in BOTH engines (see ``_BPE_DUCK_APPLY``), so the round degrades to
+    the same (no-op) merge on each side by construction."""
     s = F.concat(F.lit("  "), F.concat_ws("  ", F.col("tk")), F.lit("  "))
-    pat = F.concat(F.lit(" "), F.col("w1"), F.lit("  "), F.col("w2"), F.lit(" "))
-    rep = F.concat(F.lit(" "), F.col("w1"), F.lit("_"), F.col("w2"), F.lit(" "))
+    w1 = F.coalesce(F.col("w1"), F.lit("\x01"))
+    w2 = F.coalesce(F.col("w2"), F.lit("\x01"))
+    pat = F.concat(F.lit(" "), w1, F.lit("  "), w2, F.lit(" "))
+    rep = F.concat(F.lit(" "), w1, F.lit("_"), w2, F.lit(" "))
     merged = F.replace(s, pat, rep)
-    return cur.crossJoin(F.broadcast(top.select("w1", "w2"))).select(
-        *carry, F.filter(F.split(merged, " +"), lambda t: t != "").alias("tk")
+    return (
+        cur.withColumn("_k", F.lit(1))
+        .join(
+            F.broadcast(top.select("w1", "w2").withColumn("_k", F.lit(1))),
+            on="_k",
+            how="left",
+        )
+        .select(*carry, F.filter(F.split(merged, " +"), lambda t: t != "").alias("tk"))
     )
 
 
@@ -687,9 +702,11 @@ top{r} AS (
 _BPE_DUCK_APPLY = """
 t{nxt} AS (
   SELECT {carry}list_filter(string_split_regex(
-           replace('  ' || array_to_string(tk, '  ') || '  ',
-                   (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM top{r}),
-                   (SELECT ' ' || w1 || '_' || w2 || ' ' FROM top{r})),
+           replace('  ' || coalesce(array_to_string(tk, '  '), '') || '  ',
+                   coalesce((SELECT ' ' || w1 || '  ' || w2 || ' ' FROM top{r}),
+                            ' ' || chr(1) || '  ' || chr(1) || ' '),
+                   coalesce((SELECT ' ' || w1 || '_' || w2 || ' ' FROM top{r}),
+                            ' ' || chr(1) || '_' || chr(1) || ' ')),
            ' +'), x -> x <> '') AS tk
   FROM t{r}
 )"""

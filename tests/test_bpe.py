@@ -78,6 +78,60 @@ ADVERSARIAL = [
 ]
 
 
+def test_empty_top_pair_is_a_noop_not_a_row_drop(spark):
+    """A corpus state with no adjacent pairs yields an EMPTY top-1 frame;
+    the apply must degrade to a no-op merge, not silently drop every row
+    (the crossJoin-with-empty failure mode)."""
+    cur = spark.createDataFrame(
+        [(0, ["a"]), (1, []), (2, ["b"])], "case_id long, tk array<string>"
+    )
+    top = spark.createDataFrame([], "w1 string, w2 string, n long")
+    out = _bpe_apply(cur, top, carry=("case_id",))
+    got = {r["case_id"]: list(r["tk"]) for r in out.collect()}
+    assert got == {0: ["a"], 1: [], 2: ["b"]}
+
+
+def test_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """End-to-end Spark-vs-DuckDB agreement on the corpus the review
+    flagged: every document has <= 1 token, so all three merge rounds
+    find no pair and both engines must fall back to the same sentinel
+    no-op (doc set preserved, n_bpe == n_raw, compression 1.0)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amazon_macie_activity_generator_spark.queries_ext5 import (
+        SQL_BPE_ENCODE,
+        SQL_BPE_MERGES,
+        q_bpe_encode,
+        q_bpe_merges,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["alpha", "  beta  ", ""]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([5, 8, 0], type=pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    enc = q_bpe_encode(spark, str(tmp_path)).orderBy("doc_id").collect()
+    enc_oracle = con.execute(SQL_BPE_ENCODE + " ORDER BY doc_id").fetchall()
+    assert [tuple(r) for r in enc] == enc_oracle
+    assert [r["compression"] for r in enc] == [1.0, 1.0, 1.0]
+
+    merges = q_bpe_merges(spark, str(tmp_path)).collect()
+    merges_oracle = con.execute(SQL_BPE_MERGES).fetchall()
+    assert merges == [] and merges_oracle == []
+    spark.catalog.clearCache()
+
+
 def test_spark_apply_matches_reference_merge(spark):
     """One Spark job over every adversarial case: _bpe_apply's output
     list must equal the token-walk greedy merge. Cases with distinct

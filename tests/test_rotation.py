@@ -74,6 +74,17 @@ def test_stale_evidence_outranks_fresh_pass(tmp_path, monkeypatch):
     assert order.index(stale) < order.index(fresh)
 
 
+def test_duplicate_round_numbers_do_not_crash(tmp_path, monkeypatch):
+    # r3 and r03 parse to the same round: sorting must key on the number,
+    # not fall through to comparing the artifact dicts (TypeError).
+    names = list(QUERIES)
+    _write(tmp_path, "CORRECTNESS_r3.json", {names[0]: PASS_ROW})
+    _write(tmp_path, "CORRECTNESS_r03.json", {names[1]: PASS_ROW})
+    _with_here(tmp_path, monkeypatch)
+    order = entrymod._rotation_order()
+    assert set(order) == set(QUERIES)
+
+
 def test_oldest_stale_evidence_refreshed_first(tmp_path, monkeypatch):
     # Three stale entries with evidence from r1/r2/r3 and a newest round
     # r4: within rank 2 the r1-era row must come first, regardless of
