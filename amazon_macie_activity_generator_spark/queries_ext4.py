@@ -831,6 +831,42 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes,
 # gopher_quality_flags — named quality-rule audit table
 # --------------------------------------------------------------------------
 
+# THE Gopher rule set — single source of truth, shared by this audit
+# table and by queries_ext5.q_training_mix (the composed pipeline whose
+# docstring promises these exact rules): tuning a threshold here retunes
+# both entries on BOTH engines.
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+GOPHER_WORDS_LO, GOPHER_WORDS_HI = 10, 100000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 2.0, 10.0
+GOPHER_STOP_MIN = 2
+_DUCK_STOPLIST = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+def gopher_feature_exprs():
+    """(n_words, mean_word_len, n_stopwords) column expressions over
+    ``documents.text`` — the shared feature stage of the Gopher rules.
+    ``mean_word_len`` carries the documented 6-dp boundary rounding."""
+    tk = tokens_expr(F.col("text"))
+    stop = F.array([F.lit(w) for w in GOPHER_STOPWORDS])
+    n_words = F.size(tk)
+    mean_wl = F.round(
+        F.aggregate(tk, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        .cast("double") / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    n_stop = F.size(F.filter(tk, lambda w: F.array_contains(stop, w)))
+    return n_words, mean_wl, n_stop
+
+
+def gopher_keep_expr(n_words, mean_wl, n_stop):
+    """The conjunction keep rule over the shared feature expressions."""
+    return (
+        (n_words >= GOPHER_WORDS_LO) & (n_words <= GOPHER_WORDS_HI)
+        & (mean_wl >= GOPHER_MWL_LO) & (mean_wl <= GOPHER_MWL_HI)
+        & (n_stop >= GOPHER_STOP_MIN)
+    )
+
+
 def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document named quality-rule flags in the style of the Gopher
     rules (Rae et al. '21): word-count bounds, mean-word-length bounds,
@@ -846,15 +882,7 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; zero-token docs get mean_word_len = 0.0 (Spark's aggregate
     seed; the oracle coalesces DuckDB's NULL list_sum([]) to 0)."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = tokens_expr(F.col("text"))
-    stop = F.array([F.lit(w) for w in ["the", "a", "and", "of", "to", "in"]])
-    n_words = F.size(tk)
-    mean_wl = F.round(
-        F.aggregate(tk, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
-        .cast("double") / F.greatest(n_words, F.lit(1)),
-        6,
-    )
-    n_stop = F.size(F.filter(tk, lambda w: F.array_contains(stop, w)))
+    n_words, mean_wl, n_stop = gopher_feature_exprs()
     flags = docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
@@ -862,9 +890,11 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.cast("long").alias("n_stopwords"),
     ).select(
         "doc_id", "n_words", "mean_word_len", "n_stopwords",
-        ((F.col("n_words") >= 10) & (F.col("n_words") <= 100000)).alias("ok_word_count"),
-        ((F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 10.0)).alias("ok_word_len"),
-        (F.col("n_stopwords") >= 2).alias("ok_stopwords"),
+        ((F.col("n_words") >= GOPHER_WORDS_LO)
+         & (F.col("n_words") <= GOPHER_WORDS_HI)).alias("ok_word_count"),
+        ((F.col("mean_word_len") >= GOPHER_MWL_LO)
+         & (F.col("mean_word_len") <= GOPHER_MWL_HI)).alias("ok_word_len"),
+        (F.col("n_stopwords") >= GOPHER_STOP_MIN).alias("ok_stopwords"),
     )
     return flags.withColumn(
         "keep",
@@ -880,16 +910,16 @@ WITH feat AS (
                     AS DOUBLE)
                / greatest(len(tk), 1), 6) AS mean_word_len,
          len(list_filter(tk, w -> list_contains(
-             ['the', 'a', 'and', 'of', 'to', 'in'], w))) AS n_stopwords
+             {_DUCK_STOPLIST}, w))) AS n_stopwords
   FROM (SELECT doc_id, {_DUCK_TOKS4} AS tk FROM documents)
 )
 SELECT doc_id, n_words, mean_word_len, n_stopwords,
-       n_words >= 10 AND n_words <= 100000 AS ok_word_count,
-       mean_word_len >= 2.0 AND mean_word_len <= 10.0 AS ok_word_len,
-       n_stopwords >= 2 AS ok_stopwords,
-       (n_words >= 10 AND n_words <= 100000)
-         AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
-         AND n_stopwords >= 2 AS keep
+       n_words >= {GOPHER_WORDS_LO} AND n_words <= {GOPHER_WORDS_HI} AS ok_word_count,
+       mean_word_len >= {GOPHER_MWL_LO} AND mean_word_len <= {GOPHER_MWL_HI} AS ok_word_len,
+       n_stopwords >= {GOPHER_STOP_MIN} AS ok_stopwords,
+       (n_words >= {GOPHER_WORDS_LO} AND n_words <= {GOPHER_WORDS_HI})
+         AND (mean_word_len >= {GOPHER_MWL_LO} AND mean_word_len <= {GOPHER_MWL_HI})
+         AND n_stopwords >= {GOPHER_STOP_MIN} AS keep
 FROM feat
 """
 

@@ -83,6 +83,11 @@ from amazon_macie_activity_generator_spark.queries_ext import (  # noqa: E402
     _DUCK_TOKS as _DUCK_TOKS5,
 )
 
+# the Gopher rule constants/expressions live with the audit entry
+# (queries_ext4); training_mix interpolates the SAME constants into its
+# oracle so the composed pipeline cannot drift from the audit table
+from amazon_macie_activity_generator_spark import queries_ext4 as _G  # noqa: E402
+
 # cosine between a corpus row (e.embedding) and a broadcast query vector
 # (q.qv), rounded to 4 dp — same recipe as queries_ext.SQL_TOPK_COSINE so
 # tie-breaks are cross-engine stable.
@@ -98,22 +103,13 @@ _DUCK_COS5 = (
 # knn_classify — leave-one-out 5-NN majority-vote accuracy per label
 # --------------------------------------------------------------------------
 
-def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X27 — per-label accuracy of a leave-one-out 5-NN majority-vote
-    classifier over ``embeddings`` (query set: vec_id < 100).
-
-    Determinism: neighbor rank breaks ties on (rounded sim desc, vec_id
-    asc) inside brute_force_topk; the vote argmax breaks count ties on
-    the smaller label. Both rules are mirrored in the oracle.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    nbrs = brute_force_topk(emb, queries, k=5)
-
-    # label lookup: the neighbors frame is |queries| x k rows — broadcast
-    # it into the corpus scan, never the reverse.
+def _knn_vote_accuracy(emb: DataFrame, nbrs: DataFrame, cutoff: int = 100) -> DataFrame:
+    """Shared kNN tail for both neighbor generators (exact
+    ``brute_force_topk`` and SRP-LSH): label lookup with the
+    |queries| x k neighbor frame broadcast into the corpus scan,
+    majority vote with the (count desc, label asc) argmax tie-break,
+    and the per-label accuracy table. One tie-break rule, one place —
+    mirrored once in ``_DUCK_KNN_TAIL``."""
     labeled = emb.select("vec_id", "label").join(
         F.broadcast(nbrs.select("query_id", "vec_id")), "vec_id"
     )
@@ -124,7 +120,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("query_id", F.col("label").alias("pred_label"))
     )
-    truth = emb.filter(F.col("vec_id") < 100).select(
+    truth = emb.filter(F.col("vec_id") < cutoff).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
     )
     correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
@@ -140,20 +136,13 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_KNN_CLASSIFY = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-  FROM embeddings WHERE vec_id < 100
-),
-scored AS (
-  SELECT q.query_id, e.vec_id, {_DUCK_COS5} AS sim
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id != q.query_id
-),
+# vote -> argmax -> accuracy, shared by both kNN oracles; {scored} is the
+# CTE holding (query_id, vec_id, sim) from whichever neighbor generator
+_DUCK_KNN_TAIL = """
 nbrs AS (
   SELECT query_id, vec_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
-    FROM scored
+    FROM {scored}
   ) WHERE rnk <= 5
 ),
 votes AS (
@@ -166,14 +155,47 @@ pred AS (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, label) AS r
     FROM votes
   ) WHERE r = 1
+),
+truth AS (
+  SELECT vec_id AS query_id, label AS true_label
+  FROM embeddings WHERE vec_id < 100
 )
-SELECT q.true_label,
+SELECT truth.true_label,
        count(*) AS n,
-       CAST(sum(CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-       round(avg(CASE WHEN p.pred_label = q.true_label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
-FROM pred p JOIN q USING (query_id)
+       CAST(sum(CASE WHEN p.pred_label = truth.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(avg(CASE WHEN p.pred_label = truth.true_label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM pred p JOIN truth USING (query_id)
 GROUP BY 1
 """
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 — per-label accuracy of a leave-one-out 5-NN majority-vote
+    classifier over ``embeddings`` (query set: vec_id < 100).
+
+    Determinism: neighbor rank breaks ties on (rounded sim desc, vec_id
+    asc) inside brute_force_topk; the vote argmax breaks count ties on
+    the smaller label. Both rules are mirrored in the oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nbrs = brute_force_topk(emb, queries, k=5)
+    return _knn_vote_accuracy(emb, nbrs)
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < 100
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_DUCK_COS5} AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+""" + _DUCK_KNN_TAIL.format(scored="scored")
 
 
 def q_knn_classify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,30 +221,7 @@ def q_knn_classify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     nbrs = lsh_bucket_topk(emb, queries, k=5, planes=10)
-    labeled = emb.select("vec_id", "label").join(
-        F.broadcast(nbrs.select("query_id", "vec_id")), "vec_id"
-    )
-    votes = labeled.groupBy("query_id", "label").agg(F.count("*").alias("c"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.col("label"))
-    pred = (
-        votes.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("query_id", F.col("label").alias("pred_label"))
-    )
-    truth = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
-    )
-    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
-    return (
-        pred.join(F.broadcast(truth), "query_id")
-        .withColumn("correct", correct)
-        .groupBy("true_label")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("correct").alias("n_correct"),
-            F.round(F.avg(F.col("correct").cast("double")), 6).alias("accuracy"),
-        )
-    )
+    return _knn_vote_accuracy(emb, nbrs)
 
 
 def _sql_knn_classify_lsh() -> str:
@@ -261,35 +260,7 @@ lsh_scored AS (
   JOIN (SELECT vec_id AS query_id, embedding AS qv
         FROM embeddings WHERE vec_id < 100) q2 ON q2.query_id = c.query_id
 ),
-nbrs AS (
-  SELECT query_id, vec_id FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
-    FROM lsh_scored
-  ) WHERE rnk <= 5
-),
-votes AS (
-  SELECT n.query_id, e.label, count(*) AS c
-  FROM nbrs n JOIN embeddings e USING (vec_id)
-  GROUP BY 1, 2
-),
-pred AS (
-  SELECT query_id, label AS pred_label FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, label) AS r
-    FROM votes
-  ) WHERE r = 1
-),
-q AS (
-  SELECT vec_id AS query_id, label AS true_label
-  FROM embeddings WHERE vec_id < 100
-)
-SELECT q.true_label,
-       count(*) AS n,
-       CAST(sum(CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-       round(avg(CASE WHEN p.pred_label = q.true_label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
-FROM pred p JOIN q USING (query_id)
-GROUP BY 1
-"""
+""" + _DUCK_KNN_TAIL.format(scored="lsh_scored")
 
 
 # --------------------------------------------------------------------------
@@ -813,23 +784,11 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, no Python.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tk = tokens_expr(F.col("text"))
-    stop = F.array([F.lit(w) for w in ["the", "a", "and", "of", "to", "in"]])
-    n_words = F.size(tk)
-    mean_wl = F.round(
-        F.aggregate(tk, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
-        .cast("double") / F.greatest(n_words, F.lit(1)),
-        6,
-    )
-    n_stop = F.size(F.filter(tk, lambda w: F.array_contains(stop, w)))
+    n_words, mean_wl, n_stop = _G.gopher_feature_exprs()
     feat = docs.select(
         "doc_id", "source", "text",
         n_words.cast("long").alias("n_tokens"),
-        (
-            (n_words >= 10) & (n_words <= 100000)
-            & (mean_wl >= 2.0) & (mean_wl <= 10.0)
-            & (n_stop >= 2)
-        ).alias("quality_keep"),
+        _G.gopher_keep_expr(n_words, mean_wl, n_stop).alias("quality_keep"),
     )
     canon = (
         feat.filter(F.col("quality_keep"))
@@ -869,11 +828,12 @@ SQL_TRAINING_MIX = f"""
 WITH feat AS (
   SELECT doc_id, source, text,
          CAST(len(tk) AS BIGINT) AS n_tokens,
-         (len(tk) >= 10 AND len(tk) <= 100000
+         (len(tk) >= {_G.GOPHER_WORDS_LO} AND len(tk) <= {_G.GOPHER_WORDS_HI}
           AND round(CAST(coalesce(list_sum(list_transform(tk, w -> length(w))), 0)
-                         AS DOUBLE) / greatest(len(tk), 1), 6) BETWEEN 2.0 AND 10.0
+                         AS DOUBLE) / greatest(len(tk), 1), 6)
+              BETWEEN {_G.GOPHER_MWL_LO} AND {_G.GOPHER_MWL_HI}
           AND len(list_filter(tk, w -> list_contains(
-                ['the', 'a', 'and', 'of', 'to', 'in'], w))) >= 2) AS quality_keep
+                {_G._DUCK_STOPLIST}, w))) >= {_G.GOPHER_STOP_MIN}) AS quality_keep
   FROM (SELECT doc_id, source, text, {_DUCK_TOKS5} AS tk FROM documents)
 ),
 canon AS (
