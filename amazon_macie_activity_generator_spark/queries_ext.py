@@ -162,10 +162,12 @@ def _spark_3grams():
     return word_shingles_expr(F.col("text"), 3)
 
 
+# coalesce: DuckDB array_to_string([]) is NULL where Spark concat_ws is
+# '' — a zero-token doc must yield the same [''] shingle set both sides
 _DUCK_3GRAMS = (
     "list_distinct(list_transform("
     "range(0, greatest(len(toks) - 3, 0) + 1), "
-    "i -> array_to_string(toks[i + 1 : i + 3], ' ')))"
+    "i -> coalesce(array_to_string(toks[i + 1 : i + 3], ' '), '')))"
 )
 
 SQL_DEDUP_NGRAM = f"""
@@ -705,7 +707,7 @@ s AS (
 )
 SELECT doc_id, s // 40 AS chunk_idx,
        CAST(len(list_slice(toks, s + 1, s + 50)) AS BIGINT) AS n_tok,
-       md5(array_to_string(list_slice(toks, s + 1, s + 50), ' ')) AS chunk_md5
+       md5(coalesce(array_to_string(list_slice(toks, s + 1, s + 50), ' '), '')) AS chunk_md5
 FROM s
 """
 

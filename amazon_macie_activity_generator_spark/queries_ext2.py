@@ -121,7 +121,7 @@ WITH toks AS (
 ), grams AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(range(1, greatest(len(tk) - {_NGRAM_N - 2}, 1)),
-                   i -> array_to_string(list_slice(tk, i, i + {_NGRAM_N - 1}), ' '))
+                   i -> coalesce(array_to_string(list_slice(tk, i, i + {_NGRAM_N - 1}), ' '), ''))
   )) AS gram
   FROM toks
 ), bench AS (

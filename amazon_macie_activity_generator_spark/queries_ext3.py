@@ -650,7 +650,7 @@ WITH toks AS (
 ), grams AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(tk) - {_WIN_K - 2}, 1)),
-                i -> md5(array_to_string(list_slice(tk, i, i + {_WIN_K - 1}), ' ')))) AS h,
+                i -> md5(coalesce(array_to_string(list_slice(tk, i, i + {_WIN_K - 1}), ' '), '')))) AS h,
          unnest(range(1, greatest(len(tk) - {_WIN_K - 2}, 1))) AS pos
   FROM toks
 )
@@ -806,7 +806,7 @@ batch AS (
   FROM documents WHERE doc_id % 100 = 0
   UNION ALL
   SELECT doc_id + 2000000 AS doc_id,
-         array_to_string(list_reverse({_DUCK_TOKS}), ' ') AS text
+         coalesce(array_to_string(list_reverse({_DUCK_TOKS}), ' '), '') AS text
   FROM documents WHERE doc_id % 100 = 50
 ),
 ctok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus),

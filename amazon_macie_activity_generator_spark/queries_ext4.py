@@ -463,7 +463,7 @@ WITH toks AS (
   SELECT doc_id, {_DUCK_TOKS4} AS tk FROM documents
 ), grams AS (
   SELECT DISTINCT doc_id,
-         unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         unnest(CASE WHEN len(tk) < 3 THEN [coalesce(array_to_string(tk, ' '), '')]
                 ELSE list_transform(range(1, len(tk) - 1),
                      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
                 END) AS g

@@ -1,0 +1,81 @@
+"""Cross-engine agreement on a DEGENERATE documents corpus: empty,
+whitespace-only, and sub-shingle-length texts — inputs routine in a
+100 TB crawl but absent from the driver testdata, where the DuckDB
+NULL-on-empty idioms (array_to_string([]) IS NULL, list_sum([]) IS
+NULL) silently diverge from Spark's ''/0 seeds. This sweep found four
+latent oracle divergences (source_overlap, dedup_minhash_md5,
+doc_chunk, dedup_containment) on the day it was written; every
+oracle-backed documents-family entry must agree here forever after.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "embeddings",
+]
+
+DEGENERATE_TEXTS = [
+    "", "   ", "\t\n", "one", "two words", "a b", "x", " padded  ",
+    "the a and of to in", "three t tokens", "the the the", "ab",
+]
+
+# document-family entries: the ones whose oracle reads `documents`
+DOC_ENTRIES = sorted(
+    name for name, sql in entrymod.oracle_sql().items()
+    if "documents" in sql.lower()
+)
+
+
+@pytest.fixture(scope="module")
+def degen_sf_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("degen_sf")
+    for t in TABLES:
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    n = len(DEGENERATE_TEXTS)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
+            "text": pa.array(DEGENERATE_TEXTS),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s1", "s2"] * (n // 2)),
+            "n_chars": pa.array([len(t) for t in DEGENERATE_TEXTS], type=pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_duck(degen_sf_dir):
+    con = duckdb.connect()
+    for t in TABLES + ["documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{degen_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_ENTRIES)
+def test_engines_agree_on_degenerate_docs(name, spark, degen_sf_dir, degen_duck):
+    fn = entrymod.queries()[name]
+    sdf = fn(spark, degen_sf_dir).toPandas()
+    ddf = degen_duck.execute(entrymod.oracle_sql()[name]).df()
+    s = sdf[sorted(sdf.columns)].sort_values(by=sorted(sdf.columns), ignore_index=True)
+    d = ddf[sorted(ddf.columns)].sort_values(by=sorted(ddf.columns), ignore_index=True)
+    assert list(s.columns) == list(d.columns)
+    assert s.shape == d.shape, f"{name}: {s.shape} vs {d.shape}"
+    assert s.astype(str).equals(d.astype(str)), f"{name} diverges on degenerate docs"
+    spark.catalog.clearCache()
