@@ -325,9 +325,12 @@ b AS (
 )
 SELECT DISTINCT id_a, id_b, sim FROM (
   SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-         round(list_sum(list_transform(list_zip(l.v, r.v), z -> z[1] * z[2])) /
-               (sqrt(list_sum(list_transform(l.v, x -> x * x))) *
-                sqrt(list_sum(list_transform(r.v, x -> x * x)))), 4) AS sim
+         round(CASE WHEN sqrt(list_sum(list_transform(l.v, x -> x * x))) *
+                         sqrt(list_sum(list_transform(r.v, x -> x * x))) = 0
+               THEN 0.0
+               ELSE list_sum(list_transform(list_zip(l.v, r.v), z -> z[1] * z[2])) /
+                    (sqrt(list_sum(list_transform(l.v, x -> x * x))) *
+                     sqrt(list_sum(list_transform(r.v, x -> x * x)))) END, 4) AS sim
   FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 ) WHERE sim >= 0.9
 """.format(masks=_neardup_mask_values())
@@ -344,11 +347,20 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-_DUCK_COS = (
-    "round(list_aggregate(list_transform(list_zip(e.embedding, q.qv), "
-    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
+# zero-norm guard mirrors operators/similarity.cosine_expr: Spark maps a
+# zero denominator to 0.0 where an unguarded DuckDB division yields NaN
+# (which DuckDB then sorts ABOVE every real sim in ORDER BY ... DESC)
+_DUCK_COS_DOT = (
+    "list_aggregate(list_transform(list_zip(e.embedding, q.qv), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_DUCK_COS_DEN = (
     "(sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
-    "sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"
+    "sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+_DUCK_COS = (
+    f"round(CASE WHEN {_DUCK_COS_DEN} = 0 THEN 0.0 "
+    f"ELSE {_DUCK_COS_DOT} / {_DUCK_COS_DEN} END, 4)"
 )
 
 SQL_TOPK_COSINE = f"""

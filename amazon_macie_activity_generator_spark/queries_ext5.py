@@ -89,13 +89,10 @@ from amazon_macie_activity_generator_spark.queries_ext import (  # noqa: E402
 from amazon_macie_activity_generator_spark import queries_ext4 as _G  # noqa: E402
 
 # cosine between a corpus row (e.embedding) and a broadcast query vector
-# (q.qv), rounded to 4 dp — same recipe as queries_ext.SQL_TOPK_COSINE so
-# tie-breaks are cross-engine stable.
-_DUCK_COS5 = (
-    "round(list_aggregate(list_transform(list_zip(e.embedding, q.qv), "
-    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') / "
-    "(sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
-    "sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"
+# (q.qv) — THE recipe of queries_ext.SQL_TOPK_COSINE (4-dp rounding,
+# zero-norm guard), imported so tie-breaks stay cross-engine stable
+from amazon_macie_activity_generator_spark.queries_ext import (  # noqa: E402
+    _DUCK_COS as _DUCK_COS5,
 )
 
 

@@ -1,11 +1,14 @@
-"""Cross-engine agreement on a DEGENERATE documents corpus: empty,
-whitespace-only, and sub-shingle-length texts — inputs routine in a
-100 TB crawl but absent from the driver testdata, where the DuckDB
-NULL-on-empty idioms (array_to_string([]) IS NULL, list_sum([]) IS
-NULL) silently diverge from Spark's ''/0 seeds. This sweep found four
-latent oracle divergences (source_overlap, dedup_minhash_md5,
-doc_chunk, dedup_containment) on the day it was written; every
-oracle-backed documents-family entry must agree here forever after.
+"""Cross-engine agreement on DEGENERATE inputs: empty/whitespace/
+sub-shingle documents and zero-norm/duplicate/negated embeddings —
+inputs routine in a 100 TB crawl but absent from the driver testdata,
+where the DuckDB NULL-on-empty idioms (array_to_string([]) IS NULL)
+and NaN-from-zero-norm divisions silently diverge from Spark's ''/0
+guards (and DuckDB sorts NaN ABOVE every real value in DESC order).
+The documents sweep found four latent oracle divergences
+(source_overlap, dedup_minhash_md5, doc_chunk, dedup_containment) and
+the embeddings sweep two more (topk_cosine, topk_cosine_lsh) on the
+day it was written; every oracle-backed entry of either family must
+agree here forever after.
 """
 
 from __future__ import annotations
@@ -68,14 +71,78 @@ def degen_duck(degen_sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", DOC_ENTRIES)
-def test_engines_agree_on_degenerate_docs(name, spark, degen_sf_dir, degen_duck):
+def _assert_agree(name, spark, sf_dir, con):
     fn = entrymod.queries()[name]
-    sdf = fn(spark, degen_sf_dir).toPandas()
-    ddf = degen_duck.execute(entrymod.oracle_sql()[name]).df()
+    sdf = fn(spark, sf_dir).toPandas()
+    ddf = con.execute(entrymod.oracle_sql()[name]).df()
     s = sdf[sorted(sdf.columns)].sort_values(by=sorted(sdf.columns), ignore_index=True)
     d = ddf[sorted(ddf.columns)].sort_values(by=sorted(ddf.columns), ignore_index=True)
     assert list(s.columns) == list(d.columns)
     assert s.shape == d.shape, f"{name}: {s.shape} vs {d.shape}"
-    assert s.astype(str).equals(d.astype(str)), f"{name} diverges on degenerate docs"
+    assert s.astype(str).equals(d.astype(str)), f"{name} diverges on degenerate input"
     spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", DOC_ENTRIES)
+def test_engines_agree_on_degenerate_docs(name, spark, degen_sf_dir, degen_duck):
+    _assert_agree(name, spark, degen_sf_dir, degen_duck)
+
+
+# ----------------------------------------------------- embeddings family
+
+EMB_ENTRIES = sorted(
+    name for name, sql in entrymod.oracle_sql().items()
+    if "embedding" in sql.lower()
+)
+
+
+@pytest.fixture(scope="module")
+def degen_emb_dir(tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("degen_emb")
+    for t in TABLES[:-1] + ["documents"]:
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    rng = np.random.default_rng(7)
+    dim = 64
+    base = rng.normal(size=dim)
+    e0 = np.zeros(dim); e0[0] = 1.0
+    e1 = np.zeros(dim); e1[1] = -1.0
+    vecs = [
+        np.zeros(dim),          # zero norm: cosine guard both sides
+        np.full(dim, 1e-30),    # near-denormal
+        base, base.copy(),      # exact duplicate pair
+        -base,                  # negated (sim -1)
+        e0, e1,                 # axis-aligned
+    ] + [rng.normal(size=dim) for _ in range(114)]
+    n = len(vecs)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 10 for i in range(n)], type=pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_emb_duck(degen_emb_dir):
+    con = duckdb.connect()
+    for t in TABLES[:-1] + ["documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{degen_emb_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_ENTRIES)
+def test_engines_agree_on_degenerate_embeddings(name, spark, degen_emb_dir, degen_emb_duck):
+    _assert_agree(name, spark, degen_emb_dir, degen_emb_duck)
