@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# reference parity: the queue/payload bodies come from json.dumps, which
+# KEEPS null-valued fields (main.py:686-709) — Spark's to_json drops
+# them by default, which silently diverges on any null datapoint
+_JSON_OPTS = {"ignoreNullFields": "false"}
+
 SOURCE_NAME = "amazon-macie-activity-generator"  # payload `source`, main.py:824
 
 
@@ -51,7 +56,7 @@ def slot_row_json(
     queue entry body (main.py:704). Deterministic key order via sort_array."""
     entries = F.sort_array(F.collect_list(F.struct(F.col(series_col), F.col(value_col))))
     return df.groupBy(t_col).agg(
-        F.to_json(F.map_from_entries(entries)).alias("body")
+        F.to_json(F.map_from_entries(entries), _JSON_OPTS).alias("body")
     )
 
 
@@ -108,6 +113,7 @@ def payload_envelope(
                 ts.alias("timestamp"),
                 F.col(datapoints_col).alias("datapoints"),
                 tgt_struct.alias("target"),
-            )
+            ),
+            _JSON_OPTS,
         ).alias("payload")
     )

@@ -17,16 +17,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# fan-out bound: a slice count beyond this emits the value UN-sliced as a
+# single slice instead of materializing the array — one adversarial row
+# (e.g. value 1e12, slice 3) must not overflow the int repeat count or
+# OOM a task; the reference's Python loop would hang on it the same way
+_MAX_SLICES = 1_000_000
+
+
 def slice_array_expr(value: Column, slice_size: Column) -> Column:
-    """Array of slices for one value (pure expression, exact T7 semantics)."""
+    """Array of slices for one value (pure expression, exact T7 semantics
+    up to the documented ``_MAX_SLICES`` fan-out cap)."""
     v = value.cast("long")
     s = slice_size.cast("long")
-    full = F.floor(v / s).cast("int")
+    full = F.floor(v / s)
     rem = v % s
-    sliced = F.when(rem > 0, F.concat(F.array_repeat(s, full), F.array(rem))).otherwise(
-        F.array_repeat(s, full)
-    )
-    return F.when((v == 0) | (s <= 0), F.array(v)).otherwise(sliced)
+    sliced = F.when(
+        rem > 0, F.concat(F.array_repeat(s, full.cast("int")), F.array(rem))
+    ).otherwise(F.array_repeat(s, full.cast("int")))
+    return F.when(
+        (v == 0) | (s <= 0) | (full >= _MAX_SLICES), F.array(v)
+    ).otherwise(sliced)
 
 
 def slice_explode(

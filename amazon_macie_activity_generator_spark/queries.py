@@ -22,6 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from amazon_macie_activity_generator_spark.operators.reshape import _JSON_OPTS
+
 from amazon_macie_activity_generator_spark.config import GeneratorSpec
 from amazon_macie_activity_generator_spark.formula import translate_formula
 from amazon_macie_activity_generator_spark.operators import generators as G
@@ -269,13 +271,16 @@ WITH v AS (
   FROM events WHERE event_id < 1000
 ),
 n AS (
+  -- the v // 3 >= 1000000 arm mirrors slicing._MAX_SLICES: adversarial
+  -- values emit one un-sliced row instead of a million-element fan-out
   SELECT event_id, v,
-         CASE WHEN v = 0 THEN 1
+         CASE WHEN v = 0 OR v // 3 >= 1000000 THEN 1
               ELSE v // 3 + CASE WHEN v % 3 > 0 THEN 1 ELSE 0 END END AS cnt
   FROM v
 )
 SELECT event_id, i AS slice_idx,
-       CASE WHEN v = 0 THEN v WHEN i < v // 3 THEN 3 ELSE v % 3 END AS slice_value
+       CASE WHEN v = 0 OR v // 3 >= 1000000 THEN v
+            WHEN i < v // 3 THEN 3 ELSE v % 3 END AS slice_value
 FROM (SELECT event_id, v, unnest(range(cnt)) AS i FROM n)
 """
 
@@ -332,7 +337,7 @@ def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.floor("value").cast("long"))
     )
     out = group_datapoints(s)
-    return out.select("t", F.to_json("datapoints").alias("datapoints_json"))
+    return out.select("t", F.to_json("datapoints", _JSON_OPTS).alias("datapoints_json"))
 
 
 SQL_GROUP_COLLECT = """

@@ -1030,7 +1030,12 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_JSON_EXTRACT = """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+SELECT event_id,
+       -- json_valid guard: DuckDB's json_extract ERRORS on malformed
+       -- JSON where Spark's get_json_object returns NULL — and crawl
+       -- props are routinely malformed
+       CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
 FROM events
 """
 

@@ -837,8 +837,10 @@ def q_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions are deterministic because they depend only on the ordering
     KEY, not physical row order; the ntile uses the (value, event_id)
     total order for the same reason). Completes the window-function
-    surface next to row_number (topk_per_group) and lead (scd2)."""
-    events = load_table(spark, sf_dir, "events")
+    surface next to row_number (topk_per_group) and lead (scd2).
+    NULL values are excluded: ranking NULL is meaningless and the engines
+    default to opposite NULL placement (Spark first, DuckDB last)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     # floor(), not cast: Spark's double->long cast truncates while
     # DuckDB's rounds half-away — floor is identical in both engines
     v = F.floor("value")
@@ -863,6 +865,7 @@ SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS v_int,
        CAST(ntile(4) OVER (PARTITION BY event_type
                            ORDER BY floor(value), event_id) AS INT) AS quartile
 FROM events
+WHERE value IS NOT NULL
 WINDOW w AS (PARTITION BY event_type ORDER BY floor(value))
 """
 
@@ -894,13 +897,22 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
 
+    def _fmt(c, x):
+        # doubles print via an explicit %.6f: the engines' native
+        # double->string reprs agree on small values but split at the
+        # scientific-notation cutover (Spark '1.0E12' vs DuckDB
+        # '1000000000000.0')
+        if c == "ts":
+            return F.date_format(x, _TS_FMT_SPARK)
+        if c == "value":
+            return F.format_string("%.6f", x)
+        return x.cast("string")
+
     def smin(c):
-        x = F.min(c)
-        return F.date_format(x, _TS_FMT_SPARK) if c == "ts" else x.cast("string")
+        return _fmt(c, F.min(c))
 
     def smax(c):
-        x = F.max(c)
-        return F.date_format(x, _TS_FMT_SPARK) if c == "ts" else x.cast("string")
+        return _fmt(c, F.max(c))
 
     aggs = []
     for c in cols:
@@ -930,6 +942,8 @@ def _duck_profile_row(c: str) -> str:
             f"strftime(min({c}), '{_TS_FMT_DUCK}')",
             f"strftime(max({c}), '{_TS_FMT_DUCK}')",
         )
+    elif c == "value":
+        mn, mx = f"printf('%.6f', min({c}))", f"printf('%.6f', max({c}))"
     else:
         mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
     return (

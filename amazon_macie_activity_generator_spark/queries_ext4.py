@@ -183,11 +183,15 @@ def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order (value, event_id) — the tiebreak makes bin assignment
     deterministic and identical across engines (both implement SQL ntile's
     floor/remainder split). Per-bin stats are exact except the mean, which
-    is rounded to 6 dp to absorb summation-order jitter."""
+    is rounded to 6 dp to absorb summation-order jitter. NULL values are
+    excluded before binning (a quantile of NULL is meaningless, and the
+    engines default to opposite NULL placement in ORDER BY — Spark first,
+    DuckDB last)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
-        ev.select("event_type", "event_id", "value")
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
         .withColumn("bin", F.ntile(4).over(w))
         .groupBy("event_type", "bin")
         .agg(
@@ -208,7 +212,7 @@ FROM (
   SELECT event_type, value,
          CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
               AS INT) AS bin
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 GROUP BY event_type, bin
 """

@@ -71,12 +71,22 @@ def degen_duck(degen_sf_dir):
     con.close()
 
 
+def _canon(df):
+    """Sort by all columns; floats normalized to 9 significant digits —
+    strict enough to catch every semantic divergence this file exists
+    for, loose enough to ignore last-bit summation-order dust on
+    1e12-magnitude aggregates (measured <= 4e-16 relative)."""
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].map(lambda x: f"{x:.9g}")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
 def _assert_agree(name, spark, sf_dir, con):
     fn = entrymod.queries()[name]
-    sdf = fn(spark, sf_dir).toPandas()
-    ddf = con.execute(entrymod.oracle_sql()[name]).df()
-    s = sdf[sorted(sdf.columns)].sort_values(by=sorted(sdf.columns), ignore_index=True)
-    d = ddf[sorted(ddf.columns)].sort_values(by=sorted(ddf.columns), ignore_index=True)
+    s = _canon(fn(spark, sf_dir).toPandas())
+    d = _canon(con.execute(entrymod.oracle_sql()[name]).df())
     assert list(s.columns) == list(d.columns)
     assert s.shape == d.shape, f"{name}: {s.shape} vs {d.shape}"
     assert s.astype(str).equals(d.astype(str)), f"{name} diverges on degenerate input"
@@ -146,3 +156,85 @@ def degen_emb_duck(degen_emb_dir):
 @pytest.mark.parametrize("name", EMB_ENTRIES)
 def test_engines_agree_on_degenerate_embeddings(name, spark, degen_emb_dir, degen_emb_duck):
     _assert_agree(name, spark, degen_emb_dir, degen_emb_duck)
+
+
+# --------------------------------------------------------- events family
+
+EVENT_ENTRIES = sorted(
+    name for name, sql in entrymod.oracle_sql().items()
+    if "events" in sql.lower()
+)
+
+
+@pytest.fixture(scope="module")
+def degen_ev_dir(tmp_path_factory):
+    """Ties, boundaries, singletons, NULLs, malformed JSON, and one
+    adversarially large value (slice-fan-out overflow class, value
+    > _MAX_SLICES * slice_size)."""
+    import datetime as dt
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("degen_ev")
+    for t in [x for x in TABLES if x != "events"] + ["documents"]:
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def add(ts, user, etype, value, props='{"k": 1}'):
+        rows.append((len(rows), ts, user, etype, value, props))
+
+    for i in range(10):  # ten events at ONE timestamp: total window tie
+        add(t0 + dt.timedelta(hours=1), 1, ["view", "click", "purchase"][i % 3], float(i))
+    add(t0 + dt.timedelta(hours=2), 2, "signup", 0.0)  # single-event user
+    for h in range(4):  # exactly on hour / 5-min window boundaries
+        add(t0 + dt.timedelta(hours=h), 3, "view", -5.5)
+        add(t0 + dt.timedelta(hours=h, minutes=5), 3, "click", 1e12)
+    add(t0 + dt.timedelta(hours=3), 4, "view", 2.0, None)          # NULL props
+    add(t0 + dt.timedelta(hours=3), 4, "view", 2.0, "not json {")  # malformed
+    add(t0 + dt.timedelta(hours=3), 4, "view", 2.0, "")            # empty
+    add(t0 + dt.timedelta(hours=4), 5, "error", None)              # NULL value
+    add(t0 + dt.timedelta(hours=5), 6, "purchase", 1.0)            # reversed funnel
+    add(t0 + dt.timedelta(hours=5, seconds=1), 6, "view", 1.0)
+    add(t0 + dt.timedelta(hours=6), 6, "view", 1.0)                # same-ts funnel
+    add(t0 + dt.timedelta(hours=6), 6, "click", 1.0)
+    add(t0 + dt.timedelta(hours=6), 6, "purchase", 1.0)
+    rnd = random.Random(3)
+    for _ in range(150):  # filler mass for the stats entries
+        add(t0 + dt.timedelta(minutes=rnd.randint(0, 60 * 24 * 6)),
+            10 + rnd.randint(0, 9),
+            rnd.choice(["view", "click", "purchase", "signup", "error"]),
+            round(rnd.uniform(0, 200), 2), '{"k": %d}' % rnd.randint(0, 99))
+
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_ev_duck(degen_ev_dir):
+    con = duckdb.connect()
+    for t in [x for x in TABLES if x != "events"] + ["documents", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{degen_ev_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENT_ENTRIES)
+def test_engines_agree_on_degenerate_events(name, spark, degen_ev_dir, degen_ev_duck):
+    _assert_agree(name, spark, degen_ev_dir, degen_ev_duck)
