@@ -238,3 +238,75 @@ def degen_ev_duck(degen_ev_dir):
 @pytest.mark.parametrize("name", EVENT_ENTRIES)
 def test_engines_agree_on_degenerate_events(name, spark, degen_ev_dir, degen_ev_duck):
     _assert_agree(name, spark, degen_ev_dir, degen_ev_duck)
+
+
+# ------------------------------------------------ lineitem/orders family
+
+GRAPH_ENTRIES = sorted(
+    name for name, sql in entrymod.oracle_sql().items()
+    if "lineitem" in sql.lower() or "orders" in sql.lower()
+)
+
+
+@pytest.fixture(scope="module")
+def degen_li_dir(tmp_path_factory):
+    """Real lineitem/orders PLUS a 120-part hub order (co-purchase /
+    PageRank / triangle skew), an order repeating one part 5x (duplicate
+    edges), a single-item order (no pairs), and zero/negative
+    quantity/price rows."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("degen_li")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    li = duckdb.sql(f"SELECT * FROM '{src}/lineitem.parquet'").df()
+    od = duckdb.sql(f"SELECT * FROM '{src}/orders.parquet'").df()
+    D = dt.datetime(2024, 3, 1)
+    extra_li = [(900001, 2000 + p, 1 + p % 5, p + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", D)
+                for p in range(120)]
+    extra_li += [(900002, 2000, 1, i + 1, 2.0, 20.0, 0.1, 0.05, "R", "F", D)
+                 for i in range(5)]
+    extra_li += [
+        (900003, 2001, 2, 1, 3.0, 30.0, 0.2, 0.08, "A", "F", D),
+        (900004, 2002, 3, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", D),
+        (900004, 2003, 3, 2, -4.0, -100.0, 0.5, 0.1, "N", "O", D),
+    ]
+    extra_od = [
+        (900001, 1, "O", 1200.0, D, "1-URGENT"),
+        (900002, 1, "F", 100.0, D, "2-HIGH"),
+        (900003, 2, "F", 30.0, D, "3-MEDIUM"),
+        (900004, 3, "O", -100.0, D, "4-NOT SPECIFIED"),
+    ]
+    for name, base, extra in (("lineitem", li, extra_li), ("orders", od, extra_od)):
+        df = pd.concat([base, pd.DataFrame(extra, columns=list(base.columns))],
+                       ignore_index=True)
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        # match the driver testdata: microsecond timestamps, not pandas ns
+        fields = [pa.field(f.name, pa.timestamp("us"))
+                  if pa.types.is_timestamp(f.type) else f for f in t.schema]
+        pq.write_table(t.cast(pa.schema(fields)), str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_li_duck(degen_li_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{degen_li_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", GRAPH_ENTRIES)
+def test_engines_agree_on_degenerate_lineitem(name, spark, degen_li_dir, degen_li_duck):
+    _assert_agree(name, spark, degen_li_dir, degen_li_duck)
