@@ -310,3 +310,60 @@ def degen_li_duck(degen_li_dir):
 @pytest.mark.parametrize("name", GRAPH_ENTRIES)
 def test_engines_agree_on_degenerate_lineitem(name, spark, degen_li_dir, degen_li_duck):
     _assert_agree(name, spark, degen_li_dir, degen_li_duck)
+
+
+# ------------------------------------------------------- customer family
+
+CUSTOMER_ENTRIES = sorted(
+    name for name, sql in entrymod.oracle_sql().items()
+    if "customer" in sql.lower()
+)
+
+
+@pytest.fixture(scope="module")
+def degen_cu_dir(tmp_path_factory):
+    """Real customers PLUS empty/whitespace names, an exact duplicate of
+    a real name, unicode and case near-dups, and duplicated 200-char
+    names — the entity-resolution (fuzzy_name_pairs) worst case."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("degen_cu")
+    for t in ["region", "nation", "supplier", "part", "orders", "lineitem",
+              "events", "documents", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    cu = duckdb.sql(f"SELECT * FROM '{src}/customer.parquet'").df()
+    extra = pd.DataFrame([
+        (800001, "", 1, 0.0, "FURNITURE"),
+        (800002, "   ", 2, -10.5, "AUTOMOBILE"),
+        (800003, "Customer#000000001", 3, 1.0, "BUILDING"),
+        (800004, "Custömer#000000001", 4, 2.0, "BUILDING"),
+        (800005, "CUSTOMER#000000001", 5, 3.0, "MACHINERY"),
+        (800006, "x" * 200, 6, 4.0, "HOUSEHOLD"),
+        (800007, "x" * 200, 7, 5.0, "HOUSEHOLD"),
+    ], columns=list(cu.columns))
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat([cu, extra], ignore_index=True),
+                             preserve_index=False),
+        str(d / "customer.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_cu_duck(degen_cu_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{degen_cu_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CUSTOMER_ENTRIES)
+def test_engines_agree_on_degenerate_customers(name, spark, degen_cu_dir, degen_cu_duck):
+    _assert_agree(name, spark, degen_cu_dir, degen_cu_duck)
