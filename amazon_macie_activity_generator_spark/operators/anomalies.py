@@ -45,8 +45,17 @@ def _anomaly_value_expr(spec: dict, t_col: str = "t") -> tuple[Column, set[str]]
     return F.pow(F.col("__datapoints_max__") + F.lit(1.0), F.lit(2.0)), {"__datapoints_max__"}
 
 
-def _attach_series_stats(df: DataFrame, needed: set[str], value_col: str, by: list[str]) -> DataFrame:
-    """Broadcast-join per-series scalar aggregates used by formulas."""
+def _attach_series_stats(
+    df: DataFrame,
+    needed: set[str],
+    value_col: str,
+    by: list[str],
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Broadcast-join per-series scalar aggregates used by formulas.
+    ``source`` is the frame the stats are computed FROM (the pristine
+    pre-overwrite series — main.py:628 computes datapoint_max before any
+    anomaly writes); they attach onto ``df``."""
     aggs = []
     if "__datapoints_max__" in needed:
         aggs.append(F.max(value_col).alias("__datapoints_max__"))
@@ -58,7 +67,7 @@ def _attach_series_stats(df: DataFrame, needed: set[str], value_col: str, by: li
         aggs.append(F.sum(value_col).alias("__datapoints_sum__"))
     if not aggs:
         return df
-    stats = df.groupBy(*by).agg(*aggs)
+    stats = (source if source is not None else df).groupBy(*by).agg(*aggs)
     return df.join(F.broadcast(stats), on=by, how="left")
 
 
@@ -73,8 +82,11 @@ def anomaly_hit_expr(
     """Predicate: is slot ``t`` an anomaly slot for this spec? None when
     the spec selects nothing (counts<=0 / empty clamped range)."""
     t = F.col(t_col)
-    start = min(int(spec.get("start", 0)), n_points - 1)
-    end = min(int(spec.get("end", n_points - 1)), n_points - 1)
+    # clamp BOTH ends into [0, n_points-1]: an unclamped negative start
+    # would waste hash draws on slots that cannot exist (under-injecting)
+    # and shift the stride anchor off-grid
+    start = max(0, min(int(spec.get("start", 0)), n_points - 1))
+    end = max(0, min(int(spec.get("end", n_points - 1)), n_points - 1))
     counts = int(spec.get("counts", 0))
     if counts <= 0 or start > n_points - 1 or end < start:
         return None
@@ -114,12 +126,16 @@ def apply_anomalies(
         return df
     by = by if by is not None else ["series_id"]
 
+    # stats always come from the PRISTINE series (main.py:628): a second
+    # spec's datapoint_max must not see the first spec's overwrites, or
+    # multi-spec blueprints compound ((max+1)^2 + 1)^2
+    pristine = df
     for spec_idx, spec in enumerate(specs):
         is_hit = anomaly_hit_expr(spec, n_points, spec_idx, t_col, identity, mode)
         if is_hit is None:
             continue
         val_expr, needed = _anomaly_value_expr(spec, t_col=t_col)
-        df = _attach_series_stats(df, needed, value_col, by)
+        df = _attach_series_stats(df, needed, value_col, by, source=pristine)
         df = df.withColumn(value_col, F.when(is_hit, val_expr.cast("double")).otherwise(F.col(value_col)))
         df = df.drop(*[c for c in needed])
     return df

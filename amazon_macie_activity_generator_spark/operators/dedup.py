@@ -153,7 +153,10 @@ def _banded_self_pairs(
     # bucket size via a PARTITIONED window — one shuffle of the narrow
     # banded table, no separate aggregate + join. Persist barrier: the
     # size-tagged table feeds all four pair-join sides (uncached, each
-    # side would recompute banded and the size pass).
+    # side would recompute banded and the size pass). Lifecycle: the
+    # cache lives until the session's next catalog.clearCache() — the
+    # catalog/bench harness clears per query; a long-lived service
+    # calling dedup per batch should do the same between calls.
     tagged = banded.withColumn(
         "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
     ).persist()
@@ -505,28 +508,30 @@ def _simhash64_expr(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance <= max_hamming, banded into 4
     16-bit chunks (pigeonhole guarantees a matching chunk for d<=3).
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming).
+
+    Candidate formation goes through ``_banded_self_pairs`` — the same
+    giant-bucket salted-join guard as the MinHash path. This matters MORE
+    for simhash: every exact-duplicate (and every empty) document has the
+    identical signature, so all four chunks collide and a d-sized
+    boilerplate cluster would otherwise build d^2/2 pairs in one task."""
     chunks = F.array(*[
         F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+            F.lit(c).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
         )
         for c in range(4)
     ])
-    banded = sig_df.select("id", "simhash", F.explode(chunks).alias("c")).select(
-        "id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch")
+    banded = sig_df.select("id", F.explode(chunks).alias("c")).select(
+        "id", F.col("c.band").alias("band"), F.col("c.bh").alias("bh")
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
-        l.join(r, on=[F.col("l.chunk") == F.col("r.chunk"), F.col("l.ch") == F.col("r.ch"),
-                      F.col("l.id") < F.col("r.id")])
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _banded_self_pairs(banded)
+    sg = sig_df.select("id", "simhash")
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        pairs.withColumn("hamming", ham)
+        pairs.join(sg.withColumnsRenamed({"id": "id_a", "simhash": "sa"}), "id_a")
+        .join(sg.withColumnsRenamed({"id": "id_b", "simhash": "sb"}), "id_b")
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -572,6 +577,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             bidir.join(labels, bidir.src == labels.id)
@@ -592,6 +598,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # no silent caps: returning intermediate labels would split one
+        # duplicate cluster into many groups and downstream keep-one
+        # dedup would silently retain duplicates. A diameter beyond
+        # max_iter (chain-shaped near-dup graphs) must surface.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): component diameter "
+            "exceeds max_iter — raise max_iter for chain-shaped graphs"
+        )
     return labels.select(F.col("id"), F.col("label").alias("group_id"))
 
 

@@ -23,10 +23,19 @@ _HEX_SPACE = 1 << 24  # first 6 hex chars
 
 
 def split_threshold_hex(fraction: float) -> str:
-    """Hex threshold t such that P(md5_prefix < t) == round(fraction * 2^24) / 2^24."""
+    """Hex threshold t such that P(md5_prefix < t) == round(fraction * 2^24) / 2^24.
+
+    fraction == 1.0 (or within 2^-25 of it) must keep EVERY row: the
+    naive format(2^24, '06x') is the 7-char '1000000', which sorts
+    BELOW 'ffffff' lexicographically and would keep only buckets
+    starting '0'. The sentinel 'g' sorts above every [0-9a-f] bucket,
+    so `bucket < 'g'` is always true — in Spark and DuckDB alike."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
-    return format(int(round(fraction * _HEX_SPACE)), "06x")
+    n = int(round(fraction * _HEX_SPACE))
+    if n >= _HEX_SPACE:
+        return "g"
+    return format(n, "06x")
 
 
 def hash_bucket_hex(key: Column, salt: str = "split") -> Column:
@@ -69,5 +78,7 @@ def stratified_sample(
             F.when(F.col(stratum_col) == stratum, hexthr) if thr is None
             else thr.when(F.col(stratum_col) == stratum, hexthr)
         )
-    thr = thr.otherwise(F.lit("ffffff")) if thr is not None else F.lit("ffffff")
+    # 'g' sentinel, not 'ffffff': `bucket < 'ffffff'` would silently drop
+    # the 1-in-16M rows whose bucket IS 'ffffff' from keep-all strata
+    thr = thr.otherwise(F.lit("g")) if thr is not None else F.lit("g")
     return df.filter(hash_bucket_hex(F.col(key_col), salt) < thr)

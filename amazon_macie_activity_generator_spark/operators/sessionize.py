@@ -131,16 +131,22 @@ def sessionize_stateful(
         else:
             last_us, session_id, n_events, start_us = None, 0, 0, None
         out: list[tuple] = []
-        for pdf in pdfs:
-            for us in sorted(int(v) for v in pdf["us"]):
-                if last_us is not None and us - last_us > gap_us:
-                    out.append((user, session_id, n_events, start_us, last_us))
-                    session_id += 1
-                    n_events, start_us = 0, us
-                if start_us is None:
-                    start_us = us
-                n_events += 1
-                last_us = us
+        # a group arrives as MULTIPLE Arrow chunks in arbitrary order
+        # (maxRecordsPerBatch default 10k); sorting per chunk would walk
+        # a >10k-event user out of event-time order, merging sessions
+        # that should split and moving last_us backwards. Drain all
+        # chunks, sort once — memory is one user's batch, the same bound
+        # the session walk itself needs.
+        all_us = sorted(int(v) for pdf in pdfs for v in pdf["us"])
+        for us in all_us:
+            if last_us is not None and us - last_us > gap_us:
+                out.append((user, session_id, n_events, start_us, last_us))
+                session_id += 1
+                n_events, start_us = 0, us
+            if start_us is None:
+                start_us = us
+            n_events += 1
+            last_us = us
         state.update((last_us, session_id, n_events, start_us))
         yield pd.DataFrame(
             out, columns=["user_id", "session_id", "n_events", "start_us", "end_us"]

@@ -35,7 +35,17 @@ def salted_join(
     """Equi-join with the big side's key distribution flattened: big rows
     get ``salt_id = hash(row) % salt``; the small side is exploded into
     ``salt`` copies so every (key, salt_id) bucket finds its match. Row
-    set identical to ``big.join(small, on, how)``."""
+    set identical to ``big.join(small, on, how)`` — PROVIDED every small
+    row can match at most via its own salt copy, which holds only for
+    joins that preserve the big side: with ``right``/``full``/``semi``/
+    ``anti`` an unmatched small key would surface all ``salt`` copies
+    (or none), so those hows are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "the exploded small side emits one row per salt copy for "
+            "small-side-preserving join types"
+        )
     big_salted = big.withColumn(
         "__salt", _salt_col([c for c in big.columns], salt)
     )

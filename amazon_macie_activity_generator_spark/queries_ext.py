@@ -1344,7 +1344,7 @@ FROM documents
 WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 6)
       < CASE lang WHEN 'en' THEN '{split_threshold_hex(0.25)}'
                   WHEN 'zh' THEN '{split_threshold_hex(0.5)}'
-                  ELSE 'ffffff' END
+                  ELSE 'g' END
 GROUP BY lang
 """
 

@@ -103,9 +103,14 @@ def s3_get_activity_rows(
     up to 1,000 listed real keys; when fewer exist than needed, synthesize
     fake uuid keys for the shortfall — errors on fake keys are swallowed
     by design (touch_bucket_object, main.py:970-975)."""
-    acts = df.filter(F.col(value_col) != 0).select(  # T9 zero skip, main.py:1031-1034
+    # reference parity: range(value) emits NOTHING for value < 1 — but
+    # Spark's sequence(1, v) steps DOWNWARD when v < 1 (sequence(1, -5)
+    # is [1..-5]), so the guard must be v >= 1 on the truncated int,
+    # not value != 0
+    n_acts = F.col(value_col).cast("int")
+    acts = df.filter(n_acts >= 1).select(  # T9 zero skip, main.py:1031-1034
         *key_cols,
-        F.explode(F.sequence(F.lit(1), F.col(value_col).cast("int"))).alias("act_idx"),
+        F.explode(F.sequence(F.lit(1), n_acts)).alias("act_idx"),
     )
     key = F.xxhash64(*[F.col(c) for c in key_cols], F.col("act_idx"))
     if real_keys:
@@ -130,9 +135,10 @@ def s3_put_activity_rows(
     content-type/ACL from the configured lists."""
     content_types = target.get("content_types", [target.get("content_type", "text/plain")])
     acls = target.get("acls", [target.get("acl", "private")])
-    acts = df.filter(F.col(value_col) != 0).select(  # T9, main.py:1031-1034
+    n_acts = F.col(value_col).cast("int")
+    acts = df.filter(n_acts >= 1).select(  # T9 + the v>=1 guard (see K5 above)
         *key_cols,
-        F.explode(F.sequence(F.lit(1), F.col(value_col).cast("int"))).alias("act_idx"),
+        F.explode(F.sequence(F.lit(1), n_acts)).alias("act_idx"),
     )
     key = F.xxhash64(*[F.col(c) for c in key_cols], F.col("act_idx"))
     doc = fake_document(

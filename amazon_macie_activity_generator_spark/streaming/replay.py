@@ -57,8 +57,21 @@ def replay(
     """Drive the dispatch: dedup on (run_id, t) -> orderBy(t) inside the
     micro-batch (FIFO order within the batch) -> ``batch_fn`` executes the
     slot rows on targets. at-most-once => batch_fn must write idempotently
-    keyed by (run_id, t)."""
-    deduped = stream.dropDuplicates(["run_id", "t"])
+    keyed by (run_id, t).
+
+    State bound: a plain ``dropDuplicates`` on an unbounded stream keeps
+    every (run_id, t) ever seen in the state store forever (the hazard
+    ``dedup_in_stream`` documents). Dedup here runs WITHIN a 14-day
+    arrival-time watermark — the reference queue's own retention window
+    (SQS ``MessageRetentionPeriod``, CloudFormationTemplate.yml:163), so
+    a slot re-delivered after retention expiry would re-execute there
+    too; state older than the window is evicted."""
+    deduped = (
+        stream.withColumn("__arrival_ts", F.current_timestamp())
+        .withWatermark("__arrival_ts", "14 days")
+        .dropDuplicatesWithinWatermark(["run_id", "t"])
+        .drop("__arrival_ts")
+    )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         batch_fn(batch.orderBy("t"), batch_id)

@@ -220,6 +220,34 @@ def test_connected_components_small_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 6-node chain has diameter 5; max_iter=2 cannot converge and
+    # returning intermediate labels would split one cluster into many —
+    # the operator must fail loud, not cap silently
+    import pytest as _pytest
+
+    from amazon_macie_activity_generator_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_salted_join_rejects_small_side_preserving_hows(spark):
+    # right/full/semi would emit every unmatched small key `salt` times
+    import pytest as _pytest
+
+    from amazon_macie_activity_generator_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "y")], "k long, w string")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, on="k", how=how)
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from amazon_macie_activity_generator_spark.operators.skew import salted_agg, salted_join
     from amazon_macie_activity_generator_spark.sources.tables import load_table
@@ -260,6 +288,59 @@ def test_hash_split_stable_and_proportional(spark):
     c = hash_split(df, "doc_id", train_fraction=0.8, salt="other")
     pc = {r["doc_id"]: r["split"] for r in c.collect()}
     assert pa != pc
+
+
+def test_split_fraction_one_keeps_every_row(spark):
+    """fraction=1.0 must keep ALL rows: the naive hex threshold
+    format(2^24, '06x') is the 7-char '1000000', which sorts BELOW
+    'ffffff' and silently kept only ~6% (buckets starting '0')."""
+    from amazon_macie_activity_generator_spark.operators.sampling import (
+        hash_split,
+        split_threshold_hex,
+        stratified_sample,
+    )
+
+    assert split_threshold_hex(1.0) == "g"
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", train_fraction=1.0)
+    assert out.filter(F.col("split") == "train").count() == 2000
+    strat = df.withColumn("lang", F.lit("en"))
+    assert stratified_sample(strat, "doc_id", "lang", {"en": 1.0}).count() == 2000
+    # absent strata keep everything too (the 'g' default, not 'ffffff')
+    assert stratified_sample(strat, "doc_id", "lang", {"zz": 0.5}).count() == 2000
+
+
+def test_simhash_pairs_survive_giant_duplicate_cluster(spark):
+    """All exact-duplicate docs share one simhash, so every 16-bit chunk
+    collides — the giant-bucket case. The salted path must produce the
+    exact pair set of a naive all-pairs hamming check."""
+    from amazon_macie_activity_generator_spark.operators.dedup import (
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    texts = [(i, "common boilerplate text repeated everywhere") for i in range(30)]
+    texts += [(100 + i, f"unique document number {i} with its own words") for i in range(10)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = simhash64(docs, text_col="text", id_col="doc_id")
+    got_df = simhash_near_pairs(sigs, max_hamming=3)
+    got = {(r.id_a, r.id_b, r.hamming) for r in got_df.collect()}
+    sig_map = {r.id: r.simhash for r in sigs.collect()}
+    want = set()
+    ids = sorted(sig_map)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            x = sig_map[a] ^ sig_map[b]
+            ham = bin(x & 0xFFFFFFFFFFFFFFFF).count("1")
+            # candidates only form when some 16-bit chunk matches
+            chunk_match = any(
+                ((sig_map[a] >> (c * 16)) & 0xFFFF) == ((sig_map[b] >> (c * 16)) & 0xFFFF)
+                for c in range(4)
+            )
+            if ham <= 3 and chunk_match:
+                want.add((a, b, ham))
+    assert got == want
+    assert len(got) >= 30 * 29 // 2  # the duplicate cluster's pairs all present
 
 
 def test_quantize_int8_roundtrip_bounds(spark):

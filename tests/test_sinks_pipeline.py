@@ -226,6 +226,19 @@ def test_s3_put_rows_one_per_value_unit(fact):
     assert r.object_key.startswith("sensitive/")
 
 
+def test_s3_rows_negative_and_fractional_values_emit_nothing(spark, fact):
+    # range(value) in the reference emits nothing for value < 1; Spark's
+    # sequence(1, v) would step DOWNWARD (sequence(1,-5) = [1..-5]) and
+    # manufacture activities for anomalous negative/fractional values
+    rows = [("r", "s", 0, -5.0), ("r", "s", 1, 0.5), ("r", "s", 2, 0.0),
+            ("r", "s", 3, 2.0)]
+    df = spark.createDataFrame(rows, "run_id string, series_id string, t long, value double")
+    got = s3_get_activity_rows(df, real_keys=None)
+    assert got.count() == 2  # only the value=2.0 row, twice
+    put = s3_put_activity_rows(df, BLUEPRINT["targets"][0])
+    assert put.count() == 2
+
+
 def test_s3_get_rows_fake_key_shortfall(fact):
     sel = fact.filter(F.col("series_id") == "ts4")
     rows = s3_get_activity_rows(sel, real_keys=None)
@@ -565,6 +578,60 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
         if r.session_id < last_per_user[r.user_id]
     }
     assert len(got) > 0
+    assert got == want
+
+
+def test_stateful_sessionize_survives_multi_chunk_groups(spark, sf_dir, tmp_path):
+    """A user with more rows than one Arrow batch arrives as MULTIPLE
+    pandas chunks in arbitrary order; the session walk must sort across
+    chunks, not per chunk (per-chunk sorting merges sessions that should
+    split and walks last_us backwards). Forces 50-row chunks so the
+    1000-event user spans ~20 chunks."""
+    import datetime as dt
+
+    from amazon_macie_activity_generator_spark.operators.sessionize import (
+        sessionize,
+        sessionize_stateful,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 1000 events in 10 bursts separated by > gap: exactly 10 sessions
+    rows = [
+        (burst * 100 + i, 7, t0 + dt.timedelta(hours=burst * 2, seconds=i))
+        for burst in range(10)
+        for i in range(100)
+    ]
+    rows.reverse()  # source delivers NEWEST first: early chunks hold late
+    # timestamps, so per-chunk sorting would walk last_us backwards
+    events = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    src = str(tmp_path / "mc_src")
+    events.write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = sessionize_stateful(stream, gap_minutes=30)
+        q = (
+            out.writeStream.format("memory").queryName("sess_mc")
+            .outputMode("append").option("checkpointLocation", str(tmp_path / "ckmc"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+            for r in spark.sql("SELECT * FROM sess_mc").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    batch = sessionize(events, gap_minutes=30).collect()
+    want = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in batch
+        if r.session_id < max(b.session_id for b in batch)
+    }
+    assert len(got) == 9  # 10 sessions, last one still open
     assert got == want
 
 

@@ -112,6 +112,30 @@ def test_anomaly_range_clamped(spark):
     assert out.count() == 3  # no explosion, range clamped to series
 
 
+def test_anomaly_negative_start_clamped_to_zero(spark):
+    # unclamped start=-10 would anchor the stride off-grid and waste
+    # hash draws on impossible negative slots
+    df = _series(spark, "a", [1, 2, 3, 4])
+    out = apply_anomalies(df, [{"start": -10, "end": 3, "counts": 4, "formula": "t * 100"}],
+                          4, mode="stride")
+    assert [r.value for r in out.orderBy("t").collect()] == [0, 100, 200, 300]
+
+
+def test_anomaly_multi_spec_stats_from_pristine_series(spark):
+    # spec 1's datapoint_max must see the ORIGINAL series (main.py:628
+    # computes it before any overwrite), not spec 0's injected values —
+    # otherwise magnitudes compound ((max+1)^2 + 1)^2
+    df = _series(spark, "a", [1, 2, 3, 4, 5, 6])
+    out = apply_anomalies(
+        df,
+        [{"start": 1, "end": 1, "counts": 1}, {"start": 3, "end": 3, "counts": 1}],
+        6,
+        mode="stride",
+    )
+    vals = [r.value for r in out.orderBy("t").collect()]
+    assert vals == [1, 49, 3, 49, 5, 6]  # both specs inject (6+1)^2, not (49+1)^2
+
+
 # ---------------------------------------------------------------- T6 zero-fill
 
 def test_zero_fill(spark):
