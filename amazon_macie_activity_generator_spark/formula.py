@@ -52,12 +52,26 @@ def translate_formula(formula: str, t_col: str = "t") -> tuple[str, set[str]]:
     def emit(node: ast.AST) -> str:
         if isinstance(node, ast.Expression):
             return emit(node.body)
-        if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+        if (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, (int, float))
+            and not isinstance(node.value, bool)  # True would emit a SQL
+            # boolean literal that fails analysis while the driver-side
+            # interpreter happily computes t + 1 — reject symmetrically
+        ):
             return repr(node.value)
         if isinstance(node, ast.Name):
             if node.id == "t":
                 return f"CAST({t_col} AS DOUBLE)"
-            raise FormulaError(f"unknown variable {node.id!r} (only 't' allowed)")
+            if node.id == "datapoint_max":
+                # the reference's anomaly-formula variable (main.py:636-639
+                # exposes `datapoint_max` alongside t) — same scalar as
+                # max(datapoints)
+                needed.add(AGG_PLACEHOLDERS["max"])
+                return AGG_PLACEHOLDERS["max"]
+            raise FormulaError(
+                f"unknown variable {node.id!r} (only 't'/'datapoint_max' allowed)"
+            )
         if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.USub, ast.UAdd)):
             sign = "-" if isinstance(node.op, ast.USub) else "+"
             return f"({sign}{emit(node.operand)})"
@@ -72,7 +86,12 @@ def translate_formula(formula: str, t_col: str = "t") -> tuple[str, set[str]]:
             if isinstance(node.op, ast.Div):
                 return f"({l} / {r})"
             if isinstance(node.op, ast.Mod):
-                return f"pmod({l}, {r})"
+                # Python FLOORED mod (result takes the divisor's sign),
+                # not pmod (always-positive) — the reference eval()s the
+                # formula with Python semantics, and the driver-side
+                # recurrence interpreter uses `%`; both evaluators of one
+                # formula must agree for negative divisors too
+                return f"({l} - floor({l} / {r}) * {r})"
             if isinstance(node.op, ast.Pow):
                 return f"power({l}, {r})"
             raise FormulaError(f"operator {type(node.op).__name__} not allowed")
@@ -127,12 +146,25 @@ def eval_formula_step(formula: str, t: int, datapoints: list[float]) -> float:
     def ev(node: ast.AST):
         if isinstance(node, ast.Expression):
             return ev(node.body)
-        if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+        if (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, (int, float))
+            and not isinstance(node.value, bool)
+        ):
             return node.value
         if isinstance(node, ast.Name):
             if node.id == "t":
                 return t
-            raise FormulaError(f"unknown variable {node.id!r} (only 't' allowed)")
+            if node.id == "datapoint_max":
+                try:
+                    return max(datapoints)
+                except ValueError as e:
+                    raise FormulaError(
+                        "datapoint_max over the empty prefix at t=0"
+                    ) from e
+            raise FormulaError(
+                f"unknown variable {node.id!r} (only 't'/'datapoint_max' allowed)"
+            )
         if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.USub, ast.UAdd)):
             v = ev(node.operand)
             return -v if isinstance(node.op, ast.USub) else +v
@@ -149,7 +181,11 @@ def eval_formula_step(formula: str, t: int, datapoints: list[float]) -> float:
             if isinstance(node.op, ast.Mod):
                 return l % r
             if isinstance(node.op, ast.Pow):
-                return l ** r
+                v = l ** r
+                # (-8) ** 0.5 is complex in Python but NaN in SQL power();
+                # mirror SQL so both evaluators agree (and eval_recurrence's
+                # float() never sees a complex)
+                return float("nan") if isinstance(v, complex) else v
             raise FormulaError(f"operator {type(node.op).__name__} not allowed")
         if isinstance(node, ast.Call):
             if not isinstance(node.func, ast.Name) or node.keywords:

@@ -365,9 +365,14 @@ def phone_number(key: Column) -> Column:
 
 
 def ssn(key: Column) -> Column:
+    # area uniform over [1,899] EXCLUDING the never-issued 666 (Faker
+    # skips it too; validation-aware SSN detectors reject it): draw
+    # [1,898] and shift the 666+ tail up by one
+    area = _randint(key, "ss1", 1, 898)
+    area = F.when(area >= 666, area + 1).otherwise(area)
     return F.format_string(
         "%03d-%02d-%04d",
-        _randint(key, "ss1", 1, 899), _randint(key, "ss2", 1, 99),
+        area, _randint(key, "ss2", 1, 99),
         _randint(key, "ss3", 1, 9999),
     )
 
@@ -390,19 +395,66 @@ def bban(key: Column) -> Column:
     return F.concat(rand_string(key, "bb1", 4, UPPER), rand_string(key, "bb2", 14, DIGITS))
 
 
-def iban(key: Column) -> Column:
-    return F.format_string(
-        "GB%02d%s", _randint(key, "ib1", 2, 98),
-        F.concat(rand_string(key, "ib2", 4, UPPER), rand_string(key, "ib3", 14, DIGITS)),
+def _mod97(numstr: Column) -> Column:
+    """ISO 7064 mod-97 of a (long) decimal digit string, folded digit by
+    digit so the value never leaves int range."""
+    return F.aggregate(
+        F.split(numstr, ""),
+        F.lit(0),
+        lambda acc, ch: F.when(ch == "", acc).otherwise(
+            F.pmod(acc * 10 + ch.cast("int"), F.lit(97))
+        ),
     )
+
+
+def _iban_digits(s: Column) -> Column:
+    """IBAN letter expansion: A->10 .. Z->35, digits unchanged."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(""),
+        lambda acc, ch: F.concat(
+            acc,
+            F.when(ch == "", F.lit("")).otherwise(
+                F.when(ch.rlike("[A-Z]"), (F.ascii(ch) - 55).cast("string")).otherwise(ch)
+            ),
+        ),
+    )
+
+
+def iban(key: Column) -> Column:
+    # real ISO 7064 check digits (98 - mod97(BBAN+GB00)), like Faker's
+    # iban(): random check digits validate only ~1 time in 97, so
+    # checksum-aware IBAN detectors would never match the content
+    bban_col = F.concat(rand_string(key, "ib2", 4, UPPER), rand_string(key, "ib3", 14, DIGITS))
+    check = F.lit(98) - _mod97(_iban_digits(F.concat(bban_col, F.lit("GB00"))))
+    return F.format_string("GB%02d%s", check, bban_col)
+
+
+def _luhn_check_digit(payload: Column, n: int) -> Column:
+    """Check digit completing an n-digit payload to a Luhn-valid number
+    (the payload's rightmost digit is doubled, standard card scheme)."""
+    chars = F.split(payload, "")
+
+    def term(p: Column) -> Column:
+        d = F.element_at(chars, p).cast("int")
+        doubled = F.when(d > 4, d * 2 - 9).otherwise(d * 2)
+        # right-position of payload digit p is (n+1-p)+1 in the full
+        # number; doubled when that is even <=> p and n share parity
+        return F.when(p % 2 == F.lit(n % 2), doubled).otherwise(d)
+
+    s = F.aggregate(F.sequence(F.lit(1), F.lit(n)), F.lit(0), lambda acc, p: acc + term(p))
+    return F.pmod(F.lit(10) - F.pmod(s, 10), F.lit(10))
 
 
 def credit_card_number(key: Column) -> Column:
-    return F.format_string(
-        "4%03d%04d%04d%04d",
+    # 15-digit payload + computed Luhn check digit: Faker's cards are
+    # always Luhn-valid, and card detectors verify Luhn before matching
+    payload = F.format_string(
+        "4%03d%04d%04d%03d",
         _randint(key, "cc1", 0, 999), _randint(key, "cc2", 0, 9999),
-        _randint(key, "cc3", 0, 9999), _randint(key, "cc4", 0, 9999),
+        _randint(key, "cc3", 0, 9999), _randint(key, "cc4", 0, 999),
     )
+    return F.concat(payload, _luhn_check_digit(payload, 15).cast("string"))
 
 
 def credit_card_full(key: Column) -> Column:

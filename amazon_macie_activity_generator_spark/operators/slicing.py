@@ -34,8 +34,11 @@ def slice_array_expr(value: Column, slice_size: Column) -> Column:
     sliced = F.when(
         rem > 0, F.concat(F.array_repeat(s, full.cast("int")), F.array(rem))
     ).otherwise(F.array_repeat(s, full.cast("int")))
+    # v <= 0, not v == 0: a negative value would hit array_repeat with a
+    # negative count (empty array) and posexplode would silently DROP the
+    # datapoint row; degenerate values pass through as one slice [v]
     return F.when(
-        (v == 0) | (s <= 0) | (full >= _MAX_SLICES), F.array(v)
+        (v <= 0) | (s <= 0) | (full >= _MAX_SLICES), F.array(v)
     ).otherwise(sliced)
 
 

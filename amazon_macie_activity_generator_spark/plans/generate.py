@@ -270,11 +270,13 @@ def generate(
     # Hit slots come from a tiny exploded DRAW TABLE (counts rows per
     # series -> distinct slots) broadcast-joined on (series_id, t): per
     # fact row the hit test is O(1), not O(generators x draws) predicate
-    # evaluations. One scalar-stats join per LAYER; sequential
-    # within-generator spec semantics preserved (layer k sees layer k-1's
-    # overwrites, like the reference's per-spec loop, main.py:628).
+    # evaluations. One scalar-stats join per LAYER, ALWAYS computed from
+    # the pristine pre-anomaly series (main.py:628 derives datapoint_max
+    # before any overwrite) — identical numbers to the sequential
+    # apply_anomalies path; clamps mirror anomaly_hit_expr exactly.
     from amazon_macie_activity_generator_spark.functions.rng import hash_int
 
+    pristine = df
     max_layers = max((len(g.anomalies) for g in gens), default=0)
     for layer in range(max_layers):
         spec_rows, formulas = [], {}
@@ -283,8 +285,8 @@ def generate(
                 continue
             spec = g.anomalies[layer]
             n = g.num_points
-            start = min(int(spec.get("start", 0)), n - 1)
-            end = min(int(spec.get("end", n - 1)), n - 1)
+            start = max(0, min(int(spec.get("start", 0)), n - 1))
+            end = max(0, min(int(spec.get("end", n - 1)), n - 1))
             counts = int(spec.get("counts", 0))
             if counts <= 0 or start > n - 1 or end < start:
                 continue
@@ -327,7 +329,7 @@ def generate(
             needed_all |= needed
             cond = F.col("__hit").isNotNull() & F.col("series_id").isin(series_ids)
             branches.append((cond, val_expr))
-        df = _attach_series_stats(df, needed_all, "value", ["series_id"])
+        df = _attach_series_stats(df, needed_all, "value", ["series_id"], source=pristine)
         chain = F.col("value")
         for cond, val_expr in reversed(branches):
             chain = F.when(cond, val_expr.cast("double")).otherwise(chain)

@@ -118,11 +118,17 @@ def execute_target(
     elif target.type == "s3":
         action = target.config.get("action", "get")  # main.py:1047
         if action == "put":
-            rows = s3_put_activity_rows(sel, target.config)
-            rows.write.mode("append").parquet(os.path.join(tdir, "manifest"))
-            write_objects_local(
-                rows, os.path.join(tdir, "objects")
-            )
+            # persist: the fake-document projection (multi-KB content per
+            # row, the heaviest expressions in the job) feeds TWO actions
+            # — manifest write + object files — and must compute once
+            rows = s3_put_activity_rows(sel, target.config).persist()
+            try:
+                rows.write.mode("append").parquet(os.path.join(tdir, "manifest"))
+                write_objects_local(
+                    rows, os.path.join(tdir, "objects")
+                )
+            finally:
+                rows.unpersist()
             result["manifest"] = os.path.join(tdir, "manifest")
             result["objects"] = os.path.join(tdir, "objects")
         else:

@@ -271,15 +271,16 @@ WITH v AS (
   FROM events WHERE event_id < 1000
 ),
 n AS (
-  -- the v // 3 >= 1000000 arm mirrors slicing._MAX_SLICES: adversarial
-  -- values emit one un-sliced row instead of a million-element fan-out
+  -- v <= 0 and the v // 3 >= 1000000 cap mirror slicing.slice_array_expr:
+  -- degenerate values pass through as ONE slice [v] (never a dropped row
+  -- or a million-element fan-out)
   SELECT event_id, v,
-         CASE WHEN v = 0 OR v // 3 >= 1000000 THEN 1
+         CASE WHEN v <= 0 OR v // 3 >= 1000000 THEN 1
               ELSE v // 3 + CASE WHEN v % 3 > 0 THEN 1 ELSE 0 END END AS cnt
   FROM v
 )
 SELECT event_id, i AS slice_idx,
-       CASE WHEN v = 0 OR v // 3 >= 1000000 THEN v
+       CASE WHEN v <= 0 OR v // 3 >= 1000000 THEN v
             WHEN i < v // 3 THEN 3 ELSE v % 3 END AS slice_value
 FROM (SELECT event_id, v, unnest(range(cnt)) AS i FROM n)
 """

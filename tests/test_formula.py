@@ -14,7 +14,7 @@ def test_simple_arithmetic():
 
 def test_power_and_mod():
     sql, _ = translate_formula("(t ** 2) % 7")
-    assert "power" in sql and "pmod" in sql
+    assert "power" in sql and "floor" in sql  # floored mod, not pmod
 
 
 def test_max_datapoints_placeholder():
@@ -26,6 +26,52 @@ def test_max_datapoints_placeholder():
 def test_math_functions():
     sql, _ = translate_formula("sin(t) + sqrt(abs(t))")
     assert "sin" in sql and "sqrt" in sql and "abs" in sql
+
+
+def test_mod_matches_python_for_negative_divisors(spark):
+    """The SQL translation and the driver-side recurrence interpreter
+    evaluate the SAME grammar — Python FLOORED mod must hold in both,
+    including negative divisors (pmod would disagree)."""
+    from pyspark.sql import functions as F
+
+    from amazon_macie_activity_generator_spark.formula import eval_formula_step
+
+    for formula in ["t % (0 - 3)", "(0 - t) % 3", "t % 3"]:
+        sql, _ = translate_formula(formula)
+        got = [
+            r.v for r in
+            spark.range(0, 7).selectExpr("id AS t").select(F.expr(sql).alias("v"))
+            .orderBy(F.expr("t")).collect()
+        ]
+        want = [float(eval_formula_step(formula, t, [])) for t in range(7)]
+        assert got == want, (formula, got, want)
+
+
+def test_negative_base_fractional_power_is_nan_both_sides(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from amazon_macie_activity_generator_spark.formula import eval_formula_step
+
+    assert math.isnan(eval_formula_step("(0 - 8) ** 0.5", 0, []))
+    sql, _ = translate_formula("(0 - 8) ** 0.5")
+    v = spark.range(1).select(F.expr(sql).alias("v")).first().v
+    assert v is None or math.isnan(v)
+
+
+def test_datapoint_max_variable_translates():
+    # the reference's anomaly formulas expose `datapoint_max` directly
+    # (main.py:636-639); it must map to the same placeholder as
+    # max(datapoints)
+    sql, needed = translate_formula("datapoint_max * 10")
+    assert needed == {"__datapoints_max__"}
+    assert "__datapoints_max__" in sql
+
+
+def test_bool_literal_rejected():
+    with pytest.raises(FormulaError):
+        translate_formula("t + True")
 
 
 @pytest.mark.parametrize("bad", [

@@ -182,6 +182,47 @@ def test_generate_deterministic_across_runs_and_partitionings(spark):
     assert one != other  # run_id participates in every draw
 
 
+def test_generate_batched_matches_sequential_multi_spec_anomalies(spark):
+    """The batched anomaly path in generate() must be value-identical to
+    the sequential apply_anomalies path: stats from the PRISTINE series
+    (no ((max+1)^2+1)^2 compounding across specs) and the same [0, n)
+    clamps for negative starts."""
+    from amazon_macie_activity_generator_spark.config import parse_blueprint
+    from amazon_macie_activity_generator_spark.plans.generate import (
+        generate,
+        generate_series,
+    )
+
+    bp = parse_blueprint({
+        "commons": {"num_points": 8},
+        "generators": [{
+            "id": "a", "shape": "constant",
+            "config": {
+                "constant": 2,
+                "anomalies": [
+                    {"start": 0, "end": 7, "counts": 8},
+                    {"start": -10, "end": 3, "counts": 4, "formula": "t * 100 + 7"},
+                ],
+            },
+        }],
+        "targets": [],
+    })
+    batched = {
+        (r.series_id, r.t): r.value
+        for r in generate(spark, bp, run_id="par", anomaly_mode="stride").collect()
+    }
+    seq = {
+        ("a", r.t): float(int(r.value))  # T5 int cast applied by generate()
+        for r in generate_series(spark, bp.generators[0], "par",
+                                 anomaly_mode="stride").collect()
+    }
+    assert batched == seq
+    # spec 0 injects (2+1)^2 = 9 everywhere; spec 1 overwrites clamped
+    # slots 0..3 with t*100+7 — NOT ((9+1)^2-style compounded values
+    assert batched[("a", 0)] == 7.0 and batched[("a", 3)] == 307.0
+    assert batched[("a", 7)] == 9.0
+
+
 def test_fake_providers_partition_invariant(spark):
     from pyspark.sql import functions as F
 

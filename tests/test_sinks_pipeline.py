@@ -71,6 +71,35 @@ def test_provider_formats(spark):
             assert re.match(pat, r[n]), f"{n}: {r[n]!r} !~ {pat}"
 
 
+def test_provider_checksums_validate(spark):
+    """The validity rules detectors actually check (Faker emits them
+    valid too): Luhn on card numbers, ISO 7064 mod-97 == 1 on IBANs,
+    no never-issued SSN area 666."""
+    df = spark.range(300)
+    key = F.col("id")
+    rows = df.select(
+        fake.credit_card_number(key).alias("cc"),
+        fake.iban(key).alias("ib"),
+        fake.ssn(key).alias("ss"),
+    ).collect()
+
+    def luhn_ok(num):
+        digits = [int(c) for c in num][::-1]
+        total = sum(d if i % 2 == 0 else (d * 2 - 9 if d > 4 else d * 2)
+                    for i, d in enumerate(digits))
+        return total % 10 == 0
+
+    def iban_ok(ib):
+        rearranged = ib[4:] + ib[:4]
+        num = "".join(str(ord(c) - 55) if c.isalpha() else c for c in rearranged)
+        return int(num) % 97 == 1
+
+    for r in rows:
+        assert len(r.cc) == 16 and r.cc[0] == "4" and luhn_ok(r.cc), r.cc
+        assert iban_ok(r.ib), r.ib
+        assert not r.ss.startswith("666-"), r.ss
+
+
 def test_pem_block_shape(spark):
     row = spark.range(1).select(
         fake.rsa(F.col("id")).alias("rsa"), fake.pgp(F.col("id")).alias("pgp")
