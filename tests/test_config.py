@@ -77,3 +77,23 @@ def test_num_points_capped_at_14_days():
 def test_validation_errors(doc, msg):
     with pytest.raises(BlueprintError, match=msg):
         parse_blueprint(doc)
+
+
+@pytest.mark.parametrize("commons", [
+    {"num_points": 1},                                   # single-slot series
+    {"num_points": 5, "signal_min": 7, "signal_max": 7}, # degenerate scale range
+    {"num_points": 5, "signal_min": 9, "signal_max": 1}, # inverted scale range
+    {"num_points": 5, "anomalies": {"start": 1, "end": 2, "counts": 50}},  # counts >> width
+    {"num_points": 4, "noise_min": -1000000, "noise_max": 1000000},        # huge noise
+])
+def test_generate_total_on_degenerate_commons(spark, commons):
+    """Adversarial-but-valid blueprints must generate (right row count,
+    no crash) — the config analogue of the degenerate-corpus sweeps."""
+    from amazon_macie_activity_generator_spark.plans.generate import generate
+
+    bp = parse_blueprint({
+        "commons": commons,
+        "generators": [{"id": "a", "shape": "constant", "config": {"constant": 2}}],
+        "targets": [],
+    })
+    assert generate(spark, bp, run_id="degen").count() == commons["num_points"]
