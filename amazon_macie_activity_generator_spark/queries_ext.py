@@ -1717,8 +1717,11 @@ GROUP BY lang_pred
 
 def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
-    session state across micro-batches (rows-only: emits only closed
-    sessions; equivalence with the batch sessionizer asserted in tests)."""
+    session state across micro-batches. The MECHANISM is not
+    SQL-expressible, but with availableNow (one batch) the RESULT is
+    deterministic — every closed session, i.e. the batch gaps-and-islands
+    sessionization minus each user's final (still-open) session — so the
+    entry carries a full value-hash oracle (round 4; was rows-only)."""
     import os
     import tempfile
     import uuid
@@ -1741,6 +1744,34 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# the stateful emitter's exact contract: the batch sessionization minus
+# each user's max session_id (the session still open in state)
+SQL_SESSIONIZE_STATEFUL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+),
+agg AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, n_events, start_us, end_us
+FROM agg
+WHERE session_id < (SELECT max(a2.session_id) FROM agg a2
+                    WHERE a2.user_id = agg.user_id)
+"""
 
 
 def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1945,7 +1976,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "token_freq": (q_token_freq, SQL_TOKEN_FREQ),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "sessionize_stateful": (q_sessionize_stateful, None),
+    "sessionize_stateful": (q_sessionize_stateful, SQL_SESSIONIZE_STATEFUL),
     "doc_fingerprint_rolling": (q_doc_fingerprint_rolling, None),
     "fake_content": (q_fake_content, None),
     "s3_put_activities": (q_s3_put_activities, None),
