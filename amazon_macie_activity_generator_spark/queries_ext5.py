@@ -565,6 +565,89 @@ JOIN totals tb ON tb.source = p.source_b
 
 
 # --------------------------------------------------------------------------
+# hard_negatives — triplet mining for embedding training
+# --------------------------------------------------------------------------
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 — hard positive/negative mining, the triplet-selection step of
+    contrastive embedding training: for each anchor (vec_id < 100), the
+    most-similar vector sharing its label (hardest positive) and the
+    most-similar vector with a DIFFERENT label (hardest negative), plus
+    the margin between them — anchors with a negative margin are the
+    pairs a triplet loss actually learns from.
+
+    Scale shape: the anchor set broadcasts into ONE corpus scan, and the
+    per-(anchor, side) argmax is a struct-max aggregation — map-side
+    combinable, so the |corpus| x |anchors| scored stream reduces to two
+    rows per anchor inside each task before any shuffle (no window over
+    the scored frame). The brute-force scan is the exact baseline; the
+    SRP-LSH candidate generator (topk_cosine_lsh) is the drop-in scale
+    path when the anchor side grows. Ties break on (sim desc, vec_id
+    asc) via the struct's (sim, -vec_id) ordering, mirrored in the
+    oracle's row_number.
+    """
+    from amazon_macie_activity_generator_spark.operators.similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    sim = F.round(cosine_expr(F.col("embedding"), F.col("qv")), 4)
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "q_label",
+            (F.col("label") == F.col("q_label")).alias("is_pos"),
+            F.struct(
+                sim.alias("sim"),
+                (-F.col("vec_id")).alias("nv"),
+                F.col("vec_id").alias("vid"),
+            ).alias("cand"),
+        )
+    )
+    best = scored.groupBy("query_id", "q_label", "is_pos").agg(F.max("cand").alias("b"))
+    pos = best.filter(F.col("is_pos")).select(
+        "query_id", F.col("q_label").alias("label"),
+        F.col("b.vid").alias("pos_id"), F.col("b.sim").alias("pos_sim"),
+    )
+    neg = best.filter(~F.col("is_pos")).select(
+        "query_id", F.col("b.vid").alias("neg_id"), F.col("b.sim").alias("neg_sim"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id", "label", "pos_id", "pos_sim", "neg_id", "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id < 100
+),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id, e.label, {cos} AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+best AS (
+  SELECT query_id, q_label, (label = q_label) AS is_pos, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id, (label = q_label)
+                            ORDER BY sim DESC, vec_id) AS r
+  FROM scored
+)
+SELECT p.query_id, p.q_label AS label,
+       p.vec_id AS pos_id, p.sim AS pos_sim,
+       n.vec_id AS neg_id, n.sim AS neg_sim,
+       round(p.sim - n.sim, 4) AS margin
+FROM best p JOIN best n ON n.query_id = p.query_id
+WHERE p.is_pos AND p.r = 1 AND (NOT n.is_pos) AND n.r = 1
+""".format(cos=_DUCK_COS5)
+
+
+# --------------------------------------------------------------------------
 # bpe_merges — three unrolled rounds of greedy BPE merge training
 # --------------------------------------------------------------------------
 
@@ -865,4 +948,5 @@ EXT5_QUERIES = {
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
 }

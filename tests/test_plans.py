@@ -586,6 +586,19 @@ def test_knn_lsh_candidates_keyed_on_bucket(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_hard_negatives_partial_struct_max_no_window(spark, sf_dir):
+    """Triplet mining must reduce the |corpus| x |anchors| scored stream
+    map-side (struct-max partial aggregation), never window over it; the
+    anchor side broadcasts into one corpus scan."""
+    fn, _ = QUERIES["hard_negatives"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "partial_max" in plan  # map-side combine of the argmax struct
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast anchors x corpus scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bpe_encode_per_round_partial_agg_and_no_doc_shuffle(spark, sf_dir):
     """The encode path keeps the training loop's shape (pair-keyed
     partial agg per round, broadcast 1-row merge) and never shuffles or
