@@ -81,6 +81,9 @@ PROBE_QUERIES = {
     # so cost should be ~linear in corpus volume; copy-tagged tokens mean
     # the top pair differs per copy, exercising the top-1 + merge path.
     "bpe_merges": "documents",
+    # hard_negatives: anchors broadcast into one corpus scan with a
+    # map-side struct-max — cost should track corpus volume linearly.
+    "hard_negatives": "embeddings",
 }
 
 STRESS_QUERIES = [
