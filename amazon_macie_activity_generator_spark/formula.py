@@ -64,11 +64,12 @@ def translate_formula(formula: str, t_col: str = "t") -> tuple[str, set[str]]:
             if node.id == "t":
                 return f"CAST({t_col} AS DOUBLE)"
             if node.id == "datapoint_max":
-                # the reference's anomaly-formula variable (main.py:636-639
-                # exposes `datapoint_max` alongside t) — same scalar as
-                # max(datapoints)
+                # the reference's anomaly-formula variable (main.py:628
+                # exposes `datapoint_max = int(np.max(datapoints))`
+                # alongside t) — max(datapoints) truncated toward zero,
+                # which is exactly CAST AS BIGINT
                 needed.add(AGG_PLACEHOLDERS["max"])
-                return AGG_PLACEHOLDERS["max"]
+                return f"CAST({AGG_PLACEHOLDERS['max']} AS BIGINT)"
             raise FormulaError(
                 f"unknown variable {node.id!r} (only 't'/'datapoint_max' allowed)"
             )
@@ -157,7 +158,10 @@ def eval_formula_step(formula: str, t: int, datapoints: list[float]) -> float:
                 return t
             if node.id == "datapoint_max":
                 try:
-                    return max(datapoints)
+                    # int() like main.py:628 (truncates toward zero) —
+                    # keeps this evaluator aligned with the SQL
+                    # CAST(... AS BIGINT) in translate_formula
+                    return int(max(datapoints))
                 except ValueError as e:
                     raise FormulaError(
                         "datapoint_max over the empty prefix at t=0"

@@ -5,11 +5,18 @@ clamp [start, end] to the series; draw ``counts`` slots uniformly *with
 replacement* (``random.randint`` per count); overwrite each chosen slot
 with ``eval(formula)`` (vars ``t``, ``datapoint_max``) or the default
 ``(datapoint_max + 1) ** 2`` where ``datapoint_max = int(max(datapoints))``
-is computed *before* any overwrite.
+is recomputed INSIDE the per-spec loop (main.py:628), i.e. a later spec's
+max DOES see earlier specs' in-place ``(max+1)^2`` overwrites, so
+multi-spec magnitudes compound: ``((max+1)^2 + 1)^2``. (Within one spec
+the reference's per-draw writes can also feed ``max(datapoints)`` in a
+formula mid-spec; like the slot draw itself, that sub-spec ordering is
+not reproducible without sequential eval — we freeze stats at spec
+entry, the documented deviation alongside stride mode.)
 
 Spark design:
-- ``datapoint_max`` = per-series scalar agg, broadcast-joined back (the
-  reference's pre-aggregation at main.py:628 — same idea, distributed).
+- ``datapoint_max`` = per-series scalar agg over the CURRENT (post-
+  previous-spec) frame, broadcast-joined back — one stats join per spec,
+  matching main.py:628's in-loop recompute.
 - Slot choice has two modes:
   * ``mode='hash'`` (default, scale path): the k draws come from the
     hash-counter RNG — draw j for a series lands on slot
@@ -41,8 +48,12 @@ def _anomaly_value_expr(spec: dict, t_col: str = "t") -> tuple[Column, set[str]]
     if formula:
         sql, needed = translate_formula(str(formula), t_col=t_col)
         return F.expr(sql), needed
-    # default: (datapoint_max + 1) ** 2   (main.py:639-641)
-    return F.pow(F.col("__datapoints_max__") + F.lit(1.0), F.lit(2.0)), {"__datapoints_max__"}
+    # default: (datapoint_max + 1) ** 2 with datapoint_max = int(max)
+    # (main.py:628,641 — int() truncates toward zero, as CAST AS BIGINT)
+    return (
+        F.pow(F.col("__datapoints_max__").cast("long") + F.lit(1), F.lit(2.0)),
+        {"__datapoints_max__"},
+    )
 
 
 def _attach_series_stats(
@@ -53,9 +64,10 @@ def _attach_series_stats(
     source: DataFrame | None = None,
 ) -> DataFrame:
     """Broadcast-join per-series scalar aggregates used by formulas.
-    ``source`` is the frame the stats are computed FROM (the pristine
-    pre-overwrite series — main.py:628 computes datapoint_max before any
-    anomaly writes); they attach onto ``df``."""
+    ``source`` is the frame the stats are computed FROM (defaults to
+    ``df`` itself — the current, post-previous-spec series, matching
+    main.py:628's in-loop ``int(np.max(datapoints))``); they attach
+    onto ``df``."""
     aggs = []
     if "__datapoints_max__" in needed:
         aggs.append(F.max(value_col).alias("__datapoints_max__"))
@@ -126,16 +138,16 @@ def apply_anomalies(
         return df
     by = by if by is not None else ["series_id"]
 
-    # stats always come from the PRISTINE series (main.py:628): a second
-    # spec's datapoint_max must not see the first spec's overwrites, or
-    # multi-spec blueprints compound ((max+1)^2 + 1)^2
-    pristine = df
+    # stats come from the CURRENT frame at each spec (main.py:628
+    # recomputes int(np.max(datapoints)) inside the per-spec loop, so a
+    # later spec's max sees earlier specs' (max+1)^2 overwrites and
+    # multi-spec magnitudes compound: ((max+1)^2 + 1)^2)
     for spec_idx, spec in enumerate(specs):
         is_hit = anomaly_hit_expr(spec, n_points, spec_idx, t_col, identity, mode)
         if is_hit is None:
             continue
         val_expr, needed = _anomaly_value_expr(spec, t_col=t_col)
-        df = _attach_series_stats(df, needed, value_col, by, source=pristine)
+        df = _attach_series_stats(df, needed, value_col, by)
         df = df.withColumn(value_col, F.when(is_hit, val_expr.cast("double")).otherwise(F.col(value_col)))
         df = df.drop(*[c for c in needed])
     return df

@@ -150,16 +150,22 @@ def _banded_self_pairs(
     queries_ext4.dedup_containment's heavy-gram path)."""
     from pyspark.sql import Window
 
+    from amazon_macie_activity_generator_spark.cache import scoped_persist
+
     # bucket size via a PARTITIONED window — one shuffle of the narrow
     # banded table, no separate aggregate + join. Persist barrier: the
     # size-tagged table feeds all four pair-join sides (uncached, each
-    # side would recompute banded and the size pass). Lifecycle: the
-    # cache lives until the session's next catalog.clearCache() — the
-    # catalog/bench harness clears per query; a long-lived service
-    # calling dedup per batch should do the same between calls.
-    tagged = banded.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
-    ).persist()
+    # side would recompute banded and the size pass). Lifecycle: tracked
+    # in cache.py's registry, newest 4 kept (incremental dedup holds two
+    # live banded tables in one plan); release_all()/clearCache() drops
+    # the rest in a long-lived service.
+    tagged = scoped_persist(
+        banded.withColumn(
+            "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+        ),
+        "_banded_self_pairs",
+        keep=4,
+    )
     light = tagged.filter(F.col("bsz") <= heavy_bucket)
     heavy = tagged.filter(F.col("bsz") > heavy_bucket)
     light_pairs = (
@@ -218,11 +224,17 @@ def dedup_minhash_candidates(
     # band slice on both join sides — a ~100x recomputation blowup
     # (measured: 424s -> ~2s at sf0.1). At cluster scale this table is the
     # thing you'd write to storage between passes anyway.
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
-    ).persist()
+    from amazon_macie_activity_generator_spark.cache import scoped_persist
+
+    base = scoped_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+        ),
+        "dedup_minhash_candidates",
+        keep=2,
+    )
     # Lazy persist: the InMemoryRelation is a plan barrier whether or not
     # it is materialized, so CollapseProject still can't inline the
     # signature into the join sides, and BlockManager's per-partition
@@ -301,11 +313,17 @@ def _md5_base_and_bands(
     inlining the md5x16 signature into each; per-partition cache locking
     keeps concurrent branches from double-computing it at runtime."""
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
-        minhash_signature_md5(F.col(text_col), num_hashes, shingle_k).alias("sig"),
-    ).persist()
+    from amazon_macie_activity_generator_spark.cache import scoped_persist
+
+    base = scoped_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles_expr(F.col(text_col), shingle_k).alias("shingles"),
+            minhash_signature_md5(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+        ),
+        "_md5_base_and_bands",
+        keep=4,  # incremental dedup holds corpus + batch bases in one plan
+    )
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(

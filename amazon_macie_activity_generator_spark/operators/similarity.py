@@ -413,11 +413,17 @@ def embedding_near_dup(
     budf = srp_buckets_arrow([srp_planes(dim, planes, "srp")])
     # norm per ROW here, not per pair inside the self-join — the join
     # side's O(pairs * dim) norm recompute is the dominant redundant work
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm_expr(F.col(vec_col)).alias("nrm"),
-        F.element_at(budf(F.col(vec_col)), 1).alias("bucket"),
-    ).persist()
+    from amazon_macie_activity_generator_spark.cache import scoped_persist
+
+    base = scoped_persist(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            norm_expr(F.col(vec_col)).alias("nrm"),
+            F.element_at(budf(F.col(vec_col)), 1).alias("bucket"),
+        ),
+        "embedding_near_dup",
+        keep=2,
+    )
     base.count()  # eager: the self-join must read the cache, not race it
     bsz = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
     tagged = base.join(F.broadcast(bsz), "bucket")

@@ -270,13 +270,14 @@ def generate(
     # Hit slots come from a tiny exploded DRAW TABLE (counts rows per
     # series -> distinct slots) broadcast-joined on (series_id, t): per
     # fact row the hit test is O(1), not O(generators x draws) predicate
-    # evaluations. One scalar-stats join per LAYER, ALWAYS computed from
-    # the pristine pre-anomaly series (main.py:628 derives datapoint_max
-    # before any overwrite) — identical numbers to the sequential
-    # apply_anomalies path; clamps mirror anomaly_hit_expr exactly.
+    # evaluations. One scalar-stats join per LAYER, computed from the
+    # CURRENT (post-previous-layer) frame — main.py:628 recomputes
+    # int(np.max(datapoints)) inside the per-spec loop, so multi-spec
+    # magnitudes compound ((max+1)^2 + 1)^2; stats are per-series, so
+    # layer-k stats seeing layers 0..k-1's writes on that series is
+    # exactly the sequential apply_anomalies ordering. Clamps mirror
+    # anomaly_hit_expr exactly.
     from amazon_macie_activity_generator_spark.functions.rng import hash_int
-
-    pristine = df
     max_layers = max((len(g.anomalies) for g in gens), default=0)
     for layer in range(max_layers):
         spec_rows, formulas = [], {}
@@ -329,7 +330,7 @@ def generate(
             needed_all |= needed
             cond = F.col("__hit").isNotNull() & F.col("series_id").isin(series_ids)
             branches.append((cond, val_expr))
-        df = _attach_series_stats(df, needed_all, "value", ["series_id"], source=pristine)
+        df = _attach_series_stats(df, needed_all, "value", ["series_id"])
         chain = F.col("value")
         for cond, val_expr in reversed(branches):
             chain = F.when(cond, val_expr.cast("double")).otherwise(chain)

@@ -222,7 +222,7 @@ SELECT s.series_id, s.t,
        round(CASE WHEN s.t BETWEEN 10 AND 500
                    AND (s.t - 10) % {_ANOM_STRIDE} = 0
                    AND (s.t - 10) // {_ANOM_STRIDE} < 7
-              THEN power(st.mx + 1, 2) ELSE s.value END, 4) AS value
+              THEN power(CAST(trunc(st.mx) AS BIGINT) + 1, 2) ELSE s.value END, 4) AS value
 FROM s JOIN st USING (series_id)
 """
 

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
 from amazon_macie_activity_generator_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_candidates,
@@ -134,10 +135,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(_spark_3grams()).alias("grams"),
     ).withColumn("n_grams", F.size("grams"))
     base_ex = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
-    probe_ex = (
+    begin_scope("dedup_ngram_jaccard")
+    probe_ex = scoped_persist(
         base_ex.filter(F.col("id") % 50 == 0)
-        .withColumnsRenamed({"id": "pid", "n_grams": "p_grams"})
-    ).persist()  # the probe set is ~2% of the corpus but its lineage is a
+        .withColumnsRenamed({"id": "pid", "n_grams": "p_grams"}),
+        "dedup_ngram_jaccard",
+    )  # the probe set is ~2% of the corpus but its lineage is a
     # FULL scan (the % filter can't push down); the lazy persist caches it
     # when the broadcast job runs — an eager count() here would ADD a
     # build-time corpus scan just to warm the cache the broadcast build
@@ -265,7 +268,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache locking keeps the two branches from double-computing it at
     runtime — no eager count() needed, so the build phase stays
     action-free and the bench timer sees the real cost."""
-    sig = simhash64(_docs_aug(spark, sf_dir)).persist()
+    begin_scope("dedup_simhash")
+    sig = scoped_persist(simhash64(_docs_aug(spark, sf_dir)), "dedup_simhash")
     return simhash_near_pairs(sig, max_hamming=3)
 
 

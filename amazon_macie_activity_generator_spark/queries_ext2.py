@@ -54,6 +54,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
 from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
@@ -458,7 +459,10 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
             ).alias("c")
         )
-    ).persist()  # k rows — the "write the IVF index once" barrier: both the
+    )
+    begin_scope("topk_recall_ivf")
+    cent1 = scoped_persist(cent1, "topk_recall_ivf")
+    # k rows — the "write the IVF index once" barrier: both the
     # corpus assignment and the query probes read the cache, not its
     # lineage (lazy: per-partition cache locking prevents double compute)
     corpus = assign(emb, cent1, 1)

@@ -58,6 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
 from amazon_macie_activity_generator_spark.operators.dedup import (
     tokens_expr,
     word_shingles_expr,
@@ -412,7 +413,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist barrier: the capped, df-tagged shingle table feeds the size
     # table and all four pair-join sides — without it the
     # tokenize+explode re-runs each time (the "build the index once" rule)
-    sh = grams.join(df_tbl.filter(F.col("df") <= 1000), "g").persist()
+    begin_scope("dedup_containment")
+    sh = scoped_persist(
+        grams.join(df_tbl.filter(F.col("df") <= 1000), "g"), "dedup_containment"
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     heavy_df, n_salt = 64, 8
     light = sh.filter(F.col("df") <= heavy_df)
@@ -611,13 +615,14 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select("l_orderkey", "l_partkey").dropDuplicates()
     a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
+    begin_scope("pagerank_copurchase")
+    edges = scoped_persist(
         a.join(b, "l_orderkey")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .repartition("src")
-        .dropDuplicates()
-        .persist()
+        .dropDuplicates(),
+        "pagerank_copurchase",
     )  # symmetric by construction; persisted AND hash-partitioned on src:
     # the cached partitioning is reused by the degree aggregate and by
     # every iteration's contribution join, so each iteration shuffles
@@ -631,10 +636,13 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "node", "deg", "n_nodes",
-        F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("rank"),
-    ).persist()
+    ranks = scoped_persist(
+        nodes.crossJoin(F.broadcast(n)).select(
+            "node", "deg", "n_nodes",
+            F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("rank"),
+        ),
+        "pagerank_copurchase",
+    )
     # Lazy persist per iteration: each rank table is read twice by the
     # next iteration (contribution join + rank update), so the cache
     # bounds recompute, and with a FIXED iteration count the 3-deep
@@ -655,7 +663,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("inbound"))
         )
-        ranks = (
+        ranks = scoped_persist(
             ranks.select("node", "deg", "n_nodes")
             .join(contrib, "node", "left")
             .select(
@@ -665,8 +673,8 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + d * F.coalesce(F.col("inbound"), F.lit(0.0)),
                     12,
                 ).alias("rank"),
-            )
-            .persist()
+            ),
+            "pagerank_copurchase",
         )
     out = (
         ranks.select("node", F.round("rank", 6).alias("rank"))
@@ -749,13 +757,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select("l_orderkey", "l_partkey").dropDuplicates()
     a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    und = (
+    begin_scope("triangle_count")
+    und = scoped_persist(
         a.join(b, "l_orderkey")
         .filter(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
         .repartition("p1")
-        .dropDuplicates()
-        .persist()  # barrier: the order-keyed self-join is the expensive
+        .dropDuplicates(),
+        "triangle_count",
+        # barrier: the order-keyed self-join is the expensive
         # stage and feeds BOTH the degree aggregate and the orientation
         # join — uncached it runs twice more.
         # repartition("p1") BEFORE dropDuplicates: HashPartitioning(p1)
@@ -763,25 +773,25 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # that one exchange AND the cached table is already partitioned
         # for the p1-keyed orientation join — one edge shuffle, not two.
     )
-    deg = (
+    deg = scoped_persist(
         und.select(F.col("p1").alias("p"))
         .unionAll(und.select(F.col("p2").alias("p")))
         .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()  # node-sized; read by both orientation joins + n_nodes
-    )
+        .agg(F.count(F.lit(1)).alias("d")),
+        "triangle_count",
+    )  # node-sized; read by both orientation joins + n_nodes
     # Orient low-degree -> high-degree; p1 < p2 already, so the id
     # tiebreak is "p1 first when degrees are equal".
     lo_first = F.col("d1") <= F.col("d2")
-    edges = (
+    edges = scoped_persist(
         und.join(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1")), "p1")
         .join(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2")), "p2")
         .select(
             F.when(lo_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
             F.when(lo_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
-        )
-        .persist()  # barrier: the edge list feeds three joins + a count
-    )
+        ),
+        "triangle_count",
+    )  # barrier: the edge list feeds three joins + a count
     # Edge-iterator with sorted adjacency intersection: triangle x≺y≺z is
     # counted once at its lowest edge (x,y) as |out(x) ∩ out(y)|. This
     # never materializes the wedge set (49M rows at sf0.1) through a

@@ -282,8 +282,12 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin edges and the midpoint split use exact min/max aggregates; both
     engines run identical IEEE arithmetic on them.
     """
+    # NULL values are excluded up front (as ntile_bins / value_ranks do):
+    # floor((NULL - mn) / width) is NULL and least() NULL-handling differs
+    # across engines — unfiltered they'd silently land in bin 9 in Spark
     ev = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
         .select("event_type", "value", F.unix_micros(F.col("ts")).alias("us"))
     )
     stats = ev.groupBy("event_type").agg(
@@ -351,6 +355,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PSI_VALUE_DRIFT = f"""
 WITH ev AS (
   SELECT event_type, value, epoch_us(ts) AS us FROM events
+  WHERE value IS NOT NULL
 ),
 stats AS (
   SELECT event_type, min(value) AS mn, max(value) AS mx,
@@ -721,9 +726,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized round k-1 instead of replaying the whole merge chain
     from parquet — the batch analogue of checkpointing tokenizer state
     between merge rounds; at 100 TB the persist becomes a stored table.
+    Persist lifecycle: scoped_persist — a repeat invocation releases the
+    previous call's cached rounds (see cache.py).
     """
+    from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
+
+    begin_scope("bpe_merges")
     docs = load_table(spark, sf_dir, "documents")
-    cur = docs.select(tokens_expr(F.col("text")).alias("tk")).persist()
+    cur = scoped_persist(
+        docs.select(tokens_expr(F.col("text")).alias("tk")), "bpe_merges"
+    )
     out = None
     for r in (1, 2, 3):
         top = _bpe_top_pair(cur)
@@ -734,7 +746,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
         if r < 3:
-            cur = _bpe_apply(cur, top).persist()
+            cur = scoped_persist(_bpe_apply(cur, top), "bpe_merges")
     return out
 
 
@@ -798,16 +810,25 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     final stats are a per-row projection of the encoded state. The
     corpus is shuffled only on pair keys, never on content or doc id.
     Per-round persists bound recomputation exactly as in the training
-    loop (see ``q_bpe_merges``).
+    loop (see ``q_bpe_merges``); scoped_persist releases the previous
+    invocation's rounds (cache.py).
     """
+    from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
+
+    begin_scope("bpe_encode")
     docs = load_table(spark, sf_dir, "documents")
-    cur = docs.select(
-        "doc_id",
-        tokens_expr(F.col("text")).alias("tk"),
-    ).withColumn("n_raw", F.size("tk").cast("long")).persist()
+    cur = scoped_persist(
+        docs.select(
+            "doc_id",
+            tokens_expr(F.col("text")).alias("tk"),
+        ).withColumn("n_raw", F.size("tk").cast("long")),
+        "bpe_encode",
+    )
     for r in (1, 2, 3):
         top = _bpe_top_pair(cur)
-        cur = _bpe_apply(cur, top, carry=("doc_id", "n_raw")).persist()
+        cur = scoped_persist(
+            _bpe_apply(cur, top, carry=("doc_id", "n_raw")), "bpe_encode"
+        )
     n_bpe = F.size("tk").cast("long")
     return cur.select(
         "doc_id",

@@ -1,0 +1,85 @@
+"""Persist-lifecycle contract (cache.py): composed catalog use in one
+long-lived session must not accumulate cached corpora.
+
+Round-4 defect: the BPE / PageRank / triangle builders persisted
+per-round intermediates and relied on the bench harness's
+``catalog.clearCache()``; calling several builders (or one builder
+repeatedly) in one session leaked a cached corpus copy per round per
+call. The scoped registry bounds that to one invocation's worth of
+frames per builder.
+"""
+
+from __future__ import annotations
+
+from amazon_macie_activity_generator_spark.cache import (
+    _TRACKED,
+    release_all,
+    release_scope,
+    scoped_persist,
+)
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_repeat_invocations_bounded(spark, sf_dir):
+    """Running bpe_merges + bpe_encode + triangle_count twice each caches
+    no more than one invocation's frames per builder."""
+    from amazon_macie_activity_generator_spark.queries_ext4 import q_triangle_count
+    from amazon_macie_activity_generator_spark.queries_ext5 import (
+        q_bpe_encode,
+        q_bpe_merges,
+    )
+
+    release_all()
+    spark.catalog.clearCache()
+    builders = (q_bpe_merges, q_bpe_encode, q_triangle_count)
+    for b in builders:
+        b(spark, sf_dir).collect()
+    first = _n_cached(spark)
+    # second composed pass: begin_scope must release the first pass's
+    # frames, so the cached count does NOT grow
+    for b in builders:
+        b(spark, sf_dir).collect()
+    assert _n_cached(spark) <= first
+    # per-scope accounting matches: one invocation's worth each
+    assert len(_TRACKED["bpe_merges"]) == 3  # t1, t2, t3
+    assert len(_TRACKED["bpe_encode"]) == 4  # t1..t4 (doc_id carried)
+    assert len(_TRACKED["triangle_count"]) == 3  # und, deg, edges
+    release_all()
+    assert _n_cached(spark) == 0
+
+
+def test_release_scope_is_isolated(spark):
+    df_a = scoped_persist(spark.range(5), "scope_a")
+    df_b = scoped_persist(spark.range(7), "scope_b")
+    df_a.count(), df_b.count()
+    assert _n_cached(spark) >= 2
+    release_scope("scope_a")
+    assert "scope_a" not in _TRACKED
+    assert any(d is df_b for d in _TRACKED["scope_b"])
+    release_scope("scope_b")
+
+
+def test_keep_trims_oldest(spark):
+    frames = [scoped_persist(spark.range(i + 1), "trim", keep=2) for i in range(5)]
+    assert len(_TRACKED["trim"]) == 2
+    assert _TRACKED["trim"] == frames[-2:]
+    # evicted frames recompute fine (lineage intact)
+    assert frames[0].count() == 1
+    release_scope("trim")
+
+
+def test_release_all_after_operator_helpers(spark, sf_dir):
+    """Operator helpers (minhash/banded/embedding bases) register with a
+    keep bound and release_all() drops everything they cached."""
+    from amazon_macie_activity_generator_spark.queries_ext import q_dedup_minhash
+    from amazon_macie_activity_generator_spark.queries_ext3 import q_dedup_incremental
+
+    release_all()
+    spark.catalog.clearCache()
+    q_dedup_minhash(spark, sf_dir).collect()
+    q_dedup_incremental(spark, sf_dir).collect()
+    release_all()
+    assert _n_cached(spark) == 0

@@ -184,9 +184,10 @@ def test_generate_deterministic_across_runs_and_partitionings(spark):
 
 def test_generate_batched_matches_sequential_multi_spec_anomalies(spark):
     """The batched anomaly path in generate() must be value-identical to
-    the sequential apply_anomalies path: stats from the PRISTINE series
-    (no ((max+1)^2+1)^2 compounding across specs) and the same [0, n)
-    clamps for negative starts."""
+    the sequential apply_anomalies path: per-layer stats from the CURRENT
+    frame (later specs see earlier specs' writes, compounding like
+    main.py:628's in-loop recompute) and the same [0, n) clamps for
+    negative starts."""
     from amazon_macie_activity_generator_spark.config import parse_blueprint
     from amazon_macie_activity_generator_spark.plans.generate import (
         generate,
@@ -195,16 +196,30 @@ def test_generate_batched_matches_sequential_multi_spec_anomalies(spark):
 
     bp = parse_blueprint({
         "commons": {"num_points": 8},
-        "generators": [{
-            "id": "a", "shape": "constant",
-            "config": {
-                "constant": 2,
-                "anomalies": [
-                    {"start": 0, "end": 7, "counts": 8},
-                    {"start": -10, "end": 3, "counts": 4, "formula": "t * 100 + 7"},
-                ],
+        "generators": [
+            {
+                "id": "a", "shape": "constant",
+                "config": {
+                    "constant": 2,
+                    "anomalies": [
+                        {"start": 0, "end": 7, "counts": 8},
+                        {"start": -10, "end": 3, "counts": 4, "formula": "t * 100 + 7"},
+                    ],
+                },
             },
-        }],
+            {
+                # two default specs: spec 1's datapoint_max must see spec
+                # 0's (2+1)^2 = 9 writes and inject (9+1)^2 = 100
+                "id": "b", "shape": "constant",
+                "config": {
+                    "constant": 2,
+                    "anomalies": [
+                        {"start": 4, "end": 7, "counts": 4},
+                        {"start": 0, "end": 1, "counts": 2},
+                    ],
+                },
+            },
+        ],
         "targets": [],
     })
     batched = {
@@ -212,11 +227,14 @@ def test_generate_batched_matches_sequential_multi_spec_anomalies(spark):
         for r in generate(spark, bp, run_id="par", anomaly_mode="stride").collect()
     }
     seq = {
-        ("a", r.t): float(int(r.value))  # T5 int cast applied by generate()
-        for r in generate_series(spark, bp.generators[0], "par",
-                                 anomaly_mode="stride").collect()
+        (g.id, r.t): float(int(r.value))  # T5 int cast applied by generate()
+        for g in bp.generators
+        for r in generate_series(spark, g, "par", anomaly_mode="stride").collect()
     }
     assert batched == seq
+    # series b: spec 1 compounds — slots 0-1 get (9+1)^2, slots 4-7 keep 9
+    assert batched[("b", 0)] == 100.0 and batched[("b", 1)] == 100.0
+    assert batched[("b", 4)] == 9.0 and batched[("b", 2)] == 2.0
     # spec 0 injects (2+1)^2 = 9 everywhere; spec 1 overwrites clamped
     # slots 0..3 with t*100+7 — NOT ((9+1)^2-style compounded values
     assert batched[("a", 0)] == 7.0 and batched[("a", 3)] == 307.0

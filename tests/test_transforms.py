@@ -121,10 +121,10 @@ def test_anomaly_negative_start_clamped_to_zero(spark):
     assert [r.value for r in out.orderBy("t").collect()] == [0, 100, 200, 300]
 
 
-def test_anomaly_multi_spec_stats_from_pristine_series(spark):
-    # spec 1's datapoint_max must see the ORIGINAL series (main.py:628
-    # computes it before any overwrite), not spec 0's injected values —
-    # otherwise magnitudes compound ((max+1)^2 + 1)^2
+def test_anomaly_multi_spec_stats_compound(spark):
+    # main.py:628 recomputes datapoint_max = int(np.max(datapoints))
+    # INSIDE the per-spec loop, after earlier specs' in-place writes —
+    # so spec 1's max sees spec 0's (6+1)^2 = 49 and injects (49+1)^2
     df = _series(spark, "a", [1, 2, 3, 4, 5, 6])
     out = apply_anomalies(
         df,
@@ -133,7 +133,15 @@ def test_anomaly_multi_spec_stats_from_pristine_series(spark):
         mode="stride",
     )
     vals = [r.value for r in out.orderBy("t").collect()]
-    assert vals == [1, 49, 3, 49, 5, 6]  # both specs inject (6+1)^2, not (49+1)^2
+    assert vals == [1, 49, 3, 2500, 5, 6]
+
+
+def test_anomaly_datapoint_max_int_cast(spark):
+    # main.py:628 int()-casts the max (truncation toward zero): a series
+    # topping out at 2.9 injects (2+1)^2 = 9, not (2.9+1)^2 = 15.21
+    df = _series(spark, "a", [0.5, 2.9, 1.0])
+    out = apply_anomalies(df, [{"start": 0, "end": 0, "counts": 1}], 3, mode="stride")
+    assert [r.value for r in out.orderBy("t").collect()] == [9.0, 2.9, 1.0]
 
 
 # ---------------------------------------------------------------- T6 zero-fill
