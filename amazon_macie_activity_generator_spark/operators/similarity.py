@@ -193,37 +193,38 @@ def srp_buckets_arrow(mats: list[list[list[float]]]):
     return buckets
 
 
-def lsh_bucket_topk(
+def lsh_scored_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     planes: int = 12,
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    corpus_carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """ANN top-k with standard AND-OR amplification: ``tables``
-    independent hash tables of ``planes`` sign bits each (AND within a
-    table, OR across tables), plus Hamming-1 multi-probe on the query
-    side. Exact-cosine re-rank of candidates. Recall/cost tunes with
-    (planes, tables): fewer planes or more tables = bigger candidate
-    sets = higher recall.
+    """The SRP-LSH candidate generator shared by ``lsh_bucket_topk`` and
+    the triplet miner: ``tables`` independent hash tables of ``planes``
+    sign bits each (AND within a table, OR across tables), plus
+    Hamming-1 multi-probe on the query side, exact-cosine scoring of the
+    distinct (query, candidate) pairs. Returns (query_id, id,
+    *corpus_carry, sim) — ``corpus_carry`` columns (e.g. a label) ride
+    the corpus scan so consumers need no second corpus join.
 
-    The corpus pass is one narrow projection (id, vec, table, bucket);
-    the join key (table, bucket) shuffles candidates only. Both the cast
-    vector and each table's bucket are bound as lambda arguments — the
-    naive form re-evaluated the 12-plane projection once per probe entry
-    (13x per table)."""
+    The corpus pass is one narrow projection (id, vec, carry, table,
+    bucket); the join key (table, bucket) shuffles candidates only. Both
+    the cast vector and each table's bucket are bound as lambda
+    arguments — the naive form re-evaluated the 12-plane projection once
+    per probe entry (13x per table)."""
     dim = dim if dim is not None else _infer_dim(corpus, vec_col)
     mats = [srp_planes(dim, planes, salt=f"srp{t}") for t in range(tables)]
     pow2 = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
     budf = srp_buckets_arrow(mats)
 
-    # (id, vec, tbl, bucket): posexplode of the per-table bucket array
+    # (id, vec, carry, tbl, bucket): posexplode of the per-table buckets
     c = corpus.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col), F.col(vec_col), *[F.col(cc) for cc in corpus_carry],
         F.posexplode(budf(F.col(vec_col))).alias("tbl", "bucket"),
     )
     # query side: exact bucket + all Hamming-1 probes, XOR'd from the
@@ -243,8 +244,29 @@ def lsh_bucket_topk(
 
     cand = c.join(q, on=["tbl", "bucket"]).filter(F.col(query_id_col) != F.col(id_col))
     sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
-    scored = cand.select(query_id_col, id_col, sim.alias("sim")).dropDuplicates(
-        [query_id_col, id_col]
+    return cand.select(
+        query_id_col, id_col, *corpus_carry, sim.alias("sim")
+    ).dropDuplicates([query_id_col, id_col])
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 12,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k over the SRP-LSH candidate generator (see
+    ``lsh_scored_candidates``): exact-cosine re-rank of candidates,
+    (sim desc, id asc) tie-break. Recall/cost tunes with (planes,
+    tables): fewer planes or more tables = bigger candidate sets =
+    higher recall."""
+    scored = lsh_scored_candidates(
+        corpus, queries, planes, tables, id_col, vec_col, query_id_col, dim
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (

@@ -58,9 +58,10 @@ Scale notes (local[32] tests, 1000-executor design):
   candidate work only ever forms inside one chunk's hash bucket.
 - ``source_overlap``: the self-join is keyed on the shingle; per-shingle
   fan-out is bounded by (#sources that contain it)^2, and the output is
-  |sources|^2 rows. Per-source totals broadcast. With millions of
-  sources the same plan holds after capping per-shingle source lists
-  (the df-cap guard of dedup_containment, queries_ext4.py).
+  |sources|^2 rows. Per-source totals broadcast. The df-cap guard
+  (shingles spanning > 1000 sources dropped from join AND totals, the
+  dedup_containment pattern) bounds the square at a million-source
+  corpus; mirrored in the oracle.
 """
 
 from __future__ import annotations
@@ -505,21 +506,39 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 # source_overlap — pairwise shingle overlap between sources
 # --------------------------------------------------------------------------
 
-def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+_OVERLAP_SOURCE_DF_CAP = 1000
+
+
+def q_source_overlap(
+    spark: SparkSession, sf_dir: str, source_df_cap: int = _OVERLAP_SOURCE_DF_CAP
+) -> DataFrame:
     """X30 — cross-source duplication audit: for every pair of sources,
     the number of distinct 3-word shingles they share and the Jaccard of
     their shingle sets. Pairs with zero shared shingles are omitted.
 
     The self-join is keyed on the shingle, so pair formation is bounded
     per shingle by (#sources containing it)^2 — never an all-pairs
-    product over documents.
+    product over documents. That square is the residual risk at a
+    million-source corpus: one boilerplate shingle present in every
+    source would form |sources|^2 pairs in a single task. The df-cap
+    guard (dedup_containment's posting-list cap, queries_ext4.py)
+    bounds it: shingles spanning more than ``source_df_cap`` sources are
+    dropped from BOTH the pair join and the per-source totals — such
+    shingles carry no dedup signal (they are corpus-wide boilerplate),
+    and excluding them from the Jaccard denominator keeps the ratio
+    consistent with the capped numerator. A no-op below the cap (the
+    sf-test corpora have ~20 sources), mirrored exactly in the oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
+    sh_all = (
         docs.select(
             "source", F.explode(word_shingles_expr(F.col("text"), 3)).alias("sh")
         )
         .distinct()
+    )
+    df_tbl = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf"))
+    sh = sh_all.join(
+        df_tbl.filter(F.col("sdf") <= source_df_cap).select("sh"), "sh"
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -550,8 +569,13 @@ SQL_SOURCE_OVERLAP = f"""
 WITH tok AS (
   SELECT source, {_DUCK_TOKS5} AS toks FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT source, unnest({_DUCK_3SH5}) AS sh FROM tok
+),
+sh AS (
+  SELECT source, sh FROM sh_all
+  WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh
+               HAVING count(*) <= {_OVERLAP_SOURCE_DF_CAP})
 ),
 pairs AS (
   SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
@@ -585,9 +609,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(anchor, side) argmax is a struct-max aggregation — map-side
     combinable, so the |corpus| x |anchors| scored stream reduces to two
     rows per anchor inside each task before any shuffle (no window over
-    the scored frame). The brute-force scan is the exact baseline; the
-    SRP-LSH candidate generator (topk_cosine_lsh) is the drop-in scale
-    path when the anchor side grows. Ties break on (sim desc, vec_id
+    the scored frame). The brute-force scan is the exact baseline;
+    ``hard_negatives_lsh`` is the same miner over the SRP-LSH candidate
+    generator — the proven swap when the corpus or anchor side grows.
+    Ties break on (sim desc, vec_id
     asc) via the struct's (sim, -vec_id) ordering, mirrored in the
     oracle's row_number.
     """
@@ -650,6 +675,119 @@ SELECT p.query_id, p.q_label AS label,
 FROM best p JOIN best n ON n.query_id = p.query_id
 WHERE p.is_pos AND p.r = 1 AND (NOT n.is_pos) AND n.r = 1
 """.format(cos=_DUCK_COS5)
+
+
+def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 scale path — the same triplet mining, but candidates come from
+    the SRP-LSH generator (4 tables x 10 sign bits, Hamming-1
+    multi-probe) instead of the exact |corpus| x |anchors| scan: the
+    swap ``q_hard_negatives`` names as its scale path, proven end-to-end.
+    The candidate label rides the corpus scan (``corpus_carry``), so the
+    per-(anchor, side) struct-max argmax runs directly on the
+    (table, bucket)-keyed candidate stream — still map-side combinable,
+    still no window, and no second corpus join for labels. Anchors whose
+    candidate set lacks a positive or a negative drop out via the final
+    inner join, in both engines.
+
+    "Hard" under LSH means hardest IN-BUCKET candidate — for negatives
+    that is exactly the semi-hard mining regime used at scale (near-
+    collisions are the informative negatives); agreement with the exact
+    miner is pinned in tests/test_ext5_lsh.py rather than by hash (the
+    candidate sets legitimately differ).
+    """
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        lsh_scored_candidates,
+    )
+    from amazon_macie_activity_generator_spark.queries_ext import _emb
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("q_label"),
+    )
+    scored = lsh_scored_candidates(
+        emb,
+        anchors.select("query_id", "embedding"),
+        planes=10,
+        corpus_carry=("label",),
+    )
+    cand = scored.join(
+        F.broadcast(anchors.select("query_id", "q_label")), "query_id"
+    ).select(
+        "query_id", "q_label",
+        (F.col("label") == F.col("q_label")).alias("is_pos"),
+        F.struct(
+            F.col("sim").alias("sim"),
+            (-F.col("vec_id")).alias("nv"),
+            F.col("vec_id").alias("vid"),
+        ).alias("cand"),
+    )
+    best = cand.groupBy("query_id", "q_label", "is_pos").agg(F.max("cand").alias("b"))
+    pos = best.filter(F.col("is_pos")).select(
+        "query_id", F.col("q_label").alias("label"),
+        F.col("b.vid").alias("pos_id"), F.col("b.sim").alias("pos_sim"),
+    )
+    neg = best.filter(~F.col("is_pos")).select(
+        "query_id", F.col("b.vid").alias("neg_id"), F.col("b.sim").alias("neg_sim"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id", "label", "pos_id", "pos_sim", "neg_id", "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+    )
+
+
+def _sql_hard_negatives_lsh() -> str:
+    """Oracle: the SRP bucket -> probe -> candidate pipeline of
+    ``_sql_knn_classify_lsh`` (same seeded planes as sign-bit masks,
+    query cutoff 100) feeding the hard-negatives argmax tail of
+    ``SQL_HARD_NEGATIVES``."""
+    from amazon_macie_activity_generator_spark.queries_ext import _srp_mask_values
+
+    cos = _DUCK_COS5.replace("q.qv", "q2.qv")
+    return f"""
+WITH planes(tbl, p, mask) AS (VALUES {_srp_mask_values()}),
+bits AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+               i -> CAST(e.embedding[i + 1] AS DOUBLE) *
+                    (CASE WHEN ((pl.mask >> i) & 1) = 1 THEN 1.0 ELSE -1.0 END)
+             )) >= 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl
+),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bits WHERE vec_id < 100),
+probes AS (
+  SELECT query_id, tbl, bucket FROM qb
+  UNION ALL
+  SELECT query_id, tbl, xor(bucket, CAST(1 AS BIGINT) << pp.p) AS bucket
+  FROM qb CROSS JOIN (SELECT unnest(range(10)) AS p) pp
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, b.vec_id
+  FROM probes pr JOIN bits b USING (tbl, bucket)
+  WHERE b.vec_id != pr.query_id
+),
+scored AS (
+  SELECT c.query_id, q2.q_label, e.vec_id, e.label, {cos} AS sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+        FROM embeddings WHERE vec_id < 100) q2 ON q2.query_id = c.query_id
+),
+best AS (
+  SELECT query_id, q_label, (label = q_label) AS is_pos, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id, (label = q_label)
+                            ORDER BY sim DESC, vec_id) AS r
+  FROM scored
+)
+SELECT p.query_id, p.q_label AS label,
+       p.vec_id AS pos_id, p.sim AS pos_sim,
+       n.vec_id AS neg_id, n.sim AS neg_sim,
+       round(p.sim - n.sim, 4) AS margin
+FROM best p JOIN best n ON n.query_id = p.query_id
+WHERE p.is_pos AND p.r = 1 AND (NOT n.is_pos) AND n.r = 1
+"""
 
 
 # --------------------------------------------------------------------------
@@ -970,4 +1108,5 @@ EXT5_QUERIES = {
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "hard_negatives_lsh": (q_hard_negatives_lsh, _sql_hard_negatives_lsh()),
 }

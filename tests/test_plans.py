@@ -562,6 +562,24 @@ def test_source_overlap_keyed_on_shingle(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_source_overlap_df_cap_guard(spark, sf_dir):
+    """The per-shingle source-df cap bounds the (#sources)^2 fan-out of
+    one boilerplate shingle. Below the cap it is a no-op (hash evidence
+    stays valid); at cap=1 every SHARED shingle (df >= 2 by definition)
+    is excluded, so no pair can form at all."""
+    from amazon_macie_activity_generator_spark.queries_ext5 import q_source_overlap
+
+    default = q_source_overlap(spark, sf_dir).toPandas()
+    uncapped = q_source_overlap(spark, sf_dir, source_df_cap=10**9).toPandas()
+    key = ["source_a", "source_b"]
+    assert (
+        default.sort_values(key, ignore_index=True)
+        .equals(uncapped.sort_values(key, ignore_index=True))
+    )  # the sf-test corpora have far fewer than 1000 sources
+    assert len(default) > 0  # the no-op comparison is not vacuous
+    assert q_source_overlap(spark, sf_dir, source_df_cap=1).count() == 0
+
+
 def test_training_mix_single_scan_broadcast_totals(spark, sf_dir):
     """The composed pipeline must stay join-light: the dedup census is a
     text-keyed grouped aggregation (partial-aggregated), the per-source
