@@ -523,6 +523,68 @@ def _simhash64_expr(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
+def simhash64_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """63-bit SimHash from md5 token digests — the ORACLE BRIDGE twin of
+    ``simhash64`` (same Charikar vote fold, same 63-bit layout, so
+    ``simhash_near_pairs`` consumes it unchanged): md5 hex digests are
+    byte-identical across engines, so signature, bands, candidate pairs
+    and Hamming distances all value-hash-match a DuckDB twin — unlike
+    xxhash64, which only Spark ships. Hashing costs ~an md5 per token vs
+    one xxhash64; keep this for correctness anchoring, ``simhash64`` for
+    production scale (the ``minhash_signature_md5`` convention).
+
+    Bit b of a token's vote vector is bit b of its md5 digest, parsed
+    nibble-by-nibble with ``// [8,4,2,1] % 2`` arithmetic — no dynamic
+    shifts (Spark's shiftright takes only literal amounts), mirrored
+    verbatim in the oracle SQL. Empty-token docs fold to the all-ones
+    signature (votes all 0, ties set the bit) in both engines."""
+    toks_nib = F.transform(
+        tokens_expr(F.col(text_col)),
+        lambda t: F.element_at(
+            F.transform(
+                F.array(F.md5(t)),  # bind the digest once (array-wrap trick)
+                lambda h: F.transform(
+                    F.sequence(F.lit(0), F.lit(15)),
+                    lambda i: F.conv(
+                        F.substr(h, i + F.lit(1), F.lit(1)), 16, 10
+                    ).cast("int"),
+                ),
+            ),
+            1,
+        ),
+    )
+    divisors = F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1))
+
+    def bits63(nv):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(62)),
+            lambda b: (
+                F.element_at(nv, (b / F.lit(4)).cast("int") + F.lit(1))
+                / F.element_at(divisors, F.pmod(b, F.lit(4)).cast("int") + F.lit(1))
+            ).cast("int")
+            % F.lit(2),
+        )
+
+    votes = F.aggregate(
+        toks_nib,
+        F.array_repeat(F.lit(0), 63),
+        lambda acc, nv: F.zip_with(
+            acc, bits63(nv), lambda a, bt: a + bt * F.lit(2) - F.lit(1)
+        ),
+    )
+    base = df.select(F.col(id_col).alias("id"), votes.alias("_v"))
+    sig = None
+    for b in range(63):  # static unroll: 63 literal-shift terms, codegen-able
+        term = (
+            F.when(F.element_at(F.col("_v"), b + 1) >= 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sig = term if sig is None else sig + term
+    return base.select("id", sig.alias("simhash"))
+
+
 def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance <= max_hamming, banded into 4
     16-bit chunks (pigeonhole guarantees a matching chunk for d<=3).

@@ -273,6 +273,56 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sig, max_hamming=3)
 
 
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b oracle bridge — the SAME banded Hamming-pair pipeline as
+    ``dedup_simhash`` but over md5-derived 63-bit signatures
+    (``simhash64_md5``), so the whole vote fold -> signature -> 16-bit
+    bands -> candidate join -> Hamming filter replays in DuckDB and
+    value-hash-matches. The xxhash64 entry stays the production/scale
+    path; this one anchors its semantics (the X2f minhash-md5 move)."""
+    from amazon_macie_activity_generator_spark.operators.dedup import simhash64_md5
+
+    begin_scope("dedup_simhash_md5")
+    sig = scoped_persist(simhash64_md5(_docs_aug(spark, sf_dir)), "dedup_simhash_md5")
+    return simhash_near_pairs(sig, max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH_MD5 = f"""
+WITH docs_aug AS ({_DUCK_DOCS_AUG}),
+tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM docs_aug),
+bits AS (
+  SELECT doc_id, b.b,
+         ((strpos('0123456789abcdef', substr(md5(t), (b.b // 4) + 1, 1)) - 1)
+          // ([8,4,2,1])[(b.b % 4) + 1]) % 2 AS bit
+  FROM tok CROSS JOIN (SELECT unnest(range(63)) AS b) b
+),
+votes AS (SELECT doc_id, b, sum(2 * bit - 1) AS v FROM bits GROUP BY 1, 2),
+sig0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+),
+sig AS (
+  -- empty-token docs fold to the all-ones 63-bit signature, as in Spark
+  SELECT d.doc_id, coalesce(s.simhash, 9223372036854775807) AS simhash
+  FROM docs_aug d LEFT JOIN sig0 s USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, c.c AS band, (simhash >> (c.c * 16)) & 65535 AS bh
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) c
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups via SRP-LSH buckets. Fully
     oracle-checked: the 8 seeded Rademacher planes are deterministic
@@ -1949,6 +1999,7 @@ EXT_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
     "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash_md5": (q_dedup_simhash_md5, SQL_DEDUP_SIMHASH_MD5),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "topk_cosine": (q_topk_cosine, SQL_TOPK_COSINE),
     "topk_cosine_lsh": (q_topk_cosine_lsh, SQL_TOPK_COSINE_LSH),

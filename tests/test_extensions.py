@@ -76,6 +76,23 @@ def test_simhash_near_dups(spark, docs):
     assert ham[(0, 200)] == 0
 
 
+def test_simhash_md5_near_dups_and_empty_doc(spark, docs):
+    """The md5 oracle-bridge twin keeps the xxhash64 path's semantics:
+    exact dups collide at hamming 0, and empty-token docs fold to the
+    all-ones 63-bit signature (ties set the bit) — the cross-engine
+    empty-doc contract the oracle's coalesce mirrors."""
+    from amazon_macie_activity_generator_spark.operators.dedup import simhash64_md5
+
+    sig = simhash64_md5(docs)
+    assert sig.count() == 26
+    pairs = simhash_near_pairs(sig, max_hamming=3).collect()
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(0, 200)] == 0  # exact dup
+    empty = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    vals = {r.id: r.simhash for r in simhash64_md5(empty).collect()}
+    assert vals == {1: (1 << 63) - 1, 2: (1 << 63) - 1}
+
+
 def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
     sh = df.select(word_shingles_expr(F.col("text"), 3).alias("s")).first().s
