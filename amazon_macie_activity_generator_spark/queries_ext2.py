@@ -1001,8 +1001,11 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     width 50, top bucket open-ended. Pure map-side bucket expression +
     one aggregation — the one-pass histogram any dashboard needs; at
     100 TB the bucket key is low-cardinality so partial aggregation
-    collapses nearly all rows map-side."""
-    events = load_table(spark, sf_dir, "events")
+    collapses nearly all rows map-side. NULL values are excluded up
+    front (the psi_value_drift rule): least(NULL, 9) skip-NULLs to the
+    top bucket in current Spark AND DuckDB — a silent miscount that is
+    also version-fragile (older DuckDB returns NULL instead)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
     return (
         events.groupBy("event_type", bucket.alias("bucket"))
@@ -1017,7 +1020,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VALUE_HISTOGRAM = """
 SELECT event_type, CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
        count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
-FROM events GROUP BY 1, 2
+FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 """
 
 

@@ -208,6 +208,12 @@ def main() -> None:
     ap.add_argument("--stress", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--work-dir", default="/tmp/spark_graft_scale")
+    ap.add_argument(
+        "--reps", type=int, default=1,
+        help="repetitions per (query, K); min-of-N is recorded — single "
+        "runs are ±1-2 s noisy on this box, which distorts log-log "
+        "exponents for the 2-6 s entries",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -236,13 +242,21 @@ def main() -> None:
             probe_fns.update(extra_probes)
         for name, fn in probe_fns.items():
             results.setdefault(name, {})
-            df = fn(spark, out_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            secs = round(time.perf_counter() - t0, 2)
-            spark.catalog.clearCache()
+            runs = []
+            for _ in range(max(args.reps, 1)):
+                df = fn(spark, out_dir)  # rebuild per rep: no plan reuse
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 2))
+                spark.catalog.clearCache()
+            secs = min(runs)
             results[name][k] = secs
-            print(json.dumps({"query": name, "k": k, "sec": secs, "mode": mode}), flush=True)
+            print(
+                json.dumps(
+                    {"query": name, "k": k, "sec": secs, "runs": runs, "mode": mode}
+                ),
+                flush=True,
+            )
 
     summary = {}
     for name, by_k in results.items():
