@@ -61,13 +61,10 @@ def _attach_series_stats(
     needed: set[str],
     value_col: str,
     by: list[str],
-    source: DataFrame | None = None,
 ) -> DataFrame:
-    """Broadcast-join per-series scalar aggregates used by formulas.
-    ``source`` is the frame the stats are computed FROM (defaults to
-    ``df`` itself — the current, post-previous-spec series, matching
-    main.py:628's in-loop ``int(np.max(datapoints))``); they attach
-    onto ``df``."""
+    """Broadcast-join per-series scalar aggregates used by formulas,
+    computed from ``df`` itself — the current, post-previous-spec
+    series, matching main.py:628's in-loop ``int(np.max(datapoints))``."""
     aggs = []
     if "__datapoints_max__" in needed:
         aggs.append(F.max(value_col).alias("__datapoints_max__"))
@@ -79,7 +76,7 @@ def _attach_series_stats(
         aggs.append(F.sum(value_col).alias("__datapoints_sum__"))
     if not aggs:
         return df
-    stats = (source if source is not None else df).groupBy(*by).agg(*aggs)
+    stats = df.groupBy(*by).agg(*aggs)
     return df.join(F.broadcast(stats), on=by, how="left")
 
 
@@ -138,18 +135,29 @@ def apply_anomalies(
         return df
     by = by if by is not None else ["series_id"]
 
+    from amazon_macie_activity_generator_spark.cache import scoped_persist
+
     # stats come from the CURRENT frame at each spec (main.py:628
     # recomputes int(np.max(datapoints)) inside the per-spec loop, so a
     # later spec's max sees earlier specs' (max+1)^2 overwrites and
     # multi-spec magnitudes compound: ((max+1)^2 + 1)^2)
+    applied_any = False
     for spec_idx, spec in enumerate(specs):
         is_hit = anomaly_hit_expr(spec, n_points, spec_idx, t_col, identity, mode)
         if is_hit is None:
             continue
         val_expr, needed = _anomaly_value_expr(spec, t_col=t_col)
+        if needed and applied_any:
+            # checkpoint the post-previous-spec frame before aggregating
+            # over it: without the barrier, spec k's stats groupBy replays
+            # specs 0..k-1's join+when lineage — O(S^2) plan depth for
+            # S-spec blueprints (the bpe_merges round-persist pattern;
+            # single-spec configs never persist)
+            df = scoped_persist(df, "apply_anomalies", keep=2)
         df = _attach_series_stats(df, needed, value_col, by)
         df = df.withColumn(value_col, F.when(is_hit, val_expr.cast("double")).otherwise(F.col(value_col)))
         df = df.drop(*[c for c in needed])
+        applied_any = True
     return df
 
 

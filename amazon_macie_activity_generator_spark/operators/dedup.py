@@ -538,10 +538,13 @@ def simhash64_md5(
     Bit b of a token's vote vector is bit b of its md5 digest, parsed
     nibble-by-nibble with ``// [8,4,2,1] % 2`` arithmetic — no dynamic
     shifts (Spark's shiftright takes only literal amounts), mirrored
-    verbatim in the oracle SQL. Empty-token docs fold to the all-ones
-    signature (votes all 0, ties set the bit) in both engines."""
+    verbatim in the oracle SQL. Tie rule matches the production fold
+    exactly: bit set iff votes STRICTLY > 0 (= strict majority of ones,
+    ``2*ones > n`` above), so empty-token AND null-text docs fold to
+    signature 0 in both paths and both engines (the null coalesce below
+    and the oracle's ``coalesce(sig, 0)`` pin the null case)."""
     toks_nib = F.transform(
-        tokens_expr(F.col(text_col)),
+        F.coalesce(tokens_expr(F.col(text_col)), F.array()),
         lambda t: F.element_at(
             F.transform(
                 F.array(F.md5(t)),  # bind the digest once (array-wrap trick)
@@ -578,7 +581,7 @@ def simhash64_md5(
     sig = None
     for b in range(63):  # static unroll: 63 literal-shift terms, codegen-able
         term = (
-            F.when(F.element_at(F.col("_v"), b + 1) >= 0, F.lit(1 << b).cast("long"))
+            F.when(F.element_at(F.col("_v"), b + 1) > 0, F.lit(1 << b).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
         sig = term if sig is None else sig + term

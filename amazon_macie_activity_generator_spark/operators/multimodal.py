@@ -59,11 +59,13 @@ FEATURE_SCHEMA = StructType([
 
 def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads so the
-    multimodal plumbing is exercisable on the driver's testdata."""
+    multimodal plumbing is exercisable on the driver's testdata. NULL
+    text becomes a zero-byte payload (not a NULL one), so downstream
+    decode stages see the same "empty media" case in both engines."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("source_uri"),
     )
 

@@ -330,6 +330,12 @@ def generate(
             needed_all |= needed
             cond = F.col("__hit").isNotNull() & F.col("series_id").isin(series_ids)
             branches.append((cond, val_expr))
+        if needed_all and layer > 0:
+            # same barrier as apply_anomalies: layer k's stats aggregate
+            # must not replay layers 0..k-1's join+when lineage
+            from amazon_macie_activity_generator_spark.cache import scoped_persist
+
+            df = scoped_persist(df, "generate_anomaly_layers", keep=2)
         df = _attach_series_stats(df, needed_all, "value", ["series_id"])
         chain = F.col("value")
         for cond, val_expr in reversed(branches):

@@ -299,12 +299,13 @@ bits AS (
 votes AS (SELECT doc_id, b, sum(2 * bit - 1) AS v FROM bits GROUP BY 1, 2),
 sig0 AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY 1
 ),
 sig AS (
-  -- empty-token docs fold to the all-ones 63-bit signature, as in Spark
-  SELECT d.doc_id, coalesce(s.simhash, 9223372036854775807) AS simhash
+  -- strict-majority vote rule (2*ones > n, the production fold):
+  -- empty-token and null-text docs fold to signature 0, as in Spark
+  SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
   FROM docs_aug d LEFT JOIN sig0 s USING (doc_id)
 ),
 bands AS (
@@ -933,8 +934,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL = """
 SELECT doc_id AS media_id, 'image' AS kind,
-       octet_length(encode(text)) AS n_bytes,
-       sha256(text) AS content_hash
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       sha256(coalesce(text, '')) AS content_hash
 FROM documents
 """
 
@@ -958,8 +959,8 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MULTIMODAL_DECODE = """
 WITH d AS (
   SELECT doc_id AS media_id, 'image' AS kind,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         sha256(text) AS content_hash
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+         sha256(coalesce(text, '')) AS content_hash
   FROM documents
 ), h AS (
   SELECT *, CAST(list_sum(list_transform(range(8),
@@ -1019,7 +1020,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked (upgraded from rows-only): the stub emits a
     deterministic payload — sha256(input payload) repeated to
     width*height//64 bytes — so the oracle re-derives the byte length
-    arithmetically AND the first 32 payload bytes as sha256(text),
+    arithmetically AND the first 32 payload bytes as sha256(coalesce(text, '')),
     proving the mapInPandas stage transformed the real input bytes."""
     from amazon_macie_activity_generator_spark.operators.multimodal import resize_images
 
@@ -1038,7 +1039,7 @@ SELECT doc_id AS media_id,
        CAST(224 AS BIGINT) AS width,
        CAST(224 AS BIGINT) AS height,
        CAST(224 * 224 // 64 AS BIGINT) AS n_bytes,
-       sha256(text) AS head_hash
+       sha256(coalesce(text, '')) AS head_hash
 FROM documents
 """
 
@@ -1060,7 +1061,7 @@ SQL_MULTIMODAL_FRAMES = """
 WITH h AS (
   SELECT doc_id AS media_id,
          CAST(list_sum(list_transform(range(8),
-           i -> CAST(strpos('0123456789abcdef', substr(sha256(text), i + 1, 1)) - 1 AS BIGINT)
+           i -> CAST(strpos('0123456789abcdef', substr(sha256(coalesce(text, '')), i + 1, 1)) - 1 AS BIGINT)
                 * CAST(power(16, 7 - i) AS BIGINT))) AS BIGINT) % 600000 AS duration_ms
   FROM documents
 ), f AS (
@@ -1293,7 +1294,8 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_DEDUP = """
-SELECT md5(text) AS payload_md5, min(doc_id) AS media_id, count(*) AS n_copies
+SELECT md5(coalesce(text, '')) AS payload_md5,
+       min(doc_id) AS media_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
 

@@ -468,7 +468,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_CONTAINMENT = f"""
 WITH toks AS (
-  SELECT doc_id, {_DUCK_TOKS4} AS tk FROM documents
+  -- NULL text ≡ empty text (Spark's shingle path folds both to the ''
+  -- shingle); without the coalesce the NULL doc vanishes through unnest
+  SELECT doc_id, coalesce({_DUCK_TOKS4}, []) AS tk FROM documents
 ), grams AS (
   SELECT DISTINCT doc_id,
          unnest(CASE WHEN len(tk) < 3 THEN [coalesce(array_to_string(tk, ' '), '')]
@@ -859,8 +861,11 @@ _DUCK_STOPLIST = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
 def gopher_feature_exprs():
     """(n_words, mean_word_len, n_stopwords) column expressions over
     ``documents.text`` — the shared feature stage of the Gopher rules.
-    ``mean_word_len`` carries the documented 6-dp boundary rounding."""
-    tk = tokens_expr(F.col("text"))
+    ``mean_word_len`` carries the documented 6-dp boundary rounding.
+    NULL text ≡ empty text (token coalesce): a NULL doc gets the same
+    (0, 0.0, 0) features and definite False flags as an empty doc,
+    instead of NULL-propagating through every rule."""
+    tk = F.coalesce(tokens_expr(F.col("text")), F.array())
     stop = F.array([F.lit(w) for w in GOPHER_STOPWORDS])
     n_words = F.size(tk)
     mean_wl = F.round(
@@ -925,7 +930,7 @@ WITH feat AS (
                / greatest(len(tk), 1), 6) AS mean_word_len,
          len(list_filter(tk, w -> list_contains(
              {_DUCK_STOPLIST}, w))) AS n_stopwords
-  FROM (SELECT doc_id, {_DUCK_TOKS4} AS tk FROM documents)
+  FROM (SELECT doc_id, coalesce({_DUCK_TOKS4}, []) AS tk FROM documents)
 )
 SELECT doc_id, n_words, mean_word_len, n_stopwords,
        n_words >= {GOPHER_WORDS_LO} AND n_words <= {GOPHER_WORDS_HI} AS ok_word_count,

@@ -536,9 +536,16 @@ def q_source_overlap(
         )
         .distinct()
     )
+    from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
+
     df_tbl = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf"))
-    sh = sh_all.join(
-        df_tbl.filter(F.col("sdf") <= source_df_cap).select("sh"), "sh"
+    # persist barrier (the dedup_containment rule): the capped shingle
+    # table feeds both pair-join sides AND the totals aggregate — uncached
+    # each consumer replays tokenize+explode+distinct+df-join
+    begin_scope("source_overlap")
+    sh = scoped_persist(
+        sh_all.join(df_tbl.filter(F.col("sdf") <= source_df_cap).select("sh"), "sh"),
+        "source_overlap",
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -1073,7 +1080,8 @@ WITH feat AS (
               BETWEEN {_G.GOPHER_MWL_LO} AND {_G.GOPHER_MWL_HI}
           AND len(list_filter(tk, w -> list_contains(
                 {_G._DUCK_STOPLIST}, w))) >= {_G.GOPHER_STOP_MIN}) AS quality_keep
-  FROM (SELECT doc_id, source, text, {_DUCK_TOKS5} AS tk FROM documents)
+  FROM (SELECT doc_id, source, text, coalesce({_DUCK_TOKS5}, []) AS tk
+        FROM documents)
 ),
 canon AS (
   SELECT text, min(doc_id) AS canon_id FROM feat WHERE quality_keep GROUP BY text

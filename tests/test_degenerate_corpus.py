@@ -28,6 +28,7 @@ TABLES = [
 DEGENERATE_TEXTS = [
     "", "   ", "\t\n", "one", "two words", "a b", "x", " padded  ",
     "the a and of to in", "three t tokens", "the the the", "ab",
+    None, None,  # NULL text (kept even so source s1/s2 alternation holds)
 ]
 
 # document-family entries: the ones whose oracle reads `documents`
@@ -53,7 +54,10 @@ def degen_sf_dir(tmp_path_factory):
             "text": pa.array(DEGENERATE_TEXTS),
             "lang": pa.array(["en"] * n),
             "source": pa.array(["s1", "s2"] * (n // 2)),
-            "n_chars": pa.array([len(t) for t in DEGENERATE_TEXTS], type=pa.int64()),
+            "n_chars": pa.array(
+                [len(t) if t is not None else 0 for t in DEGENERATE_TEXTS],
+                type=pa.int64(),
+            ),
         }),
         str(d / "documents.parquet"),
     )

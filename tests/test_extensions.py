@@ -76,11 +76,12 @@ def test_simhash_near_dups(spark, docs):
     assert ham[(0, 200)] == 0
 
 
-def test_simhash_md5_near_dups_and_empty_doc(spark, docs):
+def test_simhash_md5_near_dups_and_degenerate_docs(spark, docs):
     """The md5 oracle-bridge twin keeps the xxhash64 path's semantics:
-    exact dups collide at hamming 0, and empty-token docs fold to the
-    all-ones 63-bit signature (ties set the bit) — the cross-engine
-    empty-doc contract the oracle's coalesce mirrors."""
+    exact dups collide at hamming 0, the vote rule is the SAME strict
+    majority (bit set iff 2*ones > n), and empty-token / null-text docs
+    fold to signature 0 — exactly like simhash64, and the cross-engine
+    contract the oracle's coalesce(sig, 0) mirrors."""
     from amazon_macie_activity_generator_spark.operators.dedup import simhash64_md5
 
     sig = simhash64_md5(docs)
@@ -88,9 +89,13 @@ def test_simhash_md5_near_dups_and_empty_doc(spark, docs):
     pairs = simhash_near_pairs(sig, max_hamming=3).collect()
     ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert ham[(0, 200)] == 0  # exact dup
-    empty = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
-    vals = {r.id: r.simhash for r in simhash64_md5(empty).collect()}
-    assert vals == {1: (1 << 63) - 1, 2: (1 << 63) - 1}
+    degen = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    vals = {r.id: r.simhash for r in simhash64_md5(degen).collect()}
+    assert vals == {1: 0, 2: 0, 3: 0}  # matches simhash64's empty-doc rule
+    xx = {r.id: r.simhash for r in simhash64(degen).collect()}
+    assert xx == vals
 
 
 def test_shingles_short_doc(spark):
