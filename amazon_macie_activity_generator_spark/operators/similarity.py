@@ -172,19 +172,30 @@ def srp_buckets_arrow(mats: list[list[list[float]]]):
     bit-pack. Higher-order-function lambdas evaluate interpreted at ~1us
     per element — the 4-table expression form measured 11s on 2k vectors
     where this takes milliseconds. Bit convention identical to
-    ``_bucket_from`` (dot >= 0 sets bit p), asserted in tests."""
+    ``_bucket_from`` (dot >= 0 sets bit p), asserted in tests.
+
+    NULL-safe: a NULL vector row buckets as the zero vector (every dot
+    is 0, so >= 0 sets every bit) instead of killing the whole job with
+    an inhomogeneous-batch numpy error — at 100 TB one malformed row
+    must not fail the stage. Callers that want NULL vectors OUT of the
+    candidate space (every catalog LSH entry does) filter
+    ``isNotNull()`` before bucketing; this fallback is only the
+    defense-in-depth for direct users."""
     from pyspark.sql.functions import pandas_udf
 
     W = np.asarray(mats, dtype=np.float64)  # (tables, planes, dim)
     n_tables, n_planes, _dim = W.shape
     Wf = W.reshape(n_tables * n_planes, _dim)
     pows = 1 << np.arange(n_planes, dtype=np.int64)
+    zero = np.zeros(_dim, dtype=np.float64)
 
     @pandas_udf("array<long>")
     def buckets(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        V = np.asarray([
+            zero if v is None else np.asarray(v, dtype=np.float64) for v in vs
+        ])
         S = V @ Wf.T  # (n, tables*planes)
         bits = (S >= 0).astype(np.int64).reshape(len(V), n_tables, n_planes)
         out = (bits * pows).sum(axis=2)  # (n, tables)
@@ -221,6 +232,11 @@ def lsh_scored_candidates(
     mats = [srp_planes(dim, planes, salt=f"srp{t}") for t in range(tables)]
     pow2 = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
     budf = srp_buckets_arrow(mats)
+
+    # NULL vectors have no geometry: excluded from both sides (mirrored
+    # as WHERE embedding IS NOT NULL in every LSH oracle)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
 
     # (id, vec, carry, tbl, bucket): posexplode of the per-table buckets
     c = corpus.select(
@@ -280,17 +296,22 @@ def lsh_bucket_topk(
 
 def _assign_udf(centroids: np.ndarray, n_nearest: int = 1):
     """pandas UDF: indexes of the n nearest centroids (L2) per vector —
-    one matmul per Arrow batch, centroids broadcast in the closure."""
+    one matmul per Arrow batch, centroids broadcast in the closure.
+    NULL-safe like ``srp_buckets_arrow``: a NULL vector assigns as the
+    zero vector rather than crashing the batch."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
     c_sq = (C * C).sum(axis=1)                            # (k,)
+    zero = np.zeros(C.shape[1], dtype=np.float64)
 
     @pandas_udf("array<int>")
     def assign(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        V = np.asarray([
+            zero if v is None else np.asarray(v, dtype=np.float64) for v in vs
+        ])
         d = c_sq[None, :] - 2.0 * (V @ C.T)               # + |v|^2, constant per row
         idx = np.argsort(d, axis=1)[:, :n_nearest].astype(np.int32)
         return pd.Series(list(idx))
@@ -312,7 +333,7 @@ def kmeans_fit(
     lowest-id vectors (stable across partitionings). This is the same
     structure MLlib uses — per-iteration work is a single keyed shuffle
     of (cluster, pos, value), never vectors to the driver."""
-    df = df.select(id_col, vec_col).persist()
+    df = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).persist()
     init = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -363,6 +384,9 @@ def ivf_topk(
     bucketed/partitioned by cluster once; each query batch joins only
     its probed clusters (partition pruning on the cluster key) instead
     of scanning the corpus."""
+    # NULL vectors have no geometry: excluded from index and queries
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     centroids = kmeans_fit(corpus, k=nlist, max_iter=kmeans_iter, vec_col=vec_col, id_col=id_col)
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
@@ -429,6 +453,9 @@ def embedding_near_dup(
       operators/dedup._banded_self_pairs).  Bucket sizes come from a
       bucket-keyed aggregate (<= 2^planes rows, broadcast back), never a
       window shuffle of the vector-carrying rows."""
+    # NULL vectors have no geometry: excluded up front (mirrored as
+    # WHERE embedding IS NOT NULL in the oracle)
+    df = df.filter(F.col(vec_col).isNotNull())
     if planes == "auto":
         planes = auto_planes(df.count())
     dim = dim if dim is not None else _infer_dim(df, vec_col)

@@ -362,12 +362,12 @@ WITH aug AS (
   -- with a native id (the Spark side keeps such rows distinct too)
   SELECT vec_id, 0 AS pert,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
   UNION ALL
   SELECT vec_id + 1000000, 1 AS pert,
          [CAST(embedding[1] AS DOUBLE) + 0.05]
            || list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
-  FROM embeddings WHERE vec_id % 20 = 0
+  FROM embeddings WHERE vec_id % 20 = 0 AND embedding IS NOT NULL
 ), planes(p, mask) AS (VALUES {{masks}}),
 b AS (
   SELECT a.vec_id, a.pert, any_value(a.v) AS v,
@@ -491,6 +491,7 @@ bits AS (
                     (CASE WHEN ((pl.mask >> i) & 1) = 1 THEN 1.0 ELSE -1.0 END)
              )) >= 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
   FROM embeddings e CROSS JOIN planes pl
+  WHERE e.embedding IS NOT NULL  -- NULL vectors have no geometry
   GROUP BY e.vec_id, pl.tbl
 ),
 qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bits WHERE vec_id < 5),

@@ -237,6 +237,7 @@ bits AS (
                     (CASE WHEN ((pl.mask >> i) & 1) = 1 THEN 1.0 ELSE -1.0 END)
              )) >= 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
   FROM embeddings e CROSS JOIN planes pl
+  WHERE e.embedding IS NOT NULL  -- NULL vectors have no geometry
   GROUP BY e.vec_id, pl.tbl
 ),
 qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bits WHERE vec_id < 100),
@@ -761,6 +762,7 @@ bits AS (
                     (CASE WHEN ((pl.mask >> i) & 1) = 1 THEN 1.0 ELSE -1.0 END)
              )) >= 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
   FROM embeddings e CROSS JOIN planes pl
+  WHERE e.embedding IS NOT NULL  -- NULL vectors have no geometry
   GROUP BY e.vec_id, pl.tbl
 ),
 qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bits WHERE vec_id < 100),

@@ -133,13 +133,14 @@ def degen_emb_dir(tmp_path_factory):
         e0, e1,                 # axis-aligned
     ] + [rng.normal(size=dim) for _ in range(114)]
     n = len(vecs)
+    emb_col = [list(map(float, v)) for v in vecs] + [None]  # NULL vector row
     pq.write_table(
         pa.table({
-            "vec_id": pa.array(range(n), type=pa.int64()),
-            "embedding": pa.array(
-                [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+            "vec_id": pa.array(range(n + 1), type=pa.int64()),
+            "embedding": pa.array(emb_col, type=pa.list_(pa.float32())),
+            "label": pa.array(
+                [i % 10 for i in range(n)] + [None], type=pa.int32()
             ),
-            "label": pa.array([i % 10 for i in range(n)], type=pa.int32()),
         }),
         str(d / "embeddings.parquet"),
     )
@@ -160,6 +161,18 @@ def degen_emb_duck(degen_emb_dir):
 @pytest.mark.parametrize("name", EMB_ENTRIES)
 def test_engines_agree_on_degenerate_embeddings(name, spark, degen_emb_dir, degen_emb_duck):
     _assert_agree(name, spark, degen_emb_dir, degen_emb_duck)
+
+
+def test_rows_only_embedding_entries_survive_null_vector(spark, degen_emb_dir):
+    """The Arrow kernels (SRP buckets, centroid assign) must not die on a
+    NULL vector row — at 100 TB one malformed row cannot kill the stage.
+    (The oracle-backed entries are covered by the sweep above; this pins
+    the rows-only IVF path, whose numpy quantizer crashed on None before
+    the zero-fill + isNotNull guards.)"""
+    rows = entrymod.queries()["topk_cosine_ivf"](spark, degen_emb_dir).collect()
+    assert len(rows) > 0
+    assert all(r.vec_id != 121 and r.query_id != 121 for r in rows)  # NULL row out
+    spark.catalog.clearCache()
 
 
 # --------------------------------------------------------- events family
