@@ -54,7 +54,17 @@ def scale_minmax(
         F.min(v).alias("__vmin"), F.max(v).alias("__vmax")
     )
     if by:
-        joined = df.join(F.broadcast(stats), on=by, how="left")
+        # null-SAFE equality on the group keys: a NULL group is still a
+        # group (groupBy kept it and computed its stats), but a plain
+        # `on=by` join drops NULL keys, silently un-scaling those rows —
+        # SQL window engines (and the DuckDB oracle) keep them
+        cond = None
+        for c in by:
+            eq = df[c].eqNullSafe(stats[c])
+            cond = eq if cond is None else (cond & eq)
+        joined = df.join(F.broadcast(stats), on=cond, how="left").drop(
+            *[stats[c] for c in by]
+        )
     else:
         # ungrouped: single global stats row, broadcast cross join
         joined = df.crossJoin(F.broadcast(stats))

@@ -1637,7 +1637,7 @@ WITH s AS (
   SELECT event_type AS series_id,
          row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
          value
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
 ),
 grid AS (SELECT DISTINCT t FROM s WHERE t < 1500),
 series AS (SELECT unnest(['click','error','purchase','signup','view']) AS series_id)

@@ -57,7 +57,14 @@ def events_as_series(events: DataFrame, series_col: str = "event_type") -> DataF
     The window is keyed by series (bounded partitions); at 100 TB slots
     would instead come pre-assigned from the source (kafka offset /
     event-time bucket) — the row_number here is the small-data adapter.
+
+    A NULL series key is NOT a series: rows with a NULL ``series_col``
+    are dropped (mirrored as WHERE event_type IS NOT NULL in every
+    series-shaped oracle). Keeping them would leak engine-specific NULL
+    semantics into every downstream join/sort/to_json (Spark sorts NULL
+    first and drops null JSON fields; DuckDB does the opposite).
     """
+    events = events.filter(F.col(series_col).isNotNull())
     w = Window.partitionBy(series_col).orderBy("ts", "event_id")
     return events.select(
         F.col(series_col).alias("series_id"),
