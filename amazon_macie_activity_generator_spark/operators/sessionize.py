@@ -30,6 +30,9 @@ def tumbling_counts(
     events: DataFrame, bucket: str = "hour", by: list[str] | None = None
 ) -> DataFrame:
     by = by if by is not None else ["event_type"]
+    # an event without a timestamp has no bucket (rule shared by every
+    # time-ordered operator; oracles mirror WHERE ts IS NOT NULL)
+    events = events.filter(F.col("ts").isNotNull())
     return (
         events.groupBy(F.date_trunc(bucket, "ts").alias("bucket"), *by)
         .agg(
@@ -52,6 +55,7 @@ def sliding_counts(
     (fan-out factor = window/slide, so a 2h/1h hop doubles rows pre-agg —
     map-side combine absorbs it)."""
     by = by if by is not None else ["event_type"]
+    events = events.filter(F.col("ts").isNotNull())  # no time, no window
     w = F.window("ts", f"{window_hours} hours", f"{slide_hours} hours")
     return (
         events.groupBy(w.alias("win"), *by)
@@ -76,6 +80,7 @@ def sessionize(
     Timestamps surface as epoch-microsecond longs (cross-engine-stable;
     timestamp-to-string formatting differs between engines)."""
     gap_us = gap_minutes * 60 * 1_000_000
+    events = events.filter(F.col("ts").isNotNull())  # no time, no timeline
     w = Window.partitionBy(user_col).orderBy("ts", "event_id")
     us = F.unix_micros("ts")
     gap_break = F.when(
@@ -152,7 +157,10 @@ def sessionize_stateful(
             out, columns=["user_id", "session_id", "n_events", "start_us", "end_us"]
         )
 
-    prepared = events.select(
+    # NULL event time would reach the state decoder as a None key slot
+    # and kill the stream (observed: EXPRESSION_DECODING_FAILED) — the
+    # shared no-time-no-timeline rule drops it before grouping
+    prepared = events.filter(F.col("ts").isNotNull()).select(
         F.col(user_col).cast("long").alias("user_id"),
         F.unix_micros("ts").alias("us"),
     )

@@ -216,7 +216,7 @@ WITH s AS (
   SELECT event_type AS series_id,
          row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
          value
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
 ), st AS (SELECT series_id, max(value) AS mx FROM s GROUP BY series_id)
 SELECT s.series_id, s.t,
        round(CASE WHEN s.t BETWEEN 10 AND 500
@@ -239,7 +239,7 @@ WITH s AS (
   SELECT event_type AS series_id,
          row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
          value
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
 ),
 grid AS (
   SELECT unnest(range(0, (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM s GROUP BY series_id)))) AS t
@@ -317,7 +317,7 @@ WITH s AS (
   SELECT event_type AS series_id,
          row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
          value
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
 )
 SELECT t,
        round(COALESCE(max(CASE WHEN series_id = 'click' THEN value END), 0), 4) AS click,
@@ -346,7 +346,7 @@ WITH s AS (
   SELECT event_type AS series_id,
          row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
          CAST(floor(value) AS BIGINT) AS value
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
 )
 SELECT t, to_json(list(struct_pack(generator_id := series_id, value := value)
                        ORDER BY series_id)) AS datapoints_json
@@ -375,7 +375,7 @@ WITH s AS (
   SELECT event_type AS series_id,
          row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
          CAST(floor(value) AS BIGINT) AS value
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
 )
 SELECT to_json(struct_pack(
          source := 'amazon-macie-activity-generator',

@@ -1109,7 +1109,7 @@ def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TUMBLING = """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -1124,7 +1124,7 @@ WITH marked AS (
   SELECT user_id, event_id, ts,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS brk
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -1344,6 +1344,7 @@ SQL_SLIDING = """
 SELECT CAST(date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS VARCHAR) AS win_start,
        event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events, range(0, 2) AS k(k)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -1509,7 +1510,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_DEDUP = """
 SELECT event_type, count(DISTINCT event_id) AS n_events,
        count(DISTINCT event_id) AS n_ids
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """
 
 
@@ -1637,7 +1638,7 @@ WITH s AS (
   SELECT event_type AS series_id,
          row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
          value
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
 ),
 grid AS (SELECT DISTINCT t FROM s WHERE t < 1500),
 series AS (SELECT unnest(['click','error','purchase','signup','view']) AS series_id)
@@ -1652,7 +1653,8 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row moving average + running count over event time."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # no time, no timeline: NULL-ts events are excluded (oracle mirrors)
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     return events.select(
         "event_id", "event_type",
@@ -1667,7 +1669,7 @@ SELECT event_id, event_type,
                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
        count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS running_n
-FROM events
+FROM events WHERE ts IS NOT NULL
 """
 
 
@@ -1810,7 +1812,7 @@ WITH marked AS (
   SELECT user_id, event_id, ts,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS brk
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (

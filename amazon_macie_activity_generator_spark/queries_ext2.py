@@ -971,8 +971,9 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2-style history: each user's events become validity intervals
     [ts, next ts) via lead() over (user_id, ordered by ts, event_id) —
     the standard change-data-capture history build. Single shuffle on the
-    key; the open interval (last row) has valid_to NULL."""
-    events = load_table(spark, sf_dir, "events")
+    key; the open interval (last row) has valid_to NULL. NULL-ts events
+    are excluded (no time, no history position; oracle mirrors)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
         "user_id",
@@ -988,7 +989,7 @@ SELECT user_id, event_type, round(value, 4) AS value,
        strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
        strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                 '{_TS_FMT_DUCK}') AS valid_to
-FROM events
+FROM events WHERE ts IS NOT NULL
 """
 
 

@@ -410,8 +410,9 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     single grouped pass (min(ts) FILTER per type, then the ordered
     chaining is two scalar comparisons on the one-row-per-user frame) —
     no self-joins, no window cascade. Counts are exact integers, so the
-    oracle matches bit-for-bit."""
-    events = load_table(spark, sf_dir, "events")
+    oracle matches bit-for-bit. NULL-ts events cannot take part in an
+    ordered funnel and are excluded (oracle mirrors)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     per_user = events.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
     )
@@ -441,19 +442,22 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENT_FUNNEL = """
-WITH v AS (
-  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+WITH ev AS (
+  -- no time, no timeline: NULL-ts events take no part in the funnel
+  SELECT * FROM events WHERE ts IS NOT NULL
+), v AS (
+  SELECT user_id, min(ts) AS v_ts FROM ev WHERE event_type = 'view' GROUP BY user_id
 ), c AS (
   SELECT e.user_id, min(e.ts) AS c_ts
-  FROM events e JOIN v ON v.user_id = e.user_id
+  FROM ev e JOIN v ON v.user_id = e.user_id
   WHERE e.event_type = 'click' AND e.ts > v.v_ts
   GROUP BY e.user_id
 ), p AS (
   SELECT e.user_id, min(e.ts) AS p_ts
-  FROM events e JOIN c ON c.user_id = e.user_id
+  FROM ev e JOIN c ON c.user_id = e.user_id
   WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
   GROUP BY e.user_id
-), u AS (SELECT DISTINCT user_id FROM events)
+), u AS (SELECT DISTINCT user_id FROM ev)
 SELECT CAST(count(*) AS BIGINT) AS n_users,
        CAST((SELECT count(*) FROM v) AS BIGINT) AS viewed,
        CAST((SELECT count(*) FROM c) AS BIGINT) AS clicked_after_view,

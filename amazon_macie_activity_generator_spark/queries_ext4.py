@@ -79,7 +79,8 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     most: the user-keyed window shuffle dominates and the count is
     map-side combinable; prob denominators come from a window over the
     tiny counted frame, not a second pass over events."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # no time, no timeline: NULL-ts events are excluded (oracle mirrors)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -102,7 +103,7 @@ WITH seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), trans AS (
   SELECT prev_type, event_type AS next_type, count(*) AS n
   FROM seq WHERE prev_type IS NOT NULL
@@ -125,7 +126,8 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated paths would conflate with genuine short journeys). The
     rank-3 filter happens before the path shuffle, so the count stage
     sees three rows per user, not the full event history."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # no time, no timeline: NULL-ts events are excluded (oracle mirrors)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     first3 = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -157,7 +159,7 @@ SQL_SESSION_PATHS = """
 WITH ranked AS (
   SELECT user_id, event_type,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), first3 AS (
   SELECT user_id,
          count(*) AS k,

@@ -58,13 +58,17 @@ def events_as_series(events: DataFrame, series_col: str = "event_type") -> DataF
     would instead come pre-assigned from the source (kafka offset /
     event-time bucket) — the row_number here is the small-data adapter.
 
-    A NULL series key is NOT a series: rows with a NULL ``series_col``
-    are dropped (mirrored as WHERE event_type IS NOT NULL in every
-    series-shaped oracle). Keeping them would leak engine-specific NULL
-    semantics into every downstream join/sort/to_json (Spark sorts NULL
-    first and drops null JSON fields; DuckDB does the opposite).
+    A NULL series key is NOT a series, and an event without a timestamp
+    cannot be placed on the timeline: rows with NULL ``series_col`` or
+    NULL ``ts`` are dropped (mirrored as WHERE event_type IS NOT NULL
+    AND ts IS NOT NULL in every series-shaped oracle). Keeping them
+    would leak engine-specific NULL semantics into every downstream
+    sort/join/to_json (Spark orders NULL first and drops null JSON
+    fields; DuckDB does the opposite).
     """
-    events = events.filter(F.col(series_col).isNotNull())
+    events = events.filter(
+        F.col(series_col).isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy(series_col).orderBy("ts", "event_id")
     return events.select(
         F.col(series_col).alias("series_id"),

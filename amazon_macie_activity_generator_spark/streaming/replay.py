@@ -133,7 +133,7 @@ def streaming_tumbling_counts(
     watermark closes it; late rows beyond the watermark are dropped)."""
     by = by if by is not None else ["event_type"]
     return (
-        events.withWatermark("ts", watermark)
+        events.filter(F.col("ts").isNotNull()).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("win"), *by)
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("win.start").alias("bucket"), *by, "n_events", "sum_value")
@@ -149,7 +149,7 @@ def streaming_sessions(
     """session_window-based sessionization — the streaming twin of
     operators.sessionize.sessionize (stateful, watermark-bounded)."""
     return (
-        events.withWatermark("ts", watermark)
+        events.filter(F.col("ts").isNotNull()).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), F.col(user_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -176,4 +176,4 @@ def streaming_dedup(
     survives. Late duplicates beyond the watermark are dropped by design
     (same at-most-once stance as the reference's delete-then-process)."""
     keys = keys if keys is not None else ["event_id"]
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.filter(F.col("ts").isNotNull()).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
