@@ -411,6 +411,116 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# ks_value_drift — exact two-sample Kolmogorov-Smirnov, early vs late half
+# --------------------------------------------------------------------------
+
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28b — the EXACT two-sample KS statistic per event type between
+    the early and late halves of that type's time range (same midpoint
+    split as ``psi_value_drift``): D = max over observed values of
+    |ECDF_early(v) - ECDF_late(v)|. PSI quantizes into 10 bins and can
+    miss a shift that stays within a bin; KS is binless and catches any
+    CDF displacement — the pair is the standard drift gate set.
+
+    Exactness/determinism: values group to (type, value, segment) counts
+    first (ties collapse exactly), the two cumulative sums run over one
+    value-ordered window, and D is a max of |c_e/n_e - c_l/n_l| — pure
+    integer counts and one division each, identical IEEE in both
+    engines; 6-dp round on output only. Types whose early or late half
+    is empty have no two-sample statistic and drop (HAVING in both).
+
+    Scale shape: the stream pre-aggregates map-side to (type, distinct
+    value) rows, so the per-type window sorts the DISTINCT-value frame,
+    not the events; totals ride a broadcast join. NULL values and NULL
+    timestamps are excluded (no value -> no CDF point; no time -> no
+    half).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", "value", F.unix_micros(F.col("ts")).alias("us"))
+    )
+    tstats = ev.groupBy("event_type").agg(
+        F.min("us").alias("tmn"), F.max("us").alias("tmx")
+    )
+    seg_is_early = F.col("us") <= (F.col("tmn") + F.col("tmx")) / F.lit(2)
+    g = (
+        ev.join(F.broadcast(tstats), "event_type")
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(seg_is_early, 1).otherwise(0)).alias("ce"),
+            F.sum(F.when(~seg_is_early, 1).otherwise(0)).alias("cl"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "event_type",
+        F.sum("ce").over(w).alias("cum_e"),
+        F.sum("cl").over(w).alias("cum_l"),
+    )
+    totals = g.groupBy("event_type").agg(
+        F.sum("ce").alias("n_early"), F.sum("cl").alias("n_late")
+    )
+    d = (
+        cum.join(F.broadcast(totals), "event_type")
+        .filter((F.col("n_early") > 0) & (F.col("n_late") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_e") / F.col("n_early")
+                    - F.col("cum_l") / F.col("n_late")
+                )
+            ).alias("ks_raw"),
+        )
+    )
+    return d.join(F.broadcast(totals), "event_type").select(
+        "event_type", "n_early", "n_late", F.round("ks_raw", 6).alias("ks")
+    )
+
+
+SQL_KS_VALUE_DRIFT = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+tstats AS (
+  SELECT event_type, min(us) AS tmn, max(us) AS tmx FROM ev GROUP BY 1
+),
+g AS (
+  SELECT e.event_type, e.value,
+         sum(CASE WHEN e.us <= (t.tmn + t.tmx) / 2 THEN 1 ELSE 0 END) AS ce,
+         sum(CASE WHEN e.us <= (t.tmn + t.tmx) / 2 THEN 0 ELSE 1 END) AS cl
+  FROM ev e JOIN tstats t USING (event_type)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         sum(ce) OVER w AS cum_e,
+         sum(cl) OVER w AS cum_l
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS UNBOUNDED PRECEDING)
+),
+totals AS (
+  SELECT event_type, sum(ce) AS n_early, sum(cl) AS n_late
+  FROM g GROUP BY 1
+  HAVING sum(ce) > 0 AND sum(cl) > 0
+)
+SELECT c.event_type,
+       CAST(t.n_early AS BIGINT) AS n_early,
+       CAST(t.n_late AS BIGINT) AS n_late,
+       round(max(abs(c.cum_e / t.n_early - c.cum_l / t.n_late)), 6) AS ks
+FROM cum c JOIN totals t USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_chunk_exact — C4-style chunk-level duplicate ratio per document
 # --------------------------------------------------------------------------
 
@@ -1112,6 +1222,7 @@ EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
     "psi_value_drift": (q_psi_value_drift, SQL_PSI_VALUE_DRIFT),
+    "ks_value_drift": (q_ks_value_drift, SQL_KS_VALUE_DRIFT),
     "dedup_chunk_exact": (q_dedup_chunk_exact, SQL_DEDUP_CHUNK_EXACT),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),

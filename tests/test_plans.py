@@ -535,6 +535,19 @@ def test_psi_drift_broadcast_stats_and_partial_agg(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ks_drift_windows_distinct_values_not_events(spark, sf_dir):
+    """The cumulative-ECDF window must run over the (type, value)-grouped
+    frame — map-side partial aggregation collapses the stream BEFORE the
+    per-type sort — and time stats / totals come back broadcast."""
+    fn, _ = QUERIES["ks_value_drift"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # grouped census before the window
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_chunk_dedup_keyed_on_chunk(spark, sf_dir):
     """The duplicate census must form via the chunk-keyed join of the
     exploded chunk stream against the per-chunk distinct-doc counts —
