@@ -52,8 +52,9 @@ def degen_sf_dir(tmp_path_factory):
         pa.table({
             "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
             "text": pa.array(DEGENERATE_TEXTS),
-            "lang": pa.array(["en"] * n),
-            "source": pa.array(["s1", "s2"] * (n // 2)),
+            # last two docs: NULL lang and NULL source (group-key NULLs)
+            "lang": pa.array(["en"] * (n - 2) + [None, "en"]),
+            "source": pa.array((["s1", "s2"] * (n // 2))[: n - 1] + [None]),
             "n_chars": pa.array(
                 [len(t) if t is not None else 0 for t in DEGENERATE_TEXTS],
                 type=pa.int64(),
@@ -303,6 +304,7 @@ def degen_li_dir(tmp_path_factory):
         (900002, 1, "F", 100.0, D, "2-HIGH"),
         (900003, 2, "F", 30.0, D, "3-MEDIUM"),
         (900004, 3, "O", -100.0, D, "4-NOT SPECIFIED"),
+        (900005, 2, "O", 50.0, None, "5-LOW"),  # NULL order date
     ]
     for name, base, extra in (("lineitem", li, extra_li), ("orders", od, extra_od)):
         df = pd.concat([base, pd.DataFrame(extra, columns=list(base.columns))],
@@ -363,6 +365,8 @@ def degen_cu_dir(tmp_path_factory):
         (800005, "CUSTOMER#000000001", 5, 3.0, "MACHINERY"),
         (800006, "x" * 200, 6, 4.0, "HOUSEHOLD"),
         (800007, "x" * 200, 7, 5.0, "HOUSEHOLD"),
+        (800008, None, 1, 6.0, "FURNITURE"),      # NULL name
+        (800009, "NoSegment", 2, 7.0, None),      # NULL segment
     ], columns=list(cu.columns))
     pq.write_table(
         pa.Table.from_pandas(pd.concat([cu, extra], ignore_index=True),
