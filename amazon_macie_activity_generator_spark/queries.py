@@ -171,7 +171,7 @@ def q_real_replay_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REAL_REPLAY = f"""
 WITH s AS (
   SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS t, value
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
 )
 SELECT g.t, round(COALESCE(s.value, 0.0), 4) AS value
 FROM range(0, {_REPLAY_N}) g(t) LEFT JOIN s ON g.t = s.t

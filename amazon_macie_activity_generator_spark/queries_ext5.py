@@ -270,6 +270,35 @@ _PSI_BINS = 10
 _PSI_EPS = 1e-6
 
 
+def _drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base population of the drift gates (``psi_value_drift`` /
+    ``ks_value_drift``): events projected to (event_type, value, us),
+    excluding NULL values (no value, no distribution point — floor/least
+    NULL-handling also differs across engines) AND NULL timestamps (no
+    time, no half — the corpus-wide time-ordered rule). ONE definition
+    so the two gates can never drift apart on who is in the population;
+    ``_DUCK_DRIFT_EV`` is the oracle twin."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", "value", F.unix_micros(F.col("ts")).alias("us"))
+    )
+
+
+def _drift_is_early(us=None, tmn=None, tmx=None):
+    """The midpoint split predicate, shared by both gates."""
+    us = us if us is not None else F.col("us")
+    tmn = tmn if tmn is not None else F.col("tmn")
+    tmx = tmx if tmx is not None else F.col("tmx")
+    return us <= (tmn + tmx) / F.lit(2)
+
+
+_DUCK_DRIFT_EV = """
+  SELECT event_type, value, epoch_us(ts) AS us FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+"""
+
+
 def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X28 — per-event-type PSI (population stability index) of the
     value distribution between the EARLY and LATE halves of that type's
@@ -284,14 +313,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin edges and the midpoint split use exact min/max aggregates; both
     engines run identical IEEE arithmetic on them.
     """
-    # NULL values are excluded up front (as ntile_bins / value_ranks do):
-    # floor((NULL - mn) / width) is NULL and least() NULL-handling differs
-    # across engines — unfiltered they'd silently land in bin 9 in Spark
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select("event_type", "value", F.unix_micros(F.col("ts")).alias("us"))
-    )
+    ev = _drift_events(spark, sf_dir)  # shared population + NULL policy
     stats = ev.groupBy("event_type").agg(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
@@ -299,9 +321,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").alias("tmx"),
     )
     j = ev.join(F.broadcast(stats), "event_type")
-    seg = F.when(
-        F.col("us") <= (F.col("tmn") + F.col("tmx")) / F.lit(2), F.lit("early")
-    ).otherwise(F.lit("late"))
+    seg = F.when(_drift_is_early(), F.lit("early")).otherwise(F.lit("late"))
     width = F.col("mx") - F.col("mn")
     bin_ = (
         F.when(
@@ -355,10 +375,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PSI_VALUE_DRIFT = f"""
-WITH ev AS (
-  SELECT event_type, value, epoch_us(ts) AS us FROM events
-  WHERE value IS NOT NULL
-),
+WITH ev AS ({_DUCK_DRIFT_EV}),
 stats AS (
   SELECT event_type, min(value) AS mn, max(value) AS mx,
          min(us) AS tmn, max(us) AS tmx
@@ -435,15 +452,11 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps are excluded (no value -> no CDF point; no time -> no
     half).
     """
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
-        .select("event_type", "value", F.unix_micros(F.col("ts")).alias("us"))
-    )
+    ev = _drift_events(spark, sf_dir)  # shared population + NULL policy
     tstats = ev.groupBy("event_type").agg(
         F.min("us").alias("tmn"), F.max("us").alias("tmx")
     )
-    seg_is_early = F.col("us") <= (F.col("tmn") + F.col("tmx")) / F.lit(2)
+    seg_is_early = _drift_is_early()
     g = (
         ev.join(F.broadcast(tstats), "event_type")
         .groupBy("event_type", "value")
@@ -483,11 +496,8 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_KS_VALUE_DRIFT = """
-WITH ev AS (
-  SELECT event_type, value, epoch_us(ts) AS us FROM events
-  WHERE value IS NOT NULL AND ts IS NOT NULL
-),
+SQL_KS_VALUE_DRIFT = f"""
+WITH ev AS ({_DUCK_DRIFT_EV}),
 tstats AS (
   SELECT event_type, min(us) AS tmn, max(us) AS tmx FROM ev GROUP BY 1
 ),

@@ -219,6 +219,8 @@ def degen_ev_dir(tmp_path_factory):
     add(t0 + dt.timedelta(hours=4), 5, None, 3.0)                  # NULL type
     add(t0 + dt.timedelta(hours=4), None, "view", 4.0)             # NULL user
     add(None, 5, "view", 5.0)                                      # NULL ts
+    add(None, 6, "click", 99.0)    # NULL ts on the type-filtered paths
+    add(None, 6, "purchase", 98.0)
     add(t0 + dt.timedelta(hours=5), 6, "purchase", 1.0)            # reversed funnel
     add(t0 + dt.timedelta(hours=5, seconds=1), 6, "view", 1.0)
     add(t0 + dt.timedelta(hours=6), 6, "view", 1.0)                # same-ts funnel
