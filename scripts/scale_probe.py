@@ -84,6 +84,10 @@ PROBE_QUERIES = {
     # hard_negatives: anchors broadcast into one corpus scan with a
     # map-side struct-max — cost should track corpus volume linearly.
     "hard_negatives": "embeddings",
+    # round-5 additions
+    "hard_negatives_lsh": "embeddings",  # bucket-join candidates: sub-linear
+    "dedup_simhash_md5": "documents",    # md5 vote fold is per-row compute
+    "ks_value_drift": "events",          # distinct-value window per type
 }
 
 STRESS_QUERIES = [
