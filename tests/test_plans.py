@@ -535,6 +535,17 @@ def test_psi_drift_broadcast_stats_and_partial_agg(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_simhash_md5_pure_expression_banded_join(spark, sf_dir):
+    """The md5 vote fold is pure JVM expressions (no Python/Arrow eval in
+    the plan), candidates form via the banded hash join (never a
+    cartesian product), and the pair census partial-aggregates."""
+    fn, _ = QUERIES["dedup_simhash_md5"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ks_drift_windows_distinct_values_not_events(spark, sf_dir):
     """The cumulative-ECDF window must run over the (type, value)-grouped
     frame — map-side partial aggregation collapses the stream BEFORE the

@@ -136,6 +136,25 @@ def test_anomaly_multi_spec_stats_compound(spark):
     assert vals == [1, 49, 3, 2500, 5, 6]
 
 
+def test_anomaly_three_spec_chain_compounds_twice(spark):
+    # the compounding must CHAIN: spec 2's max sees spec 1's (49+1)^2
+    # = 2500, so it injects (2500+1)^2 — main.py:628's in-loop recompute
+    # applied transitively
+    df = _series(spark, "a", [1, 2, 3, 4, 5, 6])
+    out = apply_anomalies(
+        df,
+        [
+            {"start": 1, "end": 1, "counts": 1},
+            {"start": 3, "end": 3, "counts": 1},
+            {"start": 5, "end": 5, "counts": 1},
+        ],
+        6,
+        mode="stride",
+    )
+    vals = [r.value for r in out.orderBy("t").collect()]
+    assert vals == [1, 49, 3, 2500, 5, 2501 ** 2]
+
+
 def test_anomaly_datapoint_max_int_cast(spark):
     # main.py:628 int()-casts the max (truncation toward zero): a series
     # topping out at 2.9 injects (2+1)^2 = 9, not (2.9+1)^2 = 15.21
