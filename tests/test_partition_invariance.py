@@ -27,6 +27,11 @@ SENSITIVE = [
     "winnowing_fingerprint",
     "bpe_pair_counts",
     "table_profile",
+    # round-5 entries: md5 vote fold + banded join, bucketed candidate
+    # argmax with struct-max ties, cumulative-window ECDF max
+    "dedup_simhash_md5",
+    "hard_negatives_lsh",
+    "ks_value_drift",
 ]
 
 
