@@ -1228,6 +1228,78 @@ FROM kept k LEFT JOIN per_src p USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# split_leakage — near-dup pairs straddling the train/holdout split
+# --------------------------------------------------------------------------
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 — eval-contamination audit: which NEAR-DUPLICATE pairs straddle
+    the deterministic train/holdout split? A random document-level split
+    puts ~2·p·(1-p) of every near-dup cluster's pairs across the boundary
+    — each one a copy of training data inside the eval set — and this is
+    the check every pipeline runs before trusting a held-out metric.
+
+    Pure composition of two oracle-checked pieces: the md5 MinHash-LSH
+    pipeline (``dedup_minhash_md5``, the cross-engine candidate
+    generator) supplies the pairs, and the md5 hash split
+    (``hash_split``, 0.9 train) classifies each endpoint as a MAP-SIDE
+    EXPRESSION over the pair table — no join, no extra shuffle; the
+    audit costs exactly the dedup pass it rides on. ``leaks`` marks the
+    straddling pairs.
+    """
+    from amazon_macie_activity_generator_spark.operators.dedup import (
+        dedup_minhash_md5_pairs,
+    )
+    from amazon_macie_activity_generator_spark.operators.sampling import (
+        hash_bucket_hex,
+        split_threshold_hex,
+    )
+    from amazon_macie_activity_generator_spark.queries_ext import _docs_aug
+
+    thr = split_threshold_hex(0.9)
+
+    def split_of(c):
+        return F.when(
+            hash_bucket_hex(c) < F.lit(thr), F.lit("train")
+        ).otherwise(F.lit("holdout"))
+
+    pairs = dedup_minhash_md5_pairs(_docs_aug(spark, sf_dir))
+    return pairs.select(
+        "id_a", "id_b", "jaccard",
+        split_of(F.col("id_a")).alias("split_a"),
+        split_of(F.col("id_b")).alias("split_b"),
+        (split_of(F.col("id_a")) != split_of(F.col("id_b"))).alias("leaks"),
+    )
+
+
+def _sql_split_leakage() -> str:
+    """Oracle: the dedup_minhash_md5 pipeline verbatim as a CTE (nested
+    WITH — one definition, imported not re-derived) + the hash_split
+    CASE applied to both pair endpoints."""
+    from amazon_macie_activity_generator_spark.operators.sampling import (
+        split_threshold_hex,
+    )
+    from amazon_macie_activity_generator_spark.queries_ext import (
+        SQL_DEDUP_MINHASH_MD5,
+    )
+
+    thr = split_threshold_hex(0.9)
+    case = (
+        "CASE WHEN substr(md5('split:' || CAST({c} AS VARCHAR)), 1, 6) < '"
+        + thr
+        + "' THEN 'train' ELSE 'holdout' END"
+    )
+    sa, sb = case.format(c="id_a"), case.format(c="id_b")
+    return f"""
+WITH pairs AS ({SQL_DEDUP_MINHASH_MD5})
+SELECT id_a, id_b, jaccard,
+       {sa} AS split_a,
+       {sb} AS split_b,
+       ({sa}) <> ({sb}) AS leaks
+FROM pairs
+"""
+
+
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
@@ -1240,4 +1312,5 @@ EXT5_QUERIES = {
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "hard_negatives_lsh": (q_hard_negatives_lsh, _sql_hard_negatives_lsh()),
+    "split_leakage": (q_split_leakage, _sql_split_leakage()),
 }
