@@ -81,8 +81,10 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id) for a deterministic tiebreak. First event per user has no
     predecessor and is dropped. Both engines count epoch-second boundary
     crossings (unix_timestamp floor == date_diff('second', ...)), so
-    sub-second timestamps compare identically."""
-    ev = load_table(spark, sf_dir, "events")
+    sub-second timestamps compare identically. NULL-ts events are
+    excluded (no time, no gap; NULL order keys are unstable in DuckDB's
+    parallel window sort)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.select("user_id", "event_id", "ts")
@@ -102,7 +104,7 @@ SELECT user_id, event_id, gap_s FROM (
          date_diff('second',
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                    ts) AS gap_s
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ) WHERE gap_s IS NOT NULL
 """
 
@@ -286,8 +288,16 @@ def q_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag() over the (tiny) aggregate — the standard two-stage analytic
     composition. The window runs over ~80 month rows, so the
     SinglePartition sort is a non-issue at any scale (the data-sized work
-    is the partial-aggregated month rollup)."""
-    orders = load_table(spark, sf_dir, "orders")
+    is the partial-aggregated month rollup).
+
+    NULL order dates are excluded (no date, no month — the corpus-wide
+    time rule): a NULL month key in the lag window is ordered NULLS
+    FIRST by Spark and — observed — UNSTABLY by DuckDB's parallel
+    window sort (NULLS LAST on most runs, FIRST on others within one
+    connection), so keeping it makes the oracle comparison flaky."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = (
         orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(F.sum("o_totalprice").alias("rev"))
@@ -308,7 +318,7 @@ def q_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MOM_REVENUE = """
 WITH monthly AS (
   SELECT date_trunc('month', o_orderdate) AS month, sum(o_totalprice) AS rev
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ), lagged AS (
   SELECT month, rev, lag(rev) OVER (ORDER BY month) AS prev_rev FROM monthly
 )
@@ -370,8 +380,10 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     order the frame by integer epoch seconds (unix_timestamp floor ==
     floor(epoch(ts))), so the 3600-second boundary and peer-row grouping
     are bit-identical despite microsecond timestamps. One hash shuffle on
-    user_id; the frame is a running window, never re-aggregated per row."""
-    ev = load_table(spark, sf_dir, "events")
+    user_id; the frame is a running window, never re-aggregated per row.
+    NULL-ts events are excluded (no time, no frame position — and a NULL
+    window order key is placed UNSTABLY by DuckDB's parallel sort)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))
@@ -390,6 +402,7 @@ SELECT event_id, user_id,
        count(*) OVER w AS n_1h,
        round(sum(value) OVER w, 4) AS sum_1h
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (
   PARTITION BY user_id
   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
