@@ -1176,10 +1176,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest purchase value at-or-before its timestamp for the same user.
     Oracle = DuckDB's native ASOF LEFT JOIN — Spark has no built-in, the
     union+running-last composition IS the operator. No-match rows surface
-    -1.0 (null-free hashing)."""
+    -1.0 (null-free hashing). NULL-ts events are excluded on BOTH sides
+    (no time, no as-of position — a NULL-ts purchase would sort NULLS
+    FIRST into Spark's running-last window and become the "earliest"
+    value, while DuckDB's ASOF c.ts >= NULL never matches)."""
     from amazon_macie_activity_generator_spark.operators.asof import asof_join
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -1197,11 +1200,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ASOF_JOIN = """
 WITH clicks AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 p AS (
   SELECT user_id, ts, round(max(value), 4) AS value
-  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT c.user_id, epoch_us(c.ts) AS ts_us, c.event_id,
        coalesce(p.value, -1.0) AS asof_value

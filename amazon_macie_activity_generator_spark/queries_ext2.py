@@ -651,8 +651,11 @@ def q_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep only the newest event per (user_id, event_type) — the
     changelog-compaction / SCD-1 shape. Single shuffle on the dedup key;
     at scale this is the max_by/window top-1 pattern, never a self-join.
-    Ties on ts break by highest event_id (deterministic)."""
-    events = load_table(spark, sf_dir, "events")
+    Ties on ts break by highest event_id (deterministic). NULL-ts events
+    are excluded: an event without a time cannot be "latest", and a NULL
+    DESC window-order key is placed unstably by DuckDB's parallel sort
+    (the mom_revenue_change flake class)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -665,6 +668,7 @@ def q_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_LATEST = """
 SELECT user_id, event_type, event_id, round(value, 4) AS value FROM events
+WHERE ts IS NOT NULL
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                            ORDER BY ts DESC, event_id DESC) = 1
 """

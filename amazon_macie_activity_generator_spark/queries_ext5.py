@@ -1250,25 +1250,20 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_macie_activity_generator_spark.operators.dedup import (
         dedup_minhash_md5_pairs,
     )
-    from amazon_macie_activity_generator_spark.operators.sampling import (
-        hash_bucket_hex,
-        split_threshold_hex,
-    )
+    from amazon_macie_activity_generator_spark.operators.sampling import hash_split
     from amazon_macie_activity_generator_spark.queries_ext import _docs_aug
 
-    thr = split_threshold_hex(0.9)
-
-    def split_of(c):
-        return F.when(
-            hash_bucket_hex(c) < F.lit(thr), F.lit("train")
-        ).otherwise(F.lit("holdout"))
-
     pairs = dedup_minhash_md5_pairs(_docs_aug(spark, sf_dir))
-    return pairs.select(
-        "id_a", "id_b", "jaccard",
-        split_of(F.col("id_a")).alias("split_a"),
-        split_of(F.col("id_b")).alias("split_b"),
-        (split_of(F.col("id_a")) != split_of(F.col("id_b"))).alias("leaks"),
+    # the ONE split definition (operators/sampling.py), applied per
+    # endpoint — salt/threshold/labels can never drift from the
+    # hash_split catalog entry this audit composes with
+    tagged = hash_split(
+        hash_split(pairs, "id_a", train_fraction=0.9, out_col="split_a"),
+        "id_b", train_fraction=0.9, out_col="split_b",
+    )
+    return tagged.select(
+        "id_a", "id_b", "jaccard", "split_a", "split_b",
+        (F.col("split_a") != F.col("split_b")).alias("leaks"),
     )
 
 

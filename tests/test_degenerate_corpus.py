@@ -221,6 +221,13 @@ def degen_ev_dir(tmp_path_factory):
     add(None, 5, "view", 5.0)                                      # NULL ts
     add(None, 6, "click", 99.0)    # NULL ts on the type-filtered paths
     add(None, 6, "purchase", 98.0)
+    # asof worst case: a NULL-ts purchase BEFORE the user's first real
+    # purchase — unfiltered, Spark's running-last window would treat it
+    # as the earliest value while DuckDB's ASOF never matches it
+    add(None, 7, "purchase", 97.0)
+    add(t0 + dt.timedelta(hours=1), 7, "view", 1.0)
+    add(t0 + dt.timedelta(hours=1, minutes=1), 7, "click", 1.0)
+    add(t0 + dt.timedelta(hours=5), 7, "purchase", 2.0)
     add(t0 + dt.timedelta(hours=5), 6, "purchase", 1.0)            # reversed funnel
     add(t0 + dt.timedelta(hours=5, seconds=1), 6, "view", 1.0)
     add(t0 + dt.timedelta(hours=6), 6, "view", 1.0)                # same-ts funnel
