@@ -95,7 +95,14 @@ def brute_force_topk(
     (same move as embedding_near_dup / semantic_dedup): computing them
     per PAIR does O(pairs * dim) redundant work inside the join — the
     dominant cost once |queries| grows. Bit-identical to cosine_expr
-    (same ops, same zero-norm contract), so oracle hashes are unchanged."""
+    (same ops, same zero-norm contract), so oracle hashes are unchanged.
+
+    NULL vectors are excluded on both sides (no geometry — and a NULL
+    sim in the rank window would depend on engine NULL placement, which
+    DuckDB's parallel sort applies UNSTABLY; mirrored as
+    embedding IS NOT NULL in every exact-scored oracle CTE)."""
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),

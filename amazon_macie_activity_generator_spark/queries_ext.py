@@ -420,12 +420,13 @@ _DUCK_COS = (
 
 SQL_TOPK_COSINE = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
 ),
 scored AS (
   SELECT q.query_id, e.vec_id, {_DUCK_COS} AS sim
   FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id != q.query_id
+  WHERE e.vec_id != q.query_id AND e.embedding IS NOT NULL
 )
 SELECT query_id, vec_id, sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
@@ -564,8 +565,8 @@ exact_scored AS (
   SELECT q.query_id, e.vec_id, {_DUCK_COS} AS sim
   FROM embeddings e
   CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings WHERE vec_id < 5) q
-  WHERE e.vec_id != q.query_id
+              FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL) q
+  WHERE e.vec_id != q.query_id AND e.embedding IS NOT NULL
 ),
 exact_topk AS (
   SELECT query_id, vec_id FROM (

@@ -430,6 +430,7 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # NULL vec: no geometry
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
     emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
@@ -521,7 +522,7 @@ from amazon_macie_activity_generator_spark.queries_ext import _DUCK_COS as _DUCK
 SQL_TOPK_RECALL_IVF = f"""
 WITH emb AS (
   SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ), seeds AS (
   SELECT vec_id AS cluster, v AS c FROM emb WHERE vec_id < {_IVF_NLIST}
 ), d0 AS (

@@ -186,12 +186,12 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KNN_CLASSIFY = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv
-  FROM embeddings WHERE vec_id < 100
+  FROM embeddings WHERE vec_id < 100 AND embedding IS NOT NULL
 ),
 scored AS (
   SELECT q.query_id, e.vec_id, {_DUCK_COS5} AS sim
   FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id != q.query_id
+  WHERE e.vec_id != q.query_id AND e.embedding IS NOT NULL
 ),
 """ + _DUCK_KNN_TAIL.format(scored="scored")
 
@@ -257,7 +257,7 @@ lsh_scored AS (
   FROM cand c
   JOIN embeddings e ON e.vec_id = c.vec_id
   JOIN (SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id < 100) q2 ON q2.query_id = c.query_id
+        FROM embeddings WHERE vec_id < 100 AND embedding IS NOT NULL) q2 ON q2.query_id = c.query_id
 ),
 """ + _DUCK_KNN_TAIL.format(scored="lsh_scored")
 
@@ -746,7 +746,11 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from amazon_macie_activity_generator_spark.operators.similarity import cosine_expr
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL vectors out on both sides (brute_force_topk's rule): a NULL
+    # sim inside the struct-max would resolve by engine NULL semantics
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     anchors = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -783,12 +787,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_HARD_NEGATIVES = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv, label AS q_label
-  FROM embeddings WHERE vec_id < 100
+  FROM embeddings WHERE vec_id < 100 AND embedding IS NOT NULL
 ),
 scored AS (
   SELECT q.query_id, q.q_label, e.vec_id, e.label, {cos} AS sim
   FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id != q.query_id
+  WHERE e.vec_id != q.query_id AND e.embedding IS NOT NULL
 ),
 best AS (
   SELECT query_id, q_label, (label = q_label) AS is_pos, vec_id, sim,
@@ -902,7 +906,7 @@ scored AS (
   FROM cand c
   JOIN embeddings e ON e.vec_id = c.vec_id
   JOIN (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
-        FROM embeddings WHERE vec_id < 100) q2 ON q2.query_id = c.query_id
+        FROM embeddings WHERE vec_id < 100 AND embedding IS NOT NULL) q2 ON q2.query_id = c.query_id
 ),
 best AS (
   SELECT query_id, q_label, (label = q_label) AS is_pos, vec_id, sim,
