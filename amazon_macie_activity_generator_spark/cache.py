@@ -16,16 +16,56 @@ registered on its PREVIOUS invocation. Unpersisting a frame a
 still-uncollected older result depends on only costs recompute, never
 correctness (lineage is intact), so the worst case of interleaved use is
 a cache miss. Net contract: at most one invocation's worth of cached
-state per builder per session, regardless of how many times the catalog
+state per builder per SESSION, regardless of how many times the catalog
 runs; ``release_all()`` drops even that (the bench harness equivalent of
 ``clearCache`` scoped to what this package created).
+
+Registry shape (hardened for long-lived multi-session services): keys
+are ``(session token, scope)``, so two sessions running the same builder
+never evict each other's live frames; entries whose owning session has
+been stopped are pruned on every registry operation (the DataFrame
+references would otherwise linger forever — unpersist on a dead session
+is a no-op the old code swallowed silently); and all registry mutation
+holds a process lock, so concurrent builder use from two threads cannot
+corrupt the per-scope lists. Two threads sharing ONE session and ONE
+builder can still evict each other mid-plan — that stays recompute-only
+by the lineage argument above.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import threading
 
-_TRACKED: dict[str, list[DataFrame]] = {}
+from pyspark.sql import DataFrame, SparkSession
+
+# (session token, scope) -> frames registered by that builder in that
+# session. The token is id(session); _SESSIONS pins the session object so
+# the id cannot be recycled while its entry is live, and lets the prune
+# pass ask the session whether it has been stopped.
+_TRACKED: dict[tuple[int, str], list[DataFrame]] = {}
+_SESSIONS: dict[int, SparkSession] = {}
+_LOCK = threading.RLock()
+
+
+def _is_stopped(sess: SparkSession) -> bool:
+    try:
+        sc = sess.sparkContext
+        return sc is None or sc._jsc is None  # stop() nulls the JVM handle
+    except Exception:
+        return True
+
+
+def _prune_stopped_locked() -> None:
+    """Drop every entry whose owning session is stopped (caller holds _LOCK).
+
+    No unpersist attempted — the backing JVM state died with the session;
+    this releases the lingering Python-side DataFrame references.
+    """
+    dead = [tok for tok, sess in _SESSIONS.items() if _is_stopped(sess)]
+    for tok in dead:
+        _SESSIONS.pop(tok, None)
+        for key in [k for k in _TRACKED if k[0] == tok]:
+            _TRACKED.pop(key, None)
 
 
 def scoped_persist(df: DataFrame, scope: str, keep: int | None = None) -> DataFrame:
@@ -40,35 +80,74 @@ def scoped_persist(df: DataFrame, scope: str, keep: int | None = None) -> DataFr
     number of concurrently-pending plans); overflow eviction only costs
     recompute, never correctness.
     """
+    sess = df.sparkSession
     df = df.persist()
-    frames = _TRACKED.setdefault(scope, [])
-    frames.append(df)
-    if keep is not None:
-        while len(frames) > keep:
-            try:
-                frames.pop(0).unpersist(blocking=False)
-            except Exception:
-                pass
+    with _LOCK:
+        _prune_stopped_locked()
+        tok = id(sess)
+        _SESSIONS[tok] = sess
+        frames = _TRACKED.setdefault((tok, scope), [])
+        frames.append(df)
+        evicted: list[DataFrame] = []
+        if keep is not None:
+            while len(frames) > keep:
+                evicted.append(frames.pop(0))
+    for old in evicted:  # unpersist outside the lock — it can RPC
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
     return df
 
 
-def release_scope(scope: str) -> None:
-    """Unpersist every frame registered under ``scope`` (non-blocking)."""
-    for df in _TRACKED.pop(scope, []):
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            # the owning SparkSession may already be stopped (test
-            # teardown) — nothing left to release
-            pass
+def _release_keys(keys: list[tuple[int, str]]) -> None:
+    with _LOCK:
+        batches = [_TRACKED.pop(key, []) for key in keys]
+    for frames in batches:
+        for df in frames:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                # the owning SparkSession may already be stopped (test
+                # teardown) — nothing left to release
+                pass
+
+
+def release_scope(scope: str, spark: SparkSession | None = None) -> None:
+    """Unpersist every frame registered under ``scope`` (non-blocking).
+
+    With ``spark`` given, only that session's frames are released;
+    otherwise the scope is released across all sessions (the historical
+    single-session behavior, which tests and the bench harness rely on).
+    """
+    with _LOCK:
+        _prune_stopped_locked()
+        if spark is not None:
+            keys = [(id(spark), scope)]
+        else:
+            keys = [k for k in _TRACKED if k[1] == scope]
+    _release_keys(keys)
 
 
 def begin_scope(scope: str) -> None:
-    """Builder entry hook: supersede the previous invocation's frames."""
-    release_scope(scope)
+    """Builder entry hook: supersede the previous invocation's frames.
+
+    Scoped to the active session when one is resolvable, so builders
+    running concurrently on two sessions never evict each other; with no
+    active session it falls back to releasing the scope everywhere.
+    """
+    release_scope(scope, SparkSession.getActiveSession())
+
+
+def scope_frames(scope: str) -> list[DataFrame]:
+    """All live frames registered under ``scope`` across sessions
+    (test/introspection accessor — registry order within a session)."""
+    with _LOCK:
+        return [df for (_, s), frames in _TRACKED.items() if s == scope for df in frames]
 
 
 def release_all() -> None:
     """Release every scope this package registered."""
-    for scope in list(_TRACKED):
-        release_scope(scope)
+    with _LOCK:
+        keys = list(_TRACKED)
+    _release_keys(keys)

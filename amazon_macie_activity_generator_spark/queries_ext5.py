@@ -693,7 +693,11 @@ def q_source_overlap(
     )
 
 
-SQL_SOURCE_OVERLAP = f"""
+def _sql_source_overlap(source_df_cap: int = _OVERLAP_SOURCE_DF_CAP) -> str:
+    """Oracle twin of q_source_overlap, generated from the SAME cap
+    parameter so a caller-supplied cap can never silently diverge from
+    the comparison SQL (the _sql_split_leakage pattern)."""
+    return f"""
 WITH tok AS (
   SELECT source, {_DUCK_TOKS5} AS toks FROM documents
 ),
@@ -703,7 +707,7 @@ sh_all AS (
 sh AS (
   SELECT source, sh FROM sh_all
   WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh
-               HAVING count(*) <= {_OVERLAP_SOURCE_DF_CAP})
+               HAVING count(*) <= {source_df_cap})
 ),
 pairs AS (
   SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
@@ -719,6 +723,9 @@ FROM pairs p
 JOIN totals ta ON ta.source = p.source_a
 JOIN totals tb ON tb.source = p.source_b
 """
+
+
+SQL_SOURCE_OVERLAP = _sql_source_overlap()
 
 
 # --------------------------------------------------------------------------

@@ -12,9 +12,9 @@ frames per builder.
 from __future__ import annotations
 
 from amazon_macie_activity_generator_spark.cache import (
-    _TRACKED,
     release_all,
     release_scope,
+    scope_frames,
     scoped_persist,
 )
 
@@ -44,9 +44,9 @@ def test_repeat_invocations_bounded(spark, sf_dir):
         b(spark, sf_dir).collect()
     assert _n_cached(spark) <= first
     # per-scope accounting matches: one invocation's worth each
-    assert len(_TRACKED["bpe_merges"]) == 3  # t1, t2, t3
-    assert len(_TRACKED["bpe_encode"]) == 4  # t1..t4 (doc_id carried)
-    assert len(_TRACKED["triangle_count"]) == 3  # und, deg, edges
+    assert len(scope_frames("bpe_merges")) == 3  # t1, t2, t3
+    assert len(scope_frames("bpe_encode")) == 4  # t1..t4 (doc_id carried)
+    assert len(scope_frames("triangle_count")) == 3  # und, deg, edges
     release_all()
     assert _n_cached(spark) == 0
 
@@ -57,15 +57,15 @@ def test_release_scope_is_isolated(spark):
     df_a.count(), df_b.count()
     assert _n_cached(spark) >= 2
     release_scope("scope_a")
-    assert "scope_a" not in _TRACKED
-    assert any(d is df_b for d in _TRACKED["scope_b"])
+    assert scope_frames("scope_a") == []
+    assert any(d is df_b for d in scope_frames("scope_b"))
     release_scope("scope_b")
 
 
 def test_keep_trims_oldest(spark):
     frames = [scoped_persist(spark.range(i + 1), "trim", keep=2) for i in range(5)]
-    assert len(_TRACKED["trim"]) == 2
-    assert _TRACKED["trim"] == frames[-2:]
+    assert len(scope_frames("trim")) == 2
+    assert scope_frames("trim") == frames[-2:]
     # evicted frames recompute fine (lineage intact)
     assert frames[0].count() == 1
     release_scope("trim")
@@ -83,3 +83,43 @@ def test_release_all_after_operator_helpers(spark, sf_dir):
     q_dedup_incremental(spark, sf_dir).collect()
     release_all()
     assert _n_cached(spark) == 0
+
+
+def test_registry_keyed_by_session(spark):
+    """Two sessions running the same builder scope do not evict each
+    other: release_scope(scope, spark=A) leaves B's frames cached, and a
+    session-scoped begin_scope (what builders call) only supersedes the
+    ACTIVE session's previous invocation."""
+    from amazon_macie_activity_generator_spark import cache
+
+    other = spark.newSession()
+    df_a = scoped_persist(spark.range(3), "two_sessions")
+    df_b = scoped_persist(other.range(4), "two_sessions")
+    assert len(scope_frames("two_sessions")) == 2
+    release_scope("two_sessions", spark=spark)
+    live = scope_frames("two_sessions")
+    assert df_a not in live and any(d is df_b for d in live)
+    # registry keys carry the owning session token
+    with cache._LOCK:
+        assert (id(other), "two_sessions") in cache._TRACKED
+        assert (id(spark), "two_sessions") not in cache._TRACKED
+    release_scope("two_sessions")
+    assert scope_frames("two_sessions") == []
+
+
+def test_stopped_sessions_are_pruned(spark, monkeypatch):
+    """Entries whose owning session is stopped drop out of the registry
+    on the next registry operation instead of lingering forever."""
+    from amazon_macie_activity_generator_spark import cache
+
+    release_all()
+    scoped_persist(spark.range(2), "prune_me")
+    assert len(scope_frames("prune_me")) == 1
+    monkeypatch.setattr(cache, "_is_stopped", lambda sess: True)
+    # any mutating registry op prunes dead-session entries
+    release_scope("some_unrelated_scope")
+    assert scope_frames("prune_me") == []
+    with cache._LOCK:
+        assert cache._TRACKED == {} and cache._SESSIONS == {}
+    monkeypatch.undo()
+    spark.catalog.clearCache()  # drop the orphaned (never-unpersisted) frame

@@ -604,6 +604,31 @@ def test_source_overlap_df_cap_guard(spark, sf_dir):
     assert q_source_overlap(spark, sf_dir, source_df_cap=1).count() == 0
 
 
+def test_source_overlap_oracle_tracks_cap(spark, sf_dir):
+    """The oracle is generated from the same cap parameter as the query
+    (ADVICE r5): at a non-default, binding cap the two engines must
+    still hash-agree — a hardcoded oracle cap would diverge here."""
+    import duckdb
+
+    from amazon_macie_activity_generator_spark.queries_ext5 import (
+        _sql_source_overlap,
+        q_source_overlap,
+    )
+
+    cap = 3  # binding at sf-test scale (sources share boilerplate shingles)
+    spark_pdf = q_source_overlap(spark, sf_dir, source_df_cap=cap).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+    duck_pdf = con.sql(_sql_source_overlap(cap)).df()
+    key = ["source_a", "source_b"]
+    s = spark_pdf.sort_values(key, ignore_index=True)
+    d = duck_pdf.sort_values(key, ignore_index=True)
+    assert s.equals(d)
+    # the cap actually bound something, or this proves nothing
+    default = q_source_overlap(spark, sf_dir).toPandas()
+    assert not len(s) or s["n_shared"].sum() < default["n_shared"].sum()
+
+
 def test_training_mix_single_scan_broadcast_totals(spark, sf_dir):
     """The composed pipeline must stay join-light: the dedup census is a
     text-keyed grouped aggregation (partial-aggregated), the per-source
