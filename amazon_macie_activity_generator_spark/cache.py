@@ -48,11 +48,19 @@ _LOCK = threading.RLock()
 
 
 def _is_stopped(sess: SparkSession) -> bool:
+    # Only a positive stopped signal counts: a classic session whose
+    # context nulled its JVM handle (stop() does that). Session kinds
+    # that cannot answer — Spark Connect raises on .sparkContext — are
+    # treated as LIVE; pruning them would orphan persisted frames while
+    # release_scope/release_all still think they were handled.
     try:
         sc = sess.sparkContext
+    except Exception:
+        return False
+    try:
         return sc is None or sc._jsc is None  # stop() nulls the JVM handle
     except Exception:
-        return True
+        return False
 
 
 def _prune_stopped_locked() -> None:
@@ -103,6 +111,14 @@ def scoped_persist(df: DataFrame, scope: str, keep: int | None = None) -> DataFr
 def _release_keys(keys: list[tuple[int, str]]) -> None:
     with _LOCK:
         batches = [_TRACKED.pop(key, []) for key in keys]
+        # Drop the session pin once its last tracked scope is gone —
+        # newSession() wrappers are never individually "stopped" (stop()
+        # kills the shared context), so stopped-pruning alone would pin
+        # every short-lived wrapper object here forever.
+        live_tokens = {tok for tok, _ in _TRACKED}
+        for tok, _ in keys:
+            if tok not in live_tokens:
+                _SESSIONS.pop(tok, None)
     for frames in batches:
         for df in frames:
             try:
@@ -129,20 +145,27 @@ def release_scope(scope: str, spark: SparkSession | None = None) -> None:
     _release_keys(keys)
 
 
-def begin_scope(scope: str) -> None:
+def begin_scope(scope: str, spark: SparkSession | None = None) -> None:
     """Builder entry hook: supersede the previous invocation's frames.
 
-    Scoped to the active session when one is resolvable, so builders
-    running concurrently on two sessions never evict each other; with no
-    active session it falls back to releasing the scope everywhere.
+    Builders pass their own ``spark`` so the release key matches the key
+    ``scoped_persist`` derives from ``df.sparkSession`` — the two can
+    differ when resolved via ``getActiveSession()`` (newSession()
+    wrappers, worker threads with no active session), which would evict
+    the WRONG session's frames and leave the builder's own previous
+    frames cached forever. The no-argument form falls back to the active
+    session, and to releasing the scope everywhere when none resolves.
     """
-    release_scope(scope, SparkSession.getActiveSession())
+    release_scope(scope, spark if spark is not None else SparkSession.getActiveSession())
 
 
 def scope_frames(scope: str) -> list[DataFrame]:
     """All live frames registered under ``scope`` across sessions
-    (test/introspection accessor — registry order within a session)."""
+    (test/introspection accessor — registry order within a session).
+    Stopped-session entries are pruned first, matching the module
+    contract that every registry operation prunes."""
     with _LOCK:
+        _prune_stopped_locked()
         return [df for (_, s), frames in _TRACKED.items() if s == scope for df in frames]
 
 

@@ -135,7 +135,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(_spark_3grams()).alias("grams"),
     ).withColumn("n_grams", F.size("grams"))
     base_ex = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
-    begin_scope("dedup_ngram_jaccard")
+    begin_scope("dedup_ngram_jaccard", spark)
     probe_ex = scoped_persist(
         base_ex.filter(F.col("id") % 50 == 0)
         .withColumnsRenamed({"id": "pid", "n_grams": "p_grams"}),
@@ -268,7 +268,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache locking keeps the two branches from double-computing it at
     runtime — no eager count() needed, so the build phase stays
     action-free and the bench timer sees the real cost."""
-    begin_scope("dedup_simhash")
+    begin_scope("dedup_simhash", spark)
     sig = scoped_persist(simhash64(_docs_aug(spark, sf_dir)), "dedup_simhash")
     return simhash_near_pairs(sig, max_hamming=3)
 
@@ -282,7 +282,7 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; this one anchors its semantics (the X2f minhash-md5 move)."""
     from amazon_macie_activity_generator_spark.operators.dedup import simhash64_md5
 
-    begin_scope("dedup_simhash_md5")
+    begin_scope("dedup_simhash_md5", spark)
     sig = scoped_persist(simhash64_md5(_docs_aug(spark, sf_dir)), "dedup_simhash_md5")
     return simhash_near_pairs(sig, max_hamming=3)
 

@@ -461,7 +461,7 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    begin_scope("topk_recall_ivf")
+    begin_scope("topk_recall_ivf", spark)
     cent1 = scoped_persist(cent1, "topk_recall_ivf")
     # k rows — the "write the IVF index once" barrier: both the
     # corpus assignment and the query probes read the cache, not its

@@ -415,7 +415,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist barrier: the capped, df-tagged shingle table feeds the size
     # table and all four pair-join sides — without it the
     # tokenize+explode re-runs each time (the "build the index once" rule)
-    begin_scope("dedup_containment")
+    begin_scope("dedup_containment", spark)
     sh = scoped_persist(
         grams.join(df_tbl.filter(F.col("df") <= 1000), "g"), "dedup_containment"
     )
@@ -619,7 +619,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select("l_orderkey", "l_partkey").dropDuplicates()
     a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    begin_scope("pagerank_copurchase")
+    begin_scope("pagerank_copurchase", spark)
     edges = scoped_persist(
         a.join(b, "l_orderkey")
         .filter(F.col("src") != F.col("dst"))
@@ -761,7 +761,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select("l_orderkey", "l_partkey").dropDuplicates()
     a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    begin_scope("triangle_count")
+    begin_scope("triangle_count", spark)
     und = scoped_persist(
         a.join(b, "l_orderkey")
         .filter(F.col("p1") < F.col("p2"))

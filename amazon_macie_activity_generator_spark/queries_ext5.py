@@ -663,7 +663,7 @@ def q_source_overlap(
     # persist barrier (the dedup_containment rule): the capped shingle
     # table feeds both pair-join sides AND the totals aggregate — uncached
     # each consumer replays tokenize+explode+distinct+df-join
-    begin_scope("source_overlap")
+    begin_scope("source_overlap", spark)
     sh = scoped_persist(
         sh_all.join(df_tbl.filter(F.col("sdf") <= source_df_cap).select("sh"), "sh"),
         "source_overlap",
@@ -1009,7 +1009,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
 
-    begin_scope("bpe_merges")
+    begin_scope("bpe_merges", spark)
     docs = load_table(spark, sf_dir, "documents")
     cur = scoped_persist(
         docs.select(tokens_expr(F.col("text")).alias("tk")), "bpe_merges"
@@ -1093,7 +1093,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
 
-    begin_scope("bpe_encode")
+    begin_scope("bpe_encode", spark)
     docs = load_table(spark, sf_dir, "documents")
     cur = scoped_persist(
         docs.select(
