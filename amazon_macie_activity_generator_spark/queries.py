@@ -388,6 +388,77 @@ SELECT to_json(struct_pack(
 FROM s WHERE t < 5 GROUP BY t
 """
 
+# ------------------------------------------------------------- flagship
+
+_FLAGSHIP_ANOM = {"start": 10, "end": 100, "counts": 5}
+_FLAGSHIP_STRIDE = (100 - 10 + 1) // 5  # 18
+
+
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver flagship (``__spark_entry__.entry`` runs this at
+    sf0.001): the full reference delivery pipeline, replay -> align
+    (zero-fill, T6) -> signal-scale into [1,20] (T2) -> stride anomaly
+    injection (T4) -> int cast (T5) -> wide slot rows (R1, the queue
+    entry shape, main.py:667-709). Composed here as a catalog entry so
+    the flagship itself carries a DuckDB value-hash oracle — each stage's
+    oracle CTE is the same SQL that hash-matches the stage entry."""
+    events = _events(spark, sf_dir)
+    series = events_as_series(events).select("series_id", "t", "value")
+    aligned = zero_fill(spark, series)
+    scaled = scale_minmax(aligned, value_col="value", lo=1, hi=20, by=["series_id"])
+    with_anomalies = apply_anomalies(
+        scaled.withColumn("value", F.col("value").cast("double")),
+        [_FLAGSHIP_ANOM],
+        n_points=101,
+        mode="stride",
+    )
+    final = with_anomalies.withColumn("value", F.col("value").cast("long"))
+    return pivot_slot_rows(final, series_ids=EVENT_TYPES, agg="max")
+
+
+SQL_FLAGSHIP = f"""
+WITH s AS (
+  SELECT event_type AS series_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+grid AS (
+  SELECT unnest(range(0, (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM s GROUP BY series_id)))) AS t
+),
+aligned AS (
+  SELECT d.series_id, grid.t, COALESCE(s.value, 0.0) AS value
+  FROM grid CROSS JOIN (SELECT DISTINCT series_id FROM s) d
+  LEFT JOIN s ON s.series_id = d.series_id AND s.t = grid.t
+),
+st AS (SELECT series_id, min(value) AS mn, max(value) AS mx FROM aligned GROUP BY series_id),
+scaled AS (
+  SELECT a.series_id, a.t,
+         CASE WHEN st.mx = st.mn THEN ceil(1.0)
+              ELSE ceil((a.value - st.mn) / (st.mx - st.mn) * 19.0 + 1.0) END AS value
+  FROM aligned a JOIN st USING (series_id)
+),
+am AS (SELECT series_id, max(value) AS mx FROM scaled GROUP BY series_id),
+anom AS (
+  -- stride hits then the T5 int cast: Spark CAST(double AS long)
+  -- truncates, DuckDB's rounds -> trunc() first
+  SELECT sc.series_id, sc.t,
+         CAST(trunc(CASE WHEN sc.t BETWEEN 10 AND 100
+                          AND (sc.t - 10) % {_FLAGSHIP_STRIDE} = 0
+                          AND (sc.t - 10) // {_FLAGSHIP_STRIDE} < 5
+                     THEN power(CAST(trunc(am.mx) AS BIGINT) + 1, 2)
+                     ELSE sc.value END) AS BIGINT) AS value
+  FROM scaled sc JOIN am USING (series_id)
+)
+SELECT t,
+       CAST(COALESCE(max(CASE WHEN series_id = 'click' THEN value END), 0) AS DOUBLE) AS click,
+       CAST(COALESCE(max(CASE WHEN series_id = 'error' THEN value END), 0) AS DOUBLE) AS error,
+       CAST(COALESCE(max(CASE WHEN series_id = 'purchase' THEN value END), 0) AS DOUBLE) AS purchase,
+       CAST(COALESCE(max(CASE WHEN series_id = 'signup' THEN value END), 0) AS DOUBLE) AS signup,
+       CAST(COALESCE(max(CASE WHEN series_id = 'view' THEN value END), 0) AS DOUBLE) AS view
+FROM anom GROUP BY t
+"""
+
 from amazon_macie_activity_generator_spark.functions.rng import (  # noqa: E402
     counter_offset,
     counter_unit,
@@ -671,4 +742,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     **EXT3_QUERIES,
     **EXT4_QUERIES,
     **EXT5_QUERIES,
+    # appended LAST so existing entries keep their insertion order (the
+    # rotation's final tiebreak)
+    "flagship_pipeline": (flagship_pipeline, SQL_FLAGSHIP),
 }
