@@ -233,6 +233,18 @@ def degen_ev_dir(tmp_path_factory):
     add(t0 + dt.timedelta(hours=6), 6, "view", 1.0)                # same-ts funnel
     add(t0 + dt.timedelta(hours=6), 6, "click", 1.0)
     add(t0 + dt.timedelta(hours=6), 6, "purchase", 1.0)
+    # CONSTANT series (r7): an event_type whose every value is identical —
+    # min == max, the scale branch `CASE WHEN mx = mn` (Spark
+    # scale_expr's F.when twin) that no driver-testdata series ever hits.
+    # Outside EVENT_TYPES, so pivot-shaped entries drop it AFTER the
+    # scale/align stages have processed it.
+    for i in range(5):
+        add(t0 + dt.timedelta(minutes=10 * i), 8, "heartbeat", 7.0)
+    # a series whose EVERY timestamp is NULL: no event can be placed on
+    # the timeline, so the whole series must vanish from series-shaped
+    # ops in both engines (not linger as a zero-length ghost series)
+    add(None, 9, "ghost", 1.0)
+    add(None, 9, "ghost", 2.0)
     rnd = random.Random(3)
     for _ in range(150):  # filler mass for the stats entries
         add(t0 + dt.timedelta(minutes=rnd.randint(0, 60 * 24 * 6)),
