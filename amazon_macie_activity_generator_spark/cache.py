@@ -46,6 +46,16 @@ _TRACKED: dict[tuple[int, str], list[DataFrame]] = {}
 _SESSIONS: dict[int, SparkSession] = {}
 _LOCK = threading.RLock()
 
+# Upper bound on how many SESSIONS may hold live frames for one scope.
+# A service creating a newSession() wrapper per request registers under
+# a fresh token each time and never re-enters begin_scope with an old
+# wrapper, and wrappers are never individually "stopped" (stop() kills
+# the shared context) — so without this cap every wrapper's frames and
+# the wrapper object itself would be pinned forever. Evicting the oldest
+# session's frames is recompute-only (lineage intact), like every other
+# eviction in this module.
+_MAX_SESSIONS_PER_SCOPE = 4
+
 
 def _is_stopped(sess: SparkSession) -> bool:
     # Only a positive stopped signal counts: a classic session whose
@@ -100,6 +110,14 @@ def scoped_persist(df: DataFrame, scope: str, keep: int | None = None) -> DataFr
         if keep is not None:
             while len(frames) > keep:
                 evicted.append(frames.pop(0))
+        # cap the sessions holding this scope (oldest registration first;
+        # dict order is age). Never evict the registering session's own
+        # entry — its key may be old even though it is current.
+        other_toks = [t for (t, s) in _TRACKED if s == scope and t != tok]
+        for old_tok in other_toks[: max(0, len(other_toks) + 1 - _MAX_SESSIONS_PER_SCOPE)]:
+            evicted.extend(_TRACKED.pop((old_tok, scope), []))
+            if not any(t == old_tok for (t, _s) in _TRACKED):
+                _SESSIONS.pop(old_tok, None)
     for old in evicted:  # unpersist outside the lock — it can RPC
         try:
             old.unpersist(blocking=False)
@@ -108,17 +126,25 @@ def scoped_persist(df: DataFrame, scope: str, keep: int | None = None) -> DataFr
     return df
 
 
-def _release_keys(keys: list[tuple[int, str]]) -> None:
-    with _LOCK:
-        batches = [_TRACKED.pop(key, []) for key in keys]
-        # Drop the session pin once its last tracked scope is gone —
-        # newSession() wrappers are never individually "stopped" (stop()
-        # kills the shared context), so stopped-pruning alone would pin
-        # every short-lived wrapper object here forever.
-        live_tokens = {tok for tok, _ in _TRACKED}
-        for tok, _ in keys:
-            if tok not in live_tokens:
-                _SESSIONS.pop(tok, None)
+def _pop_keys_locked(keys: list[tuple[int, str]]) -> list[list[DataFrame]]:
+    """Pop ``keys`` and trim orphaned session pins. Caller holds _LOCK
+    (snapshot and pop MUST share one acquisition — a frame registered
+    between them would be popped and unpersisted while its registering
+    call still considers it tracked). Returned batches are unpersisted
+    by the caller OUTSIDE the lock (unpersist can RPC)."""
+    batches = [_TRACKED.pop(key, []) for key in keys]
+    # Drop the session pin once its last tracked scope is gone —
+    # newSession() wrappers are never individually "stopped" (stop()
+    # kills the shared context), so stopped-pruning alone would pin
+    # every short-lived wrapper object here forever.
+    live_tokens = {tok for tok, _ in _TRACKED}
+    for tok, _ in keys:
+        if tok not in live_tokens:
+            _SESSIONS.pop(tok, None)
+    return batches
+
+
+def _unpersist_batches(batches: list[list[DataFrame]]) -> None:
     for frames in batches:
         for df in frames:
             try:
@@ -142,7 +168,8 @@ def release_scope(scope: str, spark: SparkSession | None = None) -> None:
             keys = [(id(spark), scope)]
         else:
             keys = [k for k in _TRACKED if k[1] == scope]
-    _release_keys(keys)
+        batches = _pop_keys_locked(keys)
+    _unpersist_batches(batches)
 
 
 def begin_scope(scope: str, spark: SparkSession | None = None) -> None:
@@ -154,7 +181,10 @@ def begin_scope(scope: str, spark: SparkSession | None = None) -> None:
     wrappers, worker threads with no active session), which would evict
     the WRONG session's frames and leave the builder's own previous
     frames cached forever. The no-argument form falls back to the active
-    session, and to releasing the scope everywhere when none resolves.
+    session, and to releasing the scope everywhere when none resolves —
+    a deliberate trade: cross-session eviction only costs recompute,
+    while skipping the release would leak persisted frames, and bounded
+    memory is this module's primary contract.
     """
     release_scope(scope, spark if spark is not None else SparkSession.getActiveSession())
 
@@ -172,5 +202,5 @@ def scope_frames(scope: str) -> list[DataFrame]:
 def release_all() -> None:
     """Release every scope this package registered."""
     with _LOCK:
-        keys = list(_TRACKED)
-    _release_keys(keys)
+        batches = _pop_keys_locked(list(_TRACKED))
+    _unpersist_batches(batches)

@@ -6,11 +6,14 @@ grid length as ``len(max(datapoints.values()))`` — lexicographic max of
 lists, not max length (main.py:684). Intent per README.md:137: grid
 length = MAX series length.
 
-Spark design: build the full grid as ``distinct series × range(N)`` and
-left-join the values, ``coalesce(value, 0)``. The series dimension is
-tiny (config-driven) -> broadcast it onto the generated grid; the join
-with the fact table shuffles on (series_id, t) only once, and at scale
-both sides can be pre-partitioned on the same keys to avoid even that.
+Spark design: build the full grid as ``distinct series × slots`` and
+left-join the values, ``coalesce(value, 0)``. Slots come from
+``range(N)`` when N is given, else from a lazy ``distinct t`` over the
+input (identical for dense-rank series, and no driver-side action at
+plan-build time). The series dimension is tiny (config-driven) ->
+broadcast it onto the generated grid; the join with the fact table
+shuffles on (series_id, t) only once, and at scale both sides can be
+pre-partitioned on the same keys to avoid even that.
 """
 
 from __future__ import annotations
@@ -37,11 +40,23 @@ def zero_fill(
     onto filled rows via the series dimension.
     """
     if n_points is None:
-        n_points = df.agg(F.max(t_col)).first()[0]
-        n_points = int(n_points) + 1 if n_points is not None else 0
+        # Default grid = the union of slots present, as a LAZY plan. For
+        # dense-rank inputs (every series occupies t = 0..len-1 — the
+        # only shape this default is used with: events_as_series ranks,
+        # generator grids) this is exactly 0..max_len-1, the B2-intent
+        # grid. The previous form ran df.agg(max(t)).first() at PLAN
+        # BUILD time — a full scan + window executed before any timer
+        # starts (the triangle_count eager-build failure class) and then
+        # re-executed by the materialized query.
+        grid = (
+            df.select(F.col(t_col).cast("long").alias(t_col))
+            .where(F.col(t_col).isNotNull())
+            .distinct()
+        )
+    else:
+        grid = time_grid(spark, n_points).withColumnRenamed("t", t_col)
 
     series_dim = df.select(series_col, *carry_cols).distinct()
-    grid = time_grid(spark, n_points).withColumnRenamed("t", t_col)
     full = grid.crossJoin(F.broadcast(series_dim))
 
     filled = full.join(

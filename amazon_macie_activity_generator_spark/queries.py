@@ -391,7 +391,7 @@ FROM s WHERE t < 5 GROUP BY t
 # ------------------------------------------------------------- flagship
 
 _FLAGSHIP_ANOM = {"start": 10, "end": 100, "counts": 5}
-_FLAGSHIP_STRIDE = (100 - 10 + 1) // 5  # 18
+_FLAGSHIP_N = 101  # anomaly-clamp window (n_points)
 
 
 def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,14 +409,27 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_anomalies = apply_anomalies(
         scaled.withColumn("value", F.col("value").cast("double")),
         [_FLAGSHIP_ANOM],
-        n_points=101,
+        n_points=_FLAGSHIP_N,
         mode="stride",
     )
     final = with_anomalies.withColumn("value", F.col("value").cast("long"))
     return pivot_slot_rows(final, series_ids=EVENT_TYPES, agg="max")
 
 
-SQL_FLAGSHIP = f"""
+def _sql_flagship() -> str:
+    """The composed oracle, generated from the SAME spec constants the
+    Spark side uses (one source of truth), with apply_anomalies'
+    clamp/stride rules mirrored: both ends clamped into [0, n_points-1],
+    stride = max(width // counts, 1)."""
+    start = max(0, min(int(_FLAGSHIP_ANOM["start"]), _FLAGSHIP_N - 1))
+    end = max(0, min(int(_FLAGSHIP_ANOM["end"]), _FLAGSHIP_N - 1))
+    counts = int(_FLAGSHIP_ANOM["counts"])
+    stride = max((end - start + 1) // counts, 1)
+    pivot_cols = ",\n".join(
+        f"       CAST(COALESCE(max(CASE WHEN series_id = '{sid}' THEN value END), 0) AS DOUBLE) AS {sid}"
+        for sid in EVENT_TYPES
+    )
+    return f"""
 WITH s AS (
   SELECT event_type AS series_id,
          row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS t,
@@ -443,21 +456,20 @@ anom AS (
   -- stride hits then the T5 int cast: Spark CAST(double AS long)
   -- truncates, DuckDB's rounds -> trunc() first
   SELECT sc.series_id, sc.t,
-         CAST(trunc(CASE WHEN sc.t BETWEEN 10 AND 100
-                          AND (sc.t - 10) % {_FLAGSHIP_STRIDE} = 0
-                          AND (sc.t - 10) // {_FLAGSHIP_STRIDE} < 5
+         CAST(trunc(CASE WHEN sc.t BETWEEN {start} AND {end}
+                          AND (sc.t - {start}) % {stride} = 0
+                          AND (sc.t - {start}) // {stride} < {counts}
                      THEN power(CAST(trunc(am.mx) AS BIGINT) + 1, 2)
                      ELSE sc.value END) AS BIGINT) AS value
   FROM scaled sc JOIN am USING (series_id)
 )
 SELECT t,
-       CAST(COALESCE(max(CASE WHEN series_id = 'click' THEN value END), 0) AS DOUBLE) AS click,
-       CAST(COALESCE(max(CASE WHEN series_id = 'error' THEN value END), 0) AS DOUBLE) AS error,
-       CAST(COALESCE(max(CASE WHEN series_id = 'purchase' THEN value END), 0) AS DOUBLE) AS purchase,
-       CAST(COALESCE(max(CASE WHEN series_id = 'signup' THEN value END), 0) AS DOUBLE) AS signup,
-       CAST(COALESCE(max(CASE WHEN series_id = 'view' THEN value END), 0) AS DOUBLE) AS view
+{pivot_cols}
 FROM anom GROUP BY t
 """
+
+
+SQL_FLAGSHIP = _sql_flagship()
 
 from amazon_macie_activity_generator_spark.functions.rng import (  # noqa: E402
     counter_offset,

@@ -83,6 +83,15 @@ def main() -> None:
             # absorb the (async) cache-eviction work OUTSIDE any timer, so
             # it is not attributed to whichever query happens to run next
             spark.range(1).count()
+        # memory-sink tables registered by streaming builders (uuid names)
+        # survive clearCache and hold a full result copy in driver memory;
+        # drop them between passes so reps never accumulate copies
+        for tbl in spark.catalog.listTables():
+            if tbl.isTemporary:
+                try:
+                    spark.catalog.dropTempView(tbl.name)
+                except Exception:
+                    pass
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -107,6 +107,35 @@ def test_registry_keyed_by_session(spark):
     assert scope_frames("two_sessions") == []
 
 
+def test_session_cap_bounds_wrapper_leak(spark):
+    """A service creating a newSession() wrapper per request (fresh token
+    each time, never stopped, never re-entering begin_scope) must not
+    accumulate frames without bound: the per-scope session cap evicts the
+    oldest sessions' frames, keeping at most _MAX_SESSIONS_PER_SCOPE
+    sessions' worth — and the evicted sessions' registry pins go too."""
+    from amazon_macie_activity_generator_spark import cache
+
+    release_all()
+    cap = cache._MAX_SESSIONS_PER_SCOPE
+    wrappers = [spark.newSession() for _ in range(cap + 3)]
+    for w in wrappers:
+        scoped_persist(w.range(2), "per_request")
+    assert len(scope_frames("per_request")) == cap
+    with cache._LOCK:
+        toks = {t for (t, s) in cache._TRACKED if s == "per_request"}
+        # the survivors are the NEWEST cap sessions
+        assert toks == {id(w) for w in wrappers[-cap:]}
+        # evicted wrappers' session pins are gone (no other scope holds them)
+        assert all(id(w) not in cache._SESSIONS for w in wrappers[:-cap])
+    # the registering session's own entry is never evicted by its own call
+    for _ in range(3):
+        scoped_persist(wrappers[-1].range(2), "per_request")
+    with cache._LOCK:
+        assert (id(wrappers[-1]), "per_request") in cache._TRACKED
+    release_all()
+    spark.catalog.clearCache()
+
+
 def test_stopped_sessions_are_pruned(spark, monkeypatch):
     """Entries whose owning session is stopped drop out of the registry
     on the next registry operation instead of lingering forever."""
