@@ -1279,6 +1279,11 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM (SELECT event_type, hour(ts) AS hod, value FROM events)
 GROUP BY CUBE (event_type, hod)
+-- empty-relation semantics: Spark's cube emits NO rows for an empty
+-- input, SQL emits the grand-total grouping set (count 0). Every
+-- grouping-set row over a non-empty input aggregates >= 1 row, so this
+-- filter only pins the empty case to Spark's behavior.
+HAVING count(*) > 0
 """
 
 
@@ -1703,6 +1708,9 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+-- pins the empty relation to Spark semantics (no grand-total row);
+-- no-op on non-empty input — see SQL_CUBE_EVENTS
+HAVING count(*) > 0
 """
 
 

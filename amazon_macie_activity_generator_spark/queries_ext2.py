@@ -910,11 +910,13 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doubles print via an explicit %.6f: the engines' native
         # double->string reprs agree on small values but split at the
         # scientific-notation cutover (Spark '1.0E12' vs DuckDB
-        # '1000000000000.0')
+        # '1000000000000.0'). NULL must stay NULL: format_string
+        # stringifies a NULL argument as the literal 'null' (Java
+        # String.format), which an all-NULL or empty column would hit.
         if c == "ts":
             return F.date_format(x, _TS_FMT_SPARK)
         if c == "value":
-            return F.format_string("%.6f", x)
+            return F.when(x.isNotNull(), F.format_string("%.6f", x))
         return x.cast("string")
 
     def smin(c):
@@ -1181,6 +1183,9 @@ SELECT p_brand, p_type,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+-- pins the empty relation to Spark semantics (no grand-total row);
+-- no-op on non-empty input — see SQL_CUBE_EVENTS
+HAVING count(*) > 0
 """
 
 

@@ -446,11 +446,17 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
     )
     stages = per_user.join(c, "user_id", "left").join(p, "user_id", "left")
+    # coalesce(.., 0): on an EMPTY relation the global agg emits one row
+    # with NULL sums, while the oracle's count(..) emits 0 — the only
+    # input where the two differ
+    zsum = lambda col, name: F.coalesce(  # noqa: E731
+        F.sum(F.col(col).isNotNull().cast("long")), F.lit(0)
+    ).alias(name)
     return stages.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(F.col("v_ts").isNotNull().cast("long")).alias("viewed"),
-        F.sum(F.col("c_ts").isNotNull().cast("long")).alias("clicked_after_view"),
-        F.sum(F.col("p_ts").isNotNull().cast("long")).alias("purchased_after_click"),
+        zsum("v_ts", "viewed"),
+        zsum("c_ts", "clicked_after_view"),
+        zsum("p_ts", "purchased_after_click"),
     )
 
 
