@@ -546,13 +546,27 @@ def quantize_int8(emb: Column) -> Column:
     q array<int>>; zero shuffles — at 100 TB this is a map-only rewrite
     of the embedding column. Elements cast to double BEFORE any math so
     the arithmetic (and an oracle twin doing the same) is engine-stable.
+
+    A vector with a non-finite component (NaN/±Inf — fp overflow happens
+    at crawl scale) has no meaningful quantization, and letting it
+    through crashes the job under ANSI mode (round(NaN) cast to int is a
+    CAST_OVERFLOW): such vectors yield scale = NULL, q = NULL — the
+    NULL-vector "no geometry" contract extended to non-finite ones. The
+    ``embedding_finite_gate`` catalog entry is the ingest-time
+    quarantine; this guard is defense for ungated input.
     """
+    finite = ~F.exists(
+        emb, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
     absmax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
-    scale = absmax / F.lit(127.0)
-    q = F.transform(
-        emb,
-        lambda x: F.when(absmax == 0, F.lit(0))
-        .otherwise(F.round(x.cast("double") / scale, 0).cast("int")),
+    scale = F.when(finite, absmax / F.lit(127.0))
+    q = F.when(
+        finite,
+        F.transform(
+            emb,
+            lambda x: F.when(absmax == 0, F.lit(0))
+            .otherwise(F.round(x.cast("double") / scale, 0).cast("int")),
+        ),
     )
     return F.struct(scale.alias("scale"), q.alias("q"))
 

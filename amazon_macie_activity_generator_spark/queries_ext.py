@@ -1463,7 +1463,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EMBEDDING_QUANTIZE = """
 WITH qz AS (
   SELECT vec_id, embedding,
-         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         -- non-finite component => no quantization (scale NULL cascades
+         -- to NULL codes/err below), mirroring quantize_int8's guard
+         CASE WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 THEN NULL
+              ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+         END AS scale
   FROM embeddings
 ),
 q AS (
@@ -1474,11 +1478,15 @@ q AS (
   FROM qz
 )
 SELECT vec_id, round(scale, 6) AS scale6,
-       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS q_sum,
-       round(sqrt(list_aggregate(
+       -- empty-list sums are 0, not NULL (Spark's aggregate() has an
+       -- explicit 0 init; DuckDB's list_aggregate gives NULL on [])
+       CAST(CASE WHEN len(codes) = 0 THEN 0
+                 ELSE list_aggregate(codes, 'sum') END AS BIGINT) AS q_sum,
+       round(sqrt(CASE WHEN len(codes) = 0 THEN 0.0
+                       ELSE list_aggregate(
          list_transform(list_zip(embedding, codes),
            p -> pow(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale, 2.0)),
-         'sum')), 4) AS err4
+         'sum') END), 4) AS err4
 FROM q
 """
 

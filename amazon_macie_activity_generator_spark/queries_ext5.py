@@ -1306,6 +1306,57 @@ FROM pairs
 """
 
 
+def q_embedding_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2d-g — ingest-time embedding validation gate (round 7): classify
+    every vector as ``null`` / ``empty`` / ``non_finite`` (any NaN or
+    ±Inf component — fp overflow happens at crawl scale) / ``zero_norm``
+    / ``ok``, with per-class counts. The quarantine step the similarity
+    geometry assumes ran: downstream cosine/LSH/IVF operators are
+    specified over gated (``ok``) vectors, and ``quantize_int8``
+    additionally hard-guards because a cast of round(NaN) to int is a
+    job-killing CAST_OVERFLOW under ANSI mode.
+
+    Map-only single pass (one exists() + one aggregate() per vector),
+    then a 5-group aggregation — at 100 TB this is scan-bound, shuffles
+    five rows per task."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    sumsq = F.aggregate(
+        e, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    status = (
+        F.when(e.isNull(), F.lit("null"))
+        .when(F.size(e) == 0, F.lit("empty"))
+        .when(
+            F.exists(e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))),
+            F.lit("non_finite"),
+        )
+        .when(sumsq == 0, F.lit("zero_norm"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        emb.select(status.alias("status"), "vec_id")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("first_vec_id"))
+    )
+
+
+SQL_EMBEDDING_FINITE_GATE = """
+WITH cls AS (
+  SELECT vec_id,
+         CASE WHEN embedding IS NULL THEN 'null'
+              WHEN len(embedding) = 0 THEN 'empty'
+              WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 THEN 'non_finite'
+              WHEN list_aggregate(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') = 0 THEN 'zero_norm'
+              ELSE 'ok' END AS status
+  FROM embeddings
+)
+SELECT status, count(*) AS n_vectors, min(vec_id) AS first_vec_id
+FROM cls GROUP BY status
+"""
+
+
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
@@ -1319,4 +1370,5 @@ EXT5_QUERIES = {
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "hard_negatives_lsh": (q_hard_negatives_lsh, _sql_hard_negatives_lsh()),
     "split_leakage": (q_split_leakage, _sql_split_leakage()),
+    "embedding_finite_gate": (q_embedding_finite_gate, SQL_EMBEDDING_FINITE_GATE),
 }

@@ -412,3 +412,96 @@ def degen_cu_duck(degen_cu_dir):
 @pytest.mark.parametrize("name", CUSTOMER_ENTRIES)
 def test_engines_agree_on_degenerate_customers(name, spark, degen_cu_dir, degen_cu_duck):
     _assert_agree(name, spark, degen_cu_dir, degen_cu_duck)
+
+
+# ---------------------------------------------- non-finite embeddings (r7)
+
+@pytest.fixture(scope="module")
+def nonfinite_emb_dirs(tmp_path_factory):
+    """UNGATED embeddings with NaN/±Inf components (fp overflow happens
+    at crawl scale) alongside null/empty/zero/normal vectors, plus the
+    GATED twin holding only the 'ok' rows — the ingest contract
+    ``embedding_finite_gate`` enforces. Returns (ungated, gated)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    raw = tmp_path_factory.mktemp("nonfinite_emb")
+    gated = tmp_path_factory.mktemp("nonfinite_emb_gated")
+    for d in (raw, gated):
+        for t in TABLES[:-1] + ["documents"]:
+            shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    rng = np.random.default_rng(11)
+    dim = 64  # the LSH oracle twins are fixed 64-dim plane models
+    nan_v = rng.normal(size=dim); nan_v[3] = np.nan
+    inf_v = rng.normal(size=dim); inf_v[0] = np.inf
+    ninf_v = rng.normal(size=dim); ninf_v[dim - 1] = -np.inf
+    all_nan = np.full(dim, np.nan)
+    ok_vecs = [rng.normal(size=dim) for _ in range(40)]
+    rows = (
+        [(v, "non_finite") for v in (nan_v, inf_v, ninf_v, all_nan)]
+        + [(np.zeros(dim), "zero_norm")]
+        + [(None, "null"), (np.array([]), "empty")]
+        + [(v, "ok") for v in ok_vecs]
+    )
+    emb_col = [None if v is None else list(map(float, v)) for v, _ in rows]
+    statuses = [s for _, s in rows]
+    full = pa.table({
+        "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+        "embedding": pa.array(emb_col, type=pa.list_(pa.float32())),
+        "label": pa.array([i % 5 for i in range(len(rows))], type=pa.int32()),
+    })
+    pq.write_table(full, str(raw / "embeddings.parquet"))
+    keep = [i for i, s in enumerate(statuses) if s == "ok"]
+    pq.write_table(full.take(keep), str(gated / "embeddings.parquet"))
+    return str(raw), str(gated), statuses
+
+
+def _duck_for(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES[:-1] + ["documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_finite_gate_classifies_and_agrees(spark, nonfinite_emb_dirs):
+    raw, _gated, statuses = nonfinite_emb_dirs
+    con = _duck_for(raw)
+    try:
+        _assert_agree("embedding_finite_gate", spark, raw, con)
+        got = {
+            r.status: r.n_vectors
+            for r in entrymod.queries()["embedding_finite_gate"](spark, raw).collect()
+        }
+        from collections import Counter
+        assert got == dict(Counter(statuses))
+    finally:
+        con.close()
+
+
+def test_quantize_survives_and_agrees_on_nonfinite(spark, nonfinite_emb_dirs):
+    """The pre-r7 quantizer CRASHED here (round(NaN) cast to int is a
+    CAST_OVERFLOW under ANSI mode); non-finite vectors now quantize to
+    NULL in both engines."""
+    raw, _gated, _statuses = nonfinite_emb_dirs
+    con = _duck_for(raw)
+    try:
+        _assert_agree("embedding_quantize", spark, raw, con)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", EMB_ENTRIES)
+def test_engines_agree_on_gated_nonfinite_corpus(name, spark, nonfinite_emb_dirs):
+    """The composition contract: gate first, then ANY embedding operator
+    — on the gated twin every oracle-backed embedding entry agrees."""
+    _raw, gated, _statuses = nonfinite_emb_dirs
+    con = _duck_for(gated)
+    try:
+        _assert_agree(name, spark, gated, con)
+    finally:
+        con.close()
