@@ -132,6 +132,21 @@ def brute_force_topk(
 
 # ------------------------------------------------------------- LSH / ANN
 
+def nonfinite_component(x: Column) -> Column:
+    """A vector component with no finite value: NULL (ragged/partial
+    encode), NaN, or ±Inf (fp overflow). ONE predicate shared by the
+    ingest gate and quantize_int8's guard, with `NONFINITE_COMPONENT_SQL`
+    as its DuckDB twin — the four call sites must never drift. NULL is
+    checked explicitly so exists() gets a definite TRUE, not three-valued
+    NULL (isnan(NULL)|.. would be NULL, silently diverging from the SQL
+    list_filter, which treats a NULL predicate as no-match)."""
+    return x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+
+
+# DuckDB twin of nonfinite_component (the lambda body, variable `x`)
+NONFINITE_COMPONENT_SQL = "x IS NULL OR isnan(x) OR isinf(x)"
+
+
 def srp_planes(dim: int, planes: int, salt: str = "srp") -> list[list[float]]:
     """Deterministic Rademacher (±1) hyperplanes, seeded by (salt, planes,
     dim) — identical on every executor and across runs by construction."""
@@ -547,17 +562,16 @@ def quantize_int8(emb: Column) -> Column:
     of the embedding column. Elements cast to double BEFORE any math so
     the arithmetic (and an oracle twin doing the same) is engine-stable.
 
-    A vector with a non-finite component (NaN/±Inf — fp overflow happens
-    at crawl scale) has no meaningful quantization, and letting it
-    through crashes the job under ANSI mode (round(NaN) cast to int is a
-    CAST_OVERFLOW): such vectors yield scale = NULL, q = NULL — the
-    NULL-vector "no geometry" contract extended to non-finite ones. The
-    ``embedding_finite_gate`` catalog entry is the ingest-time
-    quarantine; this guard is defense for ungated input.
+    A vector with a non-finite component (NULL, NaN, ±Inf — fp overflow
+    and ragged encodes happen at crawl scale) has no meaningful
+    quantization, and letting NaN through crashes the job under ANSI
+    mode (round(NaN) cast to int is a CAST_OVERFLOW): such vectors yield
+    scale = NULL, q = NULL — the NULL-vector "no geometry" contract
+    extended component-wise. The ``embedding_finite_gate`` catalog entry
+    is the ingest-time quarantine; this guard is defense for ungated
+    input.
     """
-    finite = ~F.exists(
-        emb, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
-    )
+    finite = ~F.exists(emb, nonfinite_component)
     absmax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
     scale = F.when(finite, absmax / F.lit(127.0))
     q = F.when(

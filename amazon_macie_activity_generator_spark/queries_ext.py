@@ -29,6 +29,7 @@ from amazon_macie_activity_generator_spark.operators.sessionize import (
     tumbling_counts,
 )
 from amazon_macie_activity_generator_spark.operators.similarity import (
+    NONFINITE_COMPONENT_SQL,
     brute_force_topk,
     embedding_near_dup,
     lsh_bucket_topk,
@@ -1460,12 +1461,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_QUANTIZE = """
+SQL_EMBEDDING_QUANTIZE = f"""
 WITH qz AS (
   SELECT vec_id, embedding,
          -- non-finite component => no quantization (scale NULL cascades
          -- to NULL codes/err below), mirroring quantize_int8's guard
-         CASE WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 THEN NULL
+         CASE WHEN len(list_filter(embedding, x -> {NONFINITE_COMPONENT_SQL})) > 0 THEN NULL
               ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
          END AS scale
   FROM embeddings

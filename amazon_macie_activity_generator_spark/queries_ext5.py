@@ -73,7 +73,11 @@ from amazon_macie_activity_generator_spark.operators.dedup import (
     tokens_expr,
     word_shingles_expr,
 )
-from amazon_macie_activity_generator_spark.operators.similarity import brute_force_topk
+from amazon_macie_activity_generator_spark.operators.similarity import (
+    NONFINITE_COMPONENT_SQL,
+    brute_force_topk,
+    nonfinite_component,
+)
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
 # shared oracle fragments: the ext5 oracles tokenize/shingle exactly as
@@ -1308,17 +1312,21 @@ FROM pairs
 
 def q_embedding_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2d-g — ingest-time embedding validation gate (round 7): classify
-    every vector as ``null`` / ``empty`` / ``non_finite`` (any NaN or
-    ±Inf component — fp overflow happens at crawl scale) / ``zero_norm``
-    / ``ok``, with per-class counts. The quarantine step the similarity
-    geometry assumes ran: downstream cosine/LSH/IVF operators are
-    specified over gated (``ok``) vectors, and ``quantize_int8``
-    additionally hard-guards because a cast of round(NaN) to int is a
-    job-killing CAST_OVERFLOW under ANSI mode.
+    every vector as ``null`` / ``empty`` / ``non_finite`` (any component
+    that is NULL, NaN, or ±Inf — fp overflow and ragged encodes happen
+    at crawl scale) / ``zero_norm`` / ``ok``, with per-class counts. The
+    quarantine step the similarity geometry assumes ran: downstream
+    cosine/LSH/IVF operators are specified over gated (``ok``) vectors,
+    and ``quantize_int8`` additionally hard-guards because a cast of
+    round(NaN) to int is a job-killing CAST_OVERFLOW under ANSI mode.
+    The component predicate is `similarity.nonfinite_component` — ONE
+    definition shared with the quantizer and both SQL twins.
 
     Map-only single pass (one exists() + one aggregate() per vector),
     then a 5-group aggregation — at 100 TB this is scan-bound, shuffles
-    five rows per task."""
+    five rows per task. The zero_norm fold runs AFTER the non_finite
+    branch, so it only ever sees fully-finite components (a NULL element
+    would make the fold NULL and SQL's NULL-skipping sum 0 — divergent)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
     sumsq = F.aggregate(
@@ -1327,10 +1335,7 @@ def q_embedding_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = (
         F.when(e.isNull(), F.lit("null"))
         .when(F.size(e) == 0, F.lit("empty"))
-        .when(
-            F.exists(e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))),
-            F.lit("non_finite"),
-        )
+        .when(F.exists(e, nonfinite_component), F.lit("non_finite"))
         .when(sumsq == 0, F.lit("zero_norm"))
         .otherwise(F.lit("ok"))
     )
@@ -1341,12 +1346,12 @@ def q_embedding_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_FINITE_GATE = """
+SQL_EMBEDDING_FINITE_GATE = f"""
 WITH cls AS (
   SELECT vec_id,
          CASE WHEN embedding IS NULL THEN 'null'
               WHEN len(embedding) = 0 THEN 'empty'
-              WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 THEN 'non_finite'
+              WHEN len(list_filter(embedding, x -> {NONFINITE_COMPONENT_SQL})) > 0 THEN 'non_finite'
               WHEN list_aggregate(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') = 0 THEN 'zero_norm'
               ELSE 'ok' END AS status

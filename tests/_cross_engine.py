@@ -1,0 +1,30 @@
+"""Shared cross-engine comparison protocol for the degenerate-input
+sweeps (test_degenerate_corpus.py, test_empty_tables.py) — ONE
+definition so the two suites can never apply different strictness.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def canon(df):
+    """Sort by all columns; floats normalized to 9 significant digits —
+    strict enough to catch every semantic divergence the sweeps exist
+    for, loose enough to ignore last-bit summation-order dust on
+    1e12-magnitude aggregates (measured <= 4e-16 relative)."""
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].map(lambda x: f"{x:.9g}")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def assert_agree(name, spark, sf_dir, con, what="degenerate input"):
+    fn = entrymod.queries()[name]
+    s = canon(fn(spark, sf_dir).toPandas())
+    d = canon(con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(s.columns) == list(d.columns)
+    assert s.shape == d.shape, f"{name}: {s.shape} vs {d.shape}"
+    assert s.astype(str).equals(d.astype(str)), f"{name} diverges on {what}"
+    spark.catalog.clearCache()

@@ -76,26 +76,9 @@ def degen_duck(degen_sf_dir):
     con.close()
 
 
-def _canon(df):
-    """Sort by all columns; floats normalized to 9 significant digits —
-    strict enough to catch every semantic divergence this file exists
-    for, loose enough to ignore last-bit summation-order dust on
-    1e12-magnitude aggregates (measured <= 4e-16 relative)."""
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        if str(df[c].dtype).startswith("float"):
-            df[c] = df[c].map(lambda x: f"{x:.9g}")
-    return df.sort_values(by=list(df.columns), ignore_index=True)
-
-
-def _assert_agree(name, spark, sf_dir, con):
-    fn = entrymod.queries()[name]
-    s = _canon(fn(spark, sf_dir).toPandas())
-    d = _canon(con.execute(entrymod.oracle_sql()[name]).df())
-    assert list(s.columns) == list(d.columns)
-    assert s.shape == d.shape, f"{name}: {s.shape} vs {d.shape}"
-    assert s.astype(str).equals(d.astype(str)), f"{name} diverges on degenerate input"
-    spark.catalog.clearCache()
+# shared comparison protocol (one definition across both sweep suites)
+from _cross_engine import assert_agree as _assert_agree  # noqa: E402
+from _cross_engine import canon as _canon  # noqa: E402,F401
 
 
 @pytest.mark.parametrize("name", DOC_ENTRIES)
@@ -418,10 +401,11 @@ def test_engines_agree_on_degenerate_customers(name, spark, degen_cu_dir, degen_
 
 @pytest.fixture(scope="module")
 def nonfinite_emb_dirs(tmp_path_factory):
-    """UNGATED embeddings with NaN/±Inf components (fp overflow happens
-    at crawl scale) alongside null/empty/zero/normal vectors, plus the
-    GATED twin holding only the 'ok' rows — the ingest contract
-    ``embedding_finite_gate`` enforces. Returns (ungated, gated)."""
+    """UNGATED embeddings with NaN/±Inf/NULL components (fp overflow and
+    ragged encodes happen at crawl scale) alongside null/empty/zero/
+    normal vectors, plus the GATED twin holding only the 'ok' rows — the
+    ingest contract ``embedding_finite_gate`` enforces. Returns
+    (ungated_dir, gated_dir, expected_statuses)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -439,14 +423,24 @@ def nonfinite_emb_dirs(tmp_path_factory):
     inf_v = rng.normal(size=dim); inf_v[0] = np.inf
     ninf_v = rng.normal(size=dim); ninf_v[dim - 1] = -np.inf
     all_nan = np.full(dim, np.nan)
+    # NULL components: a definite non_finite in BOTH engines — Spark's
+    # exists() must not fall into three-valued NULL, and the [NULL,0,..]
+    # shape must not reach the zero_norm fold (SQL's NULL-skipping sum
+    # would say 0 while Spark's fold says NULL)
+    null_comp = [float(x) for x in rng.normal(size=dim)]; null_comp[7] = None
+    null_zero = [0.0] * dim; null_zero[0] = None
     ok_vecs = [rng.normal(size=dim) for _ in range(40)]
     rows = (
         [(v, "non_finite") for v in (nan_v, inf_v, ninf_v, all_nan)]
+        + [(null_comp, "non_finite"), (null_zero, "non_finite")]
         + [(np.zeros(dim), "zero_norm")]
         + [(None, "null"), (np.array([]), "empty")]
         + [(v, "ok") for v in ok_vecs]
     )
-    emb_col = [None if v is None else list(map(float, v)) for v, _ in rows]
+    emb_col = [
+        None if v is None else [None if x is None else float(x) for x in v]
+        for v, _ in rows
+    ]
     statuses = [s for _, s in rows]
     full = pa.table({
         "vec_id": pa.array(range(len(rows)), type=pa.int64()),

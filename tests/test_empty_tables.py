@@ -61,22 +61,12 @@ def empty_duck(empty_sf_dir):
     con.close()
 
 
-def _canon(df):
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        if str(df[c].dtype).startswith("float"):
-            df[c] = df[c].map(lambda x: f"{x:.9g}")
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+from _cross_engine import assert_agree  # noqa: E402
 
 
 @pytest.mark.parametrize("name", ORACLE_ENTRIES)
 def test_engines_agree_on_empty_tables(name, spark, empty_sf_dir, empty_duck):
-    s = _canon(entrymod.queries()[name](spark, empty_sf_dir).toPandas())
-    d = _canon(empty_duck.execute(entrymod.oracle_sql()[name]).df())
-    assert list(s.columns) == list(d.columns)
-    assert s.shape == d.shape, f"{name}: {s.shape} vs {d.shape}"
-    assert s.astype(str).equals(d.astype(str)), f"{name} diverges on empty input"
-    spark.catalog.clearCache()
+    assert_agree(name, spark, empty_sf_dir, empty_duck, what="empty input")
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_ENTRIES)
