@@ -27,9 +27,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Java regex \s is [ \t\n\x0B\f\r]; RE2 (DuckDB's regex engine) \s
+# OMITS \x0B (vertical tab), so the engine defaults silently diverge on
+# VT input. Every tokenizing regex — Spark side AND the DuckDB oracle
+# twins — interpolates this explicit class instead; pinned to the Java
+# set so existing Spark results are bit-identical.
+JAVA_WS = r" \t\n\x0B\f\r"
+
+
 def tokens_expr(text: Column) -> Column:
-    """Whitespace tokens of lowercased text (empty-safe)."""
-    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    """Whitespace tokens of lowercased text (empty-safe). Whitespace =
+    the explicit JAVA_WS class (see above), identical in both engines."""
+    return F.filter(F.split(F.lower(F.trim(text)), rf"[{JAVA_WS}]+"), lambda t: t != "")
 
 
 def word_shingles_expr(text: Column, k: int = 3) -> Column:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS, tokens_expr
 
 # Tiny function-word lists per language (public-knowledge stopwords).
 STOPWORDS = {
@@ -24,7 +24,7 @@ STOPWORDS = {
 
 # BPE-ish pre-tokenization: word pieces, digit runs, single punctuation —
 # the GPT-2 style pretoken split expressed as one regex.
-BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+BPE_ISH_PATTERN = rf"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{JAVA_WS}]"
 
 
 def stopword_hits_tokens(toks: Column, lang: str) -> Column:
@@ -92,7 +92,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.col("__toks")
     n_chars = F.length(text)
     n_tokens = F.size(toks)
-    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    punct = F.length(F.regexp_replace(text, rf"[a-zA-Z0-9{JAVA_WS}]", ""))
     mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
     stop_hits = stopword_hits_tokens(toks, "en")
     stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0))
@@ -178,7 +178,7 @@ def chunk_docs(
     starts; no shuffle at all — at 100 TB this is a map-only rewrite whose
     output feeds straight into dedup/tokenize stages. Returns
     (id, chunk_idx, n_tok, chunk_text)."""
-    from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+    from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS, tokens_expr
 
     stride = chunk_tokens - overlap
     base = df.select(F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks"))

@@ -40,11 +40,12 @@ from amazon_macie_activity_generator_spark.operators.text import (
     lang_id_expr,
     quality_features,
 )
+from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
 # DuckDB fragment: whitespace tokens of lowercased text (matches
 # operators.dedup.tokens_expr exactly).
-_DUCK_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+_DUCK_TOKS = rf"list_filter(string_split_regex(lower(trim(text)), '[{JAVA_WS}]+'), x -> x <> '')"
 
 
 def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,13 +631,13 @@ SQL_TEXT_QUALITY = f"""
 WITH base AS (
   SELECT doc_id, text, length(text) AS n_chars,
          {_DUCK_TOKS} AS toks,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+         length(regexp_replace(text, '[a-zA-Z0-9{JAVA_WS}]', '', 'g')) AS punct
   FROM documents
 ),
 feat AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
-         len(regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+         len(regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{JAVA_WS}]')) AS n_bpe_tokens,
          CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len,
          CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
          CASE WHEN len(toks) > 0
@@ -1757,7 +1758,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_CLEAN = f"""
 WITH tok AS (
   SELECT doc_id, text, lang, length(text) AS n_chars, {_DUCK_TOKS} AS toks,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+         length(regexp_replace(text, '[a-zA-Z0-9{JAVA_WS}]', '', 'g')) AS punct
   FROM documents
 ),
 feat AS (

@@ -56,11 +56,12 @@ from pyspark.sql import functions as F
 
 from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
 from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
+from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
 # DuckDB fragment: whitespace tokens of lowercased text (matches
 # operators.dedup.tokens_expr exactly; same fragment as queries_ext).
-_DUCK_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+_DUCK_TOKS = rf"list_filter(string_split_regex(lower(trim(text)), '[{JAVA_WS}]+'), x -> x <> '')"
 
 
 # --------------------------------------------------------------------------

@@ -69,6 +69,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
 
@@ -529,7 +530,7 @@ GROUP BY 1, 2
 # bpe_pair_counts — the core BPE-training statistic
 # --------------------------------------------------------------------------
 
-_DUCK_TOKS3 = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+_DUCK_TOKS3 = rf"list_filter(string_split_regex(lower(trim(text)), '[{JAVA_WS}]+'), x -> x <> '')"
 
 
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

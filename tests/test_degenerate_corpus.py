@@ -28,6 +28,23 @@ TABLES = [
 DEGENERATE_TEXTS = [
     "", "   ", "\t\n", "one", "two words", "a b", "x", " padded  ",
     "the a and of to in", "three t tokens", "the the the", "ab",
+    # unicode gauntlet (r7): NFC + NFD accents, CJK, RTL, emoji with ZWJ
+    # sequences, astral plane, combining marks, exotic whitespace,
+    # fullwidth forms, ligatures — all 46 doc entries agree on these
+    "café résumé naïve",
+    "café résumé naïve",  # same text, decomposed
+    "日本語のテキストです 漢字 かな カナ",
+    "مرحبا بالعالم هذا نص عربي",
+    "emoji \U0001F600\U0001F600 test \U0001F389 family \U0001F468‍\U0001F469‍\U0001F467 flag \U0001F1FA\U0001F1F8",
+    "math \U0001D54A\U0001D561\U0001D552\U0001D563\U0001D55C astral",
+    "mixed ascii και ελληνικά и русский",
+    "nbsp and thin em spaces",
+    # vertical tab: Java \\s includes \\x0B, RE2's does NOT — the ONE
+    # whitespace char the engine defaults disagree on; tokenizers pin
+    # the class explicitly (operators/dedup.py JAVA_WS)
+    "tab\tand\nnewline\r\nand\x0bvtab",
+    "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ",
+    "ligature ﬁﬂ ﬆ œuf æther",
     None, None,  # NULL text (kept even so source s1/s2 alternation holds)
 ]
 
