@@ -18,17 +18,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Hard bound on one series' expanded slot count. A single corrupt
+# timestamp (year 9999) would otherwise make sequence() build a
+# multi-billion-element array in ONE task and kill the job — at crawl
+# scale corrupt timestamps are a certainty, and a guard rail beats an
+# OOM. Spans beyond the cap truncate at t0 + cap - 1 (guard semantics,
+# not a feature: quarantine wild timestamps upstream with the
+# events_time_gate entry for full-fidelity output). 500k minute-slots
+# ≈ 0.95 years; driver data spans ~6 days.
+MAX_GRID_SLOTS = 500_000
+
+
 def expand_grid(sparse: DataFrame, series_col: str = "series_id",
                 t_col: str = "t") -> DataFrame:
     """Expand each series to its full [min(t), max(t)] slot range, null
-    value for unobserved slots. At 100 TB the per-series sequence stays
-    bounded by each series' own span (never a global grid)."""
+    value for unobserved slots, span-capped at MAX_GRID_SLOTS. At 100 TB
+    the per-series sequence stays bounded by each series' own span
+    (never a global grid) AND by the cap."""
     value_cols = [c for c in sparse.columns if c not in (series_col, t_col)]
     bounds = sparse.groupBy(series_col).agg(
         F.min(t_col).alias("__t0"), F.max(t_col).alias("__t1")
     )
     grid = bounds.select(
-        series_col, F.explode(F.sequence("__t0", "__t1")).alias(t_col)
+        series_col,
+        F.explode(
+            F.sequence(
+                "__t0",
+                F.least(F.col("__t1"), F.col("__t0") + F.lit(MAX_GRID_SLOTS - 1)),
+            )
+        ).alias(t_col),
     )
     return grid.join(sparse.select(series_col, t_col, *value_cols),
                      [series_col, t_col], "left")

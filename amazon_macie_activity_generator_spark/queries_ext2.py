@@ -55,8 +55,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
-from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
-from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS
+from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS, tokens_expr
+from amazon_macie_activity_generator_spark.operators.interpolate import MAX_GRID_SLOTS
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
 # DuckDB fragment: whitespace tokens of lowercased text (matches
@@ -1228,16 +1228,21 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_INTERPOLATE = """
+SQL_INTERPOLATE = f"""
 WITH sparse AS (
   SELECT event_type AS series_id,
-         CAST(floor(epoch(ts) / 60) AS BIGINT) AS t,
+         -- trunc twice, mirroring Spark exactly: unix_timestamp is
+         -- trunc-toward-zero epoch seconds (NOT floor — they differ on
+         -- pre-epoch fractional timestamps), then /60 cast long truncates
+         CAST(trunc(trunc(epoch(ts)) / 60) AS BIGINT) AS t,
          sum(value) AS value
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT series_id, min(t) AS t0, max(t) AS t1 FROM sparse GROUP BY series_id
 ), grid AS (
-  SELECT series_id, unnest(range(t0, t1 + 1)) AS t FROM bounds
+  -- span cap mirrors operators/interpolate.py MAX_GRID_SLOTS: one
+  -- corrupt far-future timestamp must not explode the per-series grid
+  SELECT series_id, unnest(range(t0, least(t1, t0 + {MAX_GRID_SLOTS} - 1) + 1)) AS t FROM bounds
 ), full_grid AS (
   SELECT g.series_id, g.t, s.value FROM grid g
   LEFT JOIN sparse s ON g.series_id = s.series_id AND g.t = s.t

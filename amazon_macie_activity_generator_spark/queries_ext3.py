@@ -230,6 +230,12 @@ JOIN (
 # hourly_activity_spine — calendar-grain zero-fill (T6's wall-clock twin)
 # --------------------------------------------------------------------------
 
+# ~11.4 years of hourly slots; driver data spans ~6 days. See the
+# builder docstring — a guard rail against corrupt timestamps, mirrored
+# verbatim in the oracle.
+_MAX_SPINE_HOURS = 100_000
+
+
 def q_hourly_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hour x event_type grid with zero-filled counts — the
     calendar-grain twin of the reference's slot-index zero-fill
@@ -237,14 +243,23 @@ def q_hourly_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     silent hours as 0, not as missing rows. The spine is sequence() over
     the min..max hour (one tiny single-row aggregate), cross-joined with
     the distinct types (both broadcast); the only data-sized work is the
-    hourly pre-aggregate the spine left-joins against."""
+    hourly pre-aggregate the spine left-joins against.
+
+    The span is capped to the TRAILING _MAX_SPINE_HOURS hours: one
+    corrupt timestamp (year 9999 / 1900) would otherwise make sequence()
+    build a ~71M-element array in one task and kill the job. Guard
+    semantics, not a feature — quarantine wild timestamps upstream
+    (events_time_gate) for a full-fidelity spine."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
+    lo = F.greatest(
+        F.col("lo"), F.col("hi") - F.expr(f"INTERVAL {_MAX_SPINE_HOURS} HOURS")
+    )
     spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+        F.explode(F.sequence(lo, F.col("hi"), F.expr("INTERVAL 1 HOUR"))).alias("hour")
     )
     types = ev.select("event_type").distinct()
     daily = ev.groupBy(
@@ -261,12 +276,16 @@ def q_hourly_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_HOURLY_SPINE = """
-WITH spine AS (
+SQL_HOURLY_SPINE = f"""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  -- trailing-window span cap mirrors the builder's _MAX_SPINE_HOURS guard
   SELECT unnest(generate_series(
-    (SELECT date_trunc('hour', min(ts)) FROM events),
-    (SELECT date_trunc('hour', max(ts)) FROM events),
+    greatest(lo, hi - INTERVAL {_MAX_SPINE_HOURS} HOURS), hi,
     INTERVAL 1 HOUR)) AS hour
+  FROM b
 ), types AS (
   SELECT DISTINCT event_type FROM events
 ), hourly AS (
@@ -406,7 +425,10 @@ FROM events
 WHERE ts IS NOT NULL
 WINDOW w AS (
   PARTITION BY user_id
-  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+  -- trunc, not floor: Spark's unix_timestamp truncates toward zero, so
+  -- a PRE-EPOCH fractional second (-0.000001) is key 0 in Spark but
+  -- floor would say -1 — the engines diverge on any pre-1970 timestamp
+  ORDER BY CAST(trunc(epoch(ts)) AS BIGINT)
   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
 )
 """

@@ -1362,6 +1362,48 @@ FROM cls GROUP BY status
 """
 
 
+def q_events_time_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time EVENT TIMESTAMP validation gate (round 7), the events
+    twin of ``embedding_finite_gate``: classify every event as
+    ``null_ts`` / ``pre_epoch`` (before 1970) / ``far_future`` (2100+)
+    / ``ok``, with per-class counts. Wild timestamps are a certainty in
+    a 100 TB crawl and they do real damage downstream: a year-9999 row
+    explodes min..max calendar spines into multi-million-slot grids
+    (hourly_activity_spine / interpolate_gaps carry hard span caps as
+    guard rails), poisons streaming WATERMARKS (max-event-time − delay
+    discards every sane event as late), and pre-epoch fractional seconds
+    sit exactly on the engines' trunc-vs-floor epoch disagreement.
+    Quarantine first; the time-ordered operators are specified over
+    gated (``ok``) events. Map-only scan + 4-group aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    status = (
+        F.when(ts.isNull(), F.lit("null_ts"))
+        .when(ts < F.lit("1970-01-01 00:00:00").cast("timestamp"), F.lit("pre_epoch"))
+        .when(ts >= F.lit("2100-01-01 00:00:00").cast("timestamp"), F.lit("far_future"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        ev.select(status.alias("status"), "event_id")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event_id"))
+    )
+
+
+SQL_EVENTS_TIME_GATE = """
+WITH cls AS (
+  SELECT event_id,
+         CASE WHEN ts IS NULL THEN 'null_ts'
+              WHEN ts < TIMESTAMP '1970-01-01 00:00:00' THEN 'pre_epoch'
+              WHEN ts >= TIMESTAMP '2100-01-01 00:00:00' THEN 'far_future'
+              ELSE 'ok' END AS status
+  FROM events
+)
+SELECT status, count(*) AS n_events, min(event_id) AS first_event_id
+FROM cls GROUP BY status
+"""
+
+
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
@@ -1376,4 +1418,5 @@ EXT5_QUERIES = {
     "hard_negatives_lsh": (q_hard_negatives_lsh, _sql_hard_negatives_lsh()),
     "split_leakage": (q_split_leakage, _sql_split_leakage()),
     "embedding_finite_gate": (q_embedding_finite_gate, SQL_EMBEDDING_FINITE_GATE),
+    "events_time_gate": (q_events_time_gate, SQL_EVENTS_TIME_GATE),
 }

@@ -88,6 +88,12 @@ PROBE_QUERIES = {
     "hard_negatives_lsh": "embeddings",  # bucket-join candidates: sub-linear
     "dedup_simhash_md5": "documents",    # md5 vote fold is per-row compute
     "ks_value_drift": "events",          # distinct-value window per type
+    # round-7 additions
+    # flagship: replay -> zero-fill -> scale -> anomaly -> pivot; the
+    # zero-fill grid x series join is the one data-sized join
+    "flagship_pipeline": "events",
+    # finite gate: map-only scan + 5-group agg — must be flat-per-byte
+    "embedding_finite_gate": "embeddings",
 }
 
 STRESS_QUERIES = [

@@ -516,3 +516,136 @@ def test_engines_agree_on_gated_nonfinite_corpus(name, spark, nonfinite_emb_dirs
         _assert_agree(name, spark, gated, con)
     finally:
         con.close()
+
+
+# ------------------------------------------------ extreme timestamps (r7)
+
+@pytest.fixture(scope="module")
+def extreme_ts_dirs(tmp_path_factory):
+    """UNGATED events with wild timestamps — pre-epoch (1969/1900,
+    including a pre-epoch FRACTIONAL second, the trunc-vs-floor epoch
+    trap), exact epoch, leap day, year 9999 and past the ns-epoch max —
+    plus the GATED twin holding only 'ok' rows (the events_time_gate
+    ingest contract). Values are multiples of 0.25 so windowed sums and
+    averages are exact in binary and round(.,4) can't straddle a
+    half-ulp boundary between engines. Returns (ungated_dir, gated_dir,
+    expected_statuses)."""
+    import datetime as dt
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    raw = tmp_path_factory.mktemp("extreme_ts")
+    gated = tmp_path_factory.mktemp("extreme_ts_gated")
+    for d in (raw, gated):
+        for t in [x for x in TABLES if x != "events"] + ["documents"]:
+            shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    rows = []
+
+    def add(ts, user, etype, value, status):
+        rows.append((len(rows), ts, user, etype, value, '{"k": 1}', status))
+
+    add(dt.datetime(1969, 12, 31, 23, 59, 59), 1, "view", 1.0, "pre_epoch")
+    add(dt.datetime(1969, 12, 31, 23, 59, 59, 999999), 1, "click", 2.0, "pre_epoch")
+    add(dt.datetime(1969, 6, 15, 12, 30, 30), 1, "purchase", 3.0, "pre_epoch")
+    add(dt.datetime(1900, 1, 1, 0, 0, 1), 2, "view", 4.0, "pre_epoch")
+    add(dt.datetime(1970, 1, 1, 0, 0, 0), 2, "click", 5.0, "ok")  # exact epoch
+    add(dt.datetime(1970, 1, 1, 0, 0, 0, 1), 2, "purchase", 6.0, "ok")
+    add(dt.datetime(2024, 2, 29, 0, 0, 0), 3, "view", 7.0, "ok")  # leap day
+    add(dt.datetime(9999, 12, 31, 23, 59, 59), 4, "view", 8.0, "far_future")
+    add(dt.datetime(2262, 4, 11, 23, 47, 16), 4, "click", 9.0, "far_future")
+    add(None, 5, "view", 10.0, "null_ts")
+    rnd = random.Random(5)
+    t0 = dt.datetime(2024, 1, 1)
+    for _ in range(120):
+        add(t0 + dt.timedelta(minutes=rnd.randint(0, 60 * 24 * 6)),
+            10 + rnd.randint(0, 9),
+            rnd.choice(["view", "click", "purchase", "signup", "error"]),
+            rnd.randint(0, 800) * 0.25, "ok")
+
+    full = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], type=pa.float64()),
+        "props": pa.array([r[5] for r in rows]),
+    })
+    statuses = [r[6] for r in rows]
+    pq.write_table(full, str(raw / "events.parquet"))
+    keep = [i for i, s in enumerate(statuses) if s == "ok"]
+    pq.write_table(full.take(keep), str(gated / "events.parquet"))
+    return str(raw), str(gated), statuses
+
+
+def test_time_gate_classifies_and_agrees(spark, extreme_ts_dirs):
+    raw, _gated, statuses = extreme_ts_dirs
+    con = _duck_for_events(raw)
+    try:
+        _assert_agree("events_time_gate", spark, raw, con)
+        got = {
+            r.status: r.n_events
+            for r in entrymod.queries()["events_time_gate"](spark, raw).collect()
+        }
+        from collections import Counter
+        assert got == dict(Counter(statuses))
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", ["hourly_activity_spine", "interpolate_gaps",
+                                  "rolling_time_window", "rolling_stats",
+                                  "event_gaps", "event_funnel"])
+def test_time_ops_survive_wild_timestamps(name, spark, extreme_ts_dirs):
+    """UNGATED corpus: the span-capped spine/grid entries must not
+    explode (pre-r7 a year-9999 row made sequence() build a ~71M-element
+    array and killed the JVM) and must still agree with their oracles
+    (the caps are mirrored); the epoch-keyed windows must agree on
+    pre-epoch fractional seconds (trunc-vs-floor pin)."""
+    raw, _gated, _statuses = extreme_ts_dirs
+    con = _duck_for_events(raw)
+    try:
+        _assert_agree(name, spark, raw, con, what="wild timestamps")
+    finally:
+        con.close()
+
+
+# Watermarked STATE-EVICTING streaming entries are excluded below by
+# design, not convenience: their contract is "events older than
+# max-event-time minus the horizon are late and DROPPED" — exactly what
+# a watermark is for — so on any corpus whose event-time spread exceeds
+# the horizon (here: valid 1970 rows next to valid 2024 rows, far wider
+# than the 14-day horizon) the stream and the horizon-less batch oracle
+# diverge BY DESIGN. The ingest gate bounds plausibility ([1970, 2100)),
+# not per-pipeline horizons. Their batch equivalence on horizon-
+# respecting data is pinned by the driver testdata sweep + streaming
+# tests.
+_HORIZON_BOUND_STREAMING = {"streaming_dedup", "streaming_join", "streaming_left_join"}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in EVENT_ENTRIES if n not in _HORIZON_BOUND_STREAMING]
+)
+def test_engines_agree_on_gated_time_corpus(name, spark, extreme_ts_dirs):
+    """The composition contract, events edition: gate first, then ANY
+    time-ordered operator (minus the horizon-bound streaming set above —
+    a far-future event poisons their watermark even when in-range)
+    agrees with its oracle."""
+    _raw, gated, _statuses = extreme_ts_dirs
+    con = _duck_for_events(gated)
+    try:
+        _assert_agree(name, spark, gated, con, what="gated time corpus")
+    finally:
+        con.close()
+
+
+def _duck_for_events(sf_dir):
+    con = duckdb.connect()
+    for t in [x for x in TABLES if x != "events"] + ["documents", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
