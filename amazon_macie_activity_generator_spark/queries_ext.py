@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
+from amazon_macie_activity_generator_spark.functions.jsonx import (
+    extract_int_prop,
+    sql_int_prop,
+)
 from amazon_macie_activity_generator_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_candidates,
@@ -1080,21 +1084,24 @@ SELECT media_id, frame_idx, frame_idx * 1000 AS ts_ms FROM f
 # ------------------------------------------------------------ json / time
 
 def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 — JSON property extraction from events.props."""
+    """X5 — JSON property extraction from events.props.
+
+    Uses the pinned cross-engine contract in ``functions/jsonx.py``: the
+    old ``get_json_object(..).cast('long')`` THREW under Spark 4's
+    default ANSI mode on any non-integral ``$.k`` (one malformed crawl
+    row = dead job), and plain TRY_CAST twins diverge because DuckDB
+    rounds decimal text and parses hex (see module docstring there).
+    """
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        extract_int_prop("props", "$.k").alias("k"),
     )
 
 
-SQL_JSON_EXTRACT = """
+SQL_JSON_EXTRACT = f"""
 SELECT event_id,
-       -- json_valid guard: DuckDB's json_extract ERRORS on malformed
-       -- JSON where Spark's get_json_object returns NULL — and crawl
-       -- props are routinely malformed
-       CAST(CASE WHEN json_valid(props)
-                 THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+       {sql_int_prop('props', '$.k')} AS k
 FROM events
 """
 

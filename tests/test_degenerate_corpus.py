@@ -245,6 +245,30 @@ def degen_ev_dir(tmp_path_factory):
     # ops in both engines (not linger as a zero-length ghost series)
     add(None, 9, "ghost", 1.0)
     add(None, 9, "ghost", 2.0)
+    # ADVERSARIAL PROPS (r7): the full cross-engine JSON contract surface
+    # from functions/jsonx.py — under Spark 4's default ANSI mode the old
+    # get_json_object(..).cast('long') THREW on the 1.5 row, and naive
+    # TRY_CAST oracles diverge on decimal-rounding/hex/trailing-comma
+    # leniency. Sane ts/user/value so only props semantics are stressed.
+    for j, p in enumerate([
+        '{"k": 1, "k": 2}',            # duplicate key: FIRST wins, both engines
+        '{"k": "3"}', '{"k": 1.5}', '{"k": 1e3}', '{"k": true}',
+        '{"k": null}', '{"k": [1,2]}', '{"k": {"a":1}}',
+        '{"k": 99999999999999999999}',  # > int64: NULL both
+        '{"k": -9223372036854775808}', '{"k": 9223372036854775807}',
+        '{"k": " 7 "}', '{"k":1} trailing', '{k: 1}', "{'k': 1}",
+        '{"k": 01}', '{"K": 1}', '{"k": "0x10"}',
+        '{"k": "\\u0031\\u0032"}',      # escaped "12" (raw backslash-u in the string)
+        '[1,2,3]', '"just a string"', '{"k": Infinity}', '{"k": NaN}',
+        '{"a": {"k": 5}, "k": 6}', '{"k": 2.0}', '{"k": "1.9"}',
+        '{"k": "+5"}', '{"k": ""}', '  {"k": 8}  ', '{"k": "12\n"}',
+        'null', '{}', '{"k": 5, "j": }', '{"k": 1,}',
+        '﻿{"k": 2}',               # BOM prefix: invalid both
+        '{"k": "007"}', '{"k": "\t42\t"}', '{"j": {"k": 9}}',
+        '{"x": "' + "y" * 20000 + '", "k": 11}',  # 20 KB value
+        '{"a":' * 40 + '1' + '}' * 40,  # depth-40 nesting, no k
+    ]):
+        add(t0 + dt.timedelta(hours=8, minutes=j), 20, "view", 1.0, p)
     rnd = random.Random(3)
     for _ in range(150):  # filler mass for the stats entries
         add(t0 + dt.timedelta(minutes=rnd.randint(0, 60 * 24 * 6)),
@@ -649,3 +673,74 @@ def _duck_for_events(sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+# ----------------------------------------------- huge single documents (r7)
+
+@pytest.fixture(scope="module")
+def huge_doc_dir(tmp_path_factory):
+    """A 100 TB crawl always contains pathological single documents: a
+    ~300 KB normal-vocabulary page, a ~200 KB doc that is ONE unbroken
+    token (minified JS / base64 blob — the tokenizer's worst case), a
+    ~150 KB doc of one word repeated (repetition/dedup extremes), and a
+    ~100 KB unicode mix. Each stresses a different axis: shingle fan-out
+    (winnowing emits one row per k-gram window), single-token degeneracy
+    (zero shingles at k>1), max-repetition ratios, and multi-byte offset
+    handling. The sweep asserts cross-engine agreement for every
+    documents-family oracle entry — correctness under size, not speed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("huge_doc")
+    for t in TABLES:
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    vocab = [f"w{i:03d}" for i in range(211)]
+    normal_300k = " ".join(vocab[(i * 7 + i * i) % 211] for i in range(60000))
+    one_token_200k = "a" + "b0" * 100000          # no whitespace at all
+    repeated_150k = "the " * 37000                # one word, max repetition
+    unicode_100k = ("日本語テキスト café мир " * 5000)
+    # long-lines vs many-lines: same content, different line structure
+    many_lines = "\n".join("line %d alpha beta" % i for i in range(5000))
+
+    huge = [
+        (1, normal_300k, "en", "s1"),
+        (2, one_token_200k, "en", "s2"),
+        (3, repeated_150k, "en", "s1"),
+        (4, unicode_100k, "ja", "s2"),
+        (5, many_lines, "en", "s1"),
+    ] + [
+        # ordinary mass so group-by/join entries have real work and the
+        # near-dup entries have small docs to (not) match the giants
+        (100 + i, f"plain document number {i} shared tokens alpha beta gamma", "en",
+         f"s{i % 3}")
+        for i in range(30)
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in huge], type=pa.int64()),
+            "text": pa.array([r[1] for r in huge]),
+            "lang": pa.array([r[2] for r in huge]),
+            "source": pa.array([r[3] for r in huge]),
+            "n_chars": pa.array([len(r[1]) for r in huge], type=pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def huge_doc_duck(huge_doc_dir):
+    con = duckdb.connect()
+    for t in TABLES + ["documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{huge_doc_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_ENTRIES)
+def test_engines_agree_on_huge_docs(name, spark, huge_doc_dir, huge_doc_duck):
+    _assert_agree(name, spark, huge_doc_dir, huge_doc_duck, what="huge document")
