@@ -117,9 +117,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 # (functions/fake.py F1-F11) — generation's defensive complement for
 # training-data hygiene. Patterns restricted to syntax shared by Java
 # regex (Spark) and RE2 (DuckDB) so detection oracle-checks.
+# ONE pattern table for both engines — queries_ext.py interpolates these
+# same strings into the DuckDB oracle, so a tweak can never drift.
+#
+# The email quantifiers are BOUNDED (RFC 5321 caps: local part <= 64,
+# domain <= 255, TLD <= 24): with the unbounded `+` the Java regex
+# engine re-consumes the remaining run at every start position, which is
+# O(n^2) on a long unbroken alphanumeric run — a single 200 KB
+# base64-ish token (routine in a crawl) took 830 s per pass, found by
+# the huge-doc sweep. Bounded, the scan is O(64 n) and the same doc
+# redacts in under a second. DuckDB's RE2 is automaton-linear either
+# way, and both engines accept identical strings under the caps (a
+# >64-char local part matches only its 64-char suffix — in BOTH).
 PII_PATTERNS = {
     "ssn": r"\d{3}-\d{2}-\d{4}",
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "email": r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}",
     "phone": r"\(\d{3}\) \d{3}-\d{4}",
     "aws_key": r"(AKIA|ASIA)[A-Z]{16}",
     "slack_token": r"xox[apbo]-[0-9-]+",

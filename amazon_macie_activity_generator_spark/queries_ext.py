@@ -729,13 +729,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PII_RE = {
-    "ssn": r"\d{3}-\d{2}-\d{4}",
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\(\d{3}\) \d{3}-\d{4}",
-    "aws_key": r"(AKIA|ASIA)[A-Z]{16}",
-    "slack_token": r"xox[apbo]-[0-9-]+",
-}
+# the SAME pattern strings the Spark operators compile — single source
+# (operators/text.py) so the bounded-quantifier fix and any future tweak
+# reach both engines atomically
+from amazon_macie_activity_generator_spark.operators.text import (  # noqa: E402
+    PII_PATTERNS as _PII_RE,
+)
 
 _DUCK_REDACT = "text2"
 for _pat in _PII_RE.values():

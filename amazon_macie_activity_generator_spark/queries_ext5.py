@@ -1404,6 +1404,111 @@ FROM cls GROUP BY status
 """
 
 
+def q_doc_id_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time PRIMARY-KEY validation gate (round 7), the documents
+    twin of ``embedding_finite_gate`` / ``events_time_gate``: a 100 TB
+    crawl re-ingests pages, so duplicate ``doc_id`` rows are routine —
+    identical re-crawls AND conflicting re-crawls after an edit. A
+    duplicate-key probe showed 8 catalog entries silently diverging
+    cross-engine on such input (pick-one windows, pair predicates, and
+    per-id joins all assume key uniqueness). Quarantine first: classify
+    every doc_id as ``unique`` / ``dup_identical`` (same text repeated) /
+    ``dup_conflict`` (different texts share the id), and name the
+    deterministic winner — the row whose content hash (md5 of text, NULL
+    text ≡ '' per the NULL contract) is lexicographically smallest.
+    Downstream documents operators are specified over gated (one row per
+    doc_id) corpora; tests/test_degenerate_corpus.py pins that every
+    documents-family entry agrees cross-engine once the gate has run.
+
+    One hash aggregation on doc_id (map-side partial agg) — scan-bound at
+    100 TB, no joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    agg = docs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(h).alias("n_variants"),
+        F.min(h).alias("kept_md5"),
+    )
+    status = (
+        F.when(F.col("n_rows") == 1, F.lit("unique"))
+        .when(F.col("n_variants") == 1, F.lit("dup_identical"))
+        .otherwise(F.lit("dup_conflict"))
+    )
+    return agg.select("doc_id", "n_rows", "n_variants", status.alias("status"), "kept_md5")
+
+
+SQL_DOC_ID_DEDUP_GATE = """
+WITH agg AS (
+  SELECT doc_id,
+         count(*) AS n_rows,
+         count(DISTINCT md5(coalesce(text, ''))) AS n_variants,
+         min(md5(coalesce(text, ''))) AS kept_md5
+  FROM documents GROUP BY doc_id
+)
+SELECT doc_id, n_rows, n_variants,
+       CASE WHEN n_rows = 1 THEN 'unique'
+            WHEN n_variants = 1 THEN 'dup_identical'
+            ELSE 'dup_conflict' END AS status,
+       kept_md5
+FROM agg
+"""
+
+
+def q_vec_id_unique_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings half of the primary-key gate: duplicate ``vec_id`` rows
+    (re-encoded shards landing twice) made kNN/LSH/kmeans entries diverge
+    in the same probe. Unlike documents there is no portable content hash
+    for a float vector (string formatting of floats differs per engine),
+    so this half DETECTS — per-id row count and whether the duplicate
+    rows are at least norm-identical after 6-dp rounding — and the
+    contract requires upstream resolution; downstream similarity
+    operators are specified over unique-id corpora. Scan + one hash agg,
+    scale-safe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # empty vector -> NULL norm explicitly: Spark's aggregate() seed sums
+    # [] to 0.0 where DuckDB's list_aggregate([],'sum') is NULL (the
+    # pinned empty-sum trap) — countDistinct skips NULL in both engines
+    norm6 = F.when(
+        F.size("embedding") > 0,
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ),
+    )
+    agg = emb.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(norm6).alias("n_norms"),
+    )
+    status = (
+        F.when(F.col("n_rows") == 1, F.lit("unique"))
+        .when(F.col("n_norms") == 1, F.lit("dup_same_norm"))
+        .otherwise(F.lit("dup_conflict"))
+    )
+    return agg.select("vec_id", "n_rows", status.alias("status"))
+
+
+SQL_VEC_ID_UNIQUE_AUDIT = """
+WITH agg AS (
+  SELECT vec_id,
+         count(*) AS n_rows,
+         count(DISTINCT round(sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)) AS n_norms
+  FROM embeddings GROUP BY vec_id
+)
+SELECT vec_id, n_rows,
+       CASE WHEN n_rows = 1 THEN 'unique'
+            WHEN n_norms = 1 THEN 'dup_same_norm'
+            ELSE 'dup_conflict' END AS status
+FROM agg
+"""
+
+
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
@@ -1419,4 +1524,6 @@ EXT5_QUERIES = {
     "split_leakage": (q_split_leakage, _sql_split_leakage()),
     "embedding_finite_gate": (q_embedding_finite_gate, SQL_EMBEDDING_FINITE_GATE),
     "events_time_gate": (q_events_time_gate, SQL_EVENTS_TIME_GATE),
+    "doc_id_dedup_gate": (q_doc_id_dedup_gate, SQL_DOC_ID_DEDUP_GATE),
+    "vec_id_unique_audit": (q_vec_id_unique_audit, SQL_VEC_ID_UNIQUE_AUDIT),
 }

@@ -696,19 +696,25 @@ def huge_doc_dir(tmp_path_factory):
     for t in TABLES:
         shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
 
+    # Sizes are a runtime compromise: the probe ran 300 KB docs (where the
+    # unbound _five_grams hung >8 min and the fix runs in seconds), but the
+    # DuckDB minhash oracles cost 2-4 min EACH at that size, so the
+    # permanent sweep pins the same classes at ~75 KB — still far beyond
+    # anything in the driver testdata and still minutes-vs-seconds on a
+    # reintroduced quadratic.
     vocab = [f"w{i:03d}" for i in range(211)]
-    normal_300k = " ".join(vocab[(i * 7 + i * i) % 211] for i in range(60000))
-    one_token_200k = "a" + "b0" * 100000          # no whitespace at all
-    repeated_150k = "the " * 37000                # one word, max repetition
-    unicode_100k = ("日本語テキスト café мир " * 5000)
+    normal_90k = " ".join(vocab[(i * 7 + i * i) % 211] for i in range(15000))
+    one_token_50k = "a" + "b0" * 25000            # no whitespace at all
+    repeated_48k = "the " * 12000                 # one word, max repetition
+    unicode_50k = ("日本語テキスト café мир " * 2500)
     # long-lines vs many-lines: same content, different line structure
-    many_lines = "\n".join("line %d alpha beta" % i for i in range(5000))
+    many_lines = "\n".join("line %d alpha beta" % i for i in range(1500))
 
     huge = [
-        (1, normal_300k, "en", "s1"),
-        (2, one_token_200k, "en", "s2"),
-        (3, repeated_150k, "en", "s1"),
-        (4, unicode_100k, "ja", "s2"),
+        (1, normal_90k, "en", "s1"),
+        (2, one_token_50k, "en", "s2"),
+        (3, repeated_48k, "en", "s1"),
+        (4, unicode_50k, "ja", "s2"),
         (5, many_lines, "en", "s1"),
     ] + [
         # ordinary mass so group-by/join entries have real work and the
@@ -744,3 +750,223 @@ def huge_doc_duck(huge_doc_dir):
 @pytest.mark.parametrize("name", DOC_ENTRIES)
 def test_engines_agree_on_huge_docs(name, spark, huge_doc_dir, huge_doc_duck):
     _assert_agree(name, spark, huge_doc_dir, huge_doc_duck, what="huge document")
+
+
+# ------------------------------------------------- duplicate primary keys (r7)
+
+@pytest.fixture(scope="module")
+def dup_key_dirs(tmp_path_factory):
+    """Duplicate doc_id / vec_id rows — a certainty under re-ingest at
+    crawl scale. A probe showed 8 entries silently diverging cross-engine
+    on such input (pick-one windows, pair predicates, per-id joins all
+    assume key uniqueness). The contract is gate-first: doc_id_dedup_gate
+    classifies and names a deterministic winner (min content md5);
+    vec_id_unique_audit detects; downstream operators are specified over
+    gated (one row per id) corpora. Returns (raw_dir, gated_dir)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    raw = tmp_path_factory.mktemp("dup_raw")
+    gated = tmp_path_factory.mktemp("dup_gated")
+    for d in (raw, gated):
+        for t in TABLES[:-1]:  # all but embeddings (built below)
+            shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s1"),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s1"),  # identical re-crawl
+        (2, "first version of this document text here", "en", "s1"),
+        (2, "second rather different text for same id", "en", "s2"),  # edited re-crawl
+        (3, None, "en", "s1"),
+        (3, "", "en", "s1"),          # NULL vs '' share a hash: dup_identical
+        (4, "an ordinary document with plain text", "en", "s1"),
+    ] + [
+        (100 + i, f"plain document number {i} shared tokens alpha beta gamma",
+         "en", f"s{i % 3}")
+        for i in range(25)
+    ]
+
+    def write_docs(d, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([len(r[1] or "") for r in rows], type=pa.int64()),
+        }), str(d / "documents.parquet"))
+
+    write_docs(raw, docs)
+    # gate resolution: per id keep the row with the smallest content md5
+    best = {}
+    for r in docs:
+        h = hashlib.md5((r[1] or "").encode()).hexdigest()
+        if r[0] not in best or h < best[r[0]][0]:
+            best[r[0]] = (h, r)
+    write_docs(gated, [v[1] for v in sorted(best.values(), key=lambda v: v[1][0])])
+
+    rng = np.random.default_rng(5)
+    vecs = (
+        [(0, rng.normal(size=64)), (0, rng.normal(size=64))]   # id dup, diff vec
+        + [(1, None), (1, None)]                               # id dup, NULL vecs
+        + [(i, rng.normal(size=64)) for i in range(2, 30)]
+    )
+
+    def write_vecs(d, rows):
+        pq.write_table(pa.table({
+            "vec_id": pa.array([v[0] for v in rows], type=pa.int64()),
+            "embedding": pa.array(
+                [None if v[1] is None else [float(x) for x in v[1]] for v in rows],
+                type=pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(rows))], type=pa.int32()),
+        }), str(d / "embeddings.parquet"))
+
+    write_vecs(raw, vecs)
+    seen, uniq = set(), []
+    for v in vecs:  # keep the FIRST row per id (any deterministic singling works)
+        if v[0] not in seen:
+            seen.add(v[0])
+            uniq.append(v)
+    write_vecs(gated, uniq)
+    return str(raw), str(gated)
+
+
+def _duck_for_docs_embs(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES[:-1] + ["documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_dup_key_gates_classify_and_agree(spark, dup_key_dirs):
+    raw, _gated = dup_key_dirs
+    con = _duck_for_docs_embs(raw)
+    try:
+        _assert_agree("doc_id_dedup_gate", spark, raw, con, what="duplicate doc ids")
+        _assert_agree("vec_id_unique_audit", spark, raw, con, what="duplicate vec ids")
+        rows = {
+            r.doc_id: r.status
+            for r in entrymod.queries()["doc_id_dedup_gate"](spark, raw).collect()
+        }
+        assert rows[1] == "dup_identical"
+        assert rows[2] == "dup_conflict"
+        assert rows[3] == "dup_identical"   # NULL text ≡ '' per the NULL contract
+        assert rows[4] == "unique"
+        vrows = {
+            r.vec_id: r.status
+            for r in entrymod.queries()["vec_id_unique_audit"](spark, raw).collect()
+        }
+        assert vrows[0] == "dup_conflict"
+        assert vrows[1] == "dup_conflict"   # two NULL vectors: no norms at all
+        assert vrows[2] == "unique"
+    finally:
+        con.close()
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", sorted(set(DOC_ENTRIES + EMB_ENTRIES)))
+def test_engines_agree_on_gated_dup_corpus(name, spark, dup_key_dirs):
+    """Composition contract, primary-key edition: gate first, then every
+    documents/embeddings entry agrees cross-engine."""
+    _raw, gated = dup_key_dirs
+    con = _duck_for_docs_embs(gated)
+    try:
+        _assert_agree(name, spark, gated, con, what="gated dup-key corpus")
+    finally:
+        con.close()
+
+
+# ----------------------------------------------------------- part family (r7)
+
+PART_ENTRIES = sorted(
+    name for name, sql in entrymod.oracle_sql().items()
+    if " part " in sql.lower().replace("\n", " ")
+    or "from part" in sql.lower()
+    or "join part" in sql.lower()
+)
+
+
+@pytest.fixture(scope="module")
+def degen_pt_dir(tmp_path_factory):
+    """Real parts PLUS the entity-resolution worst cases for the
+    p_type/p_size blocked pair join (fuzzy_name_pairs): empty/NULL names,
+    unicode near-dups, identical long names, and one 30-part block that
+    shares a single (p_type, p_size) key — the blocking skew case."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("degen_pt")
+    for t in ["region", "nation", "customer", "supplier", "orders", "lineitem",
+              "events", "documents", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    pt = duckdb.sql(f"SELECT * FROM '{src}/part.parquet'").df()
+    extra = pd.DataFrame([
+        (700001, "", "Brand#99", "DEGEN TYPE", 1, 1.0),
+        (700002, None, "Brand#99", "DEGEN TYPE", 1, 2.0),            # NULL name
+        (700003, "widget prö", "Brand#99", "DEGEN TYPE", 1, 3.0),
+        (700004, "widget pro", "Brand#99", "DEGEN TYPE", 1, 4.0),    # 1 edit away
+        (700005, "x" * 55, "Brand#98", "DEGEN TYPE", 2, 5.0),
+        (700006, "x" * 55, "Brand#98", "DEGEN TYPE", 2, 6.0),        # identical
+    ] + [
+        # one blocking key shared by 30 parts: the pair join's skew case
+        (700100 + i, f"blocky part name {i % 7}", "Brand#97", "BLOCK TYPE", 3,
+         10.0 + i)
+        for i in range(30)
+    ], columns=list(pt.columns))
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat([pt, extra], ignore_index=True),
+                             preserve_index=False),
+        str(d / "part.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def degen_pt_duck(degen_pt_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{degen_pt_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PART_ENTRIES)
+def test_engines_agree_on_degenerate_parts(name, spark, degen_pt_dir, degen_pt_duck):
+    _assert_agree(name, spark, degen_pt_dir, degen_pt_duck, what="degenerate parts")
+
+
+# ------------------------------------------- sweep-coverage assertion (r7)
+
+def test_every_oracle_entry_is_swept_by_a_degenerate_family():
+    """VERDICT r5 ask #4: a catalog entry whose oracle reads a base table
+    must belong to at least one degenerate-family sweep — additions can't
+    silently escape the gauntlet. Entries that read NO base table
+    (pure config-driven generators over a synthesized time grid) are
+    exempt BY CONSTRUCTION: the exemption is derived from the oracle SQL,
+    not from a hand-kept list."""
+    base_tables = ["region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embedding"]
+    family_tables = {"documents", "embedding", "events", "lineitem",
+                     "orders", "customer", "part"}
+    missing = {}
+    for name, sql in entrymod.oracle_sql().items():
+        sl = sql.lower()
+        mentioned = {t for t in base_tables if t in sl}
+        if not mentioned:
+            continue  # config-driven generator: no table input to degrade
+        if not (mentioned & family_tables):
+            missing[name] = mentioned
+    assert not missing, (
+        f"oracle entries outside every degenerate family sweep: {missing} — "
+        "add the table to a family fixture or a new family"
+    )
