@@ -1509,6 +1509,54 @@ FROM agg
 """
 
 
+def q_event_id_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events half of the primary-key gate family (round 7): at-least-once
+    delivery makes duplicate ``event_id`` rows routine — exact redelivery
+    copies AND same-id rows with mutated payloads. Seven series-pipeline
+    entries (align/anomaly/pivot/rolling/collect) silently diverged
+    cross-engine on such input (slot aggregations tie-break differently).
+    Classify each event_id as ``unique`` / ``dup_identical`` (drop the
+    copies) / ``dup_conflict`` (quarantine; upstream must resolve — there
+    is no portable winner rule over a float payload). Payload identity is
+    the full row struct (ts at MICROsecond identity — the engine's
+    timestamp unit — plus user/type/value/props); struct distinctness
+    treats NULL fields as equal and NaN as NaN in BOTH engines, which a
+    multi-column countDistinct would not (it drops any-NULL rows).
+    One hash aggregation, scan-bound at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.struct(
+        F.unix_micros(F.col("ts")).alias("t"),
+        "user_id", "event_type", "value", "props",
+    )
+    agg = ev.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(payload).alias("n_variants"),
+    )
+    status = (
+        F.when(F.col("n_rows") == 1, F.lit("unique"))
+        .when(F.col("n_variants") == 1, F.lit("dup_identical"))
+        .otherwise(F.lit("dup_conflict"))
+    )
+    return agg.select("event_id", "n_rows", "n_variants", status.alias("status"))
+
+
+SQL_EVENT_ID_DEDUP_GATE = """
+WITH agg AS (
+  SELECT event_id,
+         count(*) AS n_rows,
+         count(DISTINCT struct_pack(
+             t := epoch_us(ts), u := user_id, e := event_type,
+             v := value, p := props)) AS n_variants
+  FROM events GROUP BY event_id
+)
+SELECT event_id, n_rows, n_variants,
+       CASE WHEN n_rows = 1 THEN 'unique'
+            WHEN n_variants = 1 THEN 'dup_identical'
+            ELSE 'dup_conflict' END AS status
+FROM agg
+"""
+
+
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
@@ -1526,4 +1574,5 @@ EXT5_QUERIES = {
     "events_time_gate": (q_events_time_gate, SQL_EVENTS_TIME_GATE),
     "doc_id_dedup_gate": (q_doc_id_dedup_gate, SQL_DOC_ID_DEDUP_GATE),
     "vec_id_unique_audit": (q_vec_id_unique_audit, SQL_VEC_ID_UNIQUE_AUDIT),
+    "event_id_dedup_gate": (q_event_id_dedup_gate, SQL_EVENT_ID_DEDUP_GATE),
 }

@@ -970,3 +970,72 @@ def test_every_oracle_entry_is_swept_by_a_degenerate_family():
         f"oracle entries outside every degenerate family sweep: {missing} — "
         "add the table to a family fixture or a new family"
     )
+
+
+# ------------------------------------------- duplicate event ids (r7)
+
+@pytest.fixture(scope="module")
+def dup_ev_dirs(tmp_path_factory):
+    """At-least-once delivery: the real events table PLUS exact
+    redelivery copies and same-id mutated payloads. Seven series-pipeline
+    entries diverged on this shape (slot aggregations tie-break
+    differently between engines). Contract: event_id_dedup_gate
+    classifies; downstream event operators are specified over gated (one
+    row per event_id) corpora. Returns (raw_dir, gated_dir, dup_ids, mut_ids)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    raw = tmp_path_factory.mktemp("dup_ev_raw")
+    gated = tmp_path_factory.mktemp("dup_ev_gated")
+    for d in (raw, gated):
+        for t in [x for x in TABLES if x != "events"] + ["documents"]:
+            shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    ev = duckdb.sql(f"SELECT * FROM '{src}/events.parquet'").df()
+    dups = ev.head(6).copy()              # exact redelivery copies
+    mut = ev.iloc[6:10].copy()
+    mut["value"] = mut["value"] + 1.0     # same id, mutated payload
+
+    def write_ev(d, frame):
+        t = pa.Table.from_pandas(frame, preserve_index=False)
+        fields = [pa.field(f.name, pa.timestamp("ns"))
+                  if pa.types.is_timestamp(f.type) else f for f in t.schema]
+        pq.write_table(t.cast(pa.schema(fields)), str(d / "events.parquet"))
+
+    write_ev(raw, pd.concat([ev, dups, mut], ignore_index=True))
+    write_ev(gated, ev)  # one row per id: drop copies, keep originals
+    return str(raw), str(gated), set(dups["event_id"]), set(mut["event_id"])
+
+
+def test_event_id_gate_classifies_and_agrees(spark, dup_ev_dirs):
+    raw, _gated, dup_ids, mut_ids = dup_ev_dirs
+    con = _duck_for_events(raw)
+    try:
+        _assert_agree("event_id_dedup_gate", spark, raw, con,
+                      what="duplicate event ids")
+        rows = {
+            r.event_id: r.status
+            for r in entrymod.queries()["event_id_dedup_gate"](spark, raw).collect()
+        }
+        for i in dup_ids:
+            assert rows[i] == "dup_identical"
+        for i in mut_ids:
+            assert rows[i] == "dup_conflict"
+        assert sum(1 for s in rows.values() if s != "unique") == len(dup_ids | mut_ids)
+    finally:
+        con.close()
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", EVENT_ENTRIES)
+def test_engines_agree_on_gated_dup_events(name, spark, dup_ev_dirs):
+    """Composition contract, event-id edition: gate first, then every
+    events entry agrees cross-engine."""
+    _raw, gated, _d, _m = dup_ev_dirs
+    con = _duck_for_events(gated)
+    try:
+        _assert_agree(name, spark, gated, con, what="gated dup-event corpus")
+    finally:
+        con.close()
