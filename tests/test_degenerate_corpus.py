@@ -344,6 +344,15 @@ def degen_li_dir(tmp_path_factory):
         (900004, 2002, 3, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", D),
         (900004, 2003, 3, 2, -4.0, -100.0, 0.5, 0.1, "N", "O", D),
     ]
+    # DUPLICATE keys (r7): exact copy + mutated copy of an existing
+    # (l_orderkey, l_linenumber) and o_orderkey — re-ingest shape. A
+    # dedicated probe showed the whole lineitem/orders family is already
+    # duplicate-safe (pure aggregations, no pick-one windows); these rows
+    # pin that property so a future pick-one entry can't regress it.
+    extra_li += [tuple(li.iloc[0])] * 2
+    mut_row = list(li.iloc[1])
+    mut_row[4] = float(mut_row[4]) + 1.0  # l_quantity mutated, same key
+    extra_li += [tuple(mut_row)]
     extra_od = [
         (900001, 1, "O", 1200.0, D, "1-URGENT"),
         (900002, 1, "F", 100.0, D, "2-HIGH"),
@@ -351,6 +360,7 @@ def degen_li_dir(tmp_path_factory):
         (900004, 3, "O", -100.0, D, "4-NOT SPECIFIED"),
         (900005, 2, "O", 50.0, None, "5-LOW"),  # NULL order date
     ]
+    extra_od += [tuple(od.iloc[0])] * 2  # duplicate o_orderkey rows
     for name, base, extra in (("lineitem", li, extra_li), ("orders", od, extra_od)):
         df = pd.concat([base, pd.DataFrame(extra, columns=list(base.columns))],
                        ignore_index=True)
@@ -412,6 +422,10 @@ def degen_cu_dir(tmp_path_factory):
         (800007, "x" * 200, 7, 5.0, "HOUSEHOLD"),
         (800008, None, 1, 6.0, "FURNITURE"),      # NULL name
         (800009, "NoSegment", 2, 7.0, None),      # NULL segment
+        # duplicate c_custkey (r7): dimension re-ingest; joins fan out
+        # identically in both engines — pinned, not gated
+        (800010, "DupKey Customer", 3, 8.0, "BUILDING"),
+        (800010, "DupKey Customer", 3, 8.0, "BUILDING"),
     ], columns=list(cu.columns))
     pq.write_table(
         pa.Table.from_pandas(pd.concat([cu, extra], ignore_index=True),
