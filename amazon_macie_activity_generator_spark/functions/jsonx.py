@@ -47,11 +47,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Integral-text guard, identical semantics in Java regex and RE2.
-INTEGRAL_RE = r"^\s*[+-]?[0-9]+\s*$"
+from ..operators.dedup import JAVA_WS
+
+# Integral-text guard. NOT `\s`: Java \s includes \x0B (vertical tab),
+# RE2 \s does not, so a bare \s silently de-syncs the two gates on
+# VT-padded numerics (both engines' casts DO trim VT, so the gate is the
+# only divergence point). Interpolate the explicit JAVA_WS class, same
+# as every tokenizer regex in this repo.
+INTEGRAL_RE = rf"^[{JAVA_WS}]*[+-]?[0-9]+[{JAVA_WS}]*$"
 # Trailing comma before a closing brace/bracket — DuckDB's yyjson
-# accepts it, Jackson does not; reject in both.
-_TRAILING_COMMA_RE = r",\s*[}\]]"
+# accepts it, Jackson does not; reject in both. Same explicit-WS rule.
+# NOTE (pinned over-rejection): this scans string CONTENTS too, so valid
+# JSON like {"k":1,"s":"a,]b"} is rejected in BOTH engines — the gate is
+# an intersection contract, symmetric by construction, and brace-aware
+# scanning is not expressible as a regex in either engine.
+_TRAILING_COMMA_RE = rf",[{JAVA_WS}]*[}}\]]"
 # Jackson with every leniency feature switched off (mirrors json_valid
 # as closely as Jackson can go).
 _STRICT_OPTS = {
@@ -94,12 +104,14 @@ def extract_int_prop(col: str | Column, path: str = "$.k") -> Column:
 
 
 def sql_int_prop(expr: str = "props", path: str = "$.k") -> str:
-    """DuckDB twin of :func:`extract_int_prop` — same five gate steps."""
+    """DuckDB twin of :func:`extract_int_prop` — same five gate steps,
+    same explicit JAVA_WS whitespace class (RE2 ``\\s`` lacks ``\\x0B``)."""
+    ws = JAVA_WS
     return f"""
       CASE WHEN trim({expr}) LIKE '{{%' AND trim({expr}) LIKE '%}}'
-                AND NOT regexp_matches({expr}, ',\\s*[}}\\]]')
+                AND NOT regexp_matches({expr}, ',[{ws}]*[}}\\]]')
                 AND json_valid({expr})
                 AND regexp_matches(json_extract_string({expr}, '{path}'),
-                                   '^\\s*[+-]?[0-9]+\\s*$')
+                                   '^[{ws}]*[+-]?[0-9]+[{ws}]*$')
            THEN TRY_CAST(json_extract_string({expr}, '{path}') AS BIGINT)
       END"""

@@ -40,18 +40,27 @@ def zero_fill(
     onto filled rows via the series dimension.
     """
     if n_points is None:
-        # Default grid = the union of slots present, as a LAZY plan. For
-        # dense-rank inputs (every series occupies t = 0..len-1 — the
-        # only shape this default is used with: events_as_series ranks,
-        # generator grids) this is exactly 0..max_len-1, the B2-intent
-        # grid. The previous form ran df.agg(max(t)).first() at PLAN
-        # BUILD time — a full scan + window executed before any timer
-        # starts (the triangle_count eager-build failure class) and then
-        # re-executed by the materialized query.
+        # Default grid = 0..max(t) as a LAZY plan: a single-row max
+        # aggregate exploded through sequence(). This keeps the
+        # documented contract (every slot 0..N-1 exists, even slots
+        # missing from ALL series — a distinct-t grid would silently
+        # skip globally-absent slots for sparse callers) without the
+        # pre-r7 df.agg(max(t)).first() at PLAN BUILD time — a full
+        # scan executed before any timer starts (the triangle_count
+        # eager-build failure class) and then re-executed by the
+        # materialized query. Empty/all-NULL-t input → max is NULL →
+        # sequence is NULL → explode yields no rows (no time, no
+        # timeline — the empty-relation contract).
         grid = (
             df.select(F.col(t_col).cast("long").alias(t_col))
-            .where(F.col(t_col).isNotNull())
-            .distinct()
+            .agg(F.max(t_col).alias("_mx"))
+            # guard: sequence(0, negative) DESCENDS in Spark; t is a rank
+            # (>= 0) by contract, so a negative-only input gets no grid
+            .select(
+                F.explode(
+                    F.when(F.col("_mx") >= 0, F.sequence(F.lit(0), F.col("_mx")))
+                ).alias(t_col)
+            )
         )
     else:
         grid = time_grid(spark, n_points).withColumnRenamed("t", t_col)

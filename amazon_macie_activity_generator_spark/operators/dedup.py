@@ -41,6 +41,16 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(F.lower(F.trim(text)), rf"[{JAVA_WS}]+"), lambda t: t != "")
 
 
+# DuckDB twin of tokens_expr, co-located so a tokenizer change edits the
+# Spark expression and its oracle fragment in the SAME file. Every
+# queries_ext* module imports this — never re-declare it (r7 review: the
+# JAVA_WS fix had to touch four identical copies).
+DUCK_TOKS_SQL = (
+    rf"list_filter(string_split_regex(lower(trim(text)), '[{JAVA_WS}]+'),"
+    rf" x -> x <> '')"
+)
+
+
 def word_shingles_expr(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as strings; docs shorter than k words
     contribute the whole doc as one shingle.

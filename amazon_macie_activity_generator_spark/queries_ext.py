@@ -47,9 +47,11 @@ from amazon_macie_activity_generator_spark.operators.text import (
 from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
-# DuckDB fragment: whitespace tokens of lowercased text (matches
-# operators.dedup.tokens_expr exactly).
-_DUCK_TOKS = rf"list_filter(string_split_regex(lower(trim(text)), '[{JAVA_WS}]+'), x -> x <> '')"
+# DuckDB fragment: whitespace tokens of lowercased text — the single
+# source is co-located with tokens_expr in operators.dedup.
+from amazon_macie_activity_generator_spark.operators.dedup import (  # noqa: E402
+    DUCK_TOKS_SQL as _DUCK_TOKS,
+)
 
 
 def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:

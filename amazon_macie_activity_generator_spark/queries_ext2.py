@@ -55,13 +55,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
-from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS, tokens_expr
+from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
 from amazon_macie_activity_generator_spark.operators.interpolate import MAX_GRID_SLOTS
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
-# DuckDB fragment: whitespace tokens of lowercased text (matches
-# operators.dedup.tokens_expr exactly; same fragment as queries_ext).
-_DUCK_TOKS = rf"list_filter(string_split_regex(lower(trim(text)), '[{JAVA_WS}]+'), x -> x <> '')"
+# DuckDB fragment: whitespace tokens of lowercased text — import the
+# single source (co-located with tokens_expr), never re-declare.
+from amazon_macie_activity_generator_spark.operators.dedup import (  # noqa: E402
+    DUCK_TOKS_SQL as _DUCK_TOKS,
+)
 
 
 # --------------------------------------------------------------------------

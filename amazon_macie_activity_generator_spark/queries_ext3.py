@@ -69,7 +69,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
 
@@ -368,10 +367,13 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned across engines. Non-ASCII names must be transliterated
     upstream (the engine itself handles them fine; this is the oracle
     contract boundary, found by the degenerate-parts sweep). NULL names
-    drop out of the <= 4 filter in both engines already."""
+    drop out of the <= 4 filter in both engines already. Anchored with
+    \\z, not $: Java's $ matches BEFORE a final line terminator while
+    RE2's matches only at end of text, so 'name\\n' would pass the Spark
+    gate but fail the oracle's."""
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_type", "p_size"
-    ).filter(F.col("p_name").rlike(r"^[\x20-\x7E]*$"))
+    ).filter(F.col("p_name").rlike(r"^[\x20-\x7E]*\z"))
     a = part.select(
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
         "p_type", "p_size",
@@ -395,7 +397,7 @@ SQL_FUZZY_NAME_PAIRS = """
 -- pinned contract (transliterate upstream)
 WITH pt AS (
   SELECT p_partkey, p_name, p_type, p_size FROM part
-  WHERE regexp_matches(p_name, '^[\\x20-\\x7E]*$')
+  WHERE regexp_matches(p_name, '^[\\x20-\\x7E]*\\z')
 )
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        levenshtein(a.p_name, b.p_name) AS edit_dist
@@ -567,7 +569,9 @@ GROUP BY 1, 2
 # bpe_pair_counts — the core BPE-training statistic
 # --------------------------------------------------------------------------
 
-_DUCK_TOKS3 = rf"list_filter(string_split_regex(lower(trim(text)), '[{JAVA_WS}]+'), x -> x <> '')"
+from amazon_macie_activity_generator_spark.operators.dedup import (  # noqa: E402
+    DUCK_TOKS_SQL as _DUCK_TOKS3,
+)
 
 
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

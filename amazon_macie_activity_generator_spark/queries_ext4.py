@@ -63,10 +63,11 @@ from amazon_macie_activity_generator_spark.operators.dedup import (
     tokens_expr,
     word_shingles_expr,
 )
-from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
-_DUCK_TOKS4 = rf"list_filter(string_split_regex(lower(trim(text)), '[{JAVA_WS}]+'), x -> x <> '')"
+from amazon_macie_activity_generator_spark.operators.dedup import (  # noqa: E402
+    DUCK_TOKS_SQL as _DUCK_TOKS4,
+)
 
 
 # --------------------------------------------------------------------------

@@ -62,6 +62,13 @@ AGREED = [
     ('{"k": "007"}', 7),
     ('{"k": "\\t42\\t"}', 42),         # escaped tabs trim fine
     ('{"k": "\t42\t"}', None),        # literal tabs: invalid both
+    # Java-vs-RE2 \s divergence pin (r7 review finding): \x0B is Java
+    # whitespace but not RE2 whitespace; both casts DO trim it, so the
+    # integral gate must use the explicit JAVA_WS class or Spark=7 vs
+    # DuckDB=NULL on VT-padded numerics.
+    ('{"k": "\\u000B7"}', 7),          # escaped VT inside value: agrees
+    ('{"k": "\x0b7"}', None),         # literal VT: invalid JSON both
+    ('{"k": "7\\u0085"}', None),       # NEL: gate rejects both (not in class)
     ('{"j": {"k": 9}}', None),
     ('{"x": "' + "y" * 100000 + '", "k": 11}', 11),   # 100 KB sibling value
     ('{"a":' * 40 + "1" + "}" * 40, None),            # depth-40, no k
