@@ -49,9 +49,14 @@ def _anomaly_value_expr(spec: dict, t_col: str = "t") -> tuple[Column, set[str]]
         sql, needed = translate_formula(str(formula), t_col=t_col)
         return F.expr(sql), needed
     # default: (datapoint_max + 1) ** 2 with datapoint_max = int(max)
-    # (main.py:628,641 — int() truncates toward zero, as CAST AS BIGINT)
+    # (main.py:628,641 — int() truncates toward zero, as CAST AS BIGINT).
+    # try_cast, not cast: a NaN/±Inf/>int64 series max is a job-killing
+    # CAST_OVERFLOW under Spark 4's default ANSI mode (one wild row kills
+    # a 1000-executor stage) — quarantine is events_value_gate's job, but
+    # the operator itself must degrade to NULL, never throw. The oracle
+    # twin uses TRY_CAST for the same NULL.
     return (
-        F.pow(F.col("__datapoints_max__").cast("long") + F.lit(1), F.lit(2.0)),
+        F.pow(F.col("__datapoints_max__").try_cast("long") + F.lit(1), F.lit(2.0)),
         {"__datapoints_max__"},
     )
 

@@ -222,7 +222,7 @@ SELECT s.series_id, s.t,
        round(CASE WHEN s.t BETWEEN 10 AND 500
                    AND (s.t - 10) % {_ANOM_STRIDE} = 0
                    AND (s.t - 10) // {_ANOM_STRIDE} < 7
-              THEN power(CAST(trunc(st.mx) AS BIGINT) + 1, 2) ELSE s.value END, 4) AS value
+              THEN power(TRY_CAST(trunc(st.mx) AS BIGINT) + 1, 2) ELSE s.value END, 4) AS value
 FROM s JOIN st USING (series_id)
 """
 
@@ -459,7 +459,7 @@ anom AS (
          CAST(trunc(CASE WHEN sc.t BETWEEN {start} AND {end}
                           AND (sc.t - {start}) % {stride} = 0
                           AND (sc.t - {start}) // {stride} < {counts}
-                     THEN power(CAST(trunc(am.mx) AS BIGINT) + 1, 2)
+                     THEN power(TRY_CAST(trunc(am.mx) AS BIGINT) + 1, 2)
                      ELSE sc.value END) AS BIGINT) AS value
   FROM scaled sc JOIN am USING (series_id)
 )

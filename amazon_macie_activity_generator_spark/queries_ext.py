@@ -1681,20 +1681,27 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row moving average + running count over event time."""
     from pyspark.sql import Window
 
+    from amazon_macie_activity_generator_spark.functions.rounding import round_fixed
+
     events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # no time, no timeline: NULL-ts events are excluded (oracle mirrors)
+    # round_fixed, not round(): a moving average can land exactly on a
+    # .xxxx5 half boundary where the engines' round() modes disagree
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     return events.select(
         "event_id", "event_type",
-        F.round(F.avg("value").over(w.rowsBetween(-9, 0)), 4).alias("moving_avg"),
+        round_fixed(F.avg("value").over(w.rowsBetween(-9, 0)), 4).alias("moving_avg"),
         F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_n"),
     )
 
 
-SQL_ROLLING = """
+from amazon_macie_activity_generator_spark.functions.rounding import sql_round_fixed  # noqa: E402
+
+_MAVG = ("avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+         "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)")
+SQL_ROLLING = f"""
 SELECT event_id, event_type,
-       round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+       {sql_round_fixed(_MAVG, 4)} AS moving_avg,
        count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS running_n
 FROM events WHERE ts IS NOT NULL

@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
+from amazon_macie_activity_generator_spark.functions.rounding import sql_round_fixed
 from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
 from amazon_macie_activity_generator_spark.operators.interpolate import MAX_GRID_SLOTS
 from amazon_macie_activity_generator_spark.sources.tables import load_table
@@ -1250,13 +1251,15 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("value").alias("value"))
     )
     filled = interpolate_linear(expand_grid(sparse))
-    # explicit floor-rounding, NOT round(): interpolants between 2-decimal
-    # endpoints land exactly on .xxxx5 where Spark (HALF_UP on shortest
-    # repr) and DuckDB (binary-double) disagree; floor(x*1e4+0.5)/1e4 is
-    # the same IEEE arithmetic in both engines
+    # round_fixed, NOT round(): interpolants between 2-decimal endpoints
+    # land exactly on .xxxx5 where the engines' round() modes disagree;
+    # the helper is the same IEEE arithmetic in both engines and guards
+    # Spark floor()'s silent int64 saturation past |v| ~9.2e14.
+    from amazon_macie_activity_generator_spark.functions.rounding import round_fixed
+
     return filled.select(
         "series_id", "t",
-        (F.floor(F.col("value") * 10000 + F.lit(0.5)) / 10000.0).alias("value"),
+        round_fixed(F.col("value"), 4).alias("value"),
         "was_gap",
     )
 
@@ -1291,14 +1294,22 @@ WITH sparse AS (
       (PARTITION BY series_id ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
   FROM full_grid
 )
+, interp AS (
+  SELECT series_id, t,
+         CASE WHEN value IS NOT NULL THEN value
+              WHEN prev_v IS NULL THEN next_v
+              WHEN next_v IS NULL THEN prev_v
+              ELSE prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+         END AS raw,
+         value IS NULL AS was_gap
+  FROM neighbors
+)
+-- round_fixed twin: same IEEE floor arithmetic, same int64-saturation
+-- guard as the Spark side (functions/rounding.py)
 SELECT series_id, t,
-       floor((CASE WHEN value IS NOT NULL THEN value
-                   WHEN prev_v IS NULL THEN next_v
-                   WHEN next_v IS NULL THEN prev_v
-                   ELSE prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
-              END) * 10000 + 0.5) / 10000.0 AS value,
-       value IS NULL AS was_gap
-FROM neighbors
+       {sql_round_fixed('raw', 4)} AS value,
+       was_gap
+FROM interp
 """
 
 

@@ -1557,6 +1557,57 @@ FROM agg
 """
 
 
+def q_events_value_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time EVENT VALUE validation gate (round 7), completing the
+    gate family (``embedding_finite_gate`` / ``events_time_gate`` /
+    ``event_id_dedup_gate``): classify every event's measurement as
+    ``null_value`` / ``non_finite`` (NaN or ±Inf — fp overflow and bad
+    sensor encodes are routine at 100 TB) / ``extreme`` (|v| > 1e12 —
+    the catalog's strictest value arithmetic is 4-dp int64 fixed-point
+    rounding, exact only to ~9.2e14; 1e12 leaves three orders of
+    magnitude of summation headroom before any downstream sum can reach
+    that cliff) / ``ok``, with per-class counts.
+
+    Why it exists, measured on this catalog: a non-finite probe over the
+    51 events-reading entries found one Spark-side job-killer (the
+    anomaly magnitude's ANSI ``CAST_OVERFLOW`` on an Inf series max —
+    now try_cast, degrading to NULL), six oracle-side int-cast aborts,
+    and eleven silent cross-engine divergences (NaN ordering in windows,
+    NaN grouping, percentile interpolation). Quarantine first: the
+    value-arithmetic operators are specified over gated (``ok`` +
+    ``null_value``) events, pinned by the degenerate sweep. NULL values
+    stay in-contract — every aggregate already skips them symmetrically.
+
+    Map-only scan + 4-group aggregation; shuffles four rows per task."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    status = (
+        F.when(v.isNull(), F.lit("null_value"))
+        .when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), F.lit("non_finite"))
+        .when(F.abs(v) > F.lit(1e12), F.lit("extreme"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        ev.select(status.alias("status"), "event_id")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event_id"))
+    )
+
+
+SQL_EVENTS_VALUE_GATE = """
+WITH cls AS (
+  SELECT event_id,
+         CASE WHEN value IS NULL THEN 'null_value'
+              WHEN isnan(value) OR isinf(value) THEN 'non_finite'
+              WHEN abs(value) > 1e12 THEN 'extreme'
+              ELSE 'ok' END AS status
+  FROM events
+)
+SELECT status, count(*) AS n_events, min(event_id) AS first_event_id
+FROM cls GROUP BY status
+"""
+
+
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
@@ -1575,4 +1626,5 @@ EXT5_QUERIES = {
     "doc_id_dedup_gate": (q_doc_id_dedup_gate, SQL_DOC_ID_DEDUP_GATE),
     "vec_id_unique_audit": (q_vec_id_unique_audit, SQL_VEC_ID_UNIQUE_AUDIT),
     "event_id_dedup_gate": (q_event_id_dedup_gate, SQL_EVENT_ID_DEDUP_GATE),
+    "events_value_gate": (q_events_value_gate, SQL_EVENTS_VALUE_GATE),
 }

@@ -12,11 +12,15 @@ def canon(df):
     """Sort by all columns; floats normalized to 9 significant digits —
     strict enough to catch every semantic divergence the sweeps exist
     for, loose enough to ignore last-bit summation-order dust on
-    1e12-magnitude aggregates (measured <= 4e-16 relative)."""
+    1e12-magnitude aggregates (measured <= 4e-16 relative). The +0.0
+    folds IEEE negative zero into positive zero: -0.0 == 0.0 is the SAME
+    value, but Spark normalizes the sign through aggregation seeds and
+    round() while DuckDB preserves it, and '%.9g' would render them as
+    distinct '-0' vs '0'."""
     df = df[sorted(df.columns)]
     for c in df.columns:
         if str(df[c].dtype).startswith("float"):
-            df[c] = df[c].map(lambda x: f"{x:.9g}")
+            df[c] = df[c].map(lambda x: f"{x + 0.0:.9g}")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -26,5 +30,12 @@ def assert_agree(name, spark, sf_dir, con, what="degenerate input"):
     d = canon(con.execute(entrymod.oracle_sql()[name]).df())
     assert list(s.columns) == list(d.columns)
     assert s.shape == d.shape, f"{name}: {s.shape} vs {d.shape}"
-    assert s.astype(str).equals(d.astype(str)), f"{name} diverges on {what}"
+    s, d = s.astype(str), d.astype(str)
+    if not s.equals(d):
+        neq = (s != d).any(axis=1)
+        raise AssertionError(
+            f"{name} diverges on {what} ({int(neq.sum())} rows)\n"
+            f"spark:\n{s[neq].head(5).to_string()}\n"
+            f"oracle:\n{d[neq].head(5).to_string()}"
+        )
     spark.catalog.clearCache()

@@ -1066,3 +1066,138 @@ def test_engines_agree_on_gated_dup_events(name, spark, dup_ev_dirs):
         _assert_agree(name, spark, gated, con, what="gated dup-event corpus")
     finally:
         con.close()
+
+
+# ----------------------------------------- non-finite event values (r7)
+
+@pytest.fixture(scope="module")
+def nonfinite_ev_dirs(tmp_path_factory):
+    """Measurement-column worst cases: NaN/±Inf (fp overflow, bad sensor
+    encodes), extreme magnitudes past the int64-exact double range, a
+    denormal, negative zero, and NULL. A probe over all 51 events-reading
+    entries found one Spark ANSI job-killer (anomaly magnitude cast — now
+    try_cast), six oracle-side int-cast aborts, and eleven silent
+    cross-engine divergences (NaN window ordering / grouping / percentile
+    interpolation) on this shape. Contract: events_value_gate classifies;
+    value-arithmetic operators are specified over gated corpora (ok +
+    null_value rows — NULL measurements stay in-contract, every aggregate
+    skips them symmetrically). Returns (raw_dir, gated_dir, statuses)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    raw = tmp_path_factory.mktemp("nf_ev_raw")
+    gated = tmp_path_factory.mktemp("nf_ev_gated")
+    for d in (raw, gated):
+        for t in [x for x in TABLES if x != "events"] + ["documents"]:
+            shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    # pure Arrow, NOT pandas: a pandas float64 column cannot hold NaN and
+    # NULL as distinct states (from_pandas folds NaN into null), which
+    # would silently drop the very class this family exists for
+    ev = duckdb.sql(f"SELECT * FROM '{src}/events.parquet'").arrow()
+    specials = [
+        (10000001, float("nan"), "non_finite"),
+        (10000002, float("inf"), "non_finite"),
+        (10000003, float("-inf"), "non_finite"),
+        (10000004, 1e308, "extreme"),
+        (10000005, -1e308, "extreme"),
+        (10000006, 1e15, "extreme"),       # past Spark floor()'s int64/1e4 cliff
+        (10000007, 1e12, "ok"),            # exactly on the gate bound: kept
+        (10000008, 5e-324, "ok"),          # smallest denormal
+        (10000009, -0.0, "ok"),            # negative zero
+        (10000010, None, "null_value"),
+    ]
+    head = ev.slice(0, len(specials))
+    extra = head.set_column(
+        head.schema.get_field_index("event_id"), "event_id",
+        pa.array([i for i, _, _ in specials],
+                 type=head.schema.field("event_id").type),
+    )
+    extra = extra.set_column(
+        extra.schema.get_field_index("value"), "value",
+        pa.array([v for _, v, _ in specials], type=pa.float64(),
+                 from_pandas=False),
+    )
+    keep = [i for i, (_, _, s) in enumerate(specials) if s in ("ok", "null_value")]
+    pq.write_table(pa.concat_tables([ev, extra]), str(raw / "events.parquet"))
+    pq.write_table(pa.concat_tables([ev, extra.take(keep)]),
+                   str(gated / "events.parquet"))
+    return str(raw), str(gated), {i: s for i, _, s in specials}
+
+
+def test_events_value_gate_classifies_and_agrees(spark, nonfinite_ev_dirs):
+    raw, _gated, statuses = nonfinite_ev_dirs
+    con = _duck_for_events(raw)
+    try:
+        _assert_agree("events_value_gate", spark, raw, con,
+                      what="non-finite event values")
+        got = {
+            s.status: s.first_event_id
+            for s in entrymod.queries()["events_value_gate"](spark, raw).collect()
+        }
+        assert got["non_finite"] == 10000001
+        assert got["extreme"] == 10000004
+        assert set(got) == {"ok", "null_value", "non_finite", "extreme"}
+    finally:
+        con.close()
+        spark.catalog.clearCache()
+
+
+def test_anomaly_magnitude_never_throws_on_wild_max(spark, nonfinite_ev_dirs):
+    """The job-killer class the gate exists for: an Inf/NaN series max
+    reaching the anomaly magnitude's int cast was a stage-aborting
+    CAST_OVERFLOW under ANSI. try_cast degrades the magnitude to NULL on
+    exactly the wild slots; the run must complete either way."""
+    raw, _gated, _ = nonfinite_ev_dirs
+    out = entrymod.queries()["anomaly_inject_stride"](spark, raw)
+    assert out.count() > 0
+
+
+def test_interpolate_fixed_point_guard_at_saturation_cliff(
+    spark, nonfinite_ev_dirs, tmp_path
+):
+    """Spark's floor() is LONG-typed and SATURATES at int64 max, so the
+    4-dp fixed-point rounding trick silently corrupted any value past
+    ~9.2e14 (1e15 came back as 9.22337e14 while DuckDB's double floor
+    kept 1e15). Both engines now skip the rounding past |v| >= 9e14;
+    this corpus (finite but saturating values, no NaN/Inf noise) pins
+    the guard cross-engine."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sat_ev"
+    d.mkdir()
+    for t in [x for x in TABLES if x != "events"] + ["documents"]:
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    ev = duckdb.sql(f"SELECT * FROM '{src}/events.parquet'").df()
+    extra = ev.head(3).copy().reset_index(drop=True)
+    extra["event_id"] = [10000011, 10000012, 10000013]
+    extra["value"] = [1e15, 9e14, 8.9e14]  # past / on / under the guard
+    frame = pd.concat([ev, extra], ignore_index=True)
+    t = pa.Table.from_pandas(frame, preserve_index=False)
+    fields = [pa.field(f.name, pa.timestamp("ns"))
+              if pa.types.is_timestamp(f.type) else f for f in t.schema]
+    pq.write_table(t.cast(pa.schema(fields)), str(d / "events.parquet"))
+    con = _duck_for_events(str(d))
+    try:
+        _assert_agree("interpolate_gaps", spark, str(d), con,
+                      what="fixed-point saturation cliff")
+    finally:
+        con.close()
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", EVENT_ENTRIES)
+def test_engines_agree_on_gated_value_corpus(name, spark, nonfinite_ev_dirs):
+    """Composition contract, measurement edition: gate first, then every
+    events entry (denormals, ±0.0, boundary magnitudes, and NULLs still
+    present) agrees cross-engine."""
+    _raw, gated, _ = nonfinite_ev_dirs
+    con = _duck_for_events(gated)
+    try:
+        _assert_agree(name, spark, gated, con, what="gated value corpus")
+    finally:
+        con.close()
