@@ -157,10 +157,25 @@ def srp_planes(dim: int, planes: int, salt: str = "srp") -> list[list[float]]:
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(F.col(vec_col))).first()
+    """MODAL vector length, not the first row's: one ragged row at the
+    head of the corpus would otherwise size the plane matrix wrong and
+    zero-bucket every well-formed vector (collapsing LSH into one
+    quadratic bucket). Bounded by a 100k-row LocalLimit so the one
+    build-time action stays O(few partitions) at 100 TB (the old
+    first() read one row; a full-corpus modal scan would read it all) —
+    a sample's modal length is robust because ragged rows are the rare
+    class by definition."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .limit(100_000)
+        .groupBy(F.size(F.col(vec_col)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("d"))
+        .first()
+    )
     # empty corpus: the plane matrix is never applied to a row, any
     # positive dim keeps construction (and the downstream plan) valid
-    return row[0] if row is not None else 1
+    return row["d"] if row is not None and row["d"] else 1
 
 
 def _bucket_from(dv: Column, mat: list[list[float]]) -> Column:
@@ -196,12 +211,13 @@ def srp_buckets_arrow(mats: list[list[list[float]]]):
     where this takes milliseconds. Bit convention identical to
     ``_bucket_from`` (dot >= 0 sets bit p), asserted in tests.
 
-    NULL-safe: a NULL vector row buckets as the zero vector (every dot
-    is 0, so >= 0 sets every bit) instead of killing the whole job with
-    an inhomogeneous-batch numpy error — at 100 TB one malformed row
-    must not fail the stage. Callers that want NULL vectors OUT of the
-    candidate space (every catalog LSH entry does) filter
-    ``isNotNull()`` before bucketing; this fallback is only the
+    NULL- and RAGGED-safe: a NULL vector row, or one whose length is not
+    the plane dim (ragged encodes happen at crawl scale), buckets as the
+    zero vector (every dot is 0, so >= 0 sets every bit) instead of
+    killing the whole job with an inhomogeneous-batch numpy error — at
+    100 TB one malformed row must not fail the stage. Callers that want
+    such vectors OUT of the candidate space (every catalog LSH entry
+    does) filter before bucketing; this fallback is only the
     defense-in-depth for direct users."""
     from pyspark.sql.functions import pandas_udf
 
@@ -216,7 +232,9 @@ def srp_buckets_arrow(mats: list[list[list[float]]]):
         if len(vs) == 0:
             return pd.Series([], dtype=object)
         V = np.asarray([
-            zero if v is None else np.asarray(v, dtype=np.float64) for v in vs
+            zero if v is None or len(v) != _dim
+            else np.asarray(v, dtype=np.float64)
+            for v in vs
         ])
         S = V @ Wf.T  # (n, tables*planes)
         bits = (S >= 0).astype(np.int64).reshape(len(V), n_tables, n_planes)
@@ -319,20 +337,24 @@ def lsh_bucket_topk(
 def _assign_udf(centroids: np.ndarray, n_nearest: int = 1):
     """pandas UDF: indexes of the n nearest centroids (L2) per vector —
     one matmul per Arrow batch, centroids broadcast in the closure.
-    NULL-safe like ``srp_buckets_arrow``: a NULL vector assigns as the
-    zero vector rather than crashing the batch."""
+    NULL- and ragged-safe like ``srp_buckets_arrow``: a NULL or
+    wrong-dim vector assigns as the zero vector rather than crashing
+    the batch."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
     c_sq = (C * C).sum(axis=1)                            # (k,)
-    zero = np.zeros(C.shape[1], dtype=np.float64)
+    _dim = C.shape[1]
+    zero = np.zeros(_dim, dtype=np.float64)
 
     @pandas_udf("array<int>")
     def assign(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
         V = np.asarray([
-            zero if v is None else np.asarray(v, dtype=np.float64) for v in vs
+            zero if v is None or len(v) != _dim
+            else np.asarray(v, dtype=np.float64)
+            for v in vs
         ])
         d = c_sq[None, :] - 2.0 * (V @ C.T)               # + |v|^2, constant per row
         idx = np.argsort(d, axis=1)[:, :n_nearest].astype(np.int32)
@@ -354,8 +376,18 @@ def kmeans_fit(
     posexplode + groupBy(cluster, pos) avg. Deterministic init: the k
     lowest-id vectors (stable across partitionings). This is the same
     structure MLlib uses — per-iteration work is a single keyed shuffle
-    of (cluster, pos, value), never vectors to the driver."""
-    df = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).persist()
+    of (cluster, pos, value), never vectors to the driver.
+
+    Fit is over MODAL-dim vectors only: a ragged vector among the k
+    lowest ids would crash the init asarray, and its posexplode
+    positions past the centroid dim would index out of bounds in the
+    update — no geometry at the wrong dim."""
+    dim = _infer_dim(df, vec_col)
+    df = (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
+        .persist()
+    )
     init = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -410,6 +442,12 @@ def ivf_topk(
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
     centroids = kmeans_fit(corpus, k=nlist, max_iter=kmeans_iter, vec_col=vec_col, id_col=id_col)
+    # ragged vectors have no geometry either: keep them out of the index
+    # and the probe set (the fit dim is the corpus's modal dim; this
+    # filter is free — no extra action, just the centroid shape)
+    dim_fit = centroids.shape[1]
+    corpus = corpus.filter(F.size(F.col(vec_col)) == dim_fit)
+    queries = queries.filter(F.size(F.col(vec_col)) == dim_fit)
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
         F.element_at(_assign_udf(centroids, 1)(F.col(vec_col)), 1).alias("cluster"),

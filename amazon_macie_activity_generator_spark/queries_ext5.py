@@ -1313,22 +1313,38 @@ FROM pairs
 def q_embedding_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2d-g — ingest-time embedding validation gate (round 7): classify
     every vector as ``null`` / ``empty`` / ``non_finite`` (any component
-    that is NULL, NaN, or ±Inf — fp overflow and ragged encodes happen
-    at crawl scale) / ``zero_norm`` / ``ok``, with per-class counts. The
-    quarantine step the similarity geometry assumes ran: downstream
+    that is NULL, NaN, or ±Inf — fp overflow happens at crawl scale) /
+    ``wrong_dim`` (length differs from the corpus's MODAL length —
+    ragged encodes are routine in a 100 TB re-ingest, have no geometry
+    against the corpus, and crashed every numpy kernel path before the
+    zero-fill guards) / ``zero_norm`` / ``ok``, with per-class counts.
+    The quarantine step the similarity geometry assumes ran: downstream
     cosine/LSH/IVF operators are specified over gated (``ok``) vectors,
     and ``quantize_int8`` additionally hard-guards because a cast of
     round(NaN) to int is a job-killing CAST_OVERFLOW under ANSI mode.
     The component predicate is `similarity.nonfinite_component` — ONE
     definition shared with the quantizer and both SQL twins.
 
-    Map-only single pass (one exists() + one aggregate() per vector),
-    then a 5-group aggregation — at 100 TB this is scan-bound, shuffles
-    five rows per task. The zero_norm fold runs AFTER the non_finite
-    branch, so it only ever sees fully-finite components (a NULL element
-    would make the fold NULL and SQL's NULL-skipping sum 0 — divergent)."""
+    Map-only single pass (one exists() + one aggregate() per vector)
+    plus a count-per-length aggregate folded to a broadcast one-row
+    modal frame, then a 6-group aggregation — at 100 TB this is
+    scan-bound, shuffles a handful of rows per task. The zero_norm fold
+    runs AFTER the non_finite branch, so it only ever sees fully-finite
+    components (a NULL element would make the fold NULL and SQL's
+    NULL-skipping sum 0 — divergent). Modal tie-break: larger count,
+    then SMALLER length — mirrored in the oracle's ORDER BY."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
+    # modal length as a LAZY one-row broadcast (max over (count, -len)
+    # structs == largest count, smallest len; NULL struct on an
+    # all-NULL/empty corpus, in which case no row reaches wrong_dim)
+    modal = (
+        emb.where(e.isNotNull())
+        .groupBy(F.size(e).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max(F.struct(F.col("c"), (-F.col("d")).alias("nd"))).alias("m"))
+        .select((-F.col("m.nd")).alias("_modal_dim"))
+    )
     sumsq = F.aggregate(
         e, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
     )
@@ -1336,22 +1352,31 @@ def q_embedding_finite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(e.isNull(), F.lit("null"))
         .when(F.size(e) == 0, F.lit("empty"))
         .when(F.exists(e, nonfinite_component), F.lit("non_finite"))
+        .when(F.size(e) != F.col("_modal_dim"), F.lit("wrong_dim"))
         .when(sumsq == 0, F.lit("zero_norm"))
         .otherwise(F.lit("ok"))
     )
     return (
-        emb.select(status.alias("status"), "vec_id")
+        emb.crossJoin(F.broadcast(modal))
+        .select(status.alias("status"), "vec_id")
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("first_vec_id"))
     )
 
 
 SQL_EMBEDDING_FINITE_GATE = f"""
-WITH cls AS (
+WITH dims AS (
+  SELECT len(embedding) AS d, count(*) AS c FROM embeddings
+  WHERE embedding IS NOT NULL GROUP BY 1
+), modal AS (
+  -- largest count, then SMALLER length (mirrors the Spark struct-max)
+  SELECT d FROM dims ORDER BY c DESC, d ASC LIMIT 1
+), cls AS (
   SELECT vec_id,
          CASE WHEN embedding IS NULL THEN 'null'
               WHEN len(embedding) = 0 THEN 'empty'
               WHEN len(list_filter(embedding, x -> {NONFINITE_COMPONENT_SQL})) > 0 THEN 'non_finite'
+              WHEN len(embedding) <> (SELECT d FROM modal) THEN 'wrong_dim'
               WHEN list_aggregate(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') = 0 THEN 'zero_norm'
               ELSE 'ok' END AS status

@@ -1201,3 +1201,100 @@ def test_engines_agree_on_gated_value_corpus(name, spark, nonfinite_ev_dirs):
         _assert_agree(name, spark, gated, con, what="gated value corpus")
     finally:
         con.close()
+
+
+# ------------------------------------------ ragged embedding dims (r7)
+
+@pytest.fixture(scope="module")
+def ragged_emb_dirs(tmp_path_factory):
+    """Ragged vector lengths — re-encoded shards landing with a different
+    model's dim are routine at crawl scale. A probe over the embeddings
+    entries found SIX Spark-side job-killers (inhomogeneous-batch numpy
+    errors in every LSH/IVF kernel path, and an out-of-bounds centroid
+    update in the k-means fit) plus four silent divergences. Contract:
+    embedding_finite_gate classifies (wrong_dim = length <> the corpus's
+    modal length); geometry operators are specified over gated corpora;
+    the kernels themselves zero-fill rather than crash on raw input.
+    Returns (raw_dir, gated_dir)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    raw = tmp_path_factory.mktemp("ragged_raw")
+    gated = tmp_path_factory.mktemp("ragged_gated")
+    for d in (raw, gated):
+        for t in [x for x in TABLES if x != "embeddings"] + ["documents"]:
+            shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+
+    emb = duckdb.sql(f"SELECT * FROM '{src}/embeddings.parquet'").arrow()
+    rng = np.random.default_rng(11)
+    ragged = [
+        (20000001, list(map(float, rng.normal(size=32)))),   # half dim
+        (20000002, list(map(float, rng.normal(size=65)))),   # off by one
+        (20000003, [1.0]),                                   # single component
+        (20000004, list(map(float, rng.normal(size=128)))),  # double dim
+    ]
+    head = emb.slice(0, len(ragged))
+    extra = head.set_column(
+        head.schema.get_field_index("vec_id"), "vec_id",
+        pa.array([i for i, _ in ragged], type=head.schema.field("vec_id").type))
+    extra = extra.set_column(
+        extra.schema.get_field_index("embedding"), "embedding",
+        pa.array([v for _, v in ragged], type=head.schema.field("embedding").type))
+    pq.write_table(pa.concat_tables([emb, extra]), str(raw / "embeddings.parquet"))
+    shutil.copy(f"{src}/embeddings.parquet", str(gated / "embeddings.parquet"))
+    return str(raw), str(gated)
+
+
+def _duck_for_embs(sf_dir):
+    con = duckdb.connect()
+    for t in [x for x in TABLES if x != "embeddings"] + ["documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_embedding_gate_classifies_ragged_and_agrees(spark, ragged_emb_dirs):
+    raw, _gated = ragged_emb_dirs
+    con = _duck_for_embs(raw)
+    try:
+        _assert_agree("embedding_finite_gate", spark, raw, con,
+                      what="ragged embedding dims")
+        got = {
+            r.status: (r.n_vectors, r.first_vec_id)
+            for r in entrymod.queries()["embedding_finite_gate"](spark, raw).collect()
+        }
+        assert got["wrong_dim"] == (4, 20000001)
+    finally:
+        con.close()
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", ["topk_cosine_ivf", "kmeans_assign",
+                                  "topk_cosine_lsh", "knn_classify_lsh",
+                                  "hard_negatives_lsh", "embedding_near_dup",
+                                  "topk_recall_lsh", "topk_recall_ivf"])
+def test_kernel_paths_survive_ragged_vectors(name, spark, ragged_emb_dirs):
+    """The job-killer class: before the zero-fill/modal-dim guards, every
+    numpy kernel path died on an inhomogeneous batch (and the k-means
+    update indexed out of bounds on posexplode positions past the
+    centroid dim). Raw ragged corpora must complete — quarantine is the
+    gate's job, surviving is the kernel's."""
+    raw, _gated = ragged_emb_dirs
+    out = entrymod.queries()[name](spark, raw)
+    out.collect()
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", EMB_ENTRIES)
+def test_engines_agree_on_gated_ragged_corpus(name, spark, ragged_emb_dirs):
+    """Composition contract, geometry edition: gate first, then every
+    embeddings entry agrees cross-engine."""
+    _raw, gated = ragged_emb_dirs
+    con = _duck_for_embs(gated)
+    try:
+        _assert_agree(name, spark, gated, con, what="gated ragged corpus")
+    finally:
+        con.close()
