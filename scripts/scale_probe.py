@@ -94,6 +94,12 @@ PROBE_QUERIES = {
     "flagship_pipeline": "events",
     # finite gate: map-only scan + 5-group agg — must be flat-per-byte
     "embedding_finite_gate": "embeddings",
+    # value gate: map-only scan + 4-group agg — must be flat-per-byte
+    "events_value_gate": "events",
+    # rolling window + fixed-point rounding: one event_type-keyed shuffle
+    "rolling_stats": "events",
+    # grid expand + two-direction running windows, span-capped
+    "interpolate_gaps": "events",
 }
 
 STRESS_QUERIES = [
