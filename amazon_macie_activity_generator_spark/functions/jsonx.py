@@ -53,8 +53,11 @@ from ..operators.dedup import JAVA_WS
 # RE2 \s does not, so a bare \s silently de-syncs the two gates on
 # VT-padded numerics (both engines' casts DO trim VT, so the gate is the
 # only divergence point). Interpolate the explicit JAVA_WS class, same
-# as every tokenizer regex in this repo.
-INTEGRAL_RE = rf"^[{JAVA_WS}]*[+-]?[0-9]+[{JAVA_WS}]*$"
+# as every tokenizer regex in this repo. Anchored \z, not $: Java's $
+# matches BEFORE a final NEL/LS/PS line terminator while RE2's matches
+# only at end of text, so '7<U+0085>' would pass the Spark gate only
+# (masked today by both casts rejecting NEL — pin the gate itself).
+INTEGRAL_RE = rf"^[{JAVA_WS}]*[+-]?[0-9]+[{JAVA_WS}]*\z"
 # Trailing comma before a closing brace/bracket — DuckDB's yyjson
 # accepts it, Jackson does not; reject in both. Same explicit-WS rule.
 # NOTE (pinned over-rejection): this scans string CONTENTS too, so valid
@@ -112,6 +115,6 @@ def sql_int_prop(expr: str = "props", path: str = "$.k") -> str:
                 AND NOT regexp_matches({expr}, ',[{ws}]*[}}\\]]')
                 AND json_valid({expr})
                 AND regexp_matches(json_extract_string({expr}, '{path}'),
-                                   '^[{ws}]*[+-]?[0-9]+[{ws}]*$')
+                                   '^[{ws}]*[+-]?[0-9]+[{ws}]*\\z')
            THEN TRY_CAST(json_extract_string({expr}, '{path}') AS BIGINT)
       END"""

@@ -8,7 +8,12 @@ can — the non-finite-values sweep caught ``rolling_stats`` flipping a
 4-dp digit when an inserted row shifted a moving window onto one.
 
 ``floor(x * 10^dp + 0.5) / 10^dp`` is the SAME IEEE arithmetic in both
-engines, so the boundary resolves identically. Two caveats, both
+engines, so the boundary resolves identically. Note the convention:
+this is round-half-toward-+INFINITY (half-ceiling), not HALF_UP
+away-from-zero — a NEGATIVE half boundary rounds up (-2.5 -> -2 at
+dp=0, where Spark's round() would give -3). Cross-engine agreement is
+the contract; callers comparing against away-from-zero conventions
+must not use this on negative half boundaries. Two caveats, both
 handled here:
 
 - Spark's ``floor`` returns LONG and silently SATURATES at int64 max,
@@ -34,7 +39,8 @@ def _bound(dp: int) -> float:
 
 
 def round_fixed(col: Column, dp: int = 4) -> Column:
-    """Half-up round to ``dp`` decimals, bit-identical across engines."""
+    """Half-toward-+inf round to ``dp`` decimals, bit-identical across
+    engines (see module docstring for the negative-half convention)."""
     scale = float(10 ** dp)
     rounded = F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
     return F.when(F.abs(col) < F.lit(_bound(dp)), rounded).otherwise(col)

@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 
 from amazon_macie_activity_generator_spark.operators.generators import time_grid
 
+# inner-sequence bound for the default (data-derived) grid: the largest
+# array any single row/task materializes, regardless of max(t)
+_GRID_CHUNK = 100_000
+
 
 def zero_fill(
     spark: SparkSession,
@@ -51,16 +55,47 @@ def zero_fill(
         # materialized query. Empty/all-NULL-t input → max is NULL →
         # sequence is NULL → explode yields no rows (no time, no
         # timeline — the empty-relation contract).
-        grid = (
+        #
+        # TWO-LEVEL, not one sequence(0, mx): a single sequence would
+        # materialize the whole grid as ONE array in ONE task — the
+        # sequence()-explosion job-killer class the wild-timestamp round
+        # pinned (a ~71M-element array killed the JVM). Instead the
+        # one-row aggregate explodes into chunk ids (tiny array), a
+        # repartition distributes the chunks, and each chunk explodes a
+        # bounded _GRID_CHUNK-sized inner sequence — max per-task array
+        # is _GRID_CHUNK elements regardless of grid size.
+        par = max(int(spark.sparkContext.defaultParallelism), 1)
+        mx = F.col("_mx")
+        chunks = (
             df.select(F.col(t_col).cast("long").alias(t_col))
             .agg(F.max(t_col).alias("_mx"))
             # guard: sequence(0, negative) DESCENDS in Spark; t is a rank
             # (>= 0) by contract, so a negative-only input gets no grid
             .select(
+                "_mx",
                 F.explode(
-                    F.when(F.col("_mx") >= 0, F.sequence(F.lit(0), F.col("_mx")))
-                ).alias(t_col)
+                    F.when(
+                        mx >= 0,
+                        F.sequence(F.lit(0), F.floor(mx / _GRID_CHUNK).cast("long")),
+                    )
+                ).alias("_chunk"),
             )
+            .repartition(par)
+        )
+        grid = (
+            chunks.select(
+                "_mx",
+                "_chunk",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(_GRID_CHUNK - 1).cast("long"))
+                ).alias("_off"),
+            )
+            .select(
+                "_mx",
+                (F.col("_chunk") * _GRID_CHUNK + F.col("_off")).alias(t_col),
+            )
+            .where(F.col(t_col) <= F.col("_mx"))
+            .select(t_col)
         )
     else:
         grid = time_grid(spark, n_points).withColumnRenamed("t", t_col)

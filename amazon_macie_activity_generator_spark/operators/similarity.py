@@ -157,17 +157,18 @@ def srp_planes(dim: int, planes: int, salt: str = "srp") -> list[list[float]]:
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
-    """MODAL vector length, not the first row's: one ragged row at the
-    head of the corpus would otherwise size the plane matrix wrong and
-    zero-bucket every well-formed vector (collapsing LSH into one
-    quadratic bucket). Bounded by a 100k-row LocalLimit so the one
-    build-time action stays O(few partitions) at 100 TB (the old
-    first() read one row; a full-corpus modal scan would read it all) —
-    a sample's modal length is robust because ragged rows are the rare
-    class by definition."""
+    """MODAL vector length over the FULL corpus, not the first row's and
+    not a sample's: one ragged row at the head would size the plane
+    matrix wrong and zero-bucket every well-formed vector (collapsing
+    LSH into one quadratic bucket), and a limit() sample is
+    nondeterministic AND loses to a ragged re-encoded shard that fills
+    the first partitions read — exactly the input this guard exists for.
+    Must also match embedding_finite_gate's full-corpus modal, or the
+    fit could drop every gate-'ok' vector. Cost: one map-side-combinable
+    (length, count) aggregation — a single narrow extra pass next to the
+    many corpus scans the fit/bucketing work already does."""
     row = (
         df.where(F.col(vec_col).isNotNull())
-        .limit(100_000)
         .groupBy(F.size(F.col(vec_col)).alias("d"))
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("d"))
@@ -274,9 +275,17 @@ def lsh_scored_candidates(
     budf = srp_buckets_arrow(mats)
 
     # NULL vectors have no geometry: excluded from both sides (mirrored
-    # as WHERE embedding IS NOT NULL in every LSH oracle)
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    # as WHERE embedding IS NOT NULL in every LSH oracle). Wrong-dim
+    # vectors have no geometry either — unfiltered they would zero-fill
+    # to the all-bits bucket in EVERY table and surface as NULL-sim rows
+    # in the top-k (the LSH oracle twins are fixed-dim plane models, so
+    # gated corpora never contain them; this keeps raw corpora sane too)
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
+    queries = queries.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
 
     # (id, vec, carry, tbl, bucket): posexplode of the per-table buckets
     c = corpus.select(

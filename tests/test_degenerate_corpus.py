@@ -981,10 +981,15 @@ def test_every_oracle_entry_is_swept_by_a_degenerate_family():
                    "orders", "lineitem", "events", "documents", "embeddings"]
     family_tables = {"documents", "embeddings", "events", "lineitem",
                      "orders", "customer", "part"}
-    # FROM/JOIN-anchored word match, not raw substring: 'partition by'
-    # and 'p_partkey' must not count as reading the part table, or an
-    # entry could satisfy the family check vacuously (r7 review finding).
-    pats = {t: re.compile(rf"\b(?:from|join)\s+{t}\b") for t in base_tables}
+    # FROM/JOIN/comma-anchored word match, not raw substring: 'partition
+    # by' and 'p_partkey' must not count as reading the part table (an
+    # entry could satisfy the family check vacuously), and comma-joins
+    # ('FROM customer, orders') must count their SECOND relation too
+    # (both r7 review findings).
+    pats = {
+        t: re.compile(rf"(?:\bfrom\s+|\bjoin\s+|,\s*){t}\b")
+        for t in base_tables
+    }
     missing = {}
     for name, sql in entrymod.oracle_sql().items():
         sl = sql.lower()

@@ -68,7 +68,10 @@ AGREED = [
     # DuckDB=NULL on VT-padded numerics.
     ('{"k": "\\u000B7"}', 7),          # escaped VT inside value: agrees
     ('{"k": "\x0b7"}', None),         # literal VT: invalid JSON both
-    ('{"k": "7\\u0085"}', None),       # NEL: gate rejects both (not in class)
+    # NEL: \z-anchored gate rejects in both engines (Java $ would have
+    # matched before the trailing U+0085 NEL — the fuzzy_name_pairs anchor
+    # divergence, pinned here in the gate itself)
+    ('{"k": "7\\u0085"}', None),
     ('{"j": {"k": 9}}', None),
     ('{"x": "' + "y" * 100000 + '", "k": 11}', 11),   # 100 KB sibling value
     ('{"a":' * 40 + "1" + "}" * 40, None),            # depth-40, no k

@@ -246,3 +246,25 @@ def test_payload_envelope_wire_format(spark):
     assert payload["action"] == "execute-datapoints"
     assert payload["datapoints"] == [{"generator_id": "a", "value": 3.0}]
     assert payload["target"] == {"type": "lambda", "function": "f"}  # generators stripped
+
+
+def test_zero_fill_chunked_grid_boundaries(spark, monkeypatch):
+    """The default grid is a two-level chunked explode (one sequence()
+    per _GRID_CHUNK slots) so no single task materializes the whole
+    grid — the wild-timestamp round's sequence()-explosion class. Pin
+    the chunk arithmetic exactly: with a tiny chunk size, a grid that
+    is not a multiple of the chunk must still be 0..max(t) with no
+    gaps, duplicates, or overhang."""
+    from amazon_macie_activity_generator_spark.operators import align
+
+    monkeypatch.setattr(align, "_GRID_CHUNK", 7)
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(23)]        # 23 slots = 3 chunks + 2
+        + [("b", 0, 9.0)],                             # short series: filled
+        "series_id string, t long, value double",
+    )
+    out = align.zero_fill(spark, df).collect()
+    got = {(r.series_id, r.t): r.value for r in out}
+    assert len(out) == len(got) == 2 * 23
+    assert got[("b", 22)] == 0.0 and got[("b", 0)] == 9.0
+    assert got[("a", 22)] == 22.0
