@@ -1715,7 +1715,7 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_quantity").try_cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select(
@@ -1729,7 +1729,7 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLUP = """
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CASE WHEN isnan(l_quantity) THEN NULL ELSE TRY_CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_qty,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1884,7 +1884,7 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped aggregation over the main fact table (decimal sums for
     cross-engine exactness; filters push to the parquet scan)."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    dec = lambda c: F.col(c).try_cast("decimal(18,2)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1898,8 +1898,8 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AGG_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CASE WHEN isnan(l_quantity) THEN NULL ELSE TRY_CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_qty,
+       CAST(sum(CASE WHEN isnan(l_extendedprice) THEN NULL ELSE TRY_CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_base_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1913,7 +1913,7 @@ def q_join_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        F.sum(F.col("o_totalprice").try_cast("decimal(18,2)")).cast("double").alias("total_spend"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     joined = spend.join(F.broadcast(customer), spend.o_custkey == customer.c_custkey)
@@ -1927,7 +1927,7 @@ def q_join_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JOIN_TOPN = """
 SELECT c_custkey, c_name, total_spend, n_orders
 FROM (
-  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+  SELECT o_custkey, CAST(sum(CASE WHEN isnan(o_totalprice) THEN NULL ELSE TRY_CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_spend,
          count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 ) s JOIN customer ON s.o_custkey = c_custkey

@@ -361,14 +361,39 @@ def degen_li_dir(tmp_path_factory):
         (900005, 2, "O", 50.0, None, "5-LOW"),  # NULL order date
     ]
     extra_od += [tuple(od.iloc[0])] * 2  # duplicate o_orderkey rows
-    for name, base, extra in (("lineitem", li, extra_li), ("orders", od, extra_od)):
+    # NON-FINITE monetary values (r7): NaN/±Inf/1e308 in the measure
+    # columns — re-ingest corruption. The probe found two decimal-cast
+    # aborts (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE; DuckDB inf→DECIMAL)
+    # now degraded to NULL via try_cast in BOTH engines (plus an explicit
+    # isnan() guard in the oracles: DuckDB 1.0's TRY_CAST(NaN AS DECIMAL)
+    # throws instead of returning NULL). No gate needed — the class
+    # degrades symmetrically, pinned by this family. Built via Arrow
+    # from_pylist because pandas would fold NaN into NULL.
+    wild_li = [
+        (900010, 2000, 1, 1, float("nan"), float("nan"), 0.0, 0.0, "N", "O", D),
+        (900011, 2000, 1, 1, float("inf"), float("inf"), 0.0, 0.0, "N", "O", D),
+        (900012, 2000, 1, 1, 1e15, 1e308, 0.0, 0.0, "N", "O", D),
+        (900013, 2000, 1, 1, 1.0, float("-inf"), float("nan"), float("inf"), "N", "O", D),
+    ]
+    wild_od = [
+        (900010, 1, "O", float("nan"), D, "1-URGENT"),
+        (900011, 1, "O", float("inf"), D, "2-HIGH"),
+        (900012, 1, "O", 1e308, D, "3-MEDIUM"),
+    ]
+    for name, base, extra, wild in (("lineitem", li, extra_li, wild_li),
+                                    ("orders", od, extra_od, wild_od)):
         df = pd.concat([base, pd.DataFrame(extra, columns=list(base.columns))],
                        ignore_index=True)
         t = pa.Table.from_pandas(df, preserve_index=False)
         # match the driver testdata: microsecond timestamps, not pandas ns
         fields = [pa.field(f.name, pa.timestamp("us"))
                   if pa.types.is_timestamp(f.type) else f for f in t.schema]
-        pq.write_table(t.cast(pa.schema(fields)), str(d / f"{name}.parquet"))
+        schema = pa.schema(fields)
+        wild_t = pa.Table.from_pylist(
+            [dict(zip(schema.names, row)) for row in wild], schema=schema
+        )
+        pq.write_table(pa.concat_tables([t.cast(schema), wild_t]),
+                       str(d / f"{name}.parquet"))
     return str(d)
 
 
