@@ -40,14 +40,14 @@ if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
 MEDIA_SCHEMA = StructType([
-    StructField("media_id", LongType(), False),
+    StructField("media_id", LongType(), True),
     StructField("kind", StringType(), False),       # image | audio | video
     StructField("payload", BinaryType(), True),
     StructField("source_uri", StringType(), True),
 ])
 
 FEATURE_SCHEMA = StructType([
-    StructField("media_id", LongType(), False),
+    StructField("media_id", LongType(), True),
     StructField("kind", StringType(), False),
     StructField("n_bytes", LongType(), False),
     StructField("width", LongType(), True),
@@ -286,7 +286,7 @@ def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFr
 
 
 RESIZED_SCHEMA = StructType([
-    StructField("media_id", LongType(), False),
+    StructField("media_id", LongType(), True),
     StructField("kind", StringType(), False),
     StructField("payload", BinaryType(), True),
     StructField("width", LongType(), False),
@@ -330,7 +330,7 @@ def resize_images(
 
 
 FRAME_SCHEMA = StructType([
-    StructField("media_id", LongType(), False),
+    StructField("media_id", LongType(), True),
     StructField("frame_idx", LongType(), False),
     StructField("ts_ms", LongType(), False),
     StructField("frame_payload", BinaryType(), True),

@@ -707,16 +707,21 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce(doc_id, 0) in the plant arithmetic: Spark format_string
+    # renders a NULL int as the string 'null' (and would then COUNT the
+    # 'usernull@example.com' plant) while DuckDB printf nulls the whole
+    # row — a NULL-id doc gets doc-0's plants in BOTH engines instead
+    did = F.coalesce(F.col("doc_id"), F.lit(0))
     planted = docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
             F.format_string(
                 " ssn %03d-%02d-%04d contact user%d@example.com key AKIA",
-                F.pmod(F.col("doc_id"), F.lit(899)) + 1,
-                F.pmod(F.col("doc_id"), F.lit(99)) + 1,
-                F.pmod(F.col("doc_id"), F.lit(9999)) + 1,
-                F.col("doc_id"),
+                F.pmod(did, F.lit(899)) + 1,
+                F.pmod(did, F.lit(99)) + 1,
+                F.pmod(did, F.lit(9999)) + 1,
+                did,
             ),
             F.repeat(F.lit("Q"), 16),
         ).alias("text"),
@@ -746,7 +751,8 @@ SQL_PII_REDACT = f"""
 WITH planted AS (
   SELECT doc_id,
          text || printf(' ssn %03d-%02d-%04d contact user%d@example.com key AKIA',
-                        doc_id % 899 + 1, doc_id % 99 + 1, doc_id % 9999 + 1, doc_id)
+                        coalesce(doc_id, 0) % 899 + 1, coalesce(doc_id, 0) % 99 + 1,
+                        coalesce(doc_id, 0) % 9999 + 1, coalesce(doc_id, 0))
               || repeat('Q', 16) AS text2
   FROM documents
 )
@@ -809,9 +815,12 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_macie_activity_generator_spark.operators.text import token_count_ws
 
     docs = load_table(spark, sf_dir, "documents")
+    # no key, no pack position: the layout is doc_id-ordered, and a NULL
+    # id has no deterministic place in it (the engines also disagree on
+    # NULL sort position — Spark NULLS FIRST, DuckDB NULLS LAST)
     toks = docs.select(
         "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tok")
-    ).filter(F.col("n_tok") > 0)
+    ).filter((F.col("n_tok") > 0) & F.col("doc_id").isNotNull())
     w = Window.partitionBy("lang").orderBy("doc_id")
     with_off = toks.withColumn(
         "off", F.sum("n_tok").over(w) - F.col("n_tok")
@@ -844,9 +853,10 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_PACK = f"""
 WITH toks AS (
+  -- no key, no pack position (mirrors the Spark-side NULL-id filter)
   SELECT * FROM (
     SELECT doc_id, lang, len({_DUCK_TOKS}) AS n_tok FROM documents
-  ) WHERE n_tok > 0
+  ) WHERE n_tok > 0 AND doc_id IS NOT NULL
 ), with_off AS (
   SELECT doc_id, lang, n_tok,
          CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id

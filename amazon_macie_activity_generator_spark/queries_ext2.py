@@ -258,7 +258,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap would move into a window row_number < cap before the
     collect to bound skewed tokens' state)."""
     docs = load_table(spark, sf_dir, "documents")
-    postings = docs.select(
+    # a NULL doc_id cannot be a posting: unindexable rows are excluded
+    # in both engines (Spark rendered their lists as '' via concat_ws,
+    # DuckDB as NULL — the NULL-id probe's divergence)
+    postings = docs.filter(F.col("doc_id").isNotNull()).select(
         "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("token")
     )
     w = Window.partitionBy("token").orderBy("doc_id")
@@ -280,7 +283,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_INVERTED_INDEX = f"""
 WITH postings AS (
-  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token FROM documents
+  -- NULL doc_id cannot be a posting (mirrors the Spark-side filter)
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token
+  FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT token, count(*) AS n_docs,
        array_to_string(list_sort(list(doc_id ORDER BY doc_id))[1:{_POSTINGS_CAP}], ',') AS postings

@@ -1124,22 +1124,28 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BPE_ENCODE = (
-    f"WITH t0 AS (SELECT doc_id, {_DUCK_TOKS5} AS tk FROM documents),"
+    # n_raw is CARRIED through the rounds like the Spark side carries
+    # ("doc_id", "n_raw"): the old final `t0 JOIN t3 USING (doc_id)`
+    # silently dropped NULL-doc_id documents (joins drop NULL keys in
+    # both engines) while Spark kept them — encode is per-row on text,
+    # identity is just carried along
+    f"WITH t0 AS (SELECT doc_id, {_DUCK_TOKS5} AS tk,"
+    f" CAST(len({_DUCK_TOKS5}) AS BIGINT) AS n_raw FROM documents),"
     + _BPE_DUCK_ROUND.format(r=0) + ","
-    + _BPE_DUCK_APPLY.format(r=0, nxt=1, carry="doc_id, ") + ","
+    + _BPE_DUCK_APPLY.format(r=0, nxt=1, carry="doc_id, n_raw, ") + ","
     + _BPE_DUCK_ROUND.format(r=1) + ","
-    + _BPE_DUCK_APPLY.format(r=1, nxt=2, carry="doc_id, ") + ","
+    + _BPE_DUCK_APPLY.format(r=1, nxt=2, carry="doc_id, n_raw, ") + ","
     + _BPE_DUCK_ROUND.format(r=2) + ","
-    + _BPE_DUCK_APPLY.format(r=2, nxt=3, carry="doc_id, ")
+    + _BPE_DUCK_APPLY.format(r=2, nxt=3, carry="doc_id, n_raw, ")
     + """
-SELECT t0.doc_id,
-       CAST(len(t0.tk) AS BIGINT) AS n_raw,
-       CAST(len(t3.tk) AS BIGINT) AS n_bpe,
-       CAST(len(t0.tk) - len(t3.tk) AS BIGINT) AS n_merged,
-       CASE WHEN len(t0.tk) > 0
-            THEN round(CAST(len(t3.tk) AS DOUBLE) / len(t0.tk), 4)
+SELECT doc_id,
+       n_raw,
+       CAST(len(tk) AS BIGINT) AS n_bpe,
+       CAST(n_raw - len(tk) AS BIGINT) AS n_merged,
+       CASE WHEN n_raw > 0
+            THEN round(CAST(len(tk) AS DOUBLE) / n_raw, 4)
             ELSE 1.0 END AS compression
-FROM t0 JOIN t3 USING (doc_id)
+FROM t3
 """
 )
 

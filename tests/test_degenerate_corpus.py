@@ -65,15 +65,24 @@ def degen_sf_dir(tmp_path_factory):
     for t in TABLES:
         shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
     n = len(DEGENERATE_TEXTS)
+    # +2 NULL doc_id rows (r7): an id-less crawl row is routine; the
+    # NULL-key probe found 4 Spark job-killers (non-nullable mapInPandas
+    # schemas) and 4 oracle divergences (NULL-key joins / printf(NULL) /
+    # NULL sort position), all fixed — every doc entry must agree with
+    # these rows present forever after
+    texts = DEGENERATE_TEXTS + ["a null id document with some tokens",
+                                "another null id page"]
     pq.write_table(
         pa.table({
-            "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
-            "text": pa.array(DEGENERATE_TEXTS),
-            # last two docs: NULL lang and NULL source (group-key NULLs)
-            "lang": pa.array(["en"] * (n - 2) + [None, "en"]),
-            "source": pa.array((["s1", "s2"] * (n // 2))[: n - 1] + [None]),
+            "doc_id": pa.array(list(range(1, n + 1)) + [None, None],
+                               type=pa.int64()),
+            "text": pa.array(texts),
+            # last two ID'd docs: NULL lang and NULL source (group-key NULLs)
+            "lang": pa.array(["en"] * (n - 2) + [None, "en"] + ["en", "en"]),
+            "source": pa.array((["s1", "s2"] * (n // 2))[: n - 1] + [None]
+                               + ["s1", "s2"]),
             "n_chars": pa.array(
-                [len(t) if t is not None else 0 for t in DEGENERATE_TEXTS],
+                [len(t) if t is not None else 0 for t in texts],
                 type=pa.int64(),
             ),
         }),
@@ -134,13 +143,17 @@ def degen_emb_dir(tmp_path_factory):
         e0, e1,                 # axis-aligned
     ] + [rng.normal(size=dim) for _ in range(114)]
     n = len(vecs)
-    emb_col = [list(map(float, v)) for v in vecs] + [None]  # NULL vector row
+    # NULL vector row, then a NULL vec_id row (r7: an id-less embedding
+    # is a valid vector for geometry but can't be addressed — the
+    # NULL-key probe proved every entry agrees with it present)
+    emb_col = [list(map(float, v)) for v in vecs] + [None] \
+        + [list(map(float, rng.normal(size=dim)))]
     pq.write_table(
         pa.table({
-            "vec_id": pa.array(range(n + 1), type=pa.int64()),
+            "vec_id": pa.array(list(range(n + 1)) + [None], type=pa.int64()),
             "embedding": pa.array(emb_col, type=pa.list_(pa.float32())),
             "label": pa.array(
-                [i % 10 for i in range(n)] + [None], type=pa.int32()
+                [i % 10 for i in range(n)] + [None, 3], type=pa.int32()
             ),
         }),
         str(d / "embeddings.parquet"),
