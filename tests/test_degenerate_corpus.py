@@ -465,9 +465,15 @@ def degen_cu_dir(tmp_path_factory):
         (800010, "DupKey Customer", 3, 8.0, "BUILDING"),
         (800010, "DupKey Customer", 3, 8.0, "BUILDING"),
     ], columns=list(cu.columns))
+    base = pa.Table.from_pandas(pd.concat([cu, extra], ignore_index=True),
+                                preserve_index=False)
+    # NULL c_custkey (r7): probed green across the family (inner joins
+    # drop NULL keys identically in both engines) — pinned via the Arrow
+    # path (a pandas int64 column cannot hold None)
+    null_rows = base.slice(0, 1).to_pylist()
+    null_rows[0]["c_custkey"] = None
     pq.write_table(
-        pa.Table.from_pandas(pd.concat([cu, extra], ignore_index=True),
-                             preserve_index=False),
+        pa.concat_tables([base, pa.Table.from_pylist(null_rows, schema=base.schema)]),
         str(d / "customer.parquet"),
     )
     return str(d)
@@ -979,9 +985,14 @@ def degen_pt_dir(tmp_path_factory):
          10.0 + i)
         for i in range(30)
     ], columns=list(pt.columns))
+    base = pa.Table.from_pandas(pd.concat([pt, extra], ignore_index=True),
+                                preserve_index=False)
+    # NULL p_partkey (r7): probed green across the family — pinned via
+    # the Arrow path (pandas int64 cannot hold None)
+    null_rows = base.slice(0, 1).to_pylist()
+    null_rows[0]["p_partkey"] = None
     pq.write_table(
-        pa.Table.from_pandas(pd.concat([pt, extra], ignore_index=True),
-                             preserve_index=False),
+        pa.concat_tables([base, pa.Table.from_pylist(null_rows, schema=base.schema)]),
         str(d / "part.parquet"),
     )
     return str(d)
@@ -1068,13 +1079,25 @@ def dup_ev_dirs(tmp_path_factory):
     mut = ev.iloc[6:10].copy()
     mut["value"] = mut["value"] + 1.0     # same id, mutated payload
 
-    def write_ev(d, frame):
+    def write_ev(d, frame, null_id_rows=0):
         t = pa.Table.from_pandas(frame, preserve_index=False)
         fields = [pa.field(f.name, pa.timestamp("ns"))
                   if pa.types.is_timestamp(f.type) else f for f in t.schema]
-        pq.write_table(t.cast(pa.schema(fields)), str(d / "events.parquet"))
+        t = t.cast(pa.schema(fields))
+        if null_id_rows:
+            # NULL event_id (r7): no key breaks the (ts, event_id) total
+            # order every sequence window relies on (the engines also
+            # disagree on NULL sort position), and dedup-by-id collides
+            # all such rows — the gate flags them, downstream sequence
+            # operators are specified over gated corpora. Arrow path:
+            # a pandas int64 column cannot hold None.
+            rows = t.slice(0, null_id_rows).to_pylist()
+            for r in rows:
+                r["event_id"] = None
+            t = pa.concat_tables([t, pa.Table.from_pylist(rows, schema=t.schema)])
+        pq.write_table(t, str(d / "events.parquet"))
 
-    write_ev(raw, pd.concat([ev, dups, mut], ignore_index=True))
+    write_ev(raw, pd.concat([ev, dups, mut], ignore_index=True), null_id_rows=2)
     write_ev(gated, ev)  # one row per id: drop copies, keep originals
     return str(raw), str(gated), set(dups["event_id"]), set(mut["event_id"])
 
@@ -1093,7 +1116,12 @@ def test_event_id_gate_classifies_and_agrees(spark, dup_ev_dirs):
             assert rows[i] == "dup_identical"
         for i in mut_ids:
             assert rows[i] == "dup_conflict"
-        assert sum(1 for s in rows.values() if s != "unique") == len(dup_ids | mut_ids)
+        # NULL is not a key: all id-less rows collide into one flagged
+        # group (two different payloads here -> dup_conflict), so the
+        # gate quarantines them before any sequence window relies on the
+        # (ts, event_id) total order
+        assert rows[None] == "dup_conflict"
+        assert sum(1 for s in rows.values() if s != "unique") == len(dup_ids | mut_ids) + 1
     finally:
         con.close()
         spark.catalog.clearCache()
