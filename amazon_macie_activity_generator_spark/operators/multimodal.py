@@ -261,15 +261,21 @@ def synthetic_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            mids = pdf[id_col].astype("int64")
-            even = mids % 2 == 0
+            # nullable Int64, NOT astype("int64"): a NULL id arrives from
+            # Arrow as NaN in a float column and the plain int cast
+            # raises, killing the task — the job-killer class the
+            # nullable MEDIA_SCHEMA exists for. A NULL id synthesizes as
+            # id 0 (deterministic), with media_id kept NULL.
+            mids = pdf[id_col].astype("Int64")
+            filled = mids.fillna(0)
+            even = filled % 2 == 0
             yield pd.DataFrame({
                 "media_id": mids,
                 "kind": even.map({True: "image", False: "audio"}),
-                "payload": mids.map(
+                "payload": filled.map(
                     lambda i: _bmp_bytes(int(i)) if i % 2 == 0 else _wav_bytes(int(i))
                 ),
-                "source_uri": "synthetic://" + mids.astype(str),
+                "source_uri": "synthetic://" + filled.astype(str),
             })
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -1761,7 +1761,11 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    feat = quality_features(docs).filter(
+    # no key, no canonical identity: the pick-one window orders by
+    # doc_id, and the engines disagree on NULL sort position — a NULL-id
+    # duplicate would be kept by Spark (NULLS FIRST) and dropped by the
+    # oracle (NULLS LAST). Same rule as doc_pack/inverted_index.
+    feat = quality_features(docs.filter(F.col("doc_id").isNotNull())).filter(
         (F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.3)
     )
     with_fp = feat.select(
@@ -1782,9 +1786,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_CLEAN = f"""
 WITH tok AS (
+  -- no key, no canonical identity (mirrors the Spark-side NULL-id filter)
   SELECT doc_id, text, lang, length(text) AS n_chars, {_DUCK_TOKS} AS toks,
          length(regexp_replace(text, '[a-zA-Z0-9{JAVA_WS}]', '', 'g')) AS punct
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 feat AS (
   SELECT doc_id, text, toks, len(toks) AS n_tokens,

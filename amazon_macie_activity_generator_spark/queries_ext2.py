@@ -1123,7 +1123,12 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest docs per source — the per-group top-k window shape
     (global top-k lives in join_topn_customers). One shuffle on the group
     key; rank state is O(k) per group under AQE."""
-    docs = load_table(spark, sf_dir, "documents")
+    # no key, no rank position: doc_id is the determinism tiebreak, and
+    # a NULL id has none (the engines also disagree on NULL sort
+    # position; two NULL-id ties would be unstable in BOTH)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
     return (
         docs.withColumn("rk", F.row_number().over(w))
@@ -1136,7 +1141,7 @@ SQL_TOPK_PER_GROUP = """
 SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars FROM (
   SELECT source, doc_id, n_chars,
          row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ) WHERE rk <= 3
 """
 

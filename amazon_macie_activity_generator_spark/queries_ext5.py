@@ -1129,8 +1129,10 @@ SQL_BPE_ENCODE = (
     # silently dropped NULL-doc_id documents (joins drop NULL keys in
     # both engines) while Spark kept them — encode is per-row on text,
     # identity is just carried along
+    # lateral column alias (len(tk), not len(<tokenizer>) again): the
+    # tokenizer is the dominant cost of the CTE, evaluate it once
     f"WITH t0 AS (SELECT doc_id, {_DUCK_TOKS5} AS tk,"
-    f" CAST(len({_DUCK_TOKS5}) AS BIGINT) AS n_raw FROM documents),"
+    f" CAST(len(tk) AS BIGINT) AS n_raw FROM documents),"
     + _BPE_DUCK_ROUND.format(r=0) + ","
     + _BPE_DUCK_APPLY.format(r=0, nxt=1, carry="doc_id, n_raw, ") + ","
     + _BPE_DUCK_ROUND.format(r=1) + ","
@@ -1184,11 +1186,16 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("text")
         .agg(F.min("doc_id").alias("canon_id"))
     )
+    # coalesce(.., False), matching the oracle's final coalesce: a
+    # NULL-id duplicate compares NULL to its canon and must come out
+    # False (not NULL) in both engines — an id-less row is never the
+    # canonical copy (min(doc_id) skips NULLs identically in both)
     with_canon = feat.join(canon, "text", "left").select(
         "doc_id", "source", "n_tokens", "quality_keep",
-        (F.col("quality_keep") & (F.col("doc_id") == F.col("canon_id"))).alias(
-            "dedup_keep"
-        ),
+        F.coalesce(
+            F.col("quality_keep") & (F.col("doc_id") == F.col("canon_id")),
+            F.lit(False),
+        ).alias("dedup_keep"),
     )
     kept = with_canon.withColumn(
         "final_keep", F.col("quality_keep") & F.col("dedup_keep")

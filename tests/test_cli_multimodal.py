@@ -216,3 +216,26 @@ def test_real_decode_roundtrip_spark(spark):
             assert r.width is None and r.height is None
             assert r.duration_ms == (100 + r.media_id % 400) * 1000 // 8000
         assert len(r.content_hash) == 64
+
+
+def test_synthetic_media_survives_null_id(spark):
+    """NULL-id job-killer pin (r7 review finding): a NULL id arrives in
+    the pandas batch as NaN, and the old astype('int64') raised — one
+    id-less manifest row must not kill the stage. A NULL id synthesizes
+    deterministically as id 0 with media_id kept NULL."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media,
+    )
+
+    ids = spark.range(0, 5).select(
+        F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("id")).alias("doc_id")
+    )
+    rows = extract_media_features(synthetic_media(ids), decode_stub=False).collect()
+    assert len(rows) == 5
+    null_rows = [r for r in rows if r.media_id is None]
+    zero_rows = [r for r in rows if r.media_id == 0]
+    assert len(null_rows) == 1 and len(zero_rows) == 1
+    # NULL id synthesized as id 0: identical decoded media, NULL identity
+    assert null_rows[0].content_hash == zero_rows[0].content_hash
+    assert null_rows[0].kind == "image" and null_rows[0].width == 1

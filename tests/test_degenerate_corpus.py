@@ -65,22 +65,29 @@ def degen_sf_dir(tmp_path_factory):
     for t in TABLES:
         shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
     n = len(DEGENERATE_TEXTS)
-    # +2 NULL doc_id rows (r7): an id-less crawl row is routine; the
+    # +3 NULL-id-class rows (r7): an id-less crawl row is routine; the
     # NULL-key probe found 4 Spark job-killers (non-nullable mapInPandas
     # schemas) and 4 oracle divergences (NULL-key joins / printf(NULL) /
     # NULL sort position), all fixed — every doc entry must agree with
-    # these rows present forever after
-    texts = DEGENERATE_TEXTS + ["a null id document with some tokens",
-                                "another null id page"]
+    # these rows present forever after. The long NULL-id doc passes the
+    # quality gates (>= 10 tokens, low punct) AND duplicates an id'd
+    # doc's text, so the pick-one-per-fingerprint windows (corpus_clean)
+    # actually see a NULL-id candidate instead of filtering it out first.
+    long_dup = ("the quiet harbor town woke early and the fishing boats "
+                "left before the sun cleared the eastern ridge")
+    texts = DEGENERATE_TEXTS + [long_dup] + [long_dup,
+                                             "another null id page"]
     pq.write_table(
         pa.table({
-            "doc_id": pa.array(list(range(1, n + 1)) + [None, None],
+            "doc_id": pa.array(list(range(1, n + 1)) + [n + 1] + [None, None],
                                type=pa.int64()),
             "text": pa.array(texts),
-            # last two ID'd docs: NULL lang and NULL source (group-key NULLs)
-            "lang": pa.array(["en"] * (n - 2) + [None, "en"] + ["en", "en"]),
+            # last two ID'd docs of the base set: NULL lang and NULL
+            # source (group-key NULLs)
+            "lang": pa.array(["en"] * (n - 2) + [None, "en"]
+                             + ["en"] + ["en", "en"]),
             "source": pa.array((["s1", "s2"] * (n // 2))[: n - 1] + [None]
-                               + ["s1", "s2"]),
+                               + ["s1"] + ["s1", "s2"]),
             "n_chars": pa.array(
                 [len(t) if t is not None else 0 for t in texts],
                 type=pa.int64(),
@@ -382,11 +389,17 @@ def degen_li_dir(tmp_path_factory):
     # throws instead of returning NULL). No gate needed — the class
     # degrades symmetrically, pinned by this family. Built via Arrow
     # from_pylist because pandas would fold NaN into NULL.
+    OLD = dt.datetime(1995, 6, 1)  # inside agg_pricing's shipdate window
     wild_li = [
         (900010, 2000, 1, 1, float("nan"), float("nan"), 0.0, 0.0, "N", "O", D),
         (900011, 2000, 1, 1, float("inf"), float("inf"), 0.0, 0.0, "N", "O", D),
         (900012, 2000, 1, 1, 1e15, 1e308, 0.0, 0.0, "N", "O", D),
         (900013, 2000, 1, 1, 1.0, float("-inf"), float("nan"), float("inf"), "N", "O", D),
+        # pre-1998-09-02 shipdates: agg_pricing_summary filters on
+        # l_shipdate BEFORE its decimal guard — without these rows its
+        # try_cast/isnan pin would be vacuous (review finding)
+        (900014, 2000, 1, 1, float("nan"), float("inf"), 0.0, 0.0, "N", "O", OLD),
+        (900015, 2000, 1, 1, 1e308, float("nan"), 0.0, 0.0, "R", "F", OLD),
     ]
     wild_od = [
         (900010, 1, "O", float("nan"), D, "1-URGENT"),
