@@ -129,6 +129,10 @@ def test_never_throws_under_ansi(spark):
         '{"a":' * 2000 + "1" + "}" * 2000,         # deep nesting
         '{"k": "' + "z" * 500000 + '"}',           # 500 KB value
         "\x00\x01\x02", "{" * 10000,
+        # 2 MB of commas inside a string value: the trailing-comma regex
+        # scans the whole payload — must stay linear, no backtracking
+        # (probed: ~1 s/row in Spark, agree cross-engine at MB scale)
+        '{"k": 1.5, "pad": "' + "z," * 1_000_000 + '"}',
     ]
     vals = _spark_vals(spark, hostile)
     assert vals == [None] * len(hostile)
