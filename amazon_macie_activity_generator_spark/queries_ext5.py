@@ -78,6 +78,10 @@ from amazon_macie_activity_generator_spark.operators.similarity import (
     brute_force_topk,
     nonfinite_component,
 )
+from amazon_macie_activity_generator_spark.functions.rounding import (
+    round_fixed,
+    sql_round_fixed,
+)
 from amazon_macie_activity_generator_spark.sources.tables import load_table
 
 # shared oracle fragments: the ext5 oracles tokenize/shingle exactly as
@@ -1506,9 +1510,11 @@ def q_vec_id_unique_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty vector -> NULL norm explicitly: Spark's aggregate() seed sums
     # [] to 0.0 where DuckDB's list_aggregate([],'sum') is NULL (the
     # pinned empty-sum trap) — countDistinct skips NULL in both engines
+    # round_fixed, not native round(): the norm fingerprint is exactly the
+    # derived-value class whose half boundaries diverge cross-engine
     norm6 = F.when(
         F.size("embedding") > 0,
-        F.round(
+        round_fixed(
             F.sqrt(
                 F.aggregate(
                     F.col("embedding"),
@@ -1531,12 +1537,13 @@ def q_vec_id_unique_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("vec_id", "n_rows", status.alias("status"))
 
 
-SQL_VEC_ID_UNIQUE_AUDIT = """
+SQL_VEC_ID_UNIQUE_AUDIT = f"""
 WITH agg AS (
   SELECT vec_id,
          count(*) AS n_rows,
-         count(DISTINCT round(sqrt(list_aggregate(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)) AS n_norms
+         count(DISTINCT {sql_round_fixed(
+             "sqrt(list_aggregate(list_transform(embedding, "
+             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))", 6)}) AS n_norms
   FROM embeddings GROUP BY vec_id
 )
 SELECT vec_id, n_rows,

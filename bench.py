@@ -116,6 +116,12 @@ def main() -> None:
             "sf": sf_val,
         }, fh, sort_keys=True)
         fh.write("\n")
+    # ledger-of-record consistency (SURVEY §8): the printed line (what the
+    # driver records as BENCH_r{N}.json) and the sidecar are the same run —
+    # assert the totals agree at write time so they can only diverge if a
+    # later local run overwrites the sidecar
+    with open(detail_path) as fh:
+        assert json.load(fh)["value"] == total, "BENCH_DETAIL.json write mismatch"
 
     line_budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1400"))
     base = {

@@ -3,9 +3,11 @@ choice so a pandas/pyarrow upgrade can't silently invert it. The Arrow
 kernel (whole-batch ``np.add.reduceat`` segment sum) was measured ~10x
 the expression fold; ``simhash64(use_arrow=True)`` is the default on
 that basis. This smoke times both at sf0.01, records the numbers into
-``BENCH_DETAIL.json`` for the round ledger, and fails only on a gross
-inversion (expression path beating Arrow by 2x) — a loose bound on a
-noisy box, tight enough to catch a regressed kernel.
+``PERF_SMOKE.json`` (untracked — the test must not mutate the committed
+``BENCH_DETAIL.json`` ledger, whose canonical single-line format
+bench.py owns), and fails only on a gross inversion (expression path
+beating Arrow by 2x) — a loose bound on a noisy box, tight enough to
+catch a regressed kernel.
 
 Skipped by default (perf tests don't belong in the correctness wall);
 run with ``SPARK_GRAFT_PERF_SMOKE=1 pytest tests/test_perf_smoke.py``.
@@ -25,7 +27,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 _DETAIL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "BENCH_DETAIL.json")
+                       "PERF_SMOKE.json")
 
 
 def test_simhash_arrow_beats_expression(spark):
