@@ -13,12 +13,23 @@ width/height/duration from the payload bytes. ``decode_stub=False`` does
 REAL header-level decoding with no third-party libs — image dimensions
 from BMP/PNG/GIF/PPM/JPEG headers and audio duration from a RIFF/WAVE
 chunk walk (all public file-format layouts); formats that need a full
-codec stack (compressed video, pixel access) yield NULL fields rather
-than crashing the task, matching large-pipeline robustness norms.
-Pixel-level work (``resize_images`` with ``decode_stub=False``) still
-raises NotImplementedError — that genuinely needs PIL/ffmpeg, which this
-container lacks. The Spark-side plumbing — schema, batch iteration, UDF
-signatures — is real and tested either way.
+codec stack (compressed video) yield NULL fields rather than crashing
+the task, matching large-pipeline robustness norms.
+
+PIXEL decode is REAL for the stdlib-decodable formats (round 8):
+``decode_pixels`` parses uncompressed 24-bpp BMP (bottom-up BGR with row
+padding, or top-down via negative height), binary PPM ``P6`` (maxval
+255, ``#`` comments), and 8-bit RGB PNG — full ``zlib`` inflate plus
+per-row reconstruction of all five PNG filter types (None/Sub/Up/
+Average/Paeth) — into a canonical top-down RGB byte stream, then emits
+per-channel sums / pixel counts / a pixel sha256 (features, not pixels,
+so downstream shuffles stay narrow). Malformed, truncated, or
+unsupported payloads yield a NULL-stats row, never a dead task, and a
+decompression-bomb guard caps claimed dimensions and inflate output.
+Only JPEG pixel access and video codecs remain behind
+NotImplementedError (``resize_images`` / ``sample_frames`` with
+``decode_stub=False``) — those genuinely need libjpeg/ffmpeg, which
+this container lacks.
 """
 
 from __future__ import annotations
@@ -375,3 +386,350 @@ def sample_frames(
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "ts_ms", "frame_payload"])
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel decode (round 8): BMP / PPM / PNG -> canonical RGB, stdlib only.
+#
+# The synthetic payloads are id-parameterized so a DuckDB oracle predicts the
+# per-channel sums arithmetically: raw top-down RGB byte j of media ``id`` is
+# (id + j) % 256. A matching sum therefore proves the engine decoded every
+# byte through the real container format — including the PNG path, whose
+# encoder rotates the row filter (r % 5) so a decoder that does not
+# reconstruct Sub/Up/Average/Paeth correctly cannot reproduce the raw stream.
+# (Reference context: the fake-object content generator,
+# /root/reference/src/main.py:977-1020, is the analogous synthesize-then-
+# deliver media surface.)
+# ---------------------------------------------------------------------------
+
+_MAX_PIXELS = 1 << 24  # decompression-bomb guard: ~16M px, far above any test
+
+
+def _raw_fill(media_id: int, w: int, h: int) -> bytes:
+    """Deterministic raw RGB stream (top-down rows, RGB order)."""
+    n = w * h * 3
+    # (id + j) % 256 for j in range(n) == the byte ring rotated by id
+    ring = bytes(range(256)) * (n // 256 + 2)
+    return ring[media_id % 256 : media_id % 256 + n]
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png_encode(raw: bytes, w: int, h: int) -> bytes:
+    """Minimal 8-bit RGB PNG writer. Row r uses filter type r % 5, so the
+    encoded stream exercises every PNG filter; the decoder must invert
+    them all to recover ``raw``."""
+    import zlib
+
+    stride = w * 3
+    out = bytearray()
+    prior = bytes(stride)
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        f = r % 5
+        out.append(f)
+        if f == 0:
+            out += row
+        elif f == 1:  # Sub
+            out += bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                         for i in range(stride))
+        elif f == 2:  # Up
+            out += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            out += bytes((row[i] - ((row[i - 3] if i >= 3 else 0) + prior[i]) // 2) & 0xFF
+                         for i in range(stride))
+        else:  # Paeth
+            out += bytes((row[i] - _paeth(row[i - 3] if i >= 3 else 0,
+                                          prior[i],
+                                          prior[i - 3] if i >= 3 else 0)) & 0xFF
+                         for i in range(stride))
+        prior = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))  # bitdepth 8, RGB, no interlace
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _ppm_encode(raw: bytes, w: int, h: int) -> bytes:
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + raw
+
+
+def _bmp_encode(raw: bytes, w: int, h: int) -> bytes:
+    """24-bpp bottom-up BGR BMP with 4-byte row padding around ``raw``
+    (top-down RGB) — the standard layout _parse_image_dims already reads."""
+    stride = (w * 3 + 3) // 4 * 4
+    pad = bytes(stride - w * 3)
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = raw[r * w * 3 : (r + 1) * w * 3]
+        for c in range(w):
+            px = row[c * 3 : c * 3 + 3]
+            body += bytes((px[2], px[1], px[0]))  # RGB -> BGR
+        body += pad
+    header = (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + bytes(body)
+
+
+def _decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h_raw = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if w <= 0 or h_raw == 0 or bpp != 24 or compression != 0:
+        return None
+    h = abs(h_raw)
+    if w * h > _MAX_PIXELS:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if data_off + stride * h > len(b):
+        return None
+    raw = bytearray(w * h * 3)
+    for out_r in range(h):
+        # positive height = bottom-up storage; negative = top-down
+        file_r = (h - 1 - out_r) if h_raw > 0 else out_r
+        row = b[data_off + file_r * stride : data_off + file_r * stride + w * 3]
+        for c in range(w):
+            raw[(out_r * w + c) * 3 + 0] = row[c * 3 + 2]
+            raw[(out_r * w + c) * 3 + 1] = row[c * 3 + 1]
+            raw[(out_r * w + c) * 3 + 2] = row[c * 3 + 0]
+    return w, h, bytes(raw)
+
+
+def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    if len(b) < 10 or b[:2] != b"P6":
+        return None
+    # header: three whitespace-separated ints, '#' comments to end-of-line
+    toks: list[int] = []
+    i, n = 2, len(b)
+    while i < n and len(toks) < 3:
+        ch = b[i]
+        if ch == 0x23:  # '#'
+            while i < n and b[i] not in (0x0A, 0x0D):
+                i += 1
+        elif ch in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            i += 1
+        elif 0x30 <= ch <= 0x39:
+            j = i
+            while j < n and 0x30 <= b[j] <= 0x39:
+                j += 1
+            toks.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    if len(toks) < 3 or i >= n:
+        return None
+    w, h, maxval = toks
+    if w <= 0 or h <= 0 or maxval != 255 or w * h > _MAX_PIXELS:
+        return None
+    i += 1  # exactly one whitespace byte separates maxval from pixel data
+    if i + w * h * 3 > n:
+        return None
+    return w, h, b[i : i + w * h * 3]
+
+
+def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    import zlib
+
+    if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = None
+    idat = bytearray()
+    i = 8
+    while i + 12 <= len(b):
+        clen = int.from_bytes(b[i : i + 4], "big")
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            return None
+        if tag == b"IHDR":
+            if clen != 13 or body[8:13] != bytes([8, 2, 0, 0, 0]):
+                return None  # only 8-bit RGB non-interlaced
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+                return None
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + clen
+    if w is None or not idat:
+        return None
+    stride = w * 3
+    expected = (stride + 1) * h
+    try:
+        # bounded inflate: a bomb claiming small dims can't blow memory
+        dec = zlib.decompressobj()
+        data = dec.decompress(bytes(idat), expected)
+        if len(data) != expected or dec.decompress(b"", 1):
+            return None
+    except zlib.error:
+        return None
+    raw = bytearray(w * h * 3)
+    prior = bytes(stride)
+    for r in range(h):
+        f = data[r * (stride + 1)]
+        line = data[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        row = bytearray(stride)
+        if f == 0:
+            row[:] = line
+        elif f == 1:  # Sub
+            for i2 in range(stride):
+                row[i2] = (line[i2] + (row[i2 - 3] if i2 >= 3 else 0)) & 0xFF
+        elif f == 2:  # Up
+            for i2 in range(stride):
+                row[i2] = (line[i2] + prior[i2]) & 0xFF
+        elif f == 3:  # Average
+            for i2 in range(stride):
+                row[i2] = (line[i2] + ((row[i2 - 3] if i2 >= 3 else 0) + prior[i2]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i2 in range(stride):
+                row[i2] = (line[i2] + _paeth(row[i2 - 3] if i2 >= 3 else 0,
+                                             prior[i2],
+                                             prior[i2 - 3] if i2 >= 3 else 0)) & 0xFF
+        else:
+            return None
+        raw[r * stride : (r + 1) * stride] = row
+        prior = bytes(row)
+    return w, h, bytes(raw)
+
+
+def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
+    """Sniff + decode one payload to (fmt, w, h, top-down RGB bytes); None
+    for anything malformed, truncated, or outside the supported trio."""
+    if not b or len(b) < 10:
+        return None
+    try:
+        if b[:2] == b"BM":
+            out = _decode_bmp_pixels(b)
+            return ("bmp",) + out if out else None
+        if b[:2] == b"P6":
+            out = _decode_ppm_pixels(b)
+            return ("ppm",) + out if out else None
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            out = _decode_png_pixels(b)
+            return ("png",) + out if out else None
+    except (ValueError, IndexError, OverflowError):
+        return None
+    return None
+
+
+PIXELS_SCHEMA = StructType([
+    StructField("media_id", LongType(), True),
+    StructField("fmt", StringType(), True),
+    StructField("width", LongType(), True),
+    StructField("height", LongType(), True),
+    StructField("n_pixels", LongType(), True),
+    StructField("r_sum", LongType(), True),
+    StructField("g_sum", LongType(), True),
+    StructField("b_sum", LongType(), True),
+    StructField("pixel_sha256", StringType(), True),
+])
+
+
+def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic pixel-bearing media from an id column: id % 3 picks
+    the container (0 BMP, 1 PPM, 2 PNG), dims w = 1 + id % 32 /
+    h = 1 + id % 24, raw RGB byte j = (id + j) % 256 — fully
+    id-parameterized so the oracle predicts decoded stats arithmetically
+    while the engine parses real container bytes. NULL ids synthesize as
+    id 0 with media_id kept NULL (same convention as synthetic_media)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def build(i: int) -> bytes:
+            w, h = 1 + i % 32, 1 + i % 24
+            raw = _raw_fill(i, w, h)
+            if i % 3 == 0:
+                return _bmp_encode(raw, w, h)
+            if i % 3 == 1:
+                return _ppm_encode(raw, w, h)
+            return _png_encode(raw, w, h)
+
+        for pdf in batches:
+            mids = pdf[id_col].astype("Int64")
+            filled = mids.fillna(0)
+            yield pd.DataFrame({
+                "media_id": mids,
+                "kind": "image",
+                "payload": filled.map(lambda i: build(int(i))),
+                "source_uri": "synthetic-px://" + filled.astype(str),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_pixels(media: DataFrame) -> DataFrame:
+    """REAL pixel decode stage: BMP/PPM/PNG payloads to per-channel stats
+    (sums, pixel count, canonical-RGB sha256) as an Arrow-batched
+    mapInPandas — fat binary rows in, narrow feature rows out, so only
+    features shuffle downstream. Undecodable rows keep their id with
+    NULL stats (quarantine-friendly, never a dead task)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                out = decode_pixels_bytes(b)
+                if out is None:
+                    rows.append({"media_id": mid, "fmt": None, "width": None,
+                                 "height": None, "n_pixels": None, "r_sum": None,
+                                 "g_sum": None, "b_sum": None, "pixel_sha256": None})
+                    continue
+                fmt, w, h, raw = out
+                sums = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).sum(
+                    axis=0, dtype=np.int64)
+                rows.append({
+                    "media_id": mid, "fmt": fmt, "width": w, "height": h,
+                    "n_pixels": w * h,
+                    "r_sum": int(sums[0]), "g_sum": int(sums[1]), "b_sum": int(sums[2]),
+                    "pixel_sha256": hashlib.sha256(raw).hexdigest(),
+                })
+            out_pdf = pd.DataFrame(rows, columns=[f.name for f in PIXELS_SCHEMA])
+            for c in ("width", "height", "n_pixels", "r_sum", "g_sum", "b_sum"):
+                out_pdf[c] = out_pdf[c].astype("Int64")
+            yield out_pdf
+
+    return media.mapInPandas(run, schema=PIXELS_SCHEMA)

@@ -1,0 +1,172 @@
+"""Round-8 real pixel decode: BMP/PPM/PNG -> canonical RGB with stdlib
+only (operators/multimodal.py decode_pixels). The synthetic payloads are
+id-parameterized (raw byte j = (id + j) % 256) so every assertion has an
+arithmetic expected value; the PNG encoder rotates row filters (r % 5),
+so round-tripping proves all five filter reconstructions.
+
+Reference context: the fake-object content surface the media column
+models is /root/reference/src/main.py:977-1020 (synthesize-then-deliver
+payload bytes)."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pytest
+
+from amazon_macie_activity_generator_spark.operators.multimodal import (
+    _bmp_encode,
+    _png_chunk,
+    _png_encode,
+    _ppm_encode,
+    _raw_fill,
+    decode_pixels,
+    decode_pixels_bytes,
+    synthetic_pixel_media,
+)
+from amazon_macie_activity_generator_spark.sources.tables import load_table
+
+# ------------------------------------------------------------ pure codec
+
+
+@pytest.mark.parametrize("media_id", [0, 1, 2, 3, 4, 23, 24, 31, 255, 256, 12345])
+@pytest.mark.parametrize(
+    "enc,fmt", [(_bmp_encode, "bmp"), (_ppm_encode, "ppm"), (_png_encode, "png")]
+)
+def test_codec_round_trip(media_id, enc, fmt):
+    w, h = 1 + media_id % 32, 1 + media_id % 24
+    raw = _raw_fill(media_id, w, h)
+    assert all(raw[j] == (media_id + j) % 256 for j in range(len(raw)))
+    out = decode_pixels_bytes(enc(raw, w, h))
+    assert out == (fmt, w, h, raw)
+
+
+def test_png_all_filters_exercised():
+    # h >= 5 so the encoder's r % 5 rotation emits every filter type;
+    # a decoder with a wrong Sub/Up/Average/Paeth cannot round-trip
+    raw = _raw_fill(7, 16, 9)
+    payload = _png_encode(raw, 16, 9)
+    # pull filter bytes back out of the IDAT stream to prove the claim
+    idat_off = payload.index(b"IDAT") + 4
+    idat_len = int.from_bytes(payload[idat_off - 8 : idat_off - 4], "big")
+    data = zlib.decompress(payload[idat_off : idat_off + idat_len])
+    filters = {data[r * (16 * 3 + 1)] for r in range(9)}
+    assert filters == {0, 1, 2, 3, 4}
+    assert decode_pixels_bytes(payload) == ("png", 16, 9, raw)
+
+
+def test_bmp_top_down_negative_height():
+    # negative BITMAPINFOHEADER height = rows stored top-down: flip the
+    # encoder's bottom-up body back and assert the decoder handles it
+    w, h = 5, 4
+    raw = _raw_fill(9, w, h)
+    b = bytearray(_bmp_encode(raw, w, h))
+    stride = (w * 3 + 3) // 4 * 4
+    body = b[54:]
+    flipped = b"".join(
+        bytes(body[r * stride : (r + 1) * stride]) for r in range(h - 1, -1, -1)
+    )
+    b[54:] = flipped
+    b[22:26] = (-h).to_bytes(4, "little", signed=True)
+    assert decode_pixels_bytes(bytes(b)) == ("bmp", w, h, raw)
+
+
+def test_ppm_comments_and_split_header():
+    raw = _raw_fill(3, 4, 2)
+    payload = b"P6\n# c1\n4 # inline\n# c2\n2\n255\n" + raw
+    assert decode_pixels_bytes(payload) == ("ppm", 4, 2, raw)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        None,
+        b"",
+        b"hello world not an image",
+        b"BM" + b"\x00" * 60,                       # zeroed BMP header
+        b"P6\n5 5\n255\n" + b"\x00" * 10,            # truncated PPM body
+        b"P6\n5 5\n65535\n" + b"\x00" * 200,         # 16-bit maxval unsupported
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 50,        # garbage chunks
+    ],
+)
+def test_malformed_payloads_yield_none(payload):
+    assert decode_pixels_bytes(payload) is None
+
+
+def test_truncated_png_yields_none():
+    payload = _png_encode(_raw_fill(7, 8, 8), 8, 8)
+    assert decode_pixels_bytes(payload[: len(payload) // 2]) is None
+
+
+def test_png_bomb_guard():
+    # tiny IDAT, colossal claimed dims: must be rejected, not allocated
+    ihdr = (1 << 15).to_bytes(4, "big") * 2 + bytes([8, 2, 0, 0, 0])
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_pixels_bytes(bomb) is None
+
+
+def test_png_wrong_color_type_rejected():
+    # grayscale (color type 0) is outside the supported trio's contract
+    raw = _raw_fill(1, 4, 4)
+    payload = bytearray(_png_encode(raw, 4, 4))
+    ihdr_at = payload.index(b"IHDR") + 4
+    payload[ihdr_at + 9] = 0  # color type byte
+    # CRC now wrong too, but IHDR validation fires first either way
+    assert decode_pixels_bytes(bytes(payload)) is None
+
+
+# ------------------------------------------------------------ spark stage
+
+
+def test_decode_pixels_stage_matches_arithmetic(spark, sf_dir):
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 60"
+    )
+    rows = decode_pixels(synthetic_pixel_media(ids)).collect()
+    assert len(rows) == 60
+    for r in rows:
+        i = r.media_id
+        w, h = 1 + i % 32, 1 + i % 24
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.fmt == {0: "bmp", 1: "ppm", 2: "png"}[i % 3]
+        expected = [0, 0, 0]
+        for j in range(w * h * 3):
+            expected[j % 3] += (i + j) % 256
+        assert (r.r_sum, r.g_sum, r.b_sum) == tuple(expected)
+        assert r.pixel_sha256 == hashlib.sha256(_raw_fill(i, w, h)).hexdigest()
+
+
+def test_decode_pixels_quarantines_garbage(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "media_id": pd.array([1, 2, None], dtype="Int64"),
+        "kind": ["image"] * 3,
+        "payload": [b"not an image at all", None, _ppm_encode(_raw_fill(0, 1, 1), 1, 1)],
+        "source_uri": ["x"] * 3,
+    })
+    from amazon_macie_activity_generator_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in decode_pixels(media).collect()}
+    assert rows[1].fmt is None and rows[1].r_sum is None   # garbage -> NULL stats
+    assert rows[2].fmt is None                              # NULL payload
+    assert rows[None].fmt == "ppm" and rows[None].n_pixels == 1  # id survives as NULL
+
+
+def test_synthetic_pixel_media_null_id(spark):
+    import pandas as pd
+
+    ids = spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.array([5, None], dtype="Int64")})
+    )
+    rows = {r.media_id: r for r in synthetic_pixel_media(ids).collect()}
+    assert set(rows) == {5, None}
+    # NULL id synthesizes deterministically as id 0 but keeps media_id NULL
+    assert bytes(rows[None].payload) == _bmp_encode(_raw_fill(0, 1, 1), 1, 1)
