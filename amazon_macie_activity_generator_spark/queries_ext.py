@@ -1461,17 +1461,18 @@ GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding int8 quantization (operators/similarity.py:quantize_int8):
+    """Embedding int8 quantization (operators/similarity.py
+    with_quantize_int8 — the hoisted form; the captured-expression Column
+    form re-evaluates the O(dim) scale tree per element, 5.4x slower):
     per-vector scale, integer checksum of the quantized codes (exact
     cross-engine), and L2 reconstruction error (round 4)."""
     from amazon_macie_activity_generator_spark.operators.similarity import (
         dequant_error,
-        quantize_int8,
+        with_quantize_int8,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qz = quantize_int8(F.col("embedding"))
-    out = emb.select("vec_id", qz.alias("qz"), "embedding")
+    out = with_quantize_int8(emb).select("vec_id", "qz", "embedding")
     return out.select(
         "vec_id",
         F.round(F.col("qz.scale"), 6).alias("scale6"),

@@ -391,6 +391,40 @@ def test_quantize_int8_roundtrip_bounds(spark):
     assert by_id[2]["err"] == 0.0
 
 
+def test_with_quantize_int8_equals_column_form(spark):
+    """The hoisted DataFrame form (O(dim) per row) and the captured-
+    expression Column form (O(dim^2) — see the PERF note) must produce
+    identical structs, including the non-finite and zero-vector guards."""
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        quantize_int8,
+        with_quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [float("nan"), 1.0, 2.0, 3.0]),
+            (4, [float("inf"), 1.0, 2.0, 3.0]),
+            (5, [1.0, None, 2.0, 3.0]),
+            (6, []),
+            (7, None),
+        ],
+        "id long, embedding array<float>",
+    )
+    col_form = {
+        r["id"]: (r["qz"]["scale"], r["qz"]["q"])
+        for r in df.select("id", quantize_int8(F.col("embedding")).alias("qz")).collect()
+    }
+    hoisted = {
+        r["id"]: (r["qz"]["scale"], r["qz"]["q"])
+        for r in with_quantize_int8(df).select("id", "qz").collect()
+    }
+    assert col_form == hoisted
+    assert hoisted[3] == (None, None) and hoisted[4] == (None, None)
+    assert hoisted[5] == (None, None)
+
+
 def test_sliding_counts_fanout(spark):
     from amazon_macie_activity_generator_spark.operators.sessionize import (
         sliding_counts,
