@@ -519,16 +519,16 @@ def _decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     stride = (w * 3 + 3) // 4 * 4
     if data_off + stride * h > len(b):
         return None
-    raw = bytearray(w * h * 3)
-    for out_r in range(h):
-        # positive height = bottom-up storage; negative = top-down
-        file_r = (h - 1 - out_r) if h_raw > 0 else out_r
-        row = b[data_off + file_r * stride : data_off + file_r * stride + w * 3]
-        for c in range(w):
-            raw[(out_r * w + c) * 3 + 0] = row[c * 3 + 2]
-            raw[(out_r * w + c) * 3 + 1] = row[c * 3 + 1]
-            raw[(out_r * w + c) * 3 + 2] = row[c * 3 + 0]
-    return w, h, bytes(raw)
+    # vectorized: a per-pixel Python loop costs ~0.4 s/Mpx, which turns
+    # one max-size hostile payload into a multi-second straggler task
+    import numpy as np
+
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)
+    if h_raw > 0:  # positive height = bottom-up storage; negative = top-down
+        px = px[::-1]
+    return w, h, px[..., ::-1].tobytes()  # BGR -> RGB
 
 
 def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
@@ -601,20 +601,27 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             return None
     except zlib.error:
         return None
+    import numpy as np
+
     raw = bytearray(w * h * 3)
     prior = bytes(stride)
     for r in range(h):
         f = data[r * (stride + 1)]
         line = data[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
         row = bytearray(stride)
+        # None/Up have no left dependency — vectorize (the common filters
+        # on photographic content); Sub/Average/Paeth accumulate left to
+        # right and stay per-byte, bounded by one row's width
         if f == 0:
             row[:] = line
+        elif f == 2:  # Up
+            row[:] = (
+                (np.frombuffer(line, dtype=np.uint8).astype(np.uint16)
+                 + np.frombuffer(prior, dtype=np.uint8)) & 0xFF
+            ).astype(np.uint8).tobytes()
         elif f == 1:  # Sub
             for i2 in range(stride):
                 row[i2] = (line[i2] + (row[i2 - 3] if i2 >= 3 else 0)) & 0xFF
-        elif f == 2:  # Up
-            for i2 in range(stride):
-                row[i2] = (line[i2] + prior[i2]) & 0xFF
         elif f == 3:  # Average
             for i2 in range(stride):
                 row[i2] = (line[i2] + ((row[i2 - 3] if i2 >= 3 else 0) + prior[i2]) // 2) & 0xFF

@@ -1667,14 +1667,19 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-local evidence (unit-tested), excluded here because DuckDB
     cannot build arbitrary-byte blobs to hash. NULL doc_ids are excluded
     in BOTH engines — the corpus-wide no-key-no-identity rule (payloads
-    here are synthesized FROM the id, so an id-less row has no media)."""
+    here are synthesized FROM the id, so an id-less row has no media) —
+    and so are negative ids: Python's floored % and DuckDB's truncated %
+    disagree below zero (-1 % 32 is 31 vs -1), so the id-parameterized
+    payload grammar is defined over non-negative ids only."""
     from amazon_macie_activity_generator_spark.operators.multimodal import (
         decode_pixels,
         synthetic_pixel_media,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull() & (F.col("doc_id") < 300)
+        F.col("doc_id").isNotNull()
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < 300)
     )
     media = synthetic_pixel_media(docs.select("doc_id"))
     out = decode_pixels(media)
@@ -1686,12 +1691,16 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_PIXELS = """
 WITH m AS (
+  -- rk: one output row PER INPUT ROW — grouping by media_id alone would
+  -- collapse duplicate doc_ids into one row with doubled sums while the
+  -- Spark side emits one decoded row per input row
   SELECT doc_id AS media_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
          CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
          1 + doc_id % 32 AS w, 1 + doc_id % 24 AS h
-  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 300
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 300
 ), px AS (
-  SELECT media_id, fmt, w, h, unnest(range(w * h * 3)) AS j FROM m
+  SELECT media_id, rk, fmt, w, h, unnest(range(w * h * 3)) AS j FROM m
 )
 SELECT media_id, fmt,
        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
@@ -1699,7 +1708,7 @@ SELECT media_id, fmt,
        CAST(sum(CASE WHEN j % 3 = 0 THEN (media_id + j) % 256 END) AS BIGINT) AS r_sum,
        CAST(sum(CASE WHEN j % 3 = 1 THEN (media_id + j) % 256 END) AS BIGINT) AS g_sum,
        CAST(sum(CASE WHEN j % 3 = 2 THEN (media_id + j) % 256 END) AS BIGINT) AS b_sum
-FROM px GROUP BY media_id, fmt, w, h
+FROM px GROUP BY media_id, rk, fmt, w, h
 """
 
 

@@ -65,30 +65,45 @@ def _compose(children: st.SearchStrategy) -> st.SearchStrategy:
 FORMULAS = st.recursive(_LEAVES, _compose, max_leaves=8)
 
 
-def _subexpressions(formula: str) -> list[str]:
-    """Every expression node of the formula, unparsed back to a formula
-    string — used to run the magnitude guard through the engine's OWN
-    interpreter instead of a third evaluator the test would have to trust."""
+def _subexpressions_innermost_first(formula: str) -> list[ast.AST]:
+    """Every expression node, INNERMOST FIRST (post-order). Order matters:
+    the magnitude guard must reject an inner subexpression BEFORE the
+    outer one is ever evaluated — ``(3 ** (3 ** (3 ** 3)))`` is rejected
+    at the 3**27 ≈ 7.6e12 step instead of materializing a terabyte-sized
+    Python int at the outer power."""
     tree = ast.parse(formula, mode="eval")
-    return [
-        ast.unparse(node)
-        for node in ast.walk(tree)
-        if isinstance(node, (ast.BinOp, ast.UnaryOp, ast.Call, ast.Name, ast.Constant))
-    ]
+    out: list[ast.AST] = []
+
+    def walk(node: ast.AST) -> None:
+        for child in ast.iter_child_nodes(node):
+            walk(child)
+        if isinstance(node, (ast.BinOp, ast.UnaryOp, ast.Call, ast.Name, ast.Constant)):
+            out.append(node)
+
+    walk(tree)
+    return out
 
 
 def _interpreter_value(formula: str, t: int) -> float | None:
     """The interpreter's verdict at t, or None when this t is outside the
-    comparable domain (interpreter raised, or a subexpression's magnitude
-    enters the documented mod-emulation divergence zone)."""
+    comparable domain (interpreter raised, a subexpression's magnitude
+    enters the documented mod-emulation divergence zone, or an int power
+    could allocate an unbounded bignum)."""
     try:
-        for sub in _subexpressions(formula):
-            v = eval_formula_step(sub, t, DATAPOINTS)
+        for node in _subexpressions_innermost_first(formula):
+            # unbounded-bignum guard: by post-order, a Pow's operands are
+            # already magnitude-checked (<= 1e12), but 2 ** 1e12 would
+            # still be a 125 GB int — cap the exponent before evaluating
+            if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Pow):
+                rhs = eval_formula_step(ast.unparse(node.right), t, DATAPOINTS)
+                if not math.isnan(rhs) and abs(rhs) > 1e4:
+                    return None
+            v = eval_formula_step(ast.unparse(node), t, DATAPOINTS)
             if not math.isnan(v) and abs(v) > _MAG_CAP:
                 return None
         want = float(eval_formula_step(formula, t, DATAPOINTS))
-    except (ArithmeticError, ValueError):  # ZeroDivision/Overflow/domain
-        return None
+    except (ArithmeticError, ValueError, MemoryError):
+        return None  # ZeroDivision/Overflow/domain/bignum — not comparable
     if math.isinf(want):
         return None
     return want

@@ -25,28 +25,33 @@ bucket). Measured skew-vs-uniform wall-clock lives in SCALE.md
 
 from __future__ import annotations
 
+import os
 import shutil
+import sys
 import time
 
 import duckdb
-import numpy as np
-import pandas as pd
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
 import __spark_entry__ as entrymod
 from _cross_engine import assert_agree as _assert_agree
 
+# the skew RECIPES are single-sourced in scripts/skew_stress.py (this
+# sweep validates correctness on the same corpus shapes the SCALE.md
+# wall-clock numbers are measured on — shared builders keep the two from
+# de-syncing), imported here at smaller copy counts
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+from skew_stress import (  # noqa: E402
+    write_dup_cluster_docs,
+    write_hot_part_lineitem,
+    write_hub_user_events,
+    write_identical_vec_emb,
+)
+
 SRC = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-
-HUB_USER = 42
-HOT_TYPE = "view"
-DUP_TEXT = ("the quiet harbor town woke early and the fishing boats left "
-            "before the sun cleared the eastern ridge while gulls followed "
-            "the wake looking for scraps of the morning catch")
 
 
 def _clone(tmp_path_factory, name: str, skip: set[str]) -> str:
@@ -55,13 +60,6 @@ def _clone(tmp_path_factory, name: str, skip: set[str]) -> str:
         if t not in skip:
             shutil.copy(f"{SRC}/{t}.parquet", str(d / f"{t}.parquet"))
     return str(d)
-
-
-def _write_ts_ns(frame: pd.DataFrame, path: str) -> None:
-    t = pa.Table.from_pandas(frame, preserve_index=False)
-    fields = [pa.field(f.name, pa.timestamp("ns"))
-              if pa.types.is_timestamp(f.type) else f for f in t.schema]
-    pq.write_table(t.cast(pa.schema(fields)), path)
 
 
 def _duck_for(sf_dir: str):
@@ -78,12 +76,7 @@ def _duck_for(sf_dir: str):
 @pytest.fixture(scope="module")
 def skew_ev_dir(tmp_path_factory):
     d = _clone(tmp_path_factory, "skew_ev", skip={"events"})
-    ev = duckdb.sql(f"SELECT * FROM '{SRC}/events.parquet'").df()
-    n = len(ev)
-    idx = np.arange(n)
-    ev["user_id"] = np.where(idx % 10 < 3, HUB_USER, ev["user_id"])
-    ev["event_type"] = np.where(idx % 10 < 9, HOT_TYPE, ev["event_type"])
-    _write_ts_ns(ev, f"{d}/events.parquet")
+    write_hub_user_events(SRC, f"{d}/events.parquet")
     return d
 
 
@@ -132,21 +125,9 @@ def test_hub_key_aggregation_is_partial(spark, skew_ev_dir):
 @pytest.fixture(scope="module")
 def skew_doc_dir(tmp_path_factory):
     d = _clone(tmp_path_factory, "skew_doc", skip={"documents"})
-    docs = duckdb.sql(f"SELECT * FROM '{SRC}/documents.parquet'").df()
-    idx = np.arange(len(docs))
-    docs["source"] = np.where(idx % 10 < 8, "s1", docs["source"])  # hub source
-    cluster = pd.DataFrame({
-        "doc_id": np.arange(50_001, 50_151, dtype=np.int64),
-        "text": DUP_TEXT,
-        "lang": "en",
-        "source": np.where(np.arange(150) % 2 == 0, "s1", "s2"),
-        "n_chars": np.int64(len(DUP_TEXT)),
-    })
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat([docs, cluster], ignore_index=True),
-                             preserve_index=False),
-        f"{d}/documents.parquet",
-    )
+    write_dup_cluster_docs(SRC, f"{d}/documents.parquet", n_copies=150,
+                           id_start=50_001, hub_source_frac=8,
+                           alternate_cluster_sources=True)
     return d
 
 
@@ -183,19 +164,8 @@ def test_engines_agree_on_duplicate_cluster(name, spark, skew_doc_dir, skew_doc_
 @pytest.fixture(scope="module")
 def mega_doc_dir(tmp_path_factory):
     d = _clone(tmp_path_factory, "mega_doc", skip={"documents"})
-    docs = duckdb.sql(f"SELECT * FROM '{SRC}/documents.parquet'").df()
-    cluster = pd.DataFrame({
-        "doc_id": np.arange(100_001, 110_001, dtype=np.int64),
-        "text": DUP_TEXT,
-        "lang": "en",
-        "source": "s1",
-        "n_chars": np.int64(len(DUP_TEXT)),
-    })
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat([docs, cluster], ignore_index=True),
-                             preserve_index=False),
-        f"{d}/documents.parquet",
-    )
+    write_dup_cluster_docs(SRC, f"{d}/documents.parquet", n_copies=10_000,
+                           id_start=100_001)
     return d
 
 
@@ -231,14 +201,8 @@ def test_linear_paths_absorb_mega_cluster(name, spark, mega_doc_dir, mega_doc_du
 @pytest.fixture(scope="module")
 def skew_emb_dir(tmp_path_factory):
     d = _clone(tmp_path_factory, "skew_emb", skip={"embeddings"})
-    emb = duckdb.sql(f"SELECT * FROM '{SRC}/embeddings.parquet'").arrow()
-    one = emb.slice(0, 1).to_pylist()[0]
-    clones = pa.Table.from_pylist(
-        [{"vec_id": 90_001 + i, "embedding": one["embedding"], "label": one["label"]}
-         for i in range(300)],
-        schema=emb.schema,
-    )
-    pq.write_table(pa.concat_tables([emb, clones]), f"{d}/embeddings.parquet")
+    write_identical_vec_emb(SRC, f"{d}/embeddings.parquet", n_clones=300,
+                            id_start=90_001)
     return d
 
 
@@ -273,17 +237,7 @@ def test_engines_agree_on_identical_vector_bucket(name, spark, skew_emb_dir, ske
 @pytest.fixture(scope="module")
 def skew_li_dir(tmp_path_factory):
     d = _clone(tmp_path_factory, "skew_li", skip={"lineitem"})
-    hot = duckdb.sql(f"SELECT min(l_partkey) FROM '{SRC}/lineitem.parquet'").fetchone()[0]
-    # duckdb COPY preserves the source column types (incl. the DOUBLE
-    # money columns a pandas round-trip could disturb)
-    duckdb.sql(f"""
-        COPY (
-          SELECT * REPLACE (
-            CASE WHEN (l_orderkey * 7 + l_linenumber) % 10 < 3
-                 THEN {hot} ELSE l_partkey END AS l_partkey)
-          FROM '{SRC}/lineitem.parquet'
-        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
-    """)
+    write_hot_part_lineitem(SRC, f"{d}/lineitem.parquet")
     return d
 
 
