@@ -26,10 +26,12 @@ per-channel sums / pixel counts / a pixel sha256 (features, not pixels,
 so downstream shuffles stay narrow). Malformed, truncated, or
 unsupported payloads yield a NULL-stats row, never a dead task, and a
 decompression-bomb guard caps claimed dimensions and inflate output.
-Only JPEG pixel access and video codecs remain behind
-NotImplementedError (``resize_images`` / ``sample_frames`` with
-``decode_stub=False``) — those genuinely need libjpeg/ffmpeg, which
-this container lacks.
+``resize_images(decode_stub=False)`` rides the same decoders: real
+nearest-neighbor resize for the decodable trio, NULL-payload quarantine
+otherwise. Only video codecs remain behind NotImplementedError
+(``sample_frames`` with ``decode_stub=False``) — frame-accurate seeking
+genuinely needs ffmpeg, which this container lacks; JPEG payloads
+header-decode (dims) but quarantine at pixel access.
 """
 
 from __future__ import annotations
@@ -316,19 +318,45 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage (the training-pipeline normalization step) as
     Arrow-batched mapInPandas. Stub mode emits a deterministic payload
-    digest sized ``width*height//64`` bytes in place of real pixels (a
-    real build calls PIL ``Image.resize`` here); schema/batching/
-    partitioning are the real production shape — fat rows in, fat rows
-    out, so run it AFTER any repartition that spreads payload bytes."""
+    digest sized ``width*height//64`` bytes in place of real pixels;
+    schema/batching/partitioning are the real production shape — fat rows
+    in, fat rows out, so run it AFTER any repartition that spreads
+    payload bytes.
+
+    ``decode_stub=False`` is REAL since round 8: payloads decodable by
+    :func:`decode_pixels_bytes` (BMP/PPM/PNG) are nearest-neighbor
+    resized to ``width x height`` raw RGB (src pixel (y*h//H, x*w//W) —
+    the standard NN mapping, exactly reproducible by an oracle or test
+    arithmetically). Undecodable payloads (JPEG pixels, video, garbage)
+    quarantine to a NULL payload row, the same never-a-dead-task contract
+    as decode_pixels."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
 
+        import numpy as np
         import pandas as pd
+
+        def real_resize(b: bytes | None) -> bytes | None:
+            out = decode_pixels_bytes(b)
+            if out is None:
+                return None
+            _, w, h, raw = out
+            px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return px[rows][:, cols].tobytes()
 
         for pdf in batches:
             if not decode_stub:
-                raise NotImplementedError("image codecs not available in this environment")
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(real_resize),
+                    "width": width,
+                    "height": height,
+                })
+                continue
             n = max(1, width * height // 64)
 
             def fake_pixels(b: bytes | None) -> bytes:

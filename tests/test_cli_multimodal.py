@@ -36,10 +36,40 @@ def test_resize_images_stub(spark, sf_dir):
     }
 
 
-def test_resize_without_codec_raises(spark, sf_dir):
+def test_resize_real_decodes_and_quarantines(spark, sf_dir):
+    """decode_stub=False is REAL since round 8: decodable payloads
+    (BMP/PPM/PNG via synthetic_pixel_media) nearest-neighbor resize to
+    raw RGB with the standard (y*h//H, x*w//W) source mapping — verified
+    arithmetically against the id-parameterized fill — while undecodable
+    payloads (docs-as-media text bytes) quarantine to NULL payload."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _raw_fill,
+        synthetic_pixel_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id >= 0 AND doc_id < 12"
+    )
+    W = H = 8
+    rows = {r.media_id: r for r in resize_images(
+        synthetic_pixel_media(ids), width=W, height=H, decode_stub=False
+    ).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        w, h = 1 + i % 32, 1 + i % 24
+        raw = _raw_fill(i, w, h)
+        got = bytes(r.payload)
+        assert len(got) == W * H * 3
+        for y in range(H):
+            for x in range(W):
+                sy, sx = (y * h) // H, (x * w) // W
+                src = raw[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+                assert got[(y * W + x) * 3 : (y * W + x) * 3 + 3] == src, (i, x, y)
+
+    # undecodable payloads quarantine, never a dead task
     media = documents_as_media(load_table(spark, sf_dir, "documents").limit(2))
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        resize_images(media, decode_stub=False).collect()
+    out = resize_images(media, decode_stub=False).collect()
+    assert len(out) == 2 and all(r.payload is None for r in out)
 
 
 def test_sample_frames_flatmap(spark, sf_dir):
