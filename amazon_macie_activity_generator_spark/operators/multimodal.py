@@ -537,14 +537,17 @@ def _decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     data_off = int.from_bytes(b[10:14], "little")
     w = int.from_bytes(b[18:22], "little", signed=True)
     h_raw = int.from_bytes(b[22:26], "little", signed=True)
-    bpp = int.from_bytes(b[28:30], "little")
+    bits = int.from_bytes(b[28:30], "little")
     compression = int.from_bytes(b[30:34], "little")
-    if w <= 0 or h_raw == 0 or bpp != 24 or compression != 0:
+    # BI_RGB 24-bpp (BGR, rows padded to 4) and 32-bpp (BGRA/BGRX, alpha
+    # byte dropped) — the two uncompressed truecolor layouts in the wild
+    if w <= 0 or h_raw == 0 or bits not in (24, 32) or compression != 0:
         return None
     h = abs(h_raw)
     if w * h > _MAX_PIXELS:
         return None
-    stride = (w * 3 + 3) // 4 * 4
+    nch = bits // 8
+    stride = (w * nch + 3) // 4 * 4
     if data_off + stride * h > len(b):
         return None
     # vectorized: a per-pixel Python loop costs ~0.4 s/Mpx, which turns
@@ -552,11 +555,11 @@ def _decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     import numpy as np
 
     rows = np.frombuffer(b, dtype=np.uint8, count=stride * h,
-                         offset=data_off).reshape(h, stride)[:, : w * 3]
-    px = rows.reshape(h, w, 3)
+                         offset=data_off).reshape(h, stride)[:, : w * nch]
+    px = rows.reshape(h, w, nch)[..., :3]  # 32-bpp: drop the A/X byte
     if h_raw > 0:  # positive height = bottom-up storage; negative = top-down
         px = px[::-1]
-    return w, h, px[..., ::-1].tobytes()  # BGR -> RGB
+    return w, h, np.ascontiguousarray(px[..., ::-1]).tobytes()  # BGR -> RGB
 
 
 def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
@@ -592,11 +595,16 @@ def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
 
 
 def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """8-bit non-interlaced PNG, color types 0 (grayscale), 2 (RGB), and
+    6 (RGBA), canonicalized to RGB (gray expanded, alpha dropped). Filter
+    reconstruction operates on bpp-sized pixels per the spec — the left
+    neighbor in Sub/Average/Paeth is ``bpp`` bytes back, so a decoder
+    hardcoding 3 silently corrupts grayscale and RGBA rows."""
     import zlib
 
     if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    w = h = None
+    w = h = bpp = None
     idat = bytearray()
     i = 8
     while i + 12 <= len(b):
@@ -606,8 +614,12 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         if len(body) < clen:
             return None
         if tag == b"IHDR":
-            if clen != 13 or body[8:13] != bytes([8, 2, 0, 0, 0]):
-                return None  # only 8-bit RGB non-interlaced
+            if clen != 13 or body[8] != 8 or body[10:13] != b"\x00\x00\x00":
+                return None  # 8-bit, no interlace/filter-method variants
+            ctype = body[9]
+            bpp = {0: 1, 2: 3, 6: 4}.get(ctype)
+            if bpp is None:
+                return None  # palette (3) / gray+alpha (4) not supported
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
@@ -619,7 +631,7 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         i += 12 + clen
     if w is None or not idat:
         return None
-    stride = w * 3
+    stride = w * bpp
     expected = (stride + 1) * h
     try:
         # bounded inflate: a bomb claiming small dims can't blow memory
@@ -631,7 +643,7 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     import numpy as np
 
-    raw = bytearray(w * h * 3)
+    unfiltered = bytearray(w * h * bpp)
     prior = bytes(stride)
     for r in range(h):
         f = data[r * (stride + 1)]
@@ -649,20 +661,25 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             ).astype(np.uint8).tobytes()
         elif f == 1:  # Sub
             for i2 in range(stride):
-                row[i2] = (line[i2] + (row[i2 - 3] if i2 >= 3 else 0)) & 0xFF
+                row[i2] = (line[i2] + (row[i2 - bpp] if i2 >= bpp else 0)) & 0xFF
         elif f == 3:  # Average
             for i2 in range(stride):
-                row[i2] = (line[i2] + ((row[i2 - 3] if i2 >= 3 else 0) + prior[i2]) // 2) & 0xFF
+                row[i2] = (line[i2] + ((row[i2 - bpp] if i2 >= bpp else 0) + prior[i2]) // 2) & 0xFF
         elif f == 4:  # Paeth
             for i2 in range(stride):
-                row[i2] = (line[i2] + _paeth(row[i2 - 3] if i2 >= 3 else 0,
+                row[i2] = (line[i2] + _paeth(row[i2 - bpp] if i2 >= bpp else 0,
                                              prior[i2],
-                                             prior[i2 - 3] if i2 >= 3 else 0)) & 0xFF
+                                             prior[i2 - bpp] if i2 >= bpp else 0)) & 0xFF
         else:
             return None
-        raw[r * stride : (r + 1) * stride] = row
+        unfiltered[r * stride : (r + 1) * stride] = row
         prior = bytes(row)
-    return w, h, bytes(raw)
+    if bpp == 3:
+        return w, h, bytes(unfiltered)
+    px = np.frombuffer(bytes(unfiltered), dtype=np.uint8).reshape(h, w, bpp)
+    if bpp == 1:  # grayscale -> RGB expand
+        return w, h, np.repeat(px, 3, axis=2).tobytes()
+    return w, h, np.ascontiguousarray(px[..., :3]).tobytes()  # RGBA -> drop alpha
 
 
 def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:

@@ -56,6 +56,90 @@ def test_png_all_filters_exercised():
     assert decode_pixels_bytes(payload) == ("png", 16, 9, raw)
 
 
+def _png_raw(raw: bytes, w: int, h: int, bpp: int, ctype: int) -> bytes:
+    """Hand-built PNG over pre-pixel bytes of width ``bpp``: per-row
+    filter rotates r % 5 with the SPEC's bpp-sized left neighbor, so a
+    decoder hardcoding left-offset 3 corrupts grayscale/RGBA rows."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import _paeth
+
+    stride = w * bpp
+    out = bytearray()
+    prior = bytes(stride)
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        f = r % 5
+        out.append(f)
+        left = lambda i: row[i - bpp] if i >= bpp else 0  # noqa: E731
+        upleft = lambda i: prior[i - bpp] if i >= bpp else 0  # noqa: E731
+        if f == 0:
+            out += row
+        elif f == 1:
+            out += bytes((row[i] - left(i)) & 0xFF for i in range(stride))
+        elif f == 2:
+            out += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif f == 3:
+            out += bytes((row[i] - (left(i) + prior[i]) // 2) & 0xFF
+                         for i in range(stride))
+        else:
+            out += bytes((row[i] - _paeth(left(i), prior[i], upleft(i))) & 0xFF
+                         for i in range(stride))
+        prior = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_grayscale_expands_to_rgb():
+    w, h = 6, 7  # h >= 5: all five filters exercised at bpp=1
+    gray = bytes((11 * j + 5) % 256 for j in range(w * h))
+    out = decode_pixels_bytes(_png_raw(gray, w, h, bpp=1, ctype=0))
+    assert out is not None
+    fmt, w2, h2, raw = out
+    assert (fmt, w2, h2) == ("png", w, h)
+    assert raw == b"".join(bytes([g, g, g]) for g in gray)
+
+
+def test_png_rgba_drops_alpha():
+    w, h = 5, 6  # all five filters at bpp=4 (left neighbor 4 bytes back)
+    rgba = bytes((7 * j + 3) % 256 for j in range(w * h * 4))
+    out = decode_pixels_bytes(_png_raw(rgba, w, h, bpp=4, ctype=6))
+    assert out is not None
+    fmt, w2, h2, raw = out
+    assert (fmt, w2, h2) == ("png", w, h)
+    want = b"".join(rgba[p * 4 : p * 4 + 3] for p in range(w * h))
+    assert raw == want
+
+
+def test_png_palette_rejected():
+    # palette (color type 3) needs a PLTE lookup this decoder doesn't do —
+    # must quarantine, not mis-decode
+    assert decode_pixels_bytes(_png_raw(bytes(12), 4, 3, bpp=1, ctype=3)) is None
+
+
+def test_bmp_32bpp_drops_alpha():
+    w, h = 5, 4
+    raw = _raw_fill(9, w, h)  # expected RGB after decode
+    # hand-build a 32-bpp BI_RGB BMP: bottom-up rows of BGRA
+    body = bytearray()
+    for r in range(h - 1, -1, -1):
+        for c in range(w):
+            px = raw[(r * w + c) * 3 : (r * w + c) * 3 + 3]
+            body += bytes((px[2], px[1], px[0], 0xAA))  # BGRA
+    header = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2
+    )
+    assert decode_pixels_bytes(header + bytes(body)) == ("bmp", w, h, raw)
+
+
 def test_bmp_top_down_negative_height():
     # negative BITMAPINFOHEADER height = rows stored top-down: flip the
     # encoder's bottom-up body back and assert the decoder handles it
