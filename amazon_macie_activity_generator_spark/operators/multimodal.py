@@ -17,11 +17,14 @@ codec stack (compressed video) yield NULL fields rather than crashing
 the task, matching large-pipeline robustness norms.
 
 PIXEL decode is REAL for the stdlib-decodable formats (round 8):
-``decode_pixels`` parses uncompressed 24-bpp BMP (bottom-up BGR with row
-padding, or top-down via negative height), binary PPM ``P6`` (maxval
-255, ``#`` comments), and 8-bit RGB PNG — full ``zlib`` inflate plus
-per-row reconstruction of all five PNG filter types (None/Sub/Up/
-Average/Paeth) — into a canonical top-down RGB byte stream, then emits
+``decode_pixels`` parses BMP (24-bpp padded BGR and 32-bpp BGRA,
+bottom-up or top-down via negative height), binary PPM ``P6`` (maxval
+255, ``#`` comments), PNG (8-bit grayscale/RGB/RGBA — full ``zlib``
+inflate plus per-row reconstruction of all five filter types None/Sub/
+Up/Average/Paeth with spec-correct bpp-sized neighbors), and GIF87a/89a
+(a from-scratch variable-width LZW decoder + global/local color tables;
+interop-verified against a real-world-encoded file) — all canonicalized
+into a top-down RGB byte stream — then emits
 per-channel sums / pixel counts / a pixel sha256 (features, not pixels,
 so downstream shuffles stay narrow). Malformed, truncated, or
 unsupported payloads yield a NULL-stats row, never a dead task, and a
@@ -682,9 +685,188 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     return w, h, np.ascontiguousarray(px[..., :3]).tobytes()  # RGBA -> drop alpha
 
 
+def _gif_lzw_decode(data: bytes, min_size: int, npix: int) -> bytes | None:
+    """GIF-variant LZW (LSB-first variable-width codes, CLEAR/END codes,
+    width grows as the dictionary fills, capped at 12 bits until CLEAR).
+    Returns exactly ``npix`` palette indices or None on a malformed
+    stream."""
+    if not 2 <= min_size <= 8:
+        return None
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    nbits = len(data) * 8
+    out = bytearray()
+    width = min_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    bitpos = 0
+    while bitpos + width <= nbits and len(out) < npix:
+        code = 0
+        for k in range(width):
+            code |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += width
+        if code == clear:
+            table = table[: clear + 2]
+            width = min_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code != end:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # code beyond the dictionary: corrupt stream
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:npix]) if len(out) >= npix else None
+
+
+def _gif_lzw_encode(indices: bytes, min_size: int) -> bytes:
+    """GIF LZW compressor (test/synthetic twin of :func:`_gif_lzw_decode`;
+    width-growth timing mirrors the decoder: the encoder's table runs one
+    entry ahead, so it widens when its table size EXCEEDS 2^width)."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    codes: list[tuple[int, int]] = []  # (code, width at emit)
+    width = min_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes.append((clear, width))
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: emit CLEAR and restart (the portable choice)
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_size + 1
+        w = bytes([ch])
+    if w:
+        codes.append((table[w], width))
+    codes.append((end, width))
+    bits = bytearray()
+    acc = n = 0
+    for code, cw in codes:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """GIF87a/89a: logical screen + global/local color table + LZW image
+    data -> RGB. Single full-frame non-interlaced images only (animated /
+    tiled / interlaced GIFs quarantine — a training-data media column
+    treats those as the video-ish class)."""
+    if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        return None
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = b[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(b[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:  # local color table wins
+                n = 2 << (iflags & 7)
+                ct = b[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    return None
+                pos += 3 * n
+            if iflags & 0x40 or (left, top, iw, ih) != (0, 0, w, h) or ct is None:
+                return None  # interlaced / partial-frame / no palette
+            if pos >= len(b):
+                return None
+            min_size = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                n = b[pos]
+                lzw += b[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = _gif_lzw_decode(bytes(lzw), min_size, w * h)
+            if idx is None or max(idx) * 3 + 3 > len(ct):
+                return None
+            import numpy as np
+
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            return w, h, pal[np.frombuffer(idx, dtype=np.uint8)].tobytes()
+        elif block == 0x3B:
+            return None  # trailer before any image
+        else:
+            return None
+    return None
+
+
+def _gif_encode(indices: bytes, palette: bytes, w: int, h: int) -> bytes:
+    """Full single-frame GIF89a file over palette ``indices`` — the
+    synthetic/test twin of :func:`_decode_gif_pixels`."""
+    ncolors = len(palette) // 3
+    depth = max(1, (ncolors - 1).bit_length())
+    table = palette + bytes(3 * ((1 << depth) - ncolors))
+    min_size = max(2, depth)
+    lzw = _gif_lzw_encode(indices, min_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (depth - 1), 0, 0])
+        + table
+        + b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([min_size]) + bytes(blocks) + b"\x00"
+        + b"\x3b"
+    )
+
+
 def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
     """Sniff + decode one payload to (fmt, w, h, top-down RGB bytes); None
-    for anything malformed, truncated, or outside the supported trio."""
+    for anything malformed, truncated, or outside the supported formats
+    (BMP / PPM / PNG / GIF)."""
     if not b or len(b) < 10:
         return None
     try:
@@ -697,6 +879,9 @@ def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             out = _decode_png_pixels(b)
             return ("png",) + out if out else None
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            out = _decode_gif_pixels(b)
+            return ("gif",) + out if out else None
     except (ValueError, IndexError, OverflowError):
         return None
     return None

@@ -205,6 +205,75 @@ def test_png_wrong_color_type_rejected():
     assert decode_pixels_bytes(bytes(payload)) is None
 
 
+# ----------------------------------------------------------------- gif
+
+
+def test_gif_lzw_round_trips():
+    """From-scratch GIF LZW: random + repetitive index streams across
+    palette depths, long enough to force code-width growth AND a
+    dictionary-full CLEAR/restart (the 4096 cap)."""
+    import random
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(7)
+    for min_size in (2, 4, 8):
+        maxi = (1 << min_size) - 1
+        for idx in (
+            bytes(rng.randint(0, maxi) for _ in range(10)),
+            bytes([maxi] * 5000),                               # deep dict chains
+            bytes(rng.randint(0, maxi) for _ in range(20000)),  # width growth + clear
+            bytes([0]),
+        ):
+            enc = _gif_lzw_encode(idx, min_size)
+            assert _gif_lzw_decode(enc, min_size, len(idx)) == idx
+
+
+def test_gif_file_round_trip():
+    import random
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import _gif_encode
+
+    rng = random.Random(3)
+    pal = bytes(range(48))  # 16 colors
+    idx = bytes(rng.randint(0, 15) for _ in range(37 * 23))
+    out = decode_pixels_bytes(_gif_encode(idx, pal, 37, 23))
+    assert out is not None
+    fmt, w, h, raw = out
+    assert (fmt, w, h) == ("gif", 37, 23)
+    assert raw == b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+
+
+def test_gif_real_world_interop():
+    """The canonical 1x1 GIF (produced by a real encoder, not our own
+    twin): proves the LZW decoder reads streams we didn't write."""
+    import base64
+
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert decode_pixels_bytes(tiny) == ("gif", 1, 1, b"\x00\x00\x00")
+
+
+def test_gif_hostile_variants_quarantine():
+    from amazon_macie_activity_generator_spark.operators.multimodal import _gif_encode
+
+    pal = bytes(range(12))  # 4 colors
+    good = bytearray(_gif_encode(bytes([0, 1, 2, 3]), pal, 2, 2))
+    # interlace flag set -> quarantine (deinterlace unsupported by design)
+    bad = bytearray(good)
+    desc = bad.index(0x2C, 6)
+    bad[desc + 9] |= 0x40
+    assert decode_pixels_bytes(bytes(bad)) is None
+    # truncated LZW data
+    assert decode_pixels_bytes(bytes(good[: len(good) // 2])) is None
+    # index beyond the palette: rebuild with a too-small color table claim
+    assert decode_pixels_bytes(b"GIF89a" + b"\x00" * 20) is None
+
+
 # ------------------------------------------------------------ spark stage
 
 
