@@ -900,13 +900,22 @@ PIXELS_SCHEMA = StructType([
 ])
 
 
+# GIF twin of _raw_fill: the fill's pixel p is ((id+3p)%256, +1, +2), so a
+# FIXED 256-color palette palette[r] = (r, r+1, r+2) with pixel index
+# (id+3p)%256 reproduces the raw fill exactly through the LZW+palette path
+_GIF_FILL_PALETTE = bytes(
+    v for r in range(256) for v in (r, (r + 1) % 256, (r + 2) % 256)
+)
+
+
 def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic pixel-bearing media from an id column: id % 3 picks
-    the container (0 BMP, 1 PPM, 2 PNG), dims w = 1 + id % 32 /
-    h = 1 + id % 24, raw RGB byte j = (id + j) % 256 — fully
-    id-parameterized so the oracle predicts decoded stats arithmetically
-    while the engine parses real container bytes. NULL ids synthesize as
-    id 0 with media_id kept NULL (same convention as synthetic_media)."""
+    """Deterministic pixel-bearing media from an id column: id % 4 picks
+    the container (0 BMP, 1 PPM, 2 PNG, 3 GIF — the GIF goes through the
+    real LZW compressor), dims w = 1 + id % 32 / h = 1 + id % 24, raw RGB
+    byte j = (id + j) % 256 — fully id-parameterized so the oracle
+    predicts decoded stats arithmetically while the engine parses real
+    container bytes. NULL ids synthesize as id 0 with media_id kept NULL
+    (same convention as synthetic_media)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -914,11 +923,14 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         def build(i: int) -> bytes:
             w, h = 1 + i % 32, 1 + i % 24
             raw = _raw_fill(i, w, h)
-            if i % 3 == 0:
+            if i % 4 == 0:
                 return _bmp_encode(raw, w, h)
-            if i % 3 == 1:
+            if i % 4 == 1:
                 return _ppm_encode(raw, w, h)
-            return _png_encode(raw, w, h)
+            if i % 4 == 2:
+                return _png_encode(raw, w, h)
+            indices = bytes((i + 3 * p) % 256 for p in range(w * h))
+            return _gif_encode(indices, _GIF_FILL_PALETTE, w, h)
 
         for pdf in batches:
             mids = pdf[id_col].astype("Int64")

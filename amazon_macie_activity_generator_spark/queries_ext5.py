@@ -1657,10 +1657,12 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode (round 8, VERDICT r7 ask #2): id-parameterized
     BMP/PPM/PNG payloads (operators/multimodal.py synthetic_pixel_media —
     raw RGB byte j of media ``id`` is (id + j) % 256, container by
-    id % 3) are decoded by ``decode_pixels`` with no third-party libs:
-    BMP 24-bpp padded bottom-up BGR, PPM P6, and PNG via zlib inflate +
+    id % 4) are decoded by ``decode_pixels`` with no third-party libs:
+    BMP 24-bpp padded bottom-up BGR, PPM P6, PNG via zlib inflate +
     reconstruction of all five row filters (the encoder rotates filters
-    r % 5, so a decoder that botches Sub/Up/Average/Paeth cannot match).
+    r % 5, so a decoder that botches Sub/Up/Average/Paeth cannot match),
+    and GIF through the real LZW compressor + a fixed 256-color palette
+    (so the hash also proves the variable-width LZW decoder).
     The oracle re-derives per-channel sums arithmetically over the raw
     index space — a hash match proves every pixel byte was decoded
     through the real container format. The pixel sha256 column is
@@ -1696,7 +1698,8 @@ WITH m AS (
   -- Spark side emits one decoded row per input row
   SELECT doc_id AS media_id,
          ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
-         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt,
+         CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+              WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
          1 + doc_id % 32 AS w, 1 + doc_id % 24 AS h
   FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 300
 ), px AS (

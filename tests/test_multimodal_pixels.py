@@ -287,7 +287,7 @@ def test_decode_pixels_stage_matches_arithmetic(spark, sf_dir):
         i = r.media_id
         w, h = 1 + i % 32, 1 + i % 24
         assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
-        assert r.fmt == {0: "bmp", 1: "ppm", 2: "png"}[i % 3]
+        assert r.fmt == {0: "bmp", 1: "ppm", 2: "png", 3: "gif"}[i % 4]
         expected = [0, 0, 0]
         for j in range(w * h * 3):
             expected[j % 3] += (i + j) % 256
