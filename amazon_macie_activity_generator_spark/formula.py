@@ -59,6 +59,14 @@ def translate_formula(formula: str, t_col: str = "t") -> tuple[str, set[str]]:
             # boolean literal that fails analysis while the driver-side
             # interpreter happily computes t + 1 — reject symmetrically
         ):
+            if isinstance(node.value, float):
+                # DOUBLE, not the bare literal: Spark parses `0.5` as
+                # DECIMAL(1,1), so literal-only arithmetic would run in
+                # decimal (divisions rounded at scale 12) while the
+                # driver-side interpreter computes IEEE doubles — the
+                # formula-grammar fuzz caught `(0.5 / 3)` returning a
+                # Decimal. CAST is constant-folded by Catalyst.
+                return f"CAST({node.value!r} AS DOUBLE)"
             return repr(node.value)
         if isinstance(node, ast.Name):
             if node.id == "t":

@@ -138,6 +138,8 @@ def test_sql_translation_matches_interpreter(spark, formula):
     for t in ts:
         want, have = wants[t], got[t]
         assert have is not None, (formula, t, want, "SQL returned NULL")
+        have = float(have)  # belt: a typing regression to DECIMAL must
+        # fail the value comparison below, not TypeError inside approx
         if math.isnan(want):
             assert math.isnan(have), (formula, t, want, have)
         else:
