@@ -1,0 +1,96 @@
+"""Decoder robustness fuzz: the quarantine contract under hostile bytes.
+
+``decode_pixels_bytes`` promises the mapInPandas stage can feed it ANY
+payload — crawl garbage, truncations, bit-flipped real files — and get
+back either None or a structurally valid (fmt, w, h, rgb) tuple, never
+an exception and never unbounded work. That contract is what keeps one
+bad row from killing a 100 TB decode stage, so it gets the classic
+decoder treatment: random bytes, random mutations of VALID files (the
+highest-yield corpus — deep parser paths only open for almost-valid
+input), truncations, and magic-byte prefixes over garbage.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from amazon_macie_activity_generator_spark.operators.multimodal import (
+    _GIF_FILL_PALETTE,
+    _bmp_encode,
+    _gif_encode,
+    _png_encode,
+    _ppm_encode,
+    _raw_fill,
+    decode_pixels_bytes,
+)
+
+
+def _valid_payloads() -> list[bytes]:
+    out = []
+    for i in (0, 5, 11):
+        w, h = 1 + i % 32, 1 + i % 24
+        raw = _raw_fill(i, w, h)
+        out += [
+            _bmp_encode(raw, w, h),
+            _ppm_encode(raw, w, h),
+            _png_encode(raw, w, h),
+            _gif_encode(bytes((i + 3 * p) % 256 for p in range(w * h)),
+                        _GIF_FILL_PALETTE, w, h),
+        ]
+    return out
+
+
+_VALID = _valid_payloads()
+
+
+def _check(payload: bytes | None) -> None:
+    out = decode_pixels_bytes(payload)  # must not raise, whatever comes in
+    if out is not None:
+        fmt, w, h, raw = out
+        assert fmt in ("bmp", "ppm", "png", "gif")
+        assert w > 0 and h > 0 and len(raw) == w * h * 3
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(max_size=4096))
+def test_random_bytes_never_raise(data):
+    _check(data)
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(0, len(_VALID) - 1),
+    st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+             min_size=1, max_size=8),
+)
+def test_bitflipped_valid_files_never_raise(idx, flips):
+    """Mutate real container files: almost-valid input reaches the deep
+    parser paths (chunk walks, LZW tables, filter reconstruction) that
+    pure random bytes never open."""
+    payload = bytearray(_VALID[idx])
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    _check(bytes(payload))
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, len(_VALID) - 1), st.integers(0, 100))
+def test_truncations_never_raise(idx, pct):
+    payload = _VALID[idx]
+    _check(payload[: len(payload) * pct // 100])
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.sampled_from([b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a"]),
+    st.binary(max_size=512),
+)
+def test_magic_prefixed_garbage_never_raises(magic, junk):
+    """Payloads that pass the sniff but fail the parse — the exact class
+    a format-dispatching decoder mishandles first."""
+    _check(magic + junk)
