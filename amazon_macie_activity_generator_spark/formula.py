@@ -66,6 +66,13 @@ def translate_formula(formula: str, t_col: str = "t") -> tuple[str, set[str]]:
                 # driver-side interpreter computes IEEE doubles — the
                 # formula-grammar fuzz caught `(0.5 / 3)` returning a
                 # Decimal. CAST is constant-folded by Catalyst.
+                if math.isinf(node.value) or math.isnan(node.value):
+                    # `1e999` parses to float inf, whose repr "inf" Spark
+                    # would read as a column reference — use the string
+                    # form both engines cast correctly
+                    s = "NaN" if math.isnan(node.value) else (
+                        "Infinity" if node.value > 0 else "-Infinity")
+                    return f"CAST('{s}' AS DOUBLE)"
                 return f"CAST({node.value!r} AS DOUBLE)"
             return repr(node.value)
         if isinstance(node, ast.Name):

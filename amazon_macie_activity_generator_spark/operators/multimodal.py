@@ -463,37 +463,38 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def _png_encode(raw: bytes, w: int, h: int) -> bytes:
-    """Minimal 8-bit RGB PNG writer. Row r uses filter type r % 5, so the
-    encoded stream exercises every PNG filter; the decoder must invert
-    them all to recover ``raw``."""
+def _png_encode(raw: bytes, w: int, h: int, bpp: int = 3, ctype: int = 2) -> bytes:
+    """Minimal 8-bit PNG writer over pre-pixel bytes of width ``bpp``
+    (ctype 0 grayscale / 2 RGB / 6 RGBA). Row r uses filter type r % 5
+    with the SPEC's bpp-sized left neighbor, so the encoded stream
+    exercises every PNG filter at every supported pixel width; the
+    decoder must invert them all to recover ``raw``."""
     import zlib
 
-    stride = w * 3
+    stride = w * bpp
     out = bytearray()
     prior = bytes(stride)
     for r in range(h):
         row = raw[r * stride : (r + 1) * stride]
         f = r % 5
         out.append(f)
+        left = lambda i: row[i - bpp] if i >= bpp else 0  # noqa: E731
+        upleft = lambda i: prior[i - bpp] if i >= bpp else 0  # noqa: E731
         if f == 0:
             out += row
         elif f == 1:  # Sub
-            out += bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
-                         for i in range(stride))
+            out += bytes((row[i] - left(i)) & 0xFF for i in range(stride))
         elif f == 2:  # Up
             out += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
         elif f == 3:  # Average
-            out += bytes((row[i] - ((row[i - 3] if i >= 3 else 0) + prior[i]) // 2) & 0xFF
+            out += bytes((row[i] - (left(i) + prior[i]) // 2) & 0xFF
                          for i in range(stride))
         else:  # Paeth
-            out += bytes((row[i] - _paeth(row[i - 3] if i >= 3 else 0,
-                                          prior[i],
-                                          prior[i - 3] if i >= 3 else 0)) & 0xFF
+            out += bytes((row[i] - _paeth(left(i), prior[i], upleft(i))) & 0xFF
                          for i in range(stride))
         prior = row
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, 2, 0, 0, 0]))  # bitdepth 8, RGB, no interlace
+            + bytes([8, ctype, 0, 0, 0]))  # bitdepth 8, no interlace
     return (b"\x89PNG\r\n\x1a\n"
             + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
@@ -562,7 +563,9 @@ def _decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     px = rows.reshape(h, w, nch)[..., :3]  # 32-bpp: drop the A/X byte
     if h_raw > 0:  # positive height = bottom-up storage; negative = top-down
         px = px[::-1]
-    return w, h, np.ascontiguousarray(px[..., ::-1]).tobytes()  # BGR -> RGB
+    # tobytes() already emits a C-order copy of a non-contiguous view —
+    # an ascontiguousarray here would copy the whole image twice
+    return w, h, px[..., ::-1].tobytes()  # BGR -> RGB
 
 
 def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
@@ -682,39 +685,50 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     px = np.frombuffer(bytes(unfiltered), dtype=np.uint8).reshape(h, w, bpp)
     if bpp == 1:  # grayscale -> RGB expand
         return w, h, np.repeat(px, 3, axis=2).tobytes()
-    return w, h, np.ascontiguousarray(px[..., :3]).tobytes()  # RGBA -> drop alpha
+    return w, h, px[..., :3].tobytes()  # RGBA -> drop alpha (tobytes copies C-order)
 
 
 def _gif_lzw_decode(data: bytes, min_size: int, npix: int) -> bytes | None:
     """GIF-variant LZW (LSB-first variable-width codes, CLEAR/END codes,
     width grows as the dictionary fills, capped at 12 bits until CLEAR).
     Returns exactly ``npix`` palette indices or None on a malformed
-    stream."""
+    stream. Hostile-input bounds: a legitimate stream never exceeds
+    ~12 bits/pixel plus restart overhead, so oversized input (e.g. a
+    megabyte of CLEAR spam for a 768-pixel image) is rejected up front
+    instead of burning seconds of driver-less task time, and codes are
+    read through a byte-fed accumulator, not per-bit indexing."""
     if not 2 <= min_size <= 8:
         return None
+    if len(data) > 2 * npix + 4096:
+        return None  # > ~16 bits/pixel: no real encoder output looks like this
     clear, end = 1 << min_size, (1 << min_size) + 1
-    nbits = len(data) * 8
     out = bytearray()
     width = min_size + 1
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     prev: bytes | None = None
-    bitpos = 0
-    while bitpos + width <= nbits and len(out) < npix:
-        code = 0
-        for k in range(width):
-            code |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
-        bitpos += width
+    acc = nacc = 0
+    pos, ndata = 0, len(data)
+    while len(out) < npix:
+        while nacc < width:
+            if pos >= ndata:
+                return None  # ran out of bits before npix pixels
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
         if code == clear:
-            table = table[: clear + 2]
+            del table[clear + 2 :]
             width = min_size + 1
             prev = None
             continue
         if code == end:
             break
-        if code < len(table) and code != end:
+        if code < len(table):
             entry = table[code]
         elif code == len(table) and prev is not None:
-            entry = prev + prev[:1]
+            entry = prev + prev[:1]  # the KwKwK case
         else:
             return None  # code beyond the dictionary: corrupt stream
         out += entry
@@ -791,6 +805,7 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         if len(gct) < 3 * n:
             return None
         pos += 3 * n
+    decoded: tuple[int, int, bytes] | None = None
     while pos < len(b):
         block = b[pos]
         if block == 0x21:  # extension: label + sub-blocks
@@ -799,6 +814,8 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 pos += 1 + b[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
+            if decoded is not None:
+                return None  # SECOND frame: animated GIF, the video class
             if pos + 10 > len(b):
                 return None
             left = int.from_bytes(b[pos + 1 : pos + 3], "little")
@@ -825,18 +842,20 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 n = b[pos]
                 lzw += b[pos + 1 : pos + 1 + n]
                 pos += 1 + n
+            pos += 1  # the data terminator itself
             idx = _gif_lzw_decode(bytes(lzw), min_size, w * h)
             if idx is None or max(idx) * 3 + 3 > len(ct):
                 return None
             import numpy as np
 
             pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
-            return w, h, pal[np.frombuffer(idx, dtype=np.uint8)].tobytes()
+            decoded = (w, h, pal[np.frombuffer(idx, dtype=np.uint8)].tobytes())
+            # keep scanning: a second image descriptor means animation
         elif block == 0x3B:
-            return None  # trailer before any image
+            break
         else:
             return None
-    return None
+    return decoded
 
 
 def _gif_encode(indices: bytes, palette: bytes, w: int, h: int) -> bytes:
@@ -922,15 +941,15 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         def build(i: int) -> bytes:
             w, h = 1 + i % 32, 1 + i % 24
+            if i % 4 == 3:  # GIF encodes palette INDICES, not the raw fill
+                indices = bytes((i + 3 * p) % 256 for p in range(w * h))
+                return _gif_encode(indices, _GIF_FILL_PALETTE, w, h)
             raw = _raw_fill(i, w, h)
             if i % 4 == 0:
                 return _bmp_encode(raw, w, h)
             if i % 4 == 1:
                 return _ppm_encode(raw, w, h)
-            if i % 4 == 2:
-                return _png_encode(raw, w, h)
-            indices = bytes((i + 3 * p) % 256 for p in range(w * h))
-            return _gif_encode(indices, _GIF_FILL_PALETTE, w, h)
+            return _png_encode(raw, w, h)
 
         for pdf in batches:
             mids = pdf[id_col].astype("Int64")

@@ -56,46 +56,12 @@ def test_png_all_filters_exercised():
     assert decode_pixels_bytes(payload) == ("png", 16, 9, raw)
 
 
-def _png_raw(raw: bytes, w: int, h: int, bpp: int, ctype: int) -> bytes:
-    """Hand-built PNG over pre-pixel bytes of width ``bpp``: per-row
-    filter rotates r % 5 with the SPEC's bpp-sized left neighbor, so a
-    decoder hardcoding left-offset 3 corrupts grayscale/RGBA rows."""
-    from amazon_macie_activity_generator_spark.operators.multimodal import _paeth
-
-    stride = w * bpp
-    out = bytearray()
-    prior = bytes(stride)
-    for r in range(h):
-        row = raw[r * stride : (r + 1) * stride]
-        f = r % 5
-        out.append(f)
-        left = lambda i: row[i - bpp] if i >= bpp else 0  # noqa: E731
-        upleft = lambda i: prior[i - bpp] if i >= bpp else 0  # noqa: E731
-        if f == 0:
-            out += row
-        elif f == 1:
-            out += bytes((row[i] - left(i)) & 0xFF for i in range(stride))
-        elif f == 2:
-            out += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
-        elif f == 3:
-            out += bytes((row[i] - (left(i) + prior[i]) // 2) & 0xFF
-                         for i in range(stride))
-        else:
-            out += bytes((row[i] - _paeth(left(i), prior[i], upleft(i))) & 0xFF
-                         for i in range(stride))
-        prior = row
-    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, ctype, 0, 0, 0]))
-    return (b"\x89PNG\r\n\x1a\n"
-            + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
-            + _png_chunk(b"IEND", b""))
-
-
 def test_png_grayscale_expands_to_rgb():
-    w, h = 6, 7  # h >= 5: all five filters exercised at bpp=1
+    w, h = 6, 7  # h >= 5: all five filters exercised at bpp=1 (the
+    # encoder twin uses the SPEC's bpp-sized left neighbor, so a decoder
+    # hardcoding left-offset 3 corrupts these rows)
     gray = bytes((11 * j + 5) % 256 for j in range(w * h))
-    out = decode_pixels_bytes(_png_raw(gray, w, h, bpp=1, ctype=0))
+    out = decode_pixels_bytes(_png_encode(gray, w, h, bpp=1, ctype=0))
     assert out is not None
     fmt, w2, h2, raw = out
     assert (fmt, w2, h2) == ("png", w, h)
@@ -105,7 +71,7 @@ def test_png_grayscale_expands_to_rgb():
 def test_png_rgba_drops_alpha():
     w, h = 5, 6  # all five filters at bpp=4 (left neighbor 4 bytes back)
     rgba = bytes((7 * j + 3) % 256 for j in range(w * h * 4))
-    out = decode_pixels_bytes(_png_raw(rgba, w, h, bpp=4, ctype=6))
+    out = decode_pixels_bytes(_png_encode(rgba, w, h, bpp=4, ctype=6))
     assert out is not None
     fmt, w2, h2, raw = out
     assert (fmt, w2, h2) == ("png", w, h)
@@ -116,7 +82,7 @@ def test_png_rgba_drops_alpha():
 def test_png_palette_rejected():
     # palette (color type 3) needs a PLTE lookup this decoder doesn't do —
     # must quarantine, not mis-decode
-    assert decode_pixels_bytes(_png_raw(bytes(12), 4, 3, bpp=1, ctype=3)) is None
+    assert decode_pixels_bytes(_png_encode(bytes(12), 4, 3, bpp=1, ctype=3)) is None
 
 
 def test_bmp_32bpp_drops_alpha():
@@ -258,8 +224,40 @@ def test_gif_real_world_interop():
     assert decode_pixels_bytes(tiny) == ("gif", 1, 1, b"\x00\x00\x00")
 
 
+def test_gif_decodes_hand_authored_spec_stream():
+    """A variable-width LZW stream authored BY HAND from the GIF89a spec
+    (not by the encoder twin): CLEAR, a KwKwK code (code == next_code),
+    dictionary growth across the 3->4 bit width boundary, END. Codes
+    (4,1,6,7,2,5) at widths (3,3,3,3,4,4) decode to indices 1,1,1,1,1,1,2
+    and pack LSB-first into bytes 8C 2F 05 — a decoder with the twin's
+    hypothetical off-by-one in width-growth timing cannot read this."""
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    gif = (
+        b"GIF89a"
+        + (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])          # GCT present, 4 colors
+        + pal
+        + b"\x2c" + bytes(4)
+        + (7).to_bytes(2, "little") + (1).to_bytes(2, "little") + b"\x00"
+        + bytes([2])                    # LZW min code size
+        + bytes([3, 0x8C, 0x2F, 0x05])  # one 3-byte sub-block
+        + b"\x00\x3b"
+    )
+    out = decode_pixels_bytes(gif)
+    assert out is not None
+    fmt, w, h, raw = out
+    assert (fmt, w, h) == ("gif", 7, 1)
+    assert raw == bytes([40, 50, 60]) * 6 + bytes([70, 80, 90])
+
+
 def test_gif_hostile_variants_quarantine():
-    from amazon_macie_activity_generator_spark.operators.multimodal import _gif_encode
+    import time
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_encode,
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
 
     pal = bytes(range(12))  # 4 colors
     good = bytearray(_gif_encode(bytes([0, 1, 2, 3]), pal, 2, 2))
@@ -270,8 +268,29 @@ def test_gif_hostile_variants_quarantine():
     assert decode_pixels_bytes(bytes(bad)) is None
     # truncated LZW data
     assert decode_pixels_bytes(bytes(good[: len(good) // 2])) is None
-    # index beyond the palette: rebuild with a too-small color table claim
-    assert decode_pixels_bytes(b"GIF89a" + b"\x00" * 20) is None
+    # ANIMATED: splice a second full-frame image block before the trailer —
+    # multi-frame media is the video class and must quarantine, not decode
+    # silently to frame 1
+    img_block = bytes(good[desc:-1])  # descriptor..data terminator
+    animated = bytes(good[:-1]) + img_block + b"\x3b"
+    assert decode_pixels_bytes(animated) is None
+    # index beyond the declared palette: stream encodes index 3 but the
+    # GCT claims only 2 colors — the bounds guard must reject, not crash
+    lzw = _gif_lzw_encode(bytes([3, 0, 1]), 2)
+    small_pal_gif = (
+        b"GIF89a" + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x80, 0, 0])  # GCT present, size field 0 -> 2 colors
+        + bytes(6)
+        + b"\x2c" + bytes(4)
+        + (3).to_bytes(2, "little") + (1).to_bytes(2, "little") + b"\x00"
+        + bytes([2]) + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    assert decode_pixels_bytes(small_pal_gif) is None
+    # CLEAR-spam DoS: a megabyte of CLEAR codes for a 4-pixel image must
+    # be rejected up front (size bound), not ground through per-code
+    t0 = time.monotonic()
+    assert _gif_lzw_decode(b"\x24" * 1_000_000, 2, 4) is None
+    assert time.monotonic() - t0 < 0.1
 
 
 # ------------------------------------------------------------ spark stage
