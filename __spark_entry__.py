@@ -94,11 +94,12 @@ def _rotation_order() -> list[str]:
         names,
         key=lambda n: (
             rank(n),
-            0 if QUERIES[n][1] is not None else 1,
-            # within (rank, oracle-backed): oldest evidence first, so a
-            # stale r01 row is refreshed before a stale r03 one when the
-            # window can't fit every stale entry
+            # within a rank: oldest evidence first (an r01-era rows-only
+            # row is staler than an r07 oracle row — refresh it first),
+            # then oracle-backed before rows-only as the tiebreak when
+            # evidence age is equal (hash match is the stronger signal)
             latest_row.get(n, (-1, {}))[0],
+            0 if QUERIES[n][1] is not None else 1,
             names.index(n),
         ),
     )

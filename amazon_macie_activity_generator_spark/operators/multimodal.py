@@ -30,7 +30,7 @@ so downstream shuffles stay narrow). Malformed, truncated, or
 unsupported payloads yield a NULL-stats row, never a dead task, and a
 decompression-bomb guard caps claimed dimensions and inflate output.
 ``resize_images(decode_stub=False)`` rides the same decoders: real
-nearest-neighbor resize for the decodable trio, NULL-payload quarantine
+nearest-neighbor resize for the decodable formats, NULL-payload quarantine
 otherwise. Only video codecs remain behind NotImplementedError
 (``sample_frames`` with ``decode_stub=False``) — frame-accurate seeking
 genuinely needs ffmpeg, which this container lacks; JPEG payloads
@@ -327,7 +327,7 @@ def resize_images(
     payload bytes.
 
     ``decode_stub=False`` is REAL since round 8: payloads decodable by
-    :func:`decode_pixels_bytes` (BMP/PPM/PNG) are nearest-neighbor
+    :func:`decode_pixels_bytes` (BMP/PPM/PNG/GIF) are nearest-neighbor
     resized to ``width x height`` raw RGB (src pixel (y*h//H, x*w//W) —
     the standard NN mapping, exactly reproducible by an oracle or test
     arithmetically). Undecodable payloads (JPEG pixels, video, garbage)
@@ -463,12 +463,15 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def _png_encode(raw: bytes, w: int, h: int, bpp: int = 3, ctype: int = 2) -> bytes:
+def _png_encode(
+    raw: bytes, w: int, h: int, bpp: int = 3, ctype: int = 2,
+    plte: bytes | None = None,
+) -> bytes:
     """Minimal 8-bit PNG writer over pre-pixel bytes of width ``bpp``
-    (ctype 0 grayscale / 2 RGB / 6 RGBA). Row r uses filter type r % 5
-    with the SPEC's bpp-sized left neighbor, so the encoded stream
-    exercises every PNG filter at every supported pixel width; the
-    decoder must invert them all to recover ``raw``."""
+    (ctype 0 grayscale / 2 RGB / 3 palette indices + ``plte`` / 6 RGBA).
+    Row r uses filter type r % 5 with the SPEC's bpp-sized left neighbor,
+    so the encoded stream exercises every PNG filter at every supported
+    pixel width; the decoder must invert them all to recover ``raw``."""
     import zlib
 
     stride = w * bpp
@@ -495,8 +498,11 @@ def _png_encode(raw: bytes, w: int, h: int, bpp: int = 3, ctype: int = 2) -> byt
         prior = row
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
             + bytes([8, ctype, 0, 0, 0]))  # bitdepth 8, no interlace
+    chunks = _png_chunk(b"IHDR", ihdr)
+    if plte is not None:  # spec: PLTE sits between IHDR and IDAT
+        chunks += _png_chunk(b"PLTE", plte)
     return (b"\x89PNG\r\n\x1a\n"
-            + _png_chunk(b"IHDR", ihdr)
+            + chunks
             + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
             + _png_chunk(b"IEND", b""))
 
@@ -552,7 +558,9 @@ def _decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     nch = bits // 8
     stride = (w * nch + 3) // 4 * 4
-    if data_off + stride * h > len(b):
+    # lower-bound data_off too: an offset inside the 54-byte header would
+    # "decode" the header bytes themselves as pixels
+    if data_off < 54 or data_off + stride * h > len(b):
         return None
     # vectorized: a per-pixel Python loop costs ~0.4 s/Mpx, which turns
     # one max-size hostile payload into a multi-second straggler task
@@ -594,23 +602,29 @@ def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     w, h, maxval = toks
     if w <= 0 or h <= 0 or maxval != 255 or w * h > _MAX_PIXELS:
         return None
-    i += 1  # exactly one whitespace byte separates maxval from pixel data
+    # exactly one whitespace byte separates maxval from pixel data — a
+    # non-whitespace byte there (e.g. "255X...") is a malformed header
+    if b[i] not in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+        return None
+    i += 1
     if i + w * h * 3 > n:
         return None
     return w, h, b[i : i + w * h * 3]
 
 
 def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
-    """8-bit non-interlaced PNG, color types 0 (grayscale), 2 (RGB), and
-    6 (RGBA), canonicalized to RGB (gray expanded, alpha dropped). Filter
-    reconstruction operates on bpp-sized pixels per the spec — the left
-    neighbor in Sub/Average/Paeth is ``bpp`` bytes back, so a decoder
-    hardcoding 3 silently corrupts grayscale and RGBA rows."""
+    """8-bit non-interlaced PNG, color types 0 (grayscale), 2 (RGB),
+    3 (palette via PLTE), and 6 (RGBA), canonicalized to RGB (gray
+    expanded, palette looked up, alpha dropped). Filter reconstruction
+    operates on bpp-sized pixels per the spec — the left neighbor in
+    Sub/Average/Paeth is ``bpp`` bytes back, so a decoder hardcoding 3
+    silently corrupts grayscale, palette, and RGBA rows."""
     import zlib
 
     if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    w = h = bpp = None
+    w = h = bpp = ctype = None
+    plte: bytes | None = None
     idat = bytearray()
     i = 8
     while i + 12 <= len(b):
@@ -623,13 +637,19 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             if clen != 13 or body[8] != 8 or body[10:13] != b"\x00\x00\x00":
                 return None  # 8-bit, no interlace/filter-method variants
             ctype = body[9]
-            bpp = {0: 1, 2: 3, 6: 4}.get(ctype)
+            bpp = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
             if bpp is None:
-                return None  # palette (3) / gray+alpha (4) not supported
+                return None  # gray+alpha (4) / invalid color types
+
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
                 return None
+        elif tag == b"PLTE":
+            # spec: 1-256 RGB triples, before the first IDAT, exactly once
+            if clen == 0 or clen % 3 or clen > 768 or idat or plte is not None:
+                return None
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -637,6 +657,8 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         i += 12 + clen
     if w is None or not idat:
         return None
+    if ctype == 3 and plte is None:
+        return None  # palette image with no palette is unrenderable
     stride = w * bpp
     expected = (stride + 1) * h
     try:
@@ -680,10 +702,16 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             return None
         unfiltered[r * stride : (r + 1) * stride] = row
         prior = bytes(row)
-    if bpp == 3:
+    if ctype == 2:
         return w, h, bytes(unfiltered)
     px = np.frombuffer(bytes(unfiltered), dtype=np.uint8).reshape(h, w, bpp)
-    if bpp == 1:  # grayscale -> RGB expand
+    if ctype == 3:  # palette lookup; an index past PLTE is corrupt per spec
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[..., 0]
+        if int(idx.max()) >= len(pal):
+            return None
+        return w, h, pal[idx].tobytes()
+    if ctype == 0:  # grayscale -> RGB expand
         return w, h, np.repeat(px, 3, axis=2).tobytes()
     return w, h, px[..., :3].tobytes()  # RGBA -> drop alpha (tobytes copies C-order)
 
@@ -959,6 +987,45 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "kind": "image",
                 "payload": filled.map(lambda i: build(int(i))),
                 "source_uri": "synthetic-px://" + filled.astype(str),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthetic_palette_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PALETTE-PNG media (color type 3) from an id column —
+    the round-9 companion to :func:`synthetic_pixel_media` covering the
+    format real crawls are full of (8-bit indexed PNGs). Pixel p of media
+    ``id`` carries palette index ``(id + p) % 256`` and the 256-entry
+    palette itself is id-parameterized: entry k is
+    ``((3k + id) % 256, (5k + 2id) % 256, (7k + 3id) % 256)``, so a
+    DuckDB oracle predicts every decoded channel sum arithmetically
+    THROUGH the palette indirection. The encoder rotates row filters
+    (r % 5) over the 1-byte-per-pixel index stream, so a match also
+    proves bpp-sized filter reconstruction at index width. Same id
+    conventions as synthetic_pixel_media: NULL ids synthesize as id 0
+    with media_id kept NULL; the grammar is defined over ids >= 0."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def build(i: int) -> bytes:
+            w, h = 1 + i % 32, 1 + i % 24
+            idx = bytes((i + p) % 256 for p in range(w * h))
+            pal = bytes(
+                v for k in range(256)
+                for v in ((3 * k + i) % 256, (5 * k + 2 * i) % 256, (7 * k + 3 * i) % 256)
+            )
+            return _png_encode(idx, w, h, bpp=1, ctype=3, plte=pal)
+
+        for pdf in batches:
+            mids = pdf[id_col].astype("Int64")
+            filled = mids.fillna(0)
+            yield pd.DataFrame({
+                "media_id": mids,
+                "kind": "image",
+                "payload": filled.map(lambda i: build(int(i))),
+                "source_uri": "synthetic-plte://" + filled.astype(str),
             })
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)

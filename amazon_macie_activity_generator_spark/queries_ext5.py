@@ -1715,6 +1715,63 @@ FROM px GROUP BY media_id, rk, fmt, w, h
 """
 
 
+def q_multimodal_pixels_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE-PNG decode (round 9, VERDICT r8 ask #3): 8-bit indexed
+    PNGs (color type 3) are the dominant non-truecolor format in real
+    crawls; ``synthetic_palette_media`` (operators/multimodal.py) builds
+    them with an id-parameterized index stream (pixel p carries index
+    (id + p) %% 256) AND an id-parameterized 256-entry palette (entry k =
+    ((3k + id), (5k + 2id), (7k + 3id)) %% 256), row filters rotating
+    r %% 5 over the 1-byte index stream. The oracle re-derives the
+    decoded channel sums arithmetically through the palette indirection,
+    so a hash match proves PLTE lookup + index-width filter
+    reconstruction, not just container sniffing. Same id conventions as
+    ``multimodal_pixels``: NULL and negative doc_ids are excluded in both
+    engines (no key = no media; Python floored %% vs DuckDB truncated %%
+    diverge below zero)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        decode_pixels,
+        synthetic_palette_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < 300)
+    )
+    media = synthetic_palette_media(docs.select("doc_id"))
+    out = decode_pixels(media)
+    return out.select(
+        "media_id", "fmt", "width", "height", "n_pixels",
+        "r_sum", "g_sum", "b_sum",
+    )
+
+
+SQL_MULTIMODAL_PIXELS_PALETTE = """
+WITH m AS (
+  -- rk: one output row PER INPUT ROW (duplicate doc_ids must not
+  -- collapse — the Spark side decodes one media row per input row)
+  SELECT doc_id AS media_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+         1 + doc_id % 32 AS w, 1 + doc_id % 24 AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 300
+), px AS (
+  SELECT media_id, rk, w, h, unnest(range(w * h)) AS p FROM m
+), lut AS (
+  -- palette lookup: pixel p carries index k = (id + p) % 256; palette
+  -- entry k decodes to ((3k + id), (5k + 2id), (7k + 3id)) % 256
+  SELECT media_id, rk, w, h, (media_id + p) % 256 AS k FROM px
+)
+SELECT media_id, 'png' AS fmt,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum((3 * k + media_id) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((5 * k + 2 * media_id) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((7 * k + 3 * media_id) % 256) AS BIGINT) AS b_sum
+FROM lut GROUP BY media_id, rk, w, h
+"""
+
+
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
@@ -1737,4 +1794,9 @@ EXT5_QUERIES = {
     # round 8 — appended last within ext5 so existing entries keep their
     # insertion order (the rotation's final tiebreak)
     "multimodal_pixels": (q_multimodal_pixels, SQL_MULTIMODAL_PIXELS),
+    # round 9 — the single new entry this round (catalog otherwise frozen
+    # so the rotation window covers the whole stale cohort)
+    "multimodal_pixels_palette": (
+        q_multimodal_pixels_palette, SQL_MULTIMODAL_PIXELS_PALETTE,
+    ),
 }

@@ -79,10 +79,56 @@ def test_png_rgba_drops_alpha():
     assert raw == want
 
 
-def test_png_palette_rejected():
-    # palette (color type 3) needs a PLTE lookup this decoder doesn't do —
-    # must quarantine, not mis-decode
+def test_png_palette_without_plte_rejected():
+    # palette (color type 3) with NO PLTE chunk is unrenderable per spec —
+    # must quarantine, not mis-decode (ctype 3 itself is supported since r9)
     assert decode_pixels_bytes(_png_encode(bytes(12), 4, 3, bpp=1, ctype=3)) is None
+
+
+def test_png_palette_round_trip():
+    # round 9: 8-bit indexed PNG (ctype 3). h >= 5 exercises all five
+    # filters over the 1-byte index stream; the palette lookup then maps
+    # indices to RGB — both stages must be right to reproduce `want`
+    for i in (0, 7, 31, 255, 300):
+        w, h = 1 + i % 32, 1 + i % 24
+        idx = bytes((i + p) % 256 for p in range(w * h))
+        pal = bytes(
+            v for k in range(256)
+            for v in ((3 * k + i) % 256, (5 * k + 2 * i) % 256, (7 * k + 3 * i) % 256)
+        )
+        out = decode_pixels_bytes(_png_encode(idx, w, h, bpp=1, ctype=3, plte=pal))
+        assert out is not None, i
+        fmt, w2, h2, raw = out
+        assert (fmt, w2, h2) == ("png", w, h)
+        want = b"".join(pal[k * 3 : k * 3 + 3] for k in idx)
+        assert raw == want
+
+
+def test_png_palette_index_beyond_plte_rejected():
+    # stream encodes index 200 but the palette has 10 entries: corrupt
+    # per spec — the bounds guard must reject, not wrap or crash
+    short_pal = bytes(range(30))  # 10 entries
+    bad = _png_encode(bytes([5, 200, 1, 2]), 2, 2, bpp=1, ctype=3, plte=short_pal)
+    assert decode_pixels_bytes(bad) is None
+    ok = _png_encode(bytes([5, 9, 1, 2]), 2, 2, bpp=1, ctype=3, plte=short_pal)
+    assert decode_pixels_bytes(ok) is not None
+
+
+def test_png_palette_malformed_plte_rejected():
+    idx, pal = bytes([0, 1, 1, 0]), bytes(range(6))  # 2 entries
+    good = _png_encode(idx, 2, 2, bpp=1, ctype=3, plte=pal)
+    # PLTE length not divisible by 3
+    assert decode_pixels_bytes(good.replace(_png_chunk(b"PLTE", pal),
+                                            _png_chunk(b"PLTE", pal[:5]))) is None
+    # PLTE after IDAT (spec orders it before)
+    no_plte = _png_encode(idx, 2, 2, bpp=1, ctype=3)
+    iend_at = no_plte.index(b"IEND") - 4
+    late = no_plte[:iend_at] + _png_chunk(b"PLTE", pal) + no_plte[iend_at:]
+    assert decode_pixels_bytes(late) is None
+    # duplicate PLTE
+    plte_chunk = _png_chunk(b"PLTE", pal)
+    dup = good.replace(plte_chunk, plte_chunk + plte_chunk)
+    assert decode_pixels_bytes(dup) is None
 
 
 def test_bmp_32bpp_drops_alpha():
@@ -162,11 +208,13 @@ def test_png_bomb_guard():
 
 
 def test_png_wrong_color_type_rejected():
-    # grayscale (color type 0) is outside the supported trio's contract
+    # gray+alpha (color type 4) is genuinely unsupported: the IHDR
+    # validation itself must reject it (ctype 4 has no bpp mapping),
+    # independent of any downstream stride mismatch
     raw = _raw_fill(1, 4, 4)
     payload = bytearray(_png_encode(raw, 4, 4))
     ihdr_at = payload.index(b"IHDR") + 4
-    payload[ihdr_at + 9] = 0  # color type byte
+    payload[ihdr_at + 9] = 4  # color type byte
     # CRC now wrong too, but IHDR validation fires first either way
     assert decode_pixels_bytes(bytes(payload)) is None
 
@@ -312,6 +360,29 @@ def test_decode_pixels_stage_matches_arithmetic(spark, sf_dir):
             expected[j % 3] += (i + j) % 256
         assert (r.r_sum, r.g_sum, r.b_sum) == tuple(expected)
         assert r.pixel_sha256 == hashlib.sha256(_raw_fill(i, w, h)).hexdigest()
+
+
+def test_palette_media_stage_matches_arithmetic(spark, sf_dir):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        synthetic_palette_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 40"
+    )
+    rows = decode_pixels(synthetic_palette_media(ids)).collect()
+    assert len(rows) == 40
+    for r in rows:
+        i = r.media_id
+        w, h = 1 + i % 32, 1 + i % 24
+        assert (r.fmt, r.width, r.height, r.n_pixels) == ("png", w, h, w * h)
+        expected = [0, 0, 0]
+        for p in range(w * h):
+            k = (i + p) % 256
+            expected[0] += (3 * k + i) % 256
+            expected[1] += (5 * k + 2 * i) % 256
+            expected[2] += (7 * k + 3 * i) % 256
+        assert (r.r_sum, r.g_sum, r.b_sum) == tuple(expected)
 
 
 def test_decode_pixels_quarantines_garbage(spark):
