@@ -35,6 +35,18 @@ otherwise. Only video codecs remain behind NotImplementedError
 (``sample_frames`` with ``decode_stub=False``) — frame-accurate seeking
 genuinely needs ffmpeg, which this container lacks; JPEG payloads
 header-decode (dims) but quarantine at pixel access.
+
+THE NATIVE-CODEC SEAM: at 100 TB of real images the decode engine should
+be a native codec (libpng / libjpeg-turbo / ffmpeg), and it slots in at
+exactly the boundary this module already has — the per-format dispatch
+inside ``decode_pixels_bytes`` under the ``decode_pixels`` /
+``resize_images`` / ``sample_frames`` mapInPandas stages. The stage
+contract (binary payload in → narrow typed features out, NULL-stats
+quarantine, bomb guards) and therefore the schema, partitioning, batch
+shape, and downstream plan are codec-agnostic; these pure-Python decoders
+(throughput measured in scripts/decode_bench.py, SCALE.md "Decode
+throughput") remain the zero-dependency reference implementation and the
+correctness oracle for any native swap-in.
 """
 
 from __future__ import annotations
@@ -612,6 +624,151 @@ def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     return w, h, b[i : i + w * h * 3]
 
 
+# Average/Paeth runs shorter than this stay on the scalar lane scan: the
+# wavefront's diagonal length is bounded by the run height, and a numpy
+# dispatch per 2-element diagonal step costs far more than the scan saves
+_WAVEFRONT_MIN_ROWS = 16
+
+
+def _avg_paeth_row_scalar(
+    line: bytes, prior: bytes, f: int, stride: int, bpp: int
+) -> bytearray:
+    """One Average (f=3) or Paeth (f=4) row as per-lane Python scans.
+    These filters are inherently sequential — each output byte feeds the
+    next pixel's left neighbor through a floor/median nonlinearity, so
+    there is no closed prefix form; the scan carries left/upleft in
+    locals instead of per-byte bytearray reads (measured ~1.5x over the
+    round-8 per-byte loop; see scripts/decode_bench.py)."""
+    row = bytearray(stride)
+    ln, pr = list(line), list(prior)
+    if f == 3:  # Average: x[i] = line[i] + (x[i-bpp] + up[i]) // 2
+        for lane in range(bpp):
+            x = 0
+            for i2 in range(lane, stride, bpp):
+                x = (ln[i2] + ((x + pr[i2]) >> 1)) & 0xFF
+                row[i2] = x
+        return row
+    for lane in range(bpp):  # Paeth: left/upleft carried across the scan
+        a = c = 0
+        for i2 in range(lane, stride, bpp):
+            b_up = pr[i2]
+            p = a + b_up - c
+            pa = p - a if p >= a else a - p
+            pb = p - b_up if p >= b_up else b_up - p
+            pc = p - c if p >= c else c - p
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b_up
+            else:
+                pred = c
+            a = (ln[i2] + pred) & 0xFF
+            row[i2] = a
+            c = b_up
+    return row
+
+
+def _avg_paeth_wavefront(lines, fts, prior_row, w: int, bpp: int):
+    """Reconstruct a RUN of k consecutive Average/Paeth rows as an
+    anti-diagonal wavefront: cell (r, j) depends only on (r, j-1),
+    (r-1, j), (r-1, j-1) — all on earlier diagonals d = r + j — so each
+    of the k + w - 1 diagonals is one whole numpy vector step instead of
+    k * w scalar steps. A zero border row/column (border row = the
+    previously reconstructed ``prior_row``) removes every edge mask, and
+    because diagonal cells sit at a fixed flat-index stride (w) in the
+    padded layout, every gather/scatter is a strided VIEW, not fancy
+    indexing. Measured ~4x over the scalar scan on Paeth-heavy content
+    (the adaptive-encoder photo shape); see scripts/decode_bench.py.
+
+    ``lines``: (k, w*bpp) uint8; ``fts``: (k,) uint8 in {3, 4};
+    ``prior_row``: (w*bpp,) uint8. Returns (k, w*bpp) uint8."""
+    import numpy as np
+
+    k = lines.shape[0]
+    w1 = w + 1
+    x = np.zeros(((k + 1) * w1, bpp), dtype=np.int16)
+    x[1 : w + 1] = prior_row.reshape(w, bpp)
+    lin = lines.reshape(k * w, bpp).astype(np.int16)
+    m3 = (fts == 3)[:, None]
+    for d in range(k + w - 1):
+        r0 = max(0, d - w + 1)
+        r1 = min(k - 1, d)
+        n = r1 - r0 + 1
+        start = (r0 + 1) * w1 + (d - r0 + 1)
+        end = start + (n - 1) * w + 1
+        a = x[start - 1 : end - 1 : w]          # left
+        b = x[start - w1 : end - w1 : w]        # up
+        c = x[start - w1 - 1 : end - w1 - 1 : w]  # upleft
+        ls = r0 * w + (d - r0)
+        lf = lin[ls : ls + (n - 1) * (w - 1) + 1 : w - 1] if n > 1 else lin[ls : ls + 1]
+        d1 = a - c
+        d2 = b - c
+        pa = np.abs(d2)  # |p - a| = |b - c|
+        pb = np.abs(d1)  # |p - b| = |a - c|
+        pc = np.abs(d1 + d2)  # |p - c|
+        paeth = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        pred = np.where(m3[r0 : r1 + 1], (a + b) >> 1, paeth)
+        x[start:end:w] = (lf + pred) & 0xFF
+    return (
+        x.reshape(k + 1, w1, bpp)[1:, 1:].astype(np.uint8).reshape(k, w * bpp)
+    )
+
+
+def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
+    """Invert the per-row PNG filters over the inflated stream ``data``
+    ((1 filter byte + w*bpp line bytes) * h), throughput-tiered (round 9;
+    measured in scripts/decode_bench.py / SCALE.md): None is a copy, Up
+    is a wrapping uint8 add, Sub is a per-lane prefix sum mod 256
+    (np.add.accumulate with dtype=uint8 wraps) — all exact numpy. The
+    sequential filters Average/Paeth run as a blocked anti-diagonal
+    WAVEFRONT when a run of them is tall enough, else as per-lane scalar
+    scans. A native codec (libpng et al.) slots in at the same
+    mapInPandas boundary with no plan change (module docstring)."""
+    import numpy as np
+
+    stride = w * bpp
+    arr = np.frombuffer(data, np.uint8).reshape(h, stride + 1)
+    fts = arr[:, 0]
+    if int(fts.max()) > 4:
+        return None
+    lines = arr[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    r = 0
+    while r < h:
+        f = int(fts[r])
+        if f == 0:
+            out[r] = lines[r]
+        elif f == 2:  # Up: uint8 + uint8 wraps mod 256 natively
+            out[r] = lines[r] + prior
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            out[r] = np.add.accumulate(
+                lines[r].reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        else:  # maximal run of Average/Paeth rows
+            k = 1
+            while r + k < h and fts[r + k] >= 3:
+                k += 1
+            if k >= _WAVEFRONT_MIN_ROWS and w >= 2:
+                out[r : r + k] = _avg_paeth_wavefront(
+                    lines[r : r + k], fts[r : r + k], prior, w, bpp
+                )
+            else:
+                pr_bytes = prior.tobytes()
+                for rr in range(r, r + k):
+                    row = _avg_paeth_row_scalar(
+                        lines[rr].tobytes(), pr_bytes, int(fts[rr]), stride, bpp
+                    )
+                    out[rr] = np.frombuffer(bytes(row), np.uint8)
+                    pr_bytes = bytes(row)
+            prior = out[r + k - 1]
+            r += k
+            continue
+        prior = out[r]
+        r += 1
+    return out.tobytes()
+
+
 def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     """8-bit non-interlaced PNG, color types 0 (grayscale), 2 (RGB),
     3 (palette via PLTE), and 6 (RGBA), canonicalized to RGB (gray
@@ -671,40 +828,12 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     import numpy as np
 
-    unfiltered = bytearray(w * h * bpp)
-    prior = bytes(stride)
-    for r in range(h):
-        f = data[r * (stride + 1)]
-        line = data[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
-        row = bytearray(stride)
-        # None/Up have no left dependency — vectorize (the common filters
-        # on photographic content); Sub/Average/Paeth accumulate left to
-        # right and stay per-byte, bounded by one row's width
-        if f == 0:
-            row[:] = line
-        elif f == 2:  # Up
-            row[:] = (
-                (np.frombuffer(line, dtype=np.uint8).astype(np.uint16)
-                 + np.frombuffer(prior, dtype=np.uint8)) & 0xFF
-            ).astype(np.uint8).tobytes()
-        elif f == 1:  # Sub
-            for i2 in range(stride):
-                row[i2] = (line[i2] + (row[i2 - bpp] if i2 >= bpp else 0)) & 0xFF
-        elif f == 3:  # Average
-            for i2 in range(stride):
-                row[i2] = (line[i2] + ((row[i2 - bpp] if i2 >= bpp else 0) + prior[i2]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i2 in range(stride):
-                row[i2] = (line[i2] + _paeth(row[i2 - bpp] if i2 >= bpp else 0,
-                                             prior[i2],
-                                             prior[i2 - bpp] if i2 >= bpp else 0)) & 0xFF
-        else:
-            return None
-        unfiltered[r * stride : (r + 1) * stride] = row
-        prior = bytes(row)
+    unfiltered = _png_reconstruct(data, w, h, bpp)
+    if unfiltered is None:
+        return None
     if ctype == 2:
-        return w, h, bytes(unfiltered)
-    px = np.frombuffer(bytes(unfiltered), dtype=np.uint8).reshape(h, w, bpp)
+        return w, h, unfiltered
+    px = np.frombuffer(unfiltered, dtype=np.uint8).reshape(h, w, bpp)
     if ctype == 3:  # palette lookup; an index past PLTE is corrupt per spec
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = px[..., 0]

@@ -219,6 +219,64 @@ def test_png_wrong_color_type_rejected():
     assert decode_pixels_bytes(bytes(payload)) is None
 
 
+def test_png_reconstruct_wavefront_equals_naive():
+    """The round-9 filter reconstruction is two-tier: runs of >= 16
+    Average/Paeth rows go through the anti-diagonal wavefront
+    (_avg_paeth_wavefront), shorter runs through the scalar lane scan.
+    Both must agree byte-for-byte with the naive spec-literal loop on
+    random images across dims, bpp, and filter mixes (incl. all-Paeth
+    blocks that force the wavefront and rotations that force the scalar
+    path)."""
+    import random
+
+    import numpy as np
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _paeth,
+        _png_reconstruct,
+    )
+
+    rng = random.Random(99)
+    cases = [(7, 5, 3), (33, 17, 4), (2, 9, 3), (9, 1, 1), (1, 9, 3), (2, 2, 3),
+             (5, 40, 3), (40, 5, 1), (20, 30, 4)]
+    for _ in range(15):
+        cases.append((rng.randint(1, 50), rng.randint(1, 50), rng.choice([1, 3, 4])))
+    for w, h, bpp in cases:
+        stride = w * bpp
+        raw = bytes(rng.randrange(256) for _ in range(h * stride))
+        mode = rng.choice(["random", "allpaeth", "allavg", "rot"])
+        fts = {"allpaeth": [4] * h, "allavg": [3] * h,
+               "rot": [r % 5 for r in range(h)]}.get(
+            mode, [rng.randrange(5) for _ in range(h)])
+        body = bytearray()
+        prior = bytes(stride)
+        for r in range(h):
+            row = raw[r * stride : (r + 1) * stride]
+            f = fts[r]
+            body.append(f)
+            left = lambda i: row[i - bpp] if i >= bpp else 0  # noqa: E731
+            upleft = lambda i: prior[i - bpp] if i >= bpp else 0  # noqa: E731
+            if f == 0:
+                body += row
+            elif f == 1:
+                body += bytes((row[i] - left(i)) & 0xFF for i in range(stride))
+            elif f == 2:
+                body += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+            elif f == 3:
+                body += bytes((row[i] - (left(i) + prior[i]) // 2) & 0xFF
+                              for i in range(stride))
+            else:
+                body += bytes((row[i] - _paeth(left(i), prior[i], upleft(i))) & 0xFF
+                              for i in range(stride))
+            prior = row
+        assert _png_reconstruct(bytes(body), w, h, bpp) == raw, (w, h, bpp, mode)
+    # invalid filter byte still quarantines
+    bad = bytes([7]) + bytes(12)
+    assert _png_reconstruct(bad, 4, 1, 3) is None
+    assert isinstance(np.add.accumulate(np.array([[250], [10]], np.uint8),
+                                        axis=0, dtype=np.uint8)[1, 0], np.uint8)
+
+
 # ----------------------------------------------------------------- gif
 
 
