@@ -108,6 +108,12 @@ STRESS_QUERIES = [
     # replication adds no new (source, shingle) rows for source_overlap —
     # both should stay FLAT under stress, not merely complete
     "dedup_chunk_exact", "source_overlap",
+    # round-9: embeddings are also replicated EXACTLY under --stress (no
+    # Rademacher decorrelation), so every vector becomes a K-sized
+    # identical cluster — the true-pair count grows C(K,2) per vector and
+    # the probe's --count-output shows time tracking OUTPUT, not a
+    # quadratic plan
+    "embedding_near_dup",
 ]
 
 
@@ -181,7 +187,7 @@ def build_scaled_dir(spark, sf_dir: str, out_dir: str, k: int, stress: bool) -> 
     eparts = []
     for i in range(k):
         c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_OFFSET))
-        if i > 0:
+        if i > 0 and not stress:
             # copy-specific Rademacher sign flip per component: copies are
             # ~orthogonal to their originals (and to each other), so SRP
             # buckets decorrelate and near-dup DENSITY stays constant.
@@ -230,6 +236,12 @@ def main() -> None:
         "runs are ±1-2 s noisy on this box, which distorts log-log "
         "exponents for the 2-6 s entries",
     )
+    ap.add_argument(
+        "--count-output", action="store_true",
+        help="also count() each query's output rows per K (one extra "
+        "execution) — for output-bound entries the check is time/row "
+        "staying flat, not time/input",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -250,6 +262,7 @@ def main() -> None:
         extra_probes = {n: f for n, f in extra_probes.items() if n in keep}
     mode = "stress" if args.stress else "volume"
     results: dict[str, dict[int, float]] = {n: {} for n in names}
+    out_rows: dict[str, dict[int, int]] = {}
     for k in scales:
         out_dir = os.path.join(args.work_dir, f"{mode}_x{k}")
         build_scaled_dir(spark, args.sf_dir, out_dir, k, args.stress)
@@ -267,12 +280,13 @@ def main() -> None:
                 spark.catalog.clearCache()
             secs = min(runs)
             results[name][k] = secs
-            print(
-                json.dumps(
-                    {"query": name, "k": k, "sec": secs, "runs": runs, "mode": mode}
-                ),
-                flush=True,
-            )
+            rec = {"query": name, "k": k, "sec": secs, "runs": runs, "mode": mode}
+            if args.count_output:
+                rows = fn(spark, out_dir).count()
+                out_rows.setdefault(name, {})[k] = rows
+                rec["rows"] = rows
+                rec["us_per_row"] = round(secs / rows * 1e6, 2) if rows else None
+            print(json.dumps(rec), flush=True)
 
     summary = {}
     for name, by_k in results.items():
@@ -285,6 +299,8 @@ def main() -> None:
             denom = sum((x - mx) ** 2 for x in xs)
             slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom if denom else 0.0
             summary[name] = {"times": by_k, "exponent": round(slope, 2)}
+            if name in out_rows:
+                summary[name]["rows"] = out_rows[name]
     print(json.dumps({"mode": mode, "summary": summary}, sort_keys=True), flush=True)
     spark.stop()
 
