@@ -245,6 +245,15 @@ def main() -> None:
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
+    # the shared session helper keeps Spark's 1g driver default (right
+    # for the catalog at sf0.1; the driver's own session is vanilla) —
+    # but a 16x stress corpus genuinely needs execution memory, and in
+    # local mode the driver heap IS the executor heap. Set it for the
+    # probe JVM only, before the gateway launches.
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 32g pyspark-shell"
+    )
+
     from amazon_macie_activity_generator_spark.queries import QUERIES
     from amazon_macie_activity_generator_spark.session import get_spark
 
