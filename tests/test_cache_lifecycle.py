@@ -23,6 +23,25 @@ def _n_cached(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _drain_to(spark, n: int, timeout_s: float = 15.0) -> int:
+    """Wait for the JVM's persistent-RDD count to drain to <= n.
+
+    cache.py unpersists with blocking=False BY DESIGN (release paths must
+    not stall on RPC); the JVM applies them asynchronously, so a count
+    taken immediately after release_all() can transiently include frames
+    already released. Poll briefly instead of asserting on the race —
+    under an idle box the first poll wins; under heavy CPU contention
+    (e.g. a concurrent local[32] job) the drain can lag seconds."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    count = _n_cached(spark)
+    while count > n and time.monotonic() < deadline:
+        time.sleep(0.2)
+        count = _n_cached(spark)
+    return count
+
+
 def test_repeat_invocations_bounded(spark, sf_dir):
     """Running bpe_merges + bpe_encode + triangle_count twice each caches
     no more than one invocation's frames per builder."""
@@ -42,13 +61,13 @@ def test_repeat_invocations_bounded(spark, sf_dir):
     # frames, so the cached count does NOT grow
     for b in builders:
         b(spark, sf_dir).collect()
-    assert _n_cached(spark) <= first
+    assert _drain_to(spark, first) <= first
     # per-scope accounting matches: one invocation's worth each
     assert len(scope_frames("bpe_merges")) == 3  # t1, t2, t3
     assert len(scope_frames("bpe_encode")) == 4  # t1..t4 (doc_id carried)
     assert len(scope_frames("triangle_count")) == 3  # und, deg, edges
     release_all()
-    assert _n_cached(spark) == 0
+    assert _drain_to(spark, 0) == 0
 
 
 def test_release_scope_is_isolated(spark):
@@ -82,7 +101,7 @@ def test_release_all_after_operator_helpers(spark, sf_dir):
     q_dedup_minhash(spark, sf_dir).collect()
     q_dedup_incremental(spark, sf_dir).collect()
     release_all()
-    assert _n_cached(spark) == 0
+    assert _drain_to(spark, 0) == 0
 
 
 def test_registry_keyed_by_session(spark):
