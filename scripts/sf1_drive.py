@@ -118,7 +118,7 @@ def oracle_names() -> list[str]:
     return [n for n, (_, sql) in QUERIES.items() if sql is not None]
 
 
-ORACLE_TIMEOUT_S = 300
+ORACLE_TIMEOUT_S = int(os.environ.get("SF1_ORACLE_TIMEOUT_S", "300"))
 
 
 def _duck_with_timeout(con, sql: str, seconds: int):
@@ -150,13 +150,17 @@ def _duck_with_timeout(con, sql: str, seconds: int):
     return out["df"], None
 
 
-def drive_chunk(chunk: int, chunk_size: int) -> None:
+def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> None:
     import duckdb
 
     import __spark_entry__ as entrymod
     from tests._cross_engine import canon
 
-    names = oracle_names()[chunk * chunk_size : (chunk + 1) * chunk_size]
+    if only is not None:
+        names = only
+        chunk = -1
+    else:
+        names = oracle_names()[chunk * chunk_size : (chunk + 1) * chunk_size]
     if not names:
         print(json.dumps({"chunk": chunk, "empty": True}))
         return
@@ -206,12 +210,20 @@ def summarize() -> None:
     latest: dict[str, dict] = {r["name"]: r for r in recs}
     agree = [r for r in latest.values() if r.get("agree")]
     timeout = [r for r in latest.values() if r.get("oracle_timeout")]
+    # oracle resource exhaustion (e.g. DuckDB spilling past the disk on
+    # the unrolled graph joins) is an oracle-scalability row like a
+    # timeout, not an engine mismatch
+    resource = [r for r in latest.values()
+                if not r.get("agree") and not r.get("oracle_timeout")
+                and "No space left" in r.get("error", "")]
     fail = [r for r in latest.values()
-            if not r.get("agree") and not r.get("oracle_timeout")]
+            if not r.get("agree") and not r.get("oracle_timeout")
+            and r not in resource]
     print(json.dumps({
         "entries": len(latest),
         "agree": len(agree),
         "oracle_timeout": sorted(r["name"] for r in timeout),
+        "oracle_resource": sorted(r["name"] for r in resource),
         "fail": sorted(r["name"] for r in fail),
         "spark_total_s": round(sum(r.get("spark_s", 0) for r in latest.values()), 1),
         "duck_total_s": round(sum(r.get("duck_s", 0) for r in latest.values()), 1),
@@ -231,12 +243,17 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--chunk-size", type=int, default=35)
+    ap.add_argument("--entries", default=None,
+                    help="comma-separated entry names to (re-)drive (fresh "
+                    "JVM; results.jsonl keeps the latest row per entry)")
     ap.add_argument("--summarize", action="store_true")
     args = ap.parse_args()
     if args.build:
         build(args.sf_dir, args.k)
     elif args.summarize:
         summarize()
+    elif args.entries:
+        drive_chunk(-1, 0, only=args.entries.split(","))
     elif args.chunk is not None:
         drive_chunk(args.chunk, args.chunk_size)
     else:
