@@ -212,7 +212,7 @@ def main() -> None:
             "source_uri": [f"bench://{f}/{i}" for i, (f, _, _) in enumerate(pool)],
         })
     )
-    raw_mb_per_pool = sum(r for _, _, r in pool) / 1e6
+    raw_bytes_per_pool = sum(r for _, _, r in pool)  # exact int for the checks
 
     rows = []
     for k in scales:
@@ -224,7 +224,8 @@ def main() -> None:
             .select(F.col("id").alias("media_id"), "kind", "payload", "source_uri")
             .repartition(32, "media_id")
         )
-        raw_mb = raw_mb_per_pool * k
+        raw_bytes = raw_bytes_per_pool * k
+        raw_mb = raw_bytes / 1e6
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
@@ -235,7 +236,9 @@ def main() -> None:
             ).collect()[0]
             best = min(best, time.perf_counter() - t0)
             assert agg["n"] == n and agg["decoded"] == n, agg
-            assert agg["px"] * 3 == int(raw_mb * 1e6), agg
+            # exact integer compare — a float round trip through /1e6
+            # truncates off-by-one for some sizes
+            assert agg["px"] * 3 == raw_bytes, agg
         rows.append({"scale": k, "images": n, "raw_mb": round(raw_mb, 1),
                      "wall_s": round(best, 2), "mb_per_s": round(raw_mb / best, 1)})
         print(json.dumps(rows[-1]))

@@ -11,13 +11,16 @@ Two replication modes per table family:
   copies).  Result density per input row stays constant, so a
   scale-linear operator should show t(K) ~= K * t(1) (modulo fixed
   overhead) and a superlinear one is exposed directly.
-- **stress mode (--stress)**: documents are replicated EXACTLY (same
-  text, new ids), manufacturing K-sized exact-duplicate clusters — the
-  giant-LSH-bucket / boilerplate-shingle worst case the salted joins in
-  operators/dedup.py and queries_ext4.dedup_containment exist for.
-  Output pair count necessarily grows ~K^2 per cluster; the probe
-  checks the jobs COMPLETE with bounded task sizes rather than that
-  time stays linear.
+- **stress mode (--stress)**: documents AND (since round 9) embeddings
+  are replicated EXACTLY (same text / same vector, new ids),
+  manufacturing K-sized exact-duplicate clusters and identical-vector
+  LSH buckets — the giant-bucket / boilerplate-shingle worst case the
+  salted joins in operators/dedup.py, operators/similarity.py, and
+  queries_ext4.dedup_containment exist for. Output pair count
+  necessarily grows ~K^2 per cluster; the probe checks the jobs
+  COMPLETE with bounded task sizes rather than that time stays linear,
+  and --count-output shows time tracking the OUTPUT, not a quadratic
+  plan.
 
 Usage:
     python scripts/scale_probe.py [--scales 1,4,8] [--stress]
@@ -292,6 +295,9 @@ def main() -> None:
             rec = {"query": name, "k": k, "sec": secs, "runs": runs, "mode": mode}
             if args.count_output:
                 rows = fn(spark, out_dir).count()
+                # the count run re-persists the builder's scoped frames;
+                # clear them so the NEXT query's timed rep starts clean
+                spark.catalog.clearCache()
                 out_rows.setdefault(name, {})[k] = rows
                 rec["rows"] = rows
                 rec["us_per_row"] = round(secs / rows * 1e6, 2) if rows else None

@@ -33,8 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WORK = "/tmp/spark_graft_sf1"
 DATA = os.path.join(WORK, "data")
 RESULTS = os.path.join(WORK, "results.jsonl")
-ID_OFFSET = 10_000_000
-USER_OFFSET = 1_000_000
+ID_OFFSET = 10_000_000  # events' user offset lives in scale_probe.USER_OFFSET
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -127,7 +126,12 @@ def _duck_with_timeout(con, sql: str, seconds: int):
     jaccard join: probes x corpus with per-pair list_intersect) — the
     simplest possible spec of the semantics, quadratic by design and
     priced for sf0.01/sf0.1. At sf1 those are hours; the cap records
-    them as oracle_timeout instead of stalling the drive."""
+    them as oracle_timeout instead of stalling the drive.
+
+    Returns (df, err, hung): ``hung`` is True when the worker survived
+    interrupt + grace join and still HOLDS the connection — the caller
+    must switch to a fresh connection or the next entry's execute blocks
+    behind the connection lock, silently unbounding the cap."""
     import threading
 
     out: dict = {}
@@ -144,10 +148,10 @@ def _duck_with_timeout(con, sql: str, seconds: int):
     if th.is_alive():
         con.interrupt()
         th.join(60)
-        return None, "timeout"
+        return None, "timeout", th.is_alive()
     if "err" in out:
-        return None, out["err"]
-    return out["df"], None
+        return None, out["err"], False
+    return out["df"], None, False
 
 
 def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> None:
@@ -166,13 +170,18 @@ def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> N
         return
     spark = _get_spark()
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        # Spark writes tables as part-file directories; the copied dims
-        # stay single files — glob accordingly
-        p = os.path.join(DATA, f"{t}.parquet")
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS FROM '{src}'")
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            # Spark writes tables as part-file directories; the copied
+            # dims stay single files — glob accordingly
+            p = os.path.join(DATA, f"{t}.parquet")
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            c.execute(f"CREATE VIEW {t} AS FROM '{src}'")
+        return c
+
+    con = fresh_con()
     with open(RESULTS, "a") as out:
         for name in names:
             rec: dict = {"name": name, "chunk": chunk}
@@ -181,8 +190,14 @@ def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> N
                 sdf = qs[name](spark, DATA).toPandas()
                 rec["spark_s"] = round(time.perf_counter() - t0, 2)
                 t0 = time.perf_counter()
-                ddf, err = _duck_with_timeout(con, oracles[name], ORACLE_TIMEOUT_S)
+                ddf, err, hung = _duck_with_timeout(
+                    con, oracles[name], ORACLE_TIMEOUT_S
+                )
                 rec["duck_s"] = round(time.perf_counter() - t0, 2)
+                if hung:
+                    # the worker still holds this connection — abandon it
+                    # so the NEXT oracle doesn't block behind its lock
+                    con = fresh_con()
                 if err == "timeout":
                     rec["agree"] = None
                     rec["oracle_timeout"] = True

@@ -84,7 +84,10 @@ def main() -> None:
         spark, qpath, schema, delivered_path, os.path.join(work, "ckpt"),
         available_now=True,
     )
-    sq.awaitTermination(1800)
+    if not sq.awaitTermination(1800):
+        sq.stop()
+        raise SystemExit("stream did not drain within 1800 s — timeout, "
+                         "not a dedup failure; rerun on an idle box")
     stream_wall = time.perf_counter() - t0
     n_batches = sq.lastProgress["batchId"] + 1 if sq.lastProgress else None
 
