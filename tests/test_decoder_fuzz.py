@@ -31,10 +31,18 @@ def _valid_payloads() -> list[bytes]:
     for i in (0, 5, 11):
         w, h = 1 + i % 32, 1 + i % 24
         raw = _raw_fill(i, w, h)
+        pal = bytes(
+            v for k in range(256)
+            for v in ((3 * k + i) % 256, (5 * k + 2 * i) % 256, (7 * k + 3 * i) % 256)
+        )
         out += [
             _bmp_encode(raw, w, h),
             _ppm_encode(raw, w, h),
             _png_encode(raw, w, h),
+            # palette PNG (r9): mutations reach the PLTE walk + 1-byte
+            # filter reconstruction + palette-lookup bounds check
+            _png_encode(bytes((i + p) % 256 for p in range(w * h)),
+                        w, h, bpp=1, ctype=3, plte=pal),
             _gif_encode(bytes((i + 3 * p) % 256 for p in range(w * h)),
                         _GIF_FILL_PALETTE, w, h),
         ]
@@ -94,3 +102,55 @@ def test_magic_prefixed_garbage_never_raises(magic, junk):
     """Payloads that pass the sniff but fail the parse — the exact class
     a format-dispatching decoder mishandles first."""
     _check(magic + junk)
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(1, 40),            # w
+    st.integers(1, 40),            # h
+    st.sampled_from([1, 3, 4]),    # bpp
+    st.randoms(use_true_random=False),
+)
+def test_png_reconstruct_fuzz_equals_naive(w, h, bpp, rng):
+    """Property fuzz of the round-9 two-tier filter reconstruction
+    (vectorized Sub/Up + run-dispatched wavefront/scalar Average/Paeth)
+    against the naive spec-literal loop — hypothesis-driven dims, bpp,
+    and per-row filter choices (biased toward long Average/Paeth runs so
+    the >= 16-row wavefront trigger is exercised, not just the scalar
+    fallback)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _paeth,
+        _png_reconstruct,
+    )
+
+    stride = w * bpp
+    raw = bytes(rng.randrange(256) for _ in range(h * stride))
+    # 50%: all rows one sequential filter (maximal run -> wavefront when
+    # h >= 16); else independent per-row choices (short runs -> scalar)
+    if rng.random() < 0.5:
+        fts = [rng.choice([3, 4])] * h
+    else:
+        fts = [rng.randrange(5) for _ in range(h)]
+    body = bytearray()
+    prior = bytes(stride)
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        f = fts[r]
+        body.append(f)
+        left = lambda i: row[i - bpp] if i >= bpp else 0  # noqa: E731
+        upleft = lambda i: prior[i - bpp] if i >= bpp else 0  # noqa: E731
+        if f == 0:
+            body += row
+        elif f == 1:
+            body += bytes((row[i] - left(i)) & 0xFF for i in range(stride))
+        elif f == 2:
+            body += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif f == 3:
+            body += bytes((row[i] - (left(i) + prior[i]) // 2) & 0xFF
+                          for i in range(stride))
+        else:
+            body += bytes((row[i] - _paeth(left(i), prior[i], upleft(i))) & 0xFF
+                          for i in range(stride))
+        prior = row
+    assert _png_reconstruct(bytes(body), w, h, bpp) == raw
