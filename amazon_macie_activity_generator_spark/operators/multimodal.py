@@ -624,10 +624,15 @@ def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     return w, h, b[i : i + w * h * 3]
 
 
-# Average/Paeth runs shorter than this stay on the scalar lane scan: the
-# wavefront's diagonal length is bounded by the run height, and a numpy
-# dispatch per 2-element diagonal step costs far more than the scan saves
-_WAVEFRONT_MIN_ROWS = 16
+# Average/Paeth runs shorter/narrower than this stay on the scalar lane
+# scan: the wavefront's diagonal length is bounded by min(run height,
+# width), and a numpy dispatch per few-element diagonal step costs more
+# than the scan saves. Measured crossover (scalar/wavefront wall, all-
+# Paeth runs): k=32 is a wash-to-loss at every width (0.75-1.06x), k=64
+# wins 1.0-1.7x, k>=128 wins 1.2-2.9x growing with width; narrow images
+# (w < 64) never amortize the per-diagonal dispatch.
+_WAVEFRONT_MIN_ROWS = 64
+_WAVEFRONT_MIN_WIDTH = 64
 
 
 def _avg_paeth_row_scalar(
@@ -721,9 +726,11 @@ def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
     is a wrapping uint8 add, Sub is a per-lane prefix sum mod 256
     (np.add.accumulate with dtype=uint8 wraps) — all exact numpy. The
     sequential filters Average/Paeth run as a blocked anti-diagonal
-    WAVEFRONT when a run of them is tall enough, else as per-lane scalar
-    scans. A native codec (libpng et al.) slots in at the same
-    mapInPandas boundary with no plan change (module docstring)."""
+    WAVEFRONT when a run of them is tall and wide enough to amortize the
+    per-diagonal numpy dispatch (measured crossover ~64 rows x 64 px),
+    else as per-lane scalar scans. A native codec (libpng et al.) slots
+    in at the same mapInPandas boundary with no plan change (module
+    docstring)."""
     import numpy as np
 
     stride = w * bpp
@@ -749,7 +756,7 @@ def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
             k = 1
             while r + k < h and fts[r + k] >= 3:
                 k += 1
-            if k >= _WAVEFRONT_MIN_ROWS and w >= 2:
+            if k >= _WAVEFRONT_MIN_ROWS and w >= _WAVEFRONT_MIN_WIDTH:
                 out[r : r + k] = _avg_paeth_wavefront(
                     lines[r : r + k], fts[r : r + k], prior, w, bpp
                 )

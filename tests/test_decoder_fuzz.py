@@ -107,8 +107,8 @@ def test_magic_prefixed_garbage_never_raises(magic, junk):
 @settings(max_examples=150, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
-    st.integers(1, 40),            # w
-    st.integers(1, 40),            # h
+    st.integers(1, 90),            # w — reaches past the 64 wavefront gate
+    st.integers(1, 90),            # h
     st.sampled_from([1, 3, 4]),    # bpp
     st.randoms(use_true_random=False),
 )
@@ -116,9 +116,9 @@ def test_png_reconstruct_fuzz_equals_naive(w, h, bpp, rng):
     """Property fuzz of the round-9 two-tier filter reconstruction
     (vectorized Sub/Up + run-dispatched wavefront/scalar Average/Paeth)
     against the naive spec-literal loop — hypothesis-driven dims, bpp,
-    and per-row filter choices (biased toward long Average/Paeth runs so
-    the >= 16-row wavefront trigger is exercised, not just the scalar
-    fallback)."""
+    and per-row filter choices (biased toward maximal Average/Paeth runs
+    and dims spanning the >= 64-row/width wavefront gate so both tiers
+    are exercised, not just the scalar fallback)."""
     from amazon_macie_activity_generator_spark.operators.multimodal import (
         _paeth,
         _png_reconstruct,

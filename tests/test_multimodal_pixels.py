@@ -220,31 +220,40 @@ def test_png_wrong_color_type_rejected():
 
 
 def test_png_reconstruct_wavefront_equals_naive():
-    """The round-9 filter reconstruction is two-tier: runs of >= 16
-    Average/Paeth rows go through the anti-diagonal wavefront
-    (_avg_paeth_wavefront), shorter runs through the scalar lane scan.
-    Both must agree byte-for-byte with the naive spec-literal loop on
-    random images across dims, bpp, and filter mixes (incl. all-Paeth
-    blocks that force the wavefront and rotations that force the scalar
-    path)."""
+    """The round-9 filter reconstruction is two-tier: runs of >= 64
+    Average/Paeth rows on images >= 64 px wide go through the
+    anti-diagonal wavefront (_avg_paeth_wavefront), everything else
+    through the scalar lane scan. Both must agree byte-for-byte with the
+    naive spec-literal loop on random images across dims, bpp, and
+    filter mixes (the >= 64x64 all-Paeth/all-Average cases force the
+    wavefront; rotations and small dims force the scalar path)."""
     import random
 
     import numpy as np
 
     from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _WAVEFRONT_MIN_ROWS,
+        _WAVEFRONT_MIN_WIDTH,
         _paeth,
         _png_reconstruct,
     )
 
     rng = random.Random(99)
     cases = [(7, 5, 3), (33, 17, 4), (2, 9, 3), (9, 1, 1), (1, 9, 3), (2, 2, 3),
-             (5, 40, 3), (40, 5, 1), (20, 30, 4)]
+             (5, 40, 3), (40, 5, 1), (20, 30, 4),
+             # at/above the wavefront trigger (k >= 64 rows, w >= 64)
+             (64, 64, 3), (70, 80, 1), (65, 100, 4), (128, 64, 3)]
+    assert (64, 64) >= (_WAVEFRONT_MIN_WIDTH, _WAVEFRONT_MIN_ROWS)
     for _ in range(15):
         cases.append((rng.randint(1, 50), rng.randint(1, 50), rng.choice([1, 3, 4])))
     for w, h, bpp in cases:
         stride = w * bpp
         raw = bytes(rng.randrange(256) for _ in range(h * stride))
-        mode = rng.choice(["random", "allpaeth", "allavg", "rot"])
+        # big images always take a sequential-filter mode so the run is
+        # maximal and the wavefront path is the one under test
+        mode = (rng.choice(["allpaeth", "allavg"])
+                if w >= _WAVEFRONT_MIN_WIDTH and h >= _WAVEFRONT_MIN_ROWS
+                else rng.choice(["random", "allpaeth", "allavg", "rot"]))
         fts = {"allpaeth": [4] * h, "allavg": [3] * h,
                "rot": [r % 5 for r in range(h)]}.get(
             mode, [rng.randrange(5) for _ in range(h)])
