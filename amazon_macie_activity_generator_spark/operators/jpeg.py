@@ -1,0 +1,713 @@
+"""Baseline JPEG (ITU T.81 sequential DCT, Huffman) pixel codec — stdlib +
+numpy only, no third-party image libs.
+
+This closes the last first-class raster-format gap in the multimodal
+decode surface (round 10): real crawl corpora are majority-JPEG, and
+until now JPEG payloads header-decoded (dims) but quarantined at pixel
+access. The decoder handles the baseline process the overwhelming
+majority of crawl JPEGs use: SOF0 frames, 8-bit precision, 1 or 3
+components, interleaved single-scan entropy data with optional restart
+markers (DRI/RSTn), byte stuffing, standard or custom Huffman tables,
+and integer-ratio chroma subsampling (4:4:4, 4:2:0, 4:2:2 all fall out
+of the generic replication upsampler). Progressive (SOF2), arithmetic
+coding, 12-bit precision, hierarchical, and multi-scan non-interleaved
+files return ``None`` (quarantine, never a dead task) — the same
+contract as every other decoder in ``operators/multimodal.py``.
+
+Exactness conventions (the decoder IS the spec for the oracle):
+
+- IDCT: float64 ``spatial = A^T F A`` over the dequantized block, then
+  ``pixel = clamp(floor(spatial + 0.5) + 128, 0, 255)`` — half-up
+  rounding, not numpy banker's rounding. For a DC-only block the IDCT
+  is exactly constant ``dc * q / 8`` (a dyadic rational, float64-exact),
+  so with a flat quant table of 8 the pixel value is exactly
+  ``clamp(dc + 128)`` — the arithmetic hook the ``multimodal_pixels_jpeg``
+  oracle predicts sums through.
+- YCbCr -> RGB: libjpeg-style 16-bit fixed point with arithmetic-shift
+  floors (reproducible in ANSI SQL as ``floor((a + 32768) / 65536)``):
+      R = Y + ((91881 * (Cr-128) + 32768) >> 16)
+      G = Y - ((22554 * (Cb-128) + 46802 * (Cr-128) + 32768) >> 16)
+      B = Y + ((116130 * (Cb-128) + 32768) >> 16)
+  each clamped to [0, 255]. Chroma upsampling is nearest (replication),
+  so subsampled chroma is constant over its coverage box.
+
+The encoder half (``jpeg_encode_baseline`` / ``jpeg_encode_dc_only``)
+is the synthetic/test twin, mirroring the GIF pattern
+(``_gif_lzw_encode``): it emits complete JFIF files over caller-supplied
+QUANTIZED coefficient blocks, so tests can round-trip arbitrary AC
+coefficient patterns through Huffman/zigzag/RLE/stuffing/restart
+exactly (integer-exact, no IDCT in the loop) while the catalog entry
+uses DC-only payloads for arithmetic oracle predictability.
+
+Reference context: the reference engine (/root/reference/src/main.py:
+977-1020) only ever synthesized fake text content — image decode is a
+north-star training-pipeline capability, not a parity item. All tables
+and layouts below are public ITU T.81 spec constants (Annex K Huffman
+tables, the zigzag scan, the JFIF APP0 layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_PIXELS = 1 << 24  # same decompression-bomb guard as multimodal.py
+
+# T.81 Figure A.6 zigzag scan: zigzag index -> natural (row-major) index
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# T.81 Annex K typical Huffman tables (public spec constants)
+STD_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+STD_DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+STD_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+STD_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+
+def _canonical_codes(bits, vals):
+    """(value -> (code, length)) canonical Huffman assignment per T.81
+    Annex C: codes of each length are consecutive, lengths ascending."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_LUT_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _decode_lut(bits, vals):
+    """65536-entry uint32 LUT: 16-bit left-aligned prefix -> packed
+    ``(value << 5) | code_length`` (length 0 = invalid prefix). One numpy
+    slice-fill per code — the classic table-driven Huffman decode, so the
+    per-symbol cost is one array index instead of a per-bit tree walk.
+    Cached by table content: real corpora overwhelmingly ship the Annex K
+    tables, so small-payload decodes don't pay a 65536-entry rebuild per
+    file (the cache is bounded in practice by the handful of distinct
+    tables a corpus uses; hostile table churn costs memory at 256 KiB per
+    distinct table, capped below)."""
+    key = (tuple(bits), tuple(vals))
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.uint32)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if code >= (1 << ln):
+                raise ValueError("oversubscribed Huffman table")
+            lo = code << (16 - ln)
+            lut[lo : lo + (1 << (16 - ln))] = (vals[k] << 5) | ln
+            code += 1
+            k += 1
+        code <<= 1
+    if len(_LUT_CACHE) < 64:  # hostile per-file table churn can't grow this
+        _LUT_CACHE[key] = lut
+    return lut
+
+
+# IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16), c(0)=1/sqrt(2)
+_A = np.array([
+    [
+        (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+        * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Vectorized 2-D IDCT over a stack of natural-order (n, 8, 8)
+    dequantized coefficient blocks -> (n, 8, 8) uint8 samples with the
+    half-up rounding convention from the module docstring."""
+    spatial = np.einsum("ux,nuv,vy->nxy", _A, blocks.astype(np.float64), _A)
+    return np.clip(np.floor(spatial + 0.5) + 128, 0, 255).astype(np.uint8)
+
+
+class _BitReader:
+    """MSB-first bit reader over one entropy-coded (destuffed) segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        self._fill()
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def skip(self, n: int) -> bool:
+        self._fill()
+        if n > self.nbits:
+            return False
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return True
+
+    def read(self, n: int) -> int | None:
+        if n == 0:
+            return 0
+        self._fill()
+        if n > self.nbits:
+            return None
+        self.nbits -= n
+        v = self.acc >> self.nbits
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude code to its signed value."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _split_entropy(b: bytes, start: int) -> tuple[list[bytes], int] | None:
+    """Split the entropy-coded data beginning at ``start`` into restart
+    segments with byte stuffing removed. Returns (segments, pos_after),
+    where pos_after sits on the 0xFF of the terminating marker."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c != 0xFF:
+            cur.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            return None
+        m = b[i + 1]
+        if m == 0x00:  # stuffed literal 0xFF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker terminates the scan
+            segs.append(bytes(cur))
+            return segs, i
+    segs.append(bytes(cur))
+    return segs, n
+
+
+def _decode_frame(b: bytes):
+    """Parse + entropy-decode one baseline JFIF stream. Returns
+    ``(w, h, comps)`` where ``comps`` is a list of dicts with natural-
+    order int32 coefficient stacks (DEQUANTIZED), per-component sampling
+    and block-grid geometry — or None for unsupported/malformed input.
+    Split from the IDCT/color stage so tests can check the integer
+    entropy-decode path exactly."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, np.ndarray] = {}
+    huff_ac: dict[int, np.ndarray] = {}
+    frame = None  # (w, h, [(cid, hi, vi, tq), ...])
+    restart = 0
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any scan
+            return None
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > n:
+            return None
+        body = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT: one or more tables
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if tq > 3 or pq > 1:
+                    return None
+                step = 2 if pq else 1
+                if j + 64 * step > len(body):
+                    return None
+                if pq:
+                    vals = [
+                        int.from_bytes(body[j + 2 * k : j + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                else:
+                    vals = list(body[j : j + 64])
+                q = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    q[ZIGZAG[k]] = vals[k]
+                qtables[tq] = q
+                j += 64 * step
+        elif marker == 0xC4:  # DHT: one or more tables
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                j += 17
+                if tc > 1 or th > 3 or j + nv > len(body) or nv > 256:
+                    return None
+                vals = list(body[j : j + nv])
+                j += nv
+                try:
+                    lut = _decode_lut(bits, vals)
+                except ValueError:
+                    return None
+                (huff_dc if tc == 0 else huff_ac)[th] = lut
+            if j != len(body):
+                return None
+        elif marker == 0xC0:  # SOF0 baseline
+            if frame is not None or len(body) < 6 or body[0] != 8:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nf = body[5]
+            if w <= 0 or h <= 0 or w * h > _MAX_PIXELS or nf not in (1, 3):
+                return None
+            if len(body) != 6 + 3 * nf:
+                return None
+            comps = []
+            for c in range(nf):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
+            if nf == 1:
+                # single-component scans ignore sampling factors (T.81:
+                # MCU = one block); normalize so the grids come out right
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/progressive/lossless/arithmetic
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                return None
+            restart = int.from_bytes(body, "big")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None or len(body) < 1:
+                return None
+            ns = body[0]
+            w, h, comps = frame
+            if ns != len(comps) or len(body) != 4 + 2 * ns:
+                return None
+            scan = []  # (comp_idx, dc_lut, ac_lut)
+            used = set()
+            for s in range(ns):
+                cs = body[1 + 2 * s]
+                td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 15
+                idx = next(
+                    (k for k, c in enumerate(comps) if c[0] == cs), None
+                )
+                if idx is None or idx in used:
+                    return None
+                used.add(idx)
+                if td not in huff_dc or ta not in huff_ac:
+                    return None
+                scan.append((idx, huff_dc[td], huff_ac[ta]))
+            for _, hi, vi, tq in comps:
+                if tq not in qtables:
+                    return None
+            return _decode_scan(
+                b, i + 2 + seglen, w, h, comps, scan, qtables, restart
+            )
+        i += 2 + seglen
+    return None
+
+
+def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        return None
+    for _, hi, vi, _ in comps:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            return None  # non-integer upsampling ratio
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nmcu = mcux * mcuy
+    split = _split_entropy(b, start)
+    if split is None:
+        return None
+    segs, _ = split
+    # coefficient stacks per component, scan (MCU-major) order
+    out = [
+        np.zeros((nmcu * hi * vi, 64), dtype=np.int32)
+        for _, hi, vi, _ in comps
+    ]
+    counts = [0] * len(comps)
+    preds = [0] * len(comps)
+    seg_idx = 0
+    br = _BitReader(segs[0]) if segs else None
+    mcus_in_seg = 0
+    for _m in range(nmcu):
+        if restart and mcus_in_seg == restart:
+            # next restart segment; predictors reset per spec
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return None
+            br = _BitReader(segs[seg_idx])
+            preds = [0] * len(comps)
+            mcus_in_seg = 0
+        if br is None:
+            return None
+        for ci, dc_lut, ac_lut in scan:
+            _, hi, vi, _ = comps[ci]
+            for _blk in range(hi * vi):
+                coef = out[ci][counts[ci]]
+                counts[ci] += 1
+                # DC
+                e = int(dc_lut[br.peek16()])
+                ln = e & 31
+                if ln == 0 or not br.skip(ln):
+                    return None
+                t = e >> 5
+                if t > 15:
+                    return None
+                if t:
+                    v = br.read(t)
+                    if v is None:
+                        return None
+                    preds[ci] += _extend(v, t)
+                coef[0] = preds[ci]
+                # AC
+                k = 1
+                while k < 64:
+                    e = int(ac_lut[br.peek16()])
+                    ln = e & 31
+                    if ln == 0 or not br.skip(ln):
+                        return None
+                    rs = e >> 5
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        return None
+                    v = br.read(s)
+                    if v is None:
+                        return None
+                    coef[k] = _extend(v, s)
+                    k += 1
+        mcus_in_seg += 1
+    result = []
+    for (cid, hi, vi, tq), coefs in zip(comps, out):
+        # zigzag -> natural order, then dequantize
+        nat = np.zeros_like(coefs)
+        nat[:, list(ZIGZAG)] = coefs
+        nat *= qtables[tq][None, :]
+        result.append({
+            "id": cid, "h": hi, "v": vi,
+            "coeffs": nat.reshape(-1, 8, 8),
+            "grid": (mcuy * vi, mcux * hi),  # block rows/cols incl. MCU pad
+            "mcu_grid": (mcuy, mcux),
+        })
+    return w, h, result
+
+
+def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """Baseline JPEG -> (w, h, top-down RGB bytes); None to quarantine.
+    IDCT + upsample + color conversion per the module's exactness
+    conventions; grayscale expands to RGB like the PNG ctype-0 path."""
+    try:
+        frame = _decode_frame(b)
+    except (ValueError, IndexError, OverflowError):
+        return None
+    if frame is None:
+        return None
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        brows, bcols = c["grid"]
+        mcuy, mcux = c["mcu_grid"]
+        px = _idct_blocks(c["coeffs"])
+        # scan order is (my, mx, bv, bh): reshape+transpose to the plane
+        plane = (
+            px.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(brows * 8, bcols * 8)
+        )
+        plane = plane.repeat(vmax // c["v"], axis=0).repeat(
+            hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w].astype(np.int32))
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return w, h, np.repeat(g[:, :, None], 3, axis=2).tobytes()
+    y, cb, cr = planes
+    cb1 = cb - 128
+    cr1 = cr - 128
+    r = y + ((91881 * cr1 + 32768) >> 16)
+    g = y - ((22554 * cb1 + 46802 * cr1 + 32768) >> 16)
+    bl = y + ((116130 * cb1 + 32768) >> 16)
+    rgb = np.stack(
+        [np.clip(p, 0, 255).astype(np.uint8) for p in (r, g, bl)], axis=2
+    )
+    return w, h, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Encoder twin (synthetic payloads + exact Huffman round-trip tests)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int) -> None:
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _encode_block(bw, coef, pred, dc_codes, ac_codes) -> int:
+    """One zigzag-order quantized block; returns the new DC predictor."""
+    dc = int(coef[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def jpeg_encode_baseline(
+    comp_coeffs,
+    w: int,
+    h: int,
+    sampling=((2, 2), (1, 1), (1, 1)),
+    qy: int = 8,
+    qc: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Complete baseline JFIF file over QUANTIZED zigzag-order coefficient
+    blocks (``comp_coeffs``: one (nblocks, 64) int array per component in
+    MCU scan order) with flat quant tables ``qy``/``qc`` and the Annex K
+    Huffman tables. 1 component = grayscale; 3 = YCbCr with ``sampling``.
+    Integer-exact twin of the decoder's entropy layer, so round-trip
+    tests prove Huffman/zigzag/RLE/stuffing/restart bit-for-bit."""
+    nf = len(comp_coeffs)
+    if nf == 1:
+        sampling = ((1, 1),)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nmcu = mcux * mcuy
+    for ci, coefs in enumerate(comp_coeffs):
+        hi, vi = sampling[ci]
+        assert len(coefs) == nmcu * hi * vi, "blocks must cover the MCU grid"
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qzz_y = bytes([qy] * 64)
+    out += _seg(0xDB, b"\x00" + qzz_y)
+    if nf == 3:
+        out += _seg(0xDB, b"\x01" + bytes([qc] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
+    for ci in range(nf):
+        hi, vi = sampling[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += _seg(0xC0, sof)
+
+    def dht(tc, th, table):
+        bits, vals = table
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, STD_DC_LUMA) + dht(1, 0, STD_AC_LUMA)
+    if nf == 3:
+        out += dht(0, 1, STD_DC_CHROMA) + dht(1, 1, STD_AC_CHROMA)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([nf])
+    for ci in range(nf):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    dc_y = _canonical_codes(*STD_DC_LUMA)
+    ac_y = _canonical_codes(*STD_AC_LUMA)
+    dc_c = _canonical_codes(*STD_DC_CHROMA)
+    ac_c = _canonical_codes(*STD_AC_CHROMA)
+    bw = _BitWriter()
+    preds = [0] * nf
+    counts = [0] * nf
+    rst = 0
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * nf
+        for ci in range(nf):
+            hi, vi = sampling[ci]
+            dc_t, ac_t = (dc_y, ac_y) if ci == 0 else (dc_c, ac_c)
+            for _ in range(hi * vi):
+                preds[ci] = _encode_block(
+                    bw, comp_coeffs[ci][counts[ci]], preds[ci], dc_t, ac_t
+                )
+                counts[ci] += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_dc_only(
+    w: int,
+    h: int,
+    dcs,
+    sampling=((2, 2), (1, 1), (1, 1)),
+    q: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """DC-only baseline JPEG: ``dcs`` is one iterable of per-block DC
+    values (quantized, scan order) per component. With the flat quant
+    table ``q=8`` the decoded sample for a block is exactly
+    ``clamp(dc + 128)`` (module docstring), which is what makes the
+    ``multimodal_pixels_jpeg`` oracle's channel sums pure arithmetic."""
+    coeffs = []
+    for vals in dcs:
+        arr = np.zeros((len(vals), 64), dtype=np.int32)
+        arr[:, 0] = list(vals)
+        coeffs.append(arr)
+    return jpeg_encode_baseline(
+        coeffs, w, h, sampling=sampling, qy=q, qc=q,
+        restart_interval=restart_interval,
+    )

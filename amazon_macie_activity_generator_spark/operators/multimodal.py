@@ -16,25 +16,30 @@ chunk walk (all public file-format layouts); formats that need a full
 codec stack (compressed video) yield NULL fields rather than crashing
 the task, matching large-pipeline robustness norms.
 
-PIXEL decode is REAL for the stdlib-decodable formats (round 8):
+PIXEL decode is REAL for the stdlib-decodable formats (rounds 8-10):
 ``decode_pixels`` parses BMP (24-bpp padded BGR and 32-bpp BGRA,
 bottom-up or top-down via negative height), binary PPM ``P6`` (maxval
-255, ``#`` comments), PNG (8-bit grayscale/RGB/RGBA — full ``zlib``
-inflate plus per-row reconstruction of all five filter types None/Sub/
-Up/Average/Paeth with spec-correct bpp-sized neighbors), and GIF87a/89a
+255, ``#`` comments), PNG (8- and 16-bit grayscale/RGB/gray+alpha/RGBA
+plus 8-bit palette, interlaced or not — full ``zlib`` inflate, per-row
+reconstruction of all five filter types None/Sub/Up/Average/Paeth with
+spec-correct bpp-sized neighbors, Adam7 deinterlacing), GIF87a/89a
 (a from-scratch variable-width LZW decoder + global/local color tables;
-interop-verified against a real-world-encoded file) — all canonicalized
-into a top-down RGB byte stream — then emits
-per-channel sums / pixel counts / a pixel sha256 (features, not pixels,
-so downstream shuffles stay narrow). Malformed, truncated, or
+interop-verified against a real-world-encoded file), and baseline JPEG
+(``operators/jpeg.py``, round 10: SOF0 Huffman scans with byte
+stuffing and restart markers, table-driven Huffman decode, vectorized
+IDCT, replication chroma upsampling for 4:4:4/4:2:0/4:2:2, fixed-point
+YCbCr->RGB) — all canonicalized into a top-down RGB byte stream — then
+emits per-channel sums / pixel counts / a pixel sha256 (features, not
+pixels, so downstream shuffles stay narrow). Malformed, truncated, or
 unsupported payloads yield a NULL-stats row, never a dead task, and a
 decompression-bomb guard caps claimed dimensions and inflate output.
 ``resize_images(decode_stub=False)`` rides the same decoders: real
 nearest-neighbor resize for the decodable formats, NULL-payload quarantine
 otherwise. Only video codecs remain behind NotImplementedError
 (``sample_frames`` with ``decode_stub=False``) — frame-accurate seeking
-genuinely needs ffmpeg, which this container lacks; JPEG payloads
-header-decode (dims) but quarantine at pixel access.
+genuinely needs ffmpeg, which this container lacks. Progressive/
+arithmetic/12-bit JPEG quarantines (baseline covers the overwhelming
+majority of crawl JPEGs).
 
 THE NATIVE-CODEC SEAM: at 100 TB of real images the decode engine should
 be a native codec (libpng / libjpeg-turbo / ffmpeg), and it slots in at
@@ -339,12 +344,12 @@ def resize_images(
     payload bytes.
 
     ``decode_stub=False`` is REAL since round 8: payloads decodable by
-    :func:`decode_pixels_bytes` (BMP/PPM/PNG/GIF) are nearest-neighbor
-    resized to ``width x height`` raw RGB (src pixel (y*h//H, x*w//W) —
-    the standard NN mapping, exactly reproducible by an oracle or test
-    arithmetically). Undecodable payloads (JPEG pixels, video, garbage)
-    quarantine to a NULL payload row, the same never-a-dead-task contract
-    as decode_pixels."""
+    :func:`decode_pixels_bytes` (BMP/PPM/PNG/GIF/baseline JPEG) are
+    nearest-neighbor resized to ``width x height`` raw RGB (src pixel
+    (y*h//H, x*w//W) — the standard NN mapping, exactly reproducible by
+    an oracle or test arithmetically). Undecodable payloads (video,
+    progressive JPEG, garbage) quarantine to a NULL payload row, the
+    same never-a-dead-task contract as decode_pixels."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -1049,7 +1054,7 @@ def _gif_encode(indices: bytes, palette: bytes, w: int, h: int) -> bytes:
 def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
     """Sniff + decode one payload to (fmt, w, h, top-down RGB bytes); None
     for anything malformed, truncated, or outside the supported formats
-    (BMP / PPM / PNG / GIF)."""
+    (BMP / PPM / PNG / GIF / baseline JPEG)."""
     if not b or len(b) < 10:
         return None
     try:
@@ -1065,6 +1070,11 @@ def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
         if b[:6] in (b"GIF87a", b"GIF89a"):
             out = _decode_gif_pixels(b)
             return ("gif",) + out if out else None
+        if b[:2] == b"\xff\xd8":  # baseline JPEG (round 10)
+            from .jpeg import decode_jpeg_pixels
+
+            out = decode_jpeg_pixels(b)
+            return ("jpeg",) + out if out else None
     except (ValueError, IndexError, OverflowError):
         return None
     return None
@@ -1162,6 +1172,64 @@ def synthetic_palette_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame
                 "kind": "image",
                 "payload": filled.map(lambda i: build(int(i))),
                 "source_uri": "synthetic-plte://" + filled.astype(str),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JPEG media (round 10) — the companion to
+    :func:`synthetic_pixel_media` / :func:`synthetic_palette_media` for
+    the format real crawls are majority-made-of. Each id builds a
+    complete JFIF file through the real entropy encoder
+    (``operators/jpeg.py``) with flat quant tables (q=8) and DC-only
+    blocks, so the decoded sample of every 8x8 block is EXACTLY
+    ``dc + 128`` (IDCT of a DC-only block is constant ``dc*q/8``) and a
+    DuckDB oracle predicts the per-channel RGB sums arithmetically
+    through Huffman decode, dequantization, IDCT, chroma upsampling, and
+    the fixed-point YCbCr->RGB conversion.
+
+    Grammar (ids >= 0, same negative/NULL conventions as the siblings):
+    ``id % 2`` picks subsampling (0 = 4:4:4 with w = 8*(1 + id%4),
+    h = 8*(1 + id%3); 1 = 4:2:0 with w = 16*(1 + id%3),
+    h = 16*(1 + id%2)); the scan-order block DCs are
+    dcY(b) = (id + 7b)%64 - 32, dcCb(b) = (2id + 11b)%64 - 32,
+    dcCr(b) = (3id + 5b)%64 - 32; and ``id % 3 == 1`` files carry a
+    restart interval of 2 MCUs, so a hash match also proves RSTn
+    handling and DC-predictor resets."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .jpeg import jpeg_encode_dc_only
+
+        def build(i: int) -> bytes:
+            if i % 2 == 0:
+                w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+                sampling = ((1, 1), (1, 1), (1, 1))
+                n_c = (w // 8) * (h // 8)
+                n_y = n_c
+            else:
+                w, h = 16 * (1 + i % 3), 16 * (1 + i % 2)
+                sampling = ((2, 2), (1, 1), (1, 1))
+                n_c = (w // 16) * (h // 16)
+                n_y = 4 * n_c
+            dcy = [(i + 7 * b) % 64 - 32 for b in range(n_y)]
+            dcb = [(2 * i + 11 * b) % 64 - 32 for b in range(n_c)]
+            dcr = [(3 * i + 5 * b) % 64 - 32 for b in range(n_c)]
+            return jpeg_encode_dc_only(
+                w, h, [dcy, dcb, dcr], sampling=sampling,
+                restart_interval=2 if i % 3 == 1 else 0,
+            )
+
+        for pdf in batches:
+            mids = pdf[id_col].astype("Int64")
+            filled = mids.fillna(0)
+            yield pd.DataFrame({
+                "media_id": mids,
+                "kind": "image",
+                "payload": filled.map(lambda i: build(int(i))),
+                "source_uri": "synthetic-jpeg://" + filled.astype(str),
             })
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -1772,6 +1772,87 @@ FROM lut GROUP BY media_id, rk, w, h
 """
 
 
+def q_multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE JPEG decode (round 10, VERDICT r9 ask #1 — the last
+    first-class raster format): id-parameterized JFIF files built by the
+    real entropy encoder (``operators/jpeg.py``) with flat quant tables
+    (q=8) and DC-only blocks are decoded by ``decode_pixels`` through
+    the full baseline pipeline — marker parse, table-driven Huffman
+    decode of the interleaved scan (with byte stuffing and, for
+    id %% 3 == 1, restart markers + DC predictor resets), dequantize,
+    vectorized IDCT, replication chroma upsampling (4:4:4 and 4:2:0 by
+    id %% 2), and the 16-bit fixed-point YCbCr->RGB conversion. A
+    DC-only block's IDCT is exactly constant ``dc*q/8 = dc`` (q=8), so
+    every decoded sample is ``dc + 128`` and the oracle re-derives the
+    channel sums arithmetically: per Y block b, y = 128 + (id+7b)%%64-32
+    with chroma (2id+11c)%%64-32 / (3id+5c)%%64-32 for chroma block
+    c = b (4:4:4) or b//4 (4:2:0), then the decoder's exact fixed-point
+    conversion (floor((91881*cr1 + 32768)/65536) etc.). A hash match
+    therefore proves real Huffman+IDCT+upsample+color decode, not
+    container sniffing. Same id conventions as the other pixel entries:
+    NULL and negative doc_ids excluded in both engines."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        decode_pixels,
+        synthetic_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < 300)
+    )
+    media = synthetic_jpeg_media(docs.select("doc_id"))
+    out = decode_pixels(media)
+    return out.select(
+        "media_id", "fmt", "width", "height", "n_pixels",
+        "r_sum", "g_sum", "b_sum",
+    )
+
+
+SQL_MULTIMODAL_PIXELS_JPEG = """
+WITH m AS (
+  -- rk: one output row PER INPUT ROW (duplicate doc_ids must not
+  -- collapse — the Spark side decodes one media row per input row)
+  SELECT doc_id AS media_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+         doc_id % 2 AS sub,
+         CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 4)
+              ELSE 16 * (1 + doc_id % 3) END AS w,
+         CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 3)
+              ELSE 16 * (1 + doc_id % 2) END AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 300
+), blk AS (
+  -- one row per 8x8 luma block, scan order; n_blocks = (w/8)*(h/8) for
+  -- BOTH subsamplings (4:2:0 has 4 Y blocks per 16x16 MCU)
+  SELECT media_id, rk, w, h, sub,
+         unnest(range((w // 8) * (h // 8))) AS yb
+  FROM m
+), cc AS (
+  -- DC-only blocks with flat q=8: decoded Y sample = 128 + dcY(yb);
+  -- chroma block index is yb (4:4:4) or yb//4 (= its MCU, 4:2:0)
+  SELECT media_id, rk, w, h,
+         128 + ((media_id + 7 * yb) % 64) - 32 AS y,
+         ((2 * media_id + 11 * (CASE WHEN sub = 0 THEN yb ELSE yb // 4 END)) % 64) - 32 AS cb1,
+         ((3 * media_id + 5 * (CASE WHEN sub = 0 THEN yb ELSE yb // 4 END)) % 64) - 32 AS cr1
+  FROM blk
+), rgb AS (
+  -- the decoder's exact fixed-point YCbCr->RGB (arithmetic shift = floor)
+  SELECT media_id, rk, w, h,
+         GREATEST(0, LEAST(255, y + CAST(floor((91881 * cr1 + 32768) / 65536.0) AS BIGINT))) AS r,
+         GREATEST(0, LEAST(255, y - CAST(floor((22554 * cb1 + 46802 * cr1 + 32768) / 65536.0) AS BIGINT))) AS g,
+         GREATEST(0, LEAST(255, y + CAST(floor((116130 * cb1 + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM cc
+)
+SELECT media_id, 'jpeg' AS fmt,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(64 * sum(r) AS BIGINT) AS r_sum,
+       CAST(64 * sum(g) AS BIGINT) AS g_sum,
+       CAST(64 * sum(b) AS BIGINT) AS b_sum
+FROM rgb GROUP BY media_id, rk, w, h
+"""
+
+
 EXT5_QUERIES = {
     "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
     "knn_classify_lsh": (q_knn_classify_lsh, _sql_knn_classify_lsh()),
@@ -1798,5 +1879,10 @@ EXT5_QUERIES = {
     # so the rotation window covers the whole stale cohort)
     "multimodal_pixels_palette": (
         q_multimodal_pixels_palette, SQL_MULTIMODAL_PIXELS_PALETTE,
+    ),
+    # round 10 — the single new entry this round (catalog otherwise
+    # frozen so the rotation window finishes the r7-evidence refresh)
+    "multimodal_pixels_jpeg": (
+        q_multimodal_pixels_jpeg, SQL_MULTIMODAL_PIXELS_JPEG,
     ),
 }

@@ -15,6 +15,9 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from amazon_macie_activity_generator_spark.operators.jpeg import (
+    jpeg_encode_dc_only,
+)
 from amazon_macie_activity_generator_spark.operators.multimodal import (
     _GIF_FILL_PALETTE,
     _bmp_encode,
@@ -46,6 +49,19 @@ def _valid_payloads() -> list[bytes]:
             _gif_encode(bytes((i + 3 * p) % 256 for p in range(w * h)),
                         _GIF_FILL_PALETTE, w, h),
         ]
+    # JPEG (r10): mutations reach the marker walk, DHT/DQT parsers,
+    # table-driven Huffman decode, restart resync, and IDCT plumbing
+    out += [
+        jpeg_encode_dc_only(
+            16, 8, [[5, -10], [3, 3], [-7, 20]],
+            sampling=((1, 1), (1, 1), (1, 1)),
+        ),
+        jpeg_encode_dc_only(
+            32, 16, [list(range(-4, 4)), [10, -10], [-25, 25]],
+            restart_interval=1,
+        ),
+        jpeg_encode_dc_only(8, 8, [[12]]),
+    ]
     return out
 
 
@@ -56,7 +72,7 @@ def _check(payload: bytes | None) -> None:
     out = decode_pixels_bytes(payload)  # must not raise, whatever comes in
     if out is not None:
         fmt, w, h, raw = out
-        assert fmt in ("bmp", "ppm", "png", "gif")
+        assert fmt in ("bmp", "ppm", "png", "gif", "jpeg")
         assert w > 0 and h > 0 and len(raw) == w * h * 3
 
 
@@ -95,7 +111,8 @@ def test_truncations_never_raise(idx, pct):
 @settings(max_examples=200, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
-    st.sampled_from([b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a"]),
+    st.sampled_from([b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
+                     b"\xff\xd8"]),
     st.binary(max_size=512),
 )
 def test_magic_prefixed_garbage_never_raises(magic, junk):
@@ -127,7 +144,9 @@ def test_png_reconstruct_fuzz_equals_naive(w, h, bpp, rng):
     stride = w * bpp
     raw = bytes(rng.randrange(256) for _ in range(h * stride))
     # 50%: all rows one sequential filter (maximal run -> wavefront when
-    # h >= 16); else independent per-row choices (short runs -> scalar)
+    # the run clears the measured _WAVEFRONT_MIN_ROWS x _WAVEFRONT_MIN_WIDTH
+    # gate, 64x64 — dims range to 90 so both sides are exercised); else
+    # independent per-row choices (short runs -> scalar)
     if rng.random() < 0.5:
         fts = [rng.choice([3, 4])] * h
     else:
