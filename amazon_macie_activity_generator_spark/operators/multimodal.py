@@ -480,22 +480,22 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def _png_encode(
-    raw: bytes, w: int, h: int, bpp: int = 3, ctype: int = 2,
-    plte: bytes | None = None,
-) -> bytes:
-    """Minimal 8-bit PNG writer over pre-pixel bytes of width ``bpp``
-    (ctype 0 grayscale / 2 RGB / 3 palette indices + ``plte`` / 6 RGBA).
-    Row r uses filter type r % 5 with the SPEC's bpp-sized left neighbor,
-    so the encoded stream exercises every PNG filter at every supported
-    pixel width; the decoder must invert them all to recover ``raw``."""
-    import zlib
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    stride = w * bpp
+
+def _png_filter_rows(rows: bytes, pw: int, ph: int, bpp: int) -> bytearray:
+    """Filter ``ph`` rows of ``pw * bpp`` bytes with rotating filter type
+    r % 5 and the SPEC's bpp-sized left neighbor — shared by the plain
+    and per-Adam7-pass encode paths."""
+    stride = pw * bpp
     out = bytearray()
     prior = bytes(stride)
-    for r in range(h):
-        row = raw[r * stride : (r + 1) * stride]
+    for r in range(ph):
+        row = rows[r * stride : (r + 1) * stride]
         f = r % 5
         out.append(f)
         left = lambda i: row[i - bpp] if i >= bpp else 0  # noqa: E731
@@ -513,8 +513,40 @@ def _png_encode(
             out += bytes((row[i] - _paeth(left(i), prior[i], upleft(i))) & 0xFF
                          for i in range(stride))
         prior = row
+    return out
+
+
+def _png_encode(
+    raw: bytes, w: int, h: int, bpp: int = 3, ctype: int = 2,
+    plte: bytes | None = None, bitdepth: int = 8, interlace: int = 0,
+) -> bytes:
+    """Minimal PNG writer over pre-pixel bytes of width ``bpp`` BYTES
+    (ctype 0 grayscale / 2 RGB / 3 palette indices + ``plte`` / 4
+    gray+alpha / 6 RGBA; for ``bitdepth=16`` the caller supplies
+    big-endian 2-byte samples and bpp counts bytes, e.g. RGB16 -> 6).
+    Row r uses filter type r % 5 with the SPEC's bpp-sized left
+    neighbor; ``interlace=1`` emits the seven Adam7 passes, each
+    independently filtered (empty passes contribute no bytes, per spec),
+    so the encoded stream exercises every filter at every pixel width
+    AND the deinterlace scatter."""
+    import zlib
+
+    import numpy as np
+
+    if interlace:
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, bpp)
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = arr[y0::dy, x0::dx].tobytes()
+            out += _png_filter_rows(sub, pw, ph, bpp)
+    else:
+        out = _png_filter_rows(raw, w, h, bpp)
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, ctype, 0, 0, 0]))  # bitdepth 8, no interlace
+            + bytes([bitdepth, ctype, 0, 0, interlace]))
     chunks = _png_chunk(b"IHDR", ihdr)
     if plte is not None:  # spec: PLTE sits between IHDR and IDAT
         chunks += _png_chunk(b"PLTE", plte)
@@ -782,17 +814,21 @@ def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
 
 
 def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
-    """8-bit non-interlaced PNG, color types 0 (grayscale), 2 (RGB),
-    3 (palette via PLTE), and 6 (RGBA), canonicalized to RGB (gray
-    expanded, palette looked up, alpha dropped). Filter reconstruction
-    operates on bpp-sized pixels per the spec — the left neighbor in
-    Sub/Average/Paeth is ``bpp`` bytes back, so a decoder hardcoding 3
-    silently corrupts grayscale, palette, and RGBA rows."""
+    """PNG color types 0 (grayscale), 2 (RGB), 3 (palette via PLTE), 4
+    (gray+alpha) and 6 (RGBA) at bit depth 8, plus bit depth 16 for the
+    non-palette types (big-endian samples, downsampled to 8-bit by
+    taking the high byte — the standard lossy narrowing), interlaced
+    (Adam7) or not — canonicalized to RGB (gray expanded, palette looked
+    up, alpha dropped). Filter reconstruction operates on bpp-sized
+    pixels per the spec — the left neighbor in Sub/Average/Paeth is
+    ``bpp`` BYTES back (so RGB16 uses 6) — and each Adam7 pass is an
+    independently filtered sub-image scattered into the frame at
+    (x0 + i*dx, y0 + j*dy). Sub-byte depths (1/2/4) quarantine."""
     import zlib
 
     if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    w = h = bpp = ctype = None
+    w = h = bpp = ctype = depth = interlace = nch = None
     plte: bytes | None = None
     idat = bytearray()
     i = 8
@@ -803,13 +839,17 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         if len(body) < clen:
             return None
         if tag == b"IHDR":
-            if clen != 13 or body[8] != 8 or body[10:13] != b"\x00\x00\x00":
-                return None  # 8-bit, no interlace/filter-method variants
+            if clen != 13 or body[10:12] != b"\x00\x00":
+                return None  # compression/filter-method variants
+            depth = body[8]
             ctype = body[9]
-            bpp = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
-            if bpp is None:
-                return None  # gray+alpha (4) / invalid color types
-
+            interlace = body[12]
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+            if nch is None or depth not in (8, 16) or interlace > 1:
+                return None  # sub-byte depths / invalid color types
+            if ctype == 3 and depth != 8:
+                return None  # 16-bit palette indices don't exist
+            bpp = nch * (depth // 8)
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
@@ -828,8 +868,18 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     if ctype == 3 and plte is None:
         return None  # palette image with no palette is unrenderable
-    stride = w * bpp
-    expected = (stride + 1) * h
+    if interlace:
+        passes = []
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: no bytes at all, per spec
+            passes.append((x0, y0, dx, dy, pw, ph))
+            expected += ph * (pw * bpp + 1)
+    else:
+        expected = (w * bpp + 1) * h
     try:
         # bounded inflate: a bomb claiming small dims can't blow memory
         dec = zlib.decompressobj()
@@ -840,21 +890,41 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     import numpy as np
 
-    unfiltered = _png_reconstruct(data, w, h, bpp)
-    if unfiltered is None:
-        return None
+    if interlace:
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            npass = ph * (pw * bpp + 1)
+            sub = _png_reconstruct(data[off : off + npass], pw, ph, bpp)
+            if sub is None:
+                return None
+            img[y0::dy, x0::dx] = np.frombuffer(
+                sub, dtype=np.uint8
+            ).reshape(ph, pw, bpp)
+            off += npass
+    else:
+        unfiltered = _png_reconstruct(data, w, h, bpp)
+        if unfiltered is None:
+            return None
+        if ctype == 2 and depth == 8:
+            return w, h, unfiltered  # fast path: already canonical RGB
+        img = np.frombuffer(unfiltered, dtype=np.uint8).reshape(h, w, bpp)
+    if depth == 16:  # big-endian samples: high byte is the 8-bit value
+        px = img.reshape(h, w, nch, 2)[..., 0]
+    else:
+        px = img.reshape(h, w, nch)
     if ctype == 2:
-        return w, h, unfiltered
-    px = np.frombuffer(unfiltered, dtype=np.uint8).reshape(h, w, bpp)
+        # tobytes() emits a C-order copy of the (possibly strided) view
+        return w, h, px.tobytes()
     if ctype == 3:  # palette lookup; an index past PLTE is corrupt per spec
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = px[..., 0]
         if int(idx.max()) >= len(pal):
             return None
         return w, h, pal[idx].tobytes()
-    if ctype == 0:  # grayscale -> RGB expand
-        return w, h, np.repeat(px, 3, axis=2).tobytes()
-    return w, h, px[..., :3].tobytes()  # RGBA -> drop alpha (tobytes copies C-order)
+    if ctype in (0, 4):  # gray / gray+alpha -> RGB expand (alpha dropped)
+        return w, h, np.repeat(px[..., :1], 3, axis=2).tobytes()
+    return w, h, px[..., :3].tobytes()  # RGBA -> drop alpha
 
 
 def _gif_lzw_decode(data: bytes, min_size: int, npix: int) -> bytes | None:
@@ -1107,8 +1177,13 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     real LZW compressor), dims w = 1 + id % 32 / h = 1 + id % 24, raw RGB
     byte j = (id + j) % 256 — fully id-parameterized so the oracle
     predicts decoded stats arithmetically while the engine parses real
-    container bytes. NULL ids synthesize as id 0 with media_id kept NULL
-    (same convention as synthetic_media)."""
+    container bytes. Within the PNG route (round 10), id % 16 picks the
+    encoding variant — 2: plain 8-bit, 6: Adam7 interlaced, 10: 16-bit
+    (samples v*257, so the high-byte narrowing recovers v), 14: Adam7 +
+    16-bit — all decoding to the SAME raw fill, so the unchanged oracle
+    hash now also proves deinterlacing and 16-bit handling. NULL ids
+    synthesize as id 0 with media_id kept NULL (same convention as
+    synthetic_media)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1123,7 +1198,13 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 return _bmp_encode(raw, w, h)
             if i % 4 == 1:
                 return _ppm_encode(raw, w, h)
-            return _png_encode(raw, w, h)
+            variant = i % 16  # PNG route: 2 / 6 / 10 / 14
+            interlace = 1 if variant in (6, 14) else 0
+            if variant in (10, 14):  # 16-bit: sample v*257 = (v << 8) | v
+                raw16 = bytes(v for x in raw for v in (x, x))
+                return _png_encode(raw16, w, h, bpp=6, bitdepth=16,
+                                   interlace=interlace)
+            return _png_encode(raw, w, h, interlace=interlace)
 
         for pdf in batches:
             mids = pdf[id_col].astype("Int64")

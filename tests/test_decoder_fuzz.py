@@ -48,6 +48,15 @@ def _valid_payloads() -> list[bytes]:
                         w, h, bpp=1, ctype=3, plte=pal),
             _gif_encode(bytes((i + 3 * p) % 256 for p in range(w * h)),
                         _GIF_FILL_PALETTE, w, h),
+            # r10 PNG surface: Adam7 / 16-bit / gray+alpha — mutations
+            # reach the pass-geometry walk, the high-byte narrowing, and
+            # the 2-channel filter reconstruction
+            _png_encode(raw, w, h, interlace=1),
+            _png_encode(bytes(v for x in raw for v in (x, x)),
+                        w, h, bpp=6, bitdepth=16, interlace=1),
+            _png_encode(bytes(v for p in range(w * h)
+                              for v in ((i + p) % 256, 255)),
+                        w, h, bpp=2, ctype=4),
         ]
     # JPEG (r10): mutations reach the marker walk, DHT/DQT parsers,
     # table-driven Huffman decode, restart resync, and IDCT plumbing

@@ -131,6 +131,90 @@ def test_png_palette_malformed_plte_rejected():
     assert decode_pixels_bytes(dup) is None
 
 
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (7, 7), (8, 8), (9, 5),
+                                 (32, 24), (17, 13)])
+def test_png_adam7_round_trip(w, h):
+    """Round 10: Adam7 interlaced RGB — seven independently filtered
+    passes scattered at (x0 + i*dx, y0 + j*dy); small dims exercise the
+    empty-pass rule (no bytes at all for a 0-width/height pass)."""
+    raw = _raw_fill(3, w, h)
+    assert decode_pixels_bytes(_png_encode(raw, w, h, interlace=1)) == \
+        ("png", w, h, raw)
+
+
+def test_png_16bit_high_byte_narrowing():
+    """16-bit samples narrow to their HIGH byte: encode v*257 (high ==
+    low == v) and also v<<8 | junk — both must decode to v, proving the
+    decoder picks the high byte rather than low/average."""
+    w, h = 16, 9
+    raw8 = _raw_fill(7, w, h)
+    exact = bytes(v for x in raw8 for v in (x, x))
+    assert decode_pixels_bytes(
+        _png_encode(exact, w, h, bpp=6, bitdepth=16)) == ("png", w, h, raw8)
+    junklow = bytes(v for x in raw8 for v in (x, (x + 37) % 256))
+    assert decode_pixels_bytes(
+        _png_encode(junklow, w, h, bpp=6, bitdepth=16)) == ("png", w, h, raw8)
+
+
+def test_png_16bit_interlaced_round_trip():
+    raw8 = _raw_fill(9, 21, 14)
+    raw16 = bytes(v for x in raw8 for v in (x, x))
+    payload = _png_encode(raw16, 21, 14, bpp=6, bitdepth=16, interlace=1)
+    assert decode_pixels_bytes(payload) == ("png", 21, 14, raw8)
+
+
+def test_png_gray_alpha_expands_and_drops_alpha():
+    """Round 10: ctype 4 (gray+alpha, bpp=2 — the left filter neighbor
+    is 2 bytes back) at depths 8 and 16."""
+    w, h = 6, 7
+    gray = bytes((11 + 3 * k) % 256 for k in range(w * h))
+    want = b"".join(bytes([g, g, g]) for g in gray)
+    ga8 = bytes(v for g in gray for v in (g, 200))
+    assert decode_pixels_bytes(
+        _png_encode(ga8, w, h, bpp=2, ctype=4)) == ("png", w, h, want)
+    ga16 = bytes(v for g in gray for v in (g, g, 0x12, 0x34))
+    assert decode_pixels_bytes(
+        _png_encode(ga16, w, h, bpp=4, ctype=4, bitdepth=16)) == \
+        ("png", w, h, want)
+
+
+def test_png_16bit_gray_and_rgba():
+    w, h = 6, 5
+    gray = bytes((11 + 3 * k) % 256 for k in range(w * h))
+    want = b"".join(bytes([g, g, g]) for g in gray)
+    g16 = bytes(v for g in gray for v in (g, (g * 7) % 256))
+    assert decode_pixels_bytes(
+        _png_encode(g16, w, h, bpp=2, ctype=0, bitdepth=16)) == \
+        ("png", w, h, want)
+    rgba16 = bytes(
+        v for g in gray
+        for v in (g, g, (g + 1) % 256, 0, (g + 2) % 256, 9, 255, 255)
+    )
+    want_rgb = bytes(v for g in gray for v in (g, (g + 1) % 256, (g + 2) % 256))
+    assert decode_pixels_bytes(
+        _png_encode(rgba16, w, h, bpp=8, ctype=6, bitdepth=16)) == \
+        ("png", w, h, want_rgb)
+
+
+def test_png_interlaced_palette_round_trip():
+    idx = bytes((5 + p) % 256 for p in range(17 * 13))
+    pal = bytes(v for k in range(256) for v in (k, (k * 3) % 256, (k * 5) % 256))
+    payload = _png_encode(idx, 17, 13, bpp=1, ctype=3, plte=pal, interlace=1)
+    want = b"".join(pal[k * 3 : k * 3 + 3] for k in idx)
+    assert decode_pixels_bytes(payload) == ("png", 17, 13, want)
+
+
+def test_png_unsupported_depth_interlace_variants_quarantine():
+    good = _png_encode(_raw_fill(1, 4, 4), 4, 4)
+    for mutate in (
+        lambda b: b[:24] + bytes([4]) + b[25:],            # bit depth 4
+        lambda b: b[:24] + bytes([1]) + b[25:],            # bit depth 1
+        lambda b: b[:28] + bytes([2]) + b[29:],            # interlace 2
+        lambda b: b[:24] + bytes([16, 3]) + b[26:],        # 16-bit palette
+    ):
+        assert decode_pixels_bytes(mutate(good)) is None
+
+
 def test_bmp_32bpp_drops_alpha():
     w, h = 5, 4
     raw = _raw_fill(9, w, h)  # expected RGB after decode
