@@ -670,6 +670,15 @@ def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
 # (w < 64) never amortize the per-diagonal dispatch.
 _WAVEFRONT_MIN_ROWS = 64
 _WAVEFRONT_MIN_WIDTH = 64
+# The wavefront works in an int16 border-padded grid plus an int16 copy of
+# the run's line bytes — ~4-5x the raw pixel bytes transiently. Unblocked,
+# a hostile max-size payload (16M px RGBA, all-Paeth) would stage ~320 MB
+# per task; with 32 concurrent local tasks that is multi-GB of transient
+# executor memory. Runs are therefore processed in blocks of at most
+# ~2M pixels (prior row carried between blocks — the recurrence only
+# looks one row back), capping the int16 working set at ~32 MB/task
+# while every block still clears the 64-row dispatch crossover.
+_WAVEFRONT_BLOCK_PX = 1 << 21
 
 
 def _avg_paeth_row_scalar(
@@ -794,9 +803,17 @@ def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
             while r + k < h and fts[r + k] >= 3:
                 k += 1
             if k >= _WAVEFRONT_MIN_ROWS and w >= _WAVEFRONT_MIN_WIDTH:
-                out[r : r + k] = _avg_paeth_wavefront(
-                    lines[r : r + k], fts[r : r + k], prior, w, bpp
-                )
+                # blocked to bound the int16 working set (_WAVEFRONT_BLOCK_PX)
+                block = max(_WAVEFRONT_MIN_ROWS, _WAVEFRONT_BLOCK_PX // w)
+                done = 0
+                while done < k:
+                    kk = min(k - done, block)
+                    out[r + done : r + done + kk] = _avg_paeth_wavefront(
+                        lines[r + done : r + done + kk],
+                        fts[r + done : r + done + kk], prior, w, bpp,
+                    )
+                    prior = out[r + done + kk - 1]
+                    done += kk
             else:
                 pr_bytes = prior.tobytes()
                 for rr in range(r, r + k):

@@ -370,6 +370,38 @@ def test_png_reconstruct_wavefront_equals_naive():
                                         axis=0, dtype=np.uint8)[1, 0], np.uint8)
 
 
+def test_png_reconstruct_wavefront_blocking_agrees(monkeypatch):
+    """Round 10: long wavefront runs are processed in bounded-pixel
+    blocks (prior row carried between blocks) so a max-size all-Paeth
+    payload can't stage an unbounded int16 working set. Force tiny
+    blocks and require byte-identity with the unblocked result."""
+    import random
+
+    from amazon_macie_activity_generator_spark.operators import multimodal as mm
+
+    rng = random.Random(4)
+    w, h, bpp = 80, 300, 3
+    stride = w * bpp
+    raw = bytes(rng.randrange(256) for _ in range(h * stride))
+    body = bytearray()
+    prior = bytes(stride)
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        body.append(4)
+        left = lambda i: row[i - bpp] if i >= bpp else 0  # noqa: E731
+        upleft = lambda i: prior[i - bpp] if i >= bpp else 0  # noqa: E731
+        body += bytes(
+            (row[i] - mm._paeth(left(i), prior[i], upleft(i))) & 0xFF
+            for i in range(stride)
+        )
+        prior = row
+    unblocked = mm._png_reconstruct(bytes(body), w, h, bpp)
+    assert unblocked == raw
+    # ~2 blocks of 80 rows + remainder (max() floors the block at 64 rows)
+    monkeypatch.setattr(mm, "_WAVEFRONT_BLOCK_PX", 80 * 80)
+    assert mm._png_reconstruct(bytes(body), w, h, bpp) == raw
+
+
 # ----------------------------------------------------------------- gif
 
 
