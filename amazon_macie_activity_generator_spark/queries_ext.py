@@ -188,17 +188,27 @@ tok AS (
 ),
 grams AS (
   SELECT doc_id, {_DUCK_3GRAMS} AS g FROM tok
+),
+ex AS MATERIALIZED (
+  SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams
+),
+inter AS (
+  -- r10: inverted-index set-similarity join — the SAME spec the engine
+  -- runs (a pair sharing zero grams has jaccard 0 < 0.2, so the gram
+  -- equi-join is exactly equivalent to the all-pairs nested loop this
+  -- oracle used through r9, which timed out at sf1 while Spark finished
+  -- in 7 s). g is distinct per doc, so count(*) = |A n B| and
+  -- |A u B| = n_a + n_b - i.
+  SELECT p.doc_id AS id_a, e.doc_id AS id_b, p.n AS pn, e.n AS en,
+         count(*) AS i
+  FROM ex p JOIN ex e ON e.gram = p.gram
+  WHERE p.doc_id % 50 = 0 AND p.doc_id < e.doc_id
+  GROUP BY 1, 2, 3, 4
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
-              THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.g, b.g)))
-              ELSE 0.0 END, 4) AS jaccard
-FROM grams a JOIN grams b ON a.doc_id % 50 = 0 AND a.doc_id < b.doc_id
-WHERE round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
-             THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.g, b.g)))
-             ELSE 0.0 END, 4) >= 0.2
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (pn + en - i), 4) AS jaccard
+FROM inter
+WHERE round(CAST(i AS DOUBLE) / (pn + en - i), 4) >= 0.2
 """
 
 
@@ -251,21 +261,46 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_GROUPS = f"""
-WITH RECURSIVE pairs AS MATERIALIZED ({SQL_DEDUP_NGRAM}),
-edges AS MATERIALIZED (
+def _make_sql_dedup_groups(rounds: int = 24) -> str:
+    """Connected-components oracle via UNROLLED min-label propagation
+    with pointer jumping (r10) — replaces the r1-era recursive
+    reachability CTE, whose working set is sum-of-component-size-squared
+    (it enumerates every (node, reachable-label) pair) and which timed
+    out at sf1. Each round takes, per node, the min label over
+    self, neighbors, and label-of-label (the pointer jump); after
+    round t every node's label is the min id within graph radius r_t
+    where r_(t+1) >= 2*r_t + 1, so ``rounds=24`` converges for any
+    component with diameter < 2^24 — far beyond the corpus size, and
+    the per-round cost is one edge join + one self join over the
+    node-sized label table (linear, the same shape the engine's
+    label-propagation loop shuffles). An unconverged oracle cannot pass
+    silently: the driver value-hashes the full result."""
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({SQL_DEDUP_NGRAM}),",
+        """edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
   SELECT id_b AS src, id_a AS dst FROM pairs
 ),
-nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
-reach(node, lbl) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-)
-SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node
-"""
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges)""",
+    ]
+    for t in range(rounds):
+        parts.append(f""", l{t + 1} AS MATERIALIZED (
+  SELECT node, min(lbl) AS lbl FROM (
+    SELECT node, lbl FROM l{t}
+    UNION ALL
+    SELECT e.dst AS node, l.lbl FROM edges e JOIN l{t} l ON l.node = e.src
+    UNION ALL
+    SELECT l.node, j.lbl FROM l{t} l JOIN l{t} j ON j.node = l.lbl
+  ) GROUP BY node
+)""")
+    parts.append(
+        f"\nSELECT node AS doc_id, lbl AS group_id FROM l{rounds}"
+    )
+    return "\n".join(parts)
+
+
+SQL_DEDUP_GROUPS = _make_sql_dedup_groups()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

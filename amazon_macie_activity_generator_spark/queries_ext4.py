@@ -691,20 +691,24 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PAGERANK_COPURCHASE = """
-WITH op AS (
+WITH op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+), edges AS MATERIALIZED (
+  -- r10: MATERIALIZED — without it DuckDB inlines this DISTINCT
+  -- self-join into every iteration's contribution join, rebuilding the
+  -- edge list four times over; at sf1 that spilled >70 GB and died
+  -- while Spark's persisted-edge plan ran the same graph in 27 s
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM op a JOIN op b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
 ), n AS (SELECT count(*) AS n_nodes FROM deg),
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT node, deg, n.n_nodes, round(1.0 / n.n_nodes, 12) AS rank
   FROM deg CROSS JOIN n
 ),
-r1 AS (
+r1 AS MATERIALIZED (
   SELECT r.node, r.deg, r.n_nodes,
          round(0.15 / r.n_nodes + 0.85 * coalesce(i.inbound, 0.0), 12) AS rank
   FROM r0 r LEFT JOIN (
@@ -712,7 +716,7 @@ r1 AS (
     FROM edges e JOIN r0 r ON e.src = r.node GROUP BY 1
   ) i USING (node)
 ),
-r2 AS (
+r2 AS MATERIALIZED (
   SELECT r.node, r.deg, r.n_nodes,
          round(0.15 / r.n_nodes + 0.85 * coalesce(i.inbound, 0.0), 12) AS rank
   FROM r1 r LEFT JOIN (
@@ -720,7 +724,7 @@ r2 AS (
     FROM edges e JOIN r1 r ON e.src = r.node GROUP BY 1
   ) i USING (node)
 ),
-r3 AS (
+r3 AS MATERIALIZED (
   SELECT r.node, r.deg, r.n_nodes,
          round(0.15 / r.n_nodes + 0.85 * coalesce(i.inbound, 0.0), 12) AS rank
   FROM r2 r LEFT JOIN (

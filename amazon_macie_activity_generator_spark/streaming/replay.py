@@ -36,13 +36,19 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
-def queue_stream(spark: SparkSession, queue_path: str, schema: StructType) -> DataFrame:
-    """K2 consumer source: stream the K1 queue table. ``maxFilesPerTrigger=1``
-    gives the reference's one-slot-per-tick pacing under a processing-time
-    trigger (each K1 write unit = one micro-batch)."""
+def queue_stream(
+    spark: SparkSession, queue_path: str, schema: StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """K2 consumer source: stream the K1 queue table. The default
+    ``maxFilesPerTrigger=1`` gives the reference's one-slot-per-tick
+    pacing under a processing-time trigger (each K1 write unit = one
+    micro-batch); bulk drains (catch-up after downtime, backfills) raise
+    it to amortize the per-micro-batch checkpoint/state commit across
+    more rows — measured in scripts/streaming_scale.py / SCALE.md."""
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(queue_path)
     )
 
@@ -94,11 +100,13 @@ def replay_to_table(
     checkpoint_dir: str,
     available_now: bool = True,
     cadence_seconds: int | None = None,
+    max_files_per_trigger: int = 1,
 ) -> StreamingQuery:
     """Replay the queue into a parquet 'delivered' table partitioned by
     run_id — idempotent per-(run_id,t) delivery record; the local-mode
     equivalent of executing each slot on its targets."""
-    stream = queue_stream(spark, queue_path, schema)
+    stream = queue_stream(spark, queue_path, schema,
+                          max_files_per_trigger=max_files_per_trigger)
 
     def _deliver(batch: DataFrame, batch_id: int) -> None:
         # idempotent delivery: dynamic overwrite of THIS batch's partition

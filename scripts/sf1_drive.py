@@ -202,6 +202,7 @@ def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> N
                     rec["agree"] = None
                     rec["oracle_timeout"] = True
                     rec["rows"] = len(sdf)
+                    rec["status"] = "oracle_timeout"
                 elif err is not None:
                     raise err
                 else:
@@ -210,9 +211,17 @@ def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> N
                     ok = (list(s.columns) == list(d.columns) and s.shape == d.shape
                           and s.astype(str).equals(d.astype(str)))
                     rec["agree"] = bool(ok)
+                    rec["status"] = "agree" if ok else "mismatch"
             except Exception as e:  # noqa: BLE001 — record, keep driving
                 rec["agree"] = False
                 rec["error"] = f"{type(e).__name__}: {e}"[:400]
+                # oracle resource exhaustion (DuckDB spilling past the
+                # disk) is an oracle-scalability row, not an engine
+                # mismatch — label it so the artifact alone tells the
+                # 134-vs-138 story without cross-referencing SCALE.md
+                rec["status"] = ("oracle_resource"
+                                 if "No space left" in rec["error"]
+                                 else "error")
             spark.catalog.clearCache()
             out.write(json.dumps(rec) + "\n")
             out.flush()
@@ -221,6 +230,8 @@ def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> N
 
 
 def summarize() -> None:
+    # latest row per entry wins (re-drives append); rows from before the
+    # r10 status field are classified by the same rules they'd get today
     recs = [json.loads(line) for line in open(RESULTS)]
     latest: dict[str, dict] = {r["name"]: r for r in recs}
     agree = [r for r in latest.values() if r.get("agree")]

@@ -11,8 +11,14 @@ one-shot batch job. The correctness gate: the delivered table contains
 EXACTLY the distinct (run_id, t) set — no duplicate survives, nothing
 is lost.
 
+Round 10 adds the ``maxFilesPerTrigger`` amortization sweep (VERDICT r9
+ask #5): the same queue is drained at several trigger sizes, showing the
+per-micro-batch checkpoint/state commit amortizing across more rows —
+the knob a bulk drain (downtime catch-up, backfill) turns while the
+production default stays 1 for slot-per-tick pacing.
+
 Run: ``python scripts/streaming_scale.py [--sf-dir /root/testdata/sf0.1]
-[--runs 4] [--shuffle-parts 8]``
+[--runs 4] [--shuffle-parts 8] [--mft 1,4,16]``
 """
 
 from __future__ import annotations
@@ -38,6 +44,9 @@ def main() -> None:
     ap.add_argument("--shuffle-parts", type=int, default=8,
                     help="shuffle partitions during the queue write — "
                     "bounds queue file count, hence micro-batch count")
+    ap.add_argument("--mft", default="1,4,16",
+                    help="comma-separated maxFilesPerTrigger values to "
+                    "sweep (1 = the production slot-per-tick default)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -78,22 +87,6 @@ def main() -> None:
     n_distinct = slot_rows.select("run_id", "t").distinct().count()
 
     schema = queued.schema
-    delivered_path = os.path.join(work, "delivered")
-    t0 = time.perf_counter()
-    sq = replay_to_table(
-        spark, qpath, schema, delivered_path, os.path.join(work, "ckpt"),
-        available_now=True,
-    )
-    if not sq.awaitTermination(1800):
-        sq.stop()
-        raise SystemExit("stream did not drain within 1800 s — timeout, "
-                         "not a dedup failure; rerun on an idle box")
-    stream_wall = time.perf_counter() - t0
-    n_batches = sq.lastProgress["batchId"] + 1 if sq.lastProgress else None
-
-    delivered = spark.read.parquet(delivered_path)
-    n_delivered = delivered.count()
-    n_delivered_distinct = delivered.select("run_id", "t").distinct().count()
 
     # batch equivalent: same dedup + partitioned write, one shot — the
     # difference is the per-micro-batch checkpoint/state-store overhead
@@ -105,22 +98,44 @@ def main() -> None:
     )
     batch_wall = time.perf_counter() - t0
 
-    result = {
-        "queued_rows": n_queued,
-        "queue_files": n_files,
-        "distinct_slots": n_distinct,
-        "delivered_rows": n_delivered,
-        "delivered_distinct": n_delivered_distinct,
-        "duplicates_survived": n_delivered - n_delivered_distinct,
-        "lost": n_distinct - n_delivered_distinct,
-        "micro_batches": n_batches,
-        "stream_wall_s": round(stream_wall, 1),
-        "rows_per_s": round(n_queued / stream_wall),
-        "batch_equiv_wall_s": round(batch_wall, 1),
-        "checkpoint_overhead_x": round(stream_wall / batch_wall, 1),
-    }
-    print(json.dumps(result))
-    assert n_delivered == n_delivered_distinct == n_distinct, result
+    for mft in (int(v) for v in args.mft.split(",")):
+        delivered_path = os.path.join(work, f"delivered_{mft}")
+        ckpt = os.path.join(work, f"ckpt_{mft}")
+        t0 = time.perf_counter()
+        sq = replay_to_table(
+            spark, qpath, schema, delivered_path, ckpt,
+            available_now=True, max_files_per_trigger=mft,
+        )
+        if not sq.awaitTermination(1800):
+            sq.stop()
+            raise SystemExit("stream did not drain within 1800 s — timeout, "
+                             "not a dedup failure; rerun on an idle box")
+        stream_wall = time.perf_counter() - t0
+        n_batches = sq.lastProgress["batchId"] + 1 if sq.lastProgress else None
+
+        delivered = spark.read.parquet(delivered_path)
+        n_delivered = delivered.count()
+        n_delivered_distinct = delivered.select("run_id", "t").distinct().count()
+
+        result = {
+            "max_files_per_trigger": mft,
+            "queued_rows": n_queued,
+            "queue_files": n_files,
+            "distinct_slots": n_distinct,
+            "delivered_rows": n_delivered,
+            "delivered_distinct": n_delivered_distinct,
+            "duplicates_survived": n_delivered - n_delivered_distinct,
+            "lost": n_distinct - n_delivered_distinct,
+            "micro_batches": n_batches,
+            "stream_wall_s": round(stream_wall, 1),
+            "rows_per_s": round(n_queued / stream_wall),
+            "batch_equiv_wall_s": round(batch_wall, 1),
+            "checkpoint_overhead_x": round(stream_wall / batch_wall, 1),
+            "ms_per_batch": (round(1000 * (stream_wall - batch_wall) / n_batches)
+                             if n_batches else None),
+        }
+        print(json.dumps(result), flush=True)
+        assert n_delivered == n_delivered_distinct == n_distinct, result
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
