@@ -190,9 +190,22 @@ _A = np.array([
 def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
     """Vectorized 2-D IDCT over a stack of natural-order (n, 8, 8)
     dequantized coefficient blocks -> (n, 8, 8) uint8 samples with the
-    half-up rounding convention from the module docstring."""
-    spatial = np.einsum("ux,nuv,vy->nxy", _A, blocks.astype(np.float64), _A)
-    return np.clip(np.floor(spatial + 0.5) + 128, 0, 255).astype(np.uint8)
+    half-up rounding convention from the module docstring. Chunked so
+    the float64 staging stays ~32 MB regardless of image size (a 16M-px
+    component would otherwise stage ~128 MB of einsum intermediates per
+    task — the same transient-memory discipline as the PNG wavefront's
+    _WAVEFRONT_BLOCK_PX)."""
+    n = blocks.shape[0]
+    out = np.empty((n, 8, 8), dtype=np.uint8)
+    step = 1 << 16  # 64k blocks * 64 cells * 8 B = 32 MB of float64
+    for lo in range(0, n, step):
+        spatial = np.einsum(
+            "ux,nuv,vy->nxy", _A, blocks[lo : lo + step].astype(np.float64), _A
+        )
+        out[lo : lo + step] = np.clip(
+            np.floor(spatial + 0.5) + 128, 0, 255
+        ).astype(np.uint8)
+    return out
 
 
 class _BitReader:
@@ -293,6 +306,13 @@ def _decode_frame(b: bytes):
     while i + 4 <= n:
         if b[i] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them or a conforming file quarantines on a
+        # garbage "length" read from the marker byte itself
+        while b[i + 1] == 0xFF:
+            i += 1
+            if i + 4 > n:
+                return None
         marker = b[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
@@ -406,6 +426,11 @@ def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         return None
+    # T.81 A.1.1: the sum of Hi*Vi over the frame's components is capped
+    # at 10 — enforcing it bounds the per-MCU block count before any
+    # allocation (a hostile header can't multiply dims by 3x16 blocks)
+    if sum(hi * vi for _, hi, vi, _ in comps) > 10:
+        return None
     for _, hi, vi, _ in comps:
         if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
             return None  # non-integer upsampling ratio
@@ -416,6 +441,15 @@ def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
     if split is None:
         return None
     segs, _ = split
+    # allocation-proportionality guard: every block costs at least a DC
+    # code + an EOB (>= 2 bits even with pathological 1-bit custom
+    # tables), so a sub-sized entropy stream cannot legitimately cover
+    # the claimed block grid — reject BEFORE staging the coefficient
+    # arrays, so a tiny crafted header can't allocate hundreds of MB
+    # (the JPEG twin of the PNG bounded-inflate check)
+    total_blocks = nmcu * sum(hi * vi for _, hi, vi, _ in comps)
+    if sum(len(s) for s in segs) * 8 < total_blocks * 2:
+        return None
     # coefficient stacks per component, scan (MCU-major) order
     out = [
         np.zeros((nmcu * hi * vi, 64), dtype=np.int32)
@@ -497,13 +531,21 @@ def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     """Baseline JPEG -> (w, h, top-down RGB bytes); None to quarantine.
     IDCT + upsample + color conversion per the module's exactness
-    conventions; grayscale expands to RGB like the PNG ctype-0 path."""
+    conventions; grayscale expands to RGB like the PNG ctype-0 path.
+    MemoryError is quarantined too: the entropy-bits guard makes
+    allocation proportional to input size, but under executor pressure
+    a legitimate huge payload must degrade to a NULL-stats row, never a
+    dead task."""
     try:
         frame = _decode_frame(b)
-    except (ValueError, IndexError, OverflowError):
+        if frame is None:
+            return None
+        return _frame_to_rgb(frame)
+    except (ValueError, IndexError, OverflowError, MemoryError):
         return None
-    if frame is None:
-        return None
+
+
+def _frame_to_rgb(frame) -> tuple[int, int, bytes]:
     w, h, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -803,11 +803,17 @@ def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
             while r + k < h and fts[r + k] >= 3:
                 k += 1
             if k >= _WAVEFRONT_MIN_ROWS and w >= _WAVEFRONT_MIN_WIDTH:
-                # blocked to bound the int16 working set (_WAVEFRONT_BLOCK_PX)
+                # blocked to bound the int16 working set (_WAVEFRONT_BLOCK_PX);
+                # a sub-crossover tail (< _WAVEFRONT_MIN_ROWS rows) folds
+                # into the final block instead of paying a per-diagonal
+                # dispatch it can't amortize — the cap overshoots by at
+                # most 63 rows, immaterial next to the ~2M-px block
                 block = max(_WAVEFRONT_MIN_ROWS, _WAVEFRONT_BLOCK_PX // w)
                 done = 0
                 while done < k:
                     kk = min(k - done, block)
+                    if k - done - kk < _WAVEFRONT_MIN_ROWS:
+                        kk = k - done
                     out[r + done : r + done + kk] = _avg_paeth_wavefront(
                         lines[r + done : r + done + kk],
                         fts[r + done : r + done + kk], prior, w, bpp,
@@ -1162,7 +1168,11 @@ def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
 
             out = decode_jpeg_pixels(b)
             return ("jpeg",) + out if out else None
-    except (ValueError, IndexError, OverflowError):
+    except (ValueError, IndexError, OverflowError, MemoryError):
+        # MemoryError included: a legitimate huge payload under executor
+        # pressure degrades to a NULL-stats quarantine row, never a dead
+        # task (the decoders bound their own transients — PNG inflate cap,
+        # wavefront blocking, JPEG entropy-bits guard + chunked IDCT)
         return None
     return None
 

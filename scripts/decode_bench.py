@@ -189,7 +189,7 @@ def per_format_table(size: int, reps: int) -> dict[str, float]:
     raw = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
     pal = rng.integers(0, 256, size=768, dtype=np.uint8).tobytes()
     idx = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
-    n_mcu = (w // 16) * (h // 16)
+    n_mcu = -(-w // 16) * -(-h // 16)  # ceil: the MCU grid pads partial edges
     payloads = {
         "bmp": _bmp_encode_fast(raw, w, h),
         "ppm": _ppm_encode(raw, w, h),

@@ -253,12 +253,13 @@ def main() -> None:
     # but a 16x stress corpus genuinely needs execution memory, and in
     # local mode the driver heap IS the executor heap. Set it for the
     # probe JVM only, before the gateway launches — and only for the
-    # runs that need it (--stress or big volume multipliers): a plain
-    # volume probe on a <32g box must not fail JVM launch over a heap it
-    # never uses. NOTE: this env var only takes effect when THIS process
-    # launches the gateway; if an importing caller already started
-    # Spark, it is silently ignored (use builder configs there).
-    if args.stress or max(scales) >= 8:
+    # runs that need it (--stress or multi-x volume, where the 1g
+    # default OOMs): a 1x smoke probe on a <32g box must not fail JVM
+    # launch over a heap it never uses. NOTE: this env var only takes
+    # effect when THIS process launches the gateway; if an importing
+    # caller already started Spark, it is silently ignored (use builder
+    # configs there).
+    if args.stress or max(scales) >= 4:
         os.environ.setdefault(
             "PYSPARK_SUBMIT_ARGS", "--driver-memory 32g pyspark-shell"
         )

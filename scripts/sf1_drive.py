@@ -204,7 +204,17 @@ def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> N
                     rec["rows"] = len(sdf)
                     rec["status"] = "oracle_timeout"
                 elif err is not None:
-                    raise err
+                    # the exception came from the DuckDB worker thread —
+                    # an ORACLE-side failure by construction (the Spark
+                    # half already completed above), so resource
+                    # exhaustion here is an oracle-scalability row; a
+                    # Spark-side ENOSPC raises in the outer except and is
+                    # labeled a plain engine error, never oracle_resource
+                    rec["agree"] = False
+                    rec["error"] = f"{type(err).__name__}: {err}"[:400]
+                    rec["status"] = ("oracle_resource"
+                                     if "No space left" in rec["error"]
+                                     else "oracle_error")
                 else:
                     s, d = canon(sdf), canon(ddf)
                     rec["rows"] = len(s)
@@ -215,13 +225,7 @@ def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> N
             except Exception as e:  # noqa: BLE001 — record, keep driving
                 rec["agree"] = False
                 rec["error"] = f"{type(e).__name__}: {e}"[:400]
-                # oracle resource exhaustion (DuckDB spilling past the
-                # disk) is an oracle-scalability row, not an engine
-                # mismatch — label it so the artifact alone tells the
-                # 134-vs-138 story without cross-referencing SCALE.md
-                rec["status"] = ("oracle_resource"
-                                 if "No space left" in rec["error"]
-                                 else "error")
+                rec["status"] = "error"  # engine-side (or compare) failure
             spark.catalog.clearCache()
             out.write(json.dumps(rec) + "\n")
             out.flush()
@@ -236,12 +240,18 @@ def summarize() -> None:
     latest: dict[str, dict] = {r["name"]: r for r in recs}
     agree = [r for r in latest.values() if r.get("agree")]
     timeout = [r for r in latest.values() if r.get("oracle_timeout")]
-    # oracle resource exhaustion (e.g. DuckDB spilling past the disk on
-    # the unrolled graph joins) is an oracle-scalability row like a
-    # timeout, not an engine mismatch
+
+    # prefer the explicit status written since r10; legacy rows without
+    # one fall back to the old text heuristic (which could not tell an
+    # oracle-side ENOSPC from an engine-side one — status can)
+    def is_resource(r: dict) -> bool:
+        if "status" in r:
+            return r["status"] == "oracle_resource"
+        return "No space left" in r.get("error", "")
+
     resource = [r for r in latest.values()
                 if not r.get("agree") and not r.get("oracle_timeout")
-                and "No space left" in r.get("error", "")]
+                and is_resource(r)]
     fail = [r for r in latest.values()
             if not r.get("agree") and not r.get("oracle_timeout")
             and r not in resource]

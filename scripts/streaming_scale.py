@@ -89,14 +89,20 @@ def main() -> None:
     schema = queued.schema
 
     # batch equivalent: same dedup + partitioned write, one shot — the
-    # difference is the per-micro-batch checkpoint/state-store overhead
-    t0 = time.perf_counter()
-    (
-        queued.dropDuplicates(["run_id", "t"])
-        .write.mode("overwrite").partitionBy("run_id")
-        .parquet(os.path.join(work, "batch_equiv"))
-    )
-    batch_wall = time.perf_counter() - t0
+    # difference is the per-micro-batch checkpoint/state-store overhead.
+    # Run it twice and keep the WARM timing: the first execution pays
+    # JVM/codegen warm-up that the later streaming drains don't, which
+    # would overstate batch_wall and could even drive the derived
+    # overhead/ms-per-batch columns negative for fast high-mft drains.
+    batch_wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            queued.dropDuplicates(["run_id", "t"])
+            .write.mode("overwrite").partitionBy("run_id")
+            .parquet(os.path.join(work, "batch_equiv"))
+        )
+        batch_wall = min(batch_wall, time.perf_counter() - t0)
 
     for mft in (int(v) for v in args.mft.split(",")):
         delivered_path = os.path.join(work, f"delivered_{mft}")

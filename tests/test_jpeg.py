@@ -199,6 +199,46 @@ def test_hostile_variants_quarantine(mutate):
     assert decode_jpeg_pixels(payload) is None
 
 
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    a conforming file using them must decode identically, not quarantine
+    on a garbage length read."""
+    base = _base()
+    want = decode_jpeg_pixels(base)
+    # insert fill bytes before the DQT and SOF0 markers
+    padded = base.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xc0", b"\xff\xff\xc0", 1
+    )
+    assert padded != base
+    assert decode_jpeg_pixels(padded) == want
+
+
+def test_sampling_sum_over_spec_cap_quarantines():
+    """T.81 A.1.1 caps sum(Hi*Vi) at 10 — a 4x4+1x1+1x1 frame (sum 18)
+    must be rejected BEFORE the coefficient allocation it would inflate."""
+    b = bytearray(_base())
+    i = b.index(b"\xff\xc0")
+    b[i + 4 + 7] = 0x44  # component 1 sampling 4x4
+    assert decode_jpeg_pixels(bytes(b)) is None
+
+
+def test_undersized_entropy_stream_quarantines_before_alloc():
+    """A crafted header claiming huge dims with almost no entropy data
+    must be rejected by the allocation-proportionality guard (every
+    block needs >= 2 entropy bits), not staged into hundreds of MB of
+    coefficient arrays."""
+    b = bytearray(_base())
+    i = b.index(b"\xff\xc0")
+    # claim 4096 x 4096 (16M px < _MAX_PIXELS) on the same tiny stream
+    b[i + 5 : i + 7] = (4096).to_bytes(2, "big")
+    b[i + 7 : i + 9] = (4096).to_bytes(2, "big")
+    import time as _t
+
+    t0 = _t.perf_counter()
+    assert decode_jpeg_pixels(bytes(b)) is None
+    assert _t.perf_counter() - t0 < 1.0  # rejected up front, not decoded
+
+
 def test_four_component_cmyk_quarantines():
     """Adobe CMYK JPEGs have 4 components; baseline support is 1 or 3."""
     b = bytearray(_base())
