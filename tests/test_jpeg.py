@@ -128,6 +128,77 @@ def test_byte_stuffing_round_trip():
     assert (px[:, 8:16] == np.array(_rgb(0, 128, 128))).all()
 
 
+def test_dc_only_422_exact_pixels():
+    """4:2:2 (2x1 luma sampling) falls out of the generic integer-ratio
+    upsampler: chroma is constant over 16x8 boxes, luma over 8x8."""
+    dcy = [3, -9, 14, 27]  # 2 MCUs x 2 horizontal luma blocks
+    dcb, dcr = [6, -6], [-11, 11]
+    payload = jpeg_encode_dc_only(
+        32, 8, [dcy, dcb, dcr], sampling=((2, 1), (1, 1), (1, 1))
+    )
+    w, h, raw = decode_jpeg_pixels(payload)
+    assert (w, h) == (32, 8)
+    px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+    for m in range(2):
+        for s in range(2):
+            exp = _rgb(128 + dcy[2 * m + s], 128 + dcb[m], 128 + dcr[m])
+            c0 = m * 16 + s * 8
+            assert (px[:, c0 : c0 + 8] == np.array(exp)).all(), (m, s)
+
+
+def test_coefficient_round_trip_fuzz():
+    """Hypothesis-driven entropy-layer fuzz: random quantized
+    coefficients (sparse and dense), random sampling (4:4:4 / 4:2:0 /
+    4:2:2 / grayscale), random restart intervals — the encoder->decoder
+    coefficient round-trip must be integer-exact every time (Huffman,
+    zigzag, RLE/ZRL, stuffing, restart resync, EXTEND)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    samplings = [
+        (((1, 1), (1, 1), (1, 1)), 3),
+        (((2, 2), (1, 1), (1, 1)), 3),
+        (((2, 1), (1, 1), (1, 1)), 3),
+        (((1, 1),), 1),
+    ]
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.integers(0, len(samplings) - 1),
+        st.integers(1, 3),   # MCU columns
+        st.integers(1, 2),   # MCU rows
+        st.integers(0, 2),   # restart interval (0 = none)
+        st.integers(0, 2**32 - 1),  # numpy seed
+        st.floats(0.0, 0.95),       # sparsity
+    )
+    def case(si, mx, my, ri, seed, sparsity):
+        sampling, nf = samplings[si]
+        rng = np.random.default_rng(seed)
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        w, h = 8 * hmax * mx, 8 * vmax * my
+        coefs = []
+        for ci in range(nf):
+            hi, vi = sampling[ci]
+            n = mx * my * hi * vi
+            c = rng.integers(-255, 256, size=(n, 64)).astype(np.int32)
+            c[rng.random(size=c.shape) < sparsity] = 0
+            coefs.append(c)
+        payload = jpeg_encode_baseline(
+            coefs, w, h, sampling=sampling, qy=1, qc=1, restart_interval=ri
+        )
+        out = _decode_frame(payload)
+        assert out is not None
+        w2, h2, comps = out
+        assert (w2, h2) == (w, h)
+        for ci, c in enumerate(comps):
+            nat = c["coeffs"].reshape(-1, 64)
+            assert (nat[:, list(ZIGZAG)] == coefs[ci]).all(), ci
+
+    case()
+
+
 def test_idct_matches_direct_cosine_sum():
     """The einsum IDCT against a literal T.81 A.3.3 double sum written
     independently here."""
