@@ -142,24 +142,25 @@ def _canonical_codes(bits, vals):
     return out
 
 
-_LUT_CACHE: dict[tuple, np.ndarray] = {}
+_LUT_CACHE: dict[tuple, list] = {}
 
 
-def _decode_lut(bits, vals):
-    """65536-entry uint32 LUT: 16-bit left-aligned prefix -> packed
+def _decode_lut(bits, vals) -> list:
+    """65536-entry LUT: 16-bit left-aligned prefix -> packed
     ``(value << 5) | code_length`` (length 0 = invalid prefix). One numpy
-    slice-fill per code — the classic table-driven Huffman decode, so the
-    per-symbol cost is one array index instead of a per-bit tree walk.
-    Cached by table content: real corpora overwhelmingly ship the Annex K
-    tables, so small-payload decodes don't pay a 65536-entry rebuild per
-    file (the cache is bounded in practice by the handful of distinct
-    tables a corpus uses; hostile table churn costs memory at 256 KiB per
-    distinct table, capped below)."""
+    slice-fill per code, then materialized as a plain Python LIST — the
+    entropy loop is per-symbol Python, and a list index returns a cached
+    small int where a numpy scalar lookup pays extraction + int()
+    conversion per symbol (~3x the whole-loop cost, measured). Cached by
+    table content: real corpora overwhelmingly ship the Annex K tables,
+    so small-payload decodes don't pay a 65536-entry rebuild per file
+    (hostile per-file table churn is capped below, ~2 MB per distinct
+    table)."""
     key = (tuple(bits), tuple(vals))
     cached = _LUT_CACHE.get(key)
     if cached is not None:
         return cached
-    lut = np.zeros(1 << 16, dtype=np.uint32)
+    arr = np.zeros(1 << 16, dtype=np.uint32)
     code = 0
     k = 0
     for ln in range(1, 17):
@@ -167,10 +168,11 @@ def _decode_lut(bits, vals):
             if code >= (1 << ln):
                 raise ValueError("oversubscribed Huffman table")
             lo = code << (16 - ln)
-            lut[lo : lo + (1 << (16 - ln))] = (vals[k] << 5) | ln
+            arr[lo : lo + (1 << (16 - ln))] = (vals[k] << 5) | ln
             code += 1
             k += 1
         code <<= 1
+    lut = arr.tolist()
     if len(_LUT_CACHE) < 64:  # hostile per-file table churn can't grow this
         _LUT_CACHE[key] = lut
     return lut
@@ -199,61 +201,20 @@ def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
     out = np.empty((n, 8, 8), dtype=np.uint8)
     step = 1 << 16  # 64k blocks * 64 cells * 8 B = 32 MB of float64
     for lo in range(0, n, step):
-        spatial = np.einsum(
-            "ux,nuv,vy->nxy", _A, blocks[lo : lo + step].astype(np.float64), _A
-        )
+        f = blocks[lo : lo + step].astype(np.float64)
+        m = f.shape[0]
+        # A^T F A as two large flat GEMMs instead of c_einsum (which runs
+        # the contraction unoptimized and dominated DC-only decode wall):
+        # G = F A as one (m*8, 8) @ (8, 8); then spatial^T = G^T A lane-
+        # flattened the same way, transposed back.
+        g = (f.reshape(m * 8, 8) @ _A).reshape(m, 8, 8)
+        spatial = (
+            np.ascontiguousarray(g.transpose(0, 2, 1)).reshape(m * 8, 8) @ _A
+        ).reshape(m, 8, 8).transpose(0, 2, 1)
         out[lo : lo + step] = np.clip(
             np.floor(spatial + 0.5) + 128, 0, 255
         ).astype(np.uint8)
     return out
-
-
-class _BitReader:
-    """MSB-first bit reader over one entropy-coded (destuffed) segment."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        while self.nbits <= 24 and self.pos < len(self.data):
-            self.acc = (self.acc << 8) | self.data[self.pos]
-            self.pos += 1
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        self._fill()
-        if self.nbits >= 16:
-            return (self.acc >> (self.nbits - 16)) & 0xFFFF
-        return (self.acc << (16 - self.nbits)) & 0xFFFF
-
-    def skip(self, n: int) -> bool:
-        self._fill()
-        if n > self.nbits:
-            return False
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return True
-
-    def read(self, n: int) -> int | None:
-        if n == 0:
-            return 0
-        self._fill()
-        if n > self.nbits:
-            return None
-        self.nbits -= n
-        v = self.acc >> self.nbits
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 EXTEND: map a t-bit magnitude code to its signed value."""
-    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
 def _split_entropy(b: bytes, start: int) -> tuple[list[bytes], int] | None:
@@ -457,8 +418,19 @@ def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
     ]
     counts = [0] * len(comps)
     preds = [0] * len(comps)
+    scan_blocks = [(ci, dc_lut, ac_lut, comps[ci][1] * comps[ci][2])
+                   for ci, dc_lut, ac_lut in scan]
+    # the entropy loop is the per-symbol hot path: the bit reader runs
+    # inlined on local ints (acc holds `nbits` real bits, LSB-aligned)
+    # instead of through _BitReader method calls, and the LUTs are plain
+    # Python lists — together ~4x over the method-call/numpy-scalar
+    # version (scripts/decode_bench.py --per-format)
+    if not segs:
+        return None
     seg_idx = 0
-    br = _BitReader(segs[0]) if segs else None
+    data = segs[0]
+    ndata = len(data)
+    pos = acc = nbits = 0
     mcus_in_seg = 0
     for _m in range(nmcu):
         if restart and mcus_in_seg == restart:
@@ -466,51 +438,80 @@ def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
             seg_idx += 1
             if seg_idx >= len(segs):
                 return None
-            br = _BitReader(segs[seg_idx])
+            data = segs[seg_idx]
+            ndata = len(data)
+            pos = acc = nbits = 0
             preds = [0] * len(comps)
             mcus_in_seg = 0
-        if br is None:
-            return None
-        for ci, dc_lut, ac_lut in scan:
-            _, hi, vi, _ = comps[ci]
-            for _blk in range(hi * vi):
+        for ci, dc_lut, ac_lut, nblk in scan_blocks:
+            for _blk in range(nblk):
                 coef = out[ci][counts[ci]]
                 counts[ci] += 1
-                # DC
-                e = int(dc_lut[br.peek16()])
+                # DC: peek 16 (zero-padded past end), consume ln REAL bits
+                while nbits < 16 and pos < ndata:
+                    acc = (acc << 8) | data[pos]
+                    pos += 1
+                    nbits += 8
+                e = dc_lut[
+                    (acc >> (nbits - 16)) & 0xFFFF if nbits >= 16
+                    else (acc << (16 - nbits)) & 0xFFFF
+                ]
                 ln = e & 31
-                if ln == 0 or not br.skip(ln):
+                if ln == 0 or ln > nbits:
                     return None
+                nbits -= ln
+                acc &= (1 << nbits) - 1
                 t = e >> 5
-                if t > 15:
-                    return None
                 if t:
-                    v = br.read(t)
-                    if v is None:
+                    if t > 15:
                         return None
-                    preds[ci] += _extend(v, t)
+                    while nbits < t and pos < ndata:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    if t > nbits:
+                        return None
+                    nbits -= t
+                    v = acc >> nbits
+                    acc &= (1 << nbits) - 1
+                    preds[ci] += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
                 coef[0] = preds[ci]
                 # AC
                 k = 1
                 while k < 64:
-                    e = int(ac_lut[br.peek16()])
+                    while nbits < 16 and pos < ndata:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    e = ac_lut[
+                        (acc >> (nbits - 16)) & 0xFFFF if nbits >= 16
+                        else (acc << (16 - nbits)) & 0xFFFF
+                    ]
                     ln = e & 31
-                    if ln == 0 or not br.skip(ln):
+                    if ln == 0 or ln > nbits:
                         return None
+                    nbits -= ln
+                    acc &= (1 << nbits) - 1
                     rs = e >> 5
-                    r, s = rs >> 4, rs & 15
+                    s = rs & 15
                     if s == 0:
-                        if r == 15:  # ZRL: sixteen zeros
+                        if rs == 0xF0:  # ZRL: sixteen zeros
                             k += 16
                             continue
                         break  # EOB
-                    k += r
+                    k += rs >> 4
                     if k > 63:
                         return None
-                    v = br.read(s)
-                    if v is None:
+                    while nbits < s and pos < ndata:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    if s > nbits:
                         return None
-                    coef[k] = _extend(v, s)
+                    nbits -= s
+                    v = acc >> nbits
+                    acc &= (1 << nbits) - 1
+                    coef[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
                     k += 1
         mcus_in_seg += 1
     result = []
