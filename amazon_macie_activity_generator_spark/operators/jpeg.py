@@ -173,7 +173,11 @@ def _decode_lut(bits, vals) -> list:
             k += 1
         code <<= 1
     lut = arr.tolist()
-    if len(_LUT_CACHE) < 64:  # hostile per-file table churn can't grow this
+    # list entries are ~2 MB of boxed ints apiece (vs 256 KiB as numpy),
+    # so the churn cap is 8, not 64: real corpora use the 4 Annex K
+    # tables; a hostile corpus cycling distinct tables can pin at most
+    # ~18 MB per worker, and uncached tables still decode (just slower)
+    if len(_LUT_CACHE) < 8:
         _LUT_CACHE[key] = lut
     return lut
 
@@ -237,6 +241,8 @@ def _split_entropy(b: bytes, start: int) -> tuple[list[bytes], int] | None:
         if m == 0x00:  # stuffed literal 0xFF
             cur.append(0xFF)
             i += 2
+        elif m == 0xFF:  # T.81 B.1.1.2 fill byte before a marker
+            i += 1
         elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
             segs.append(bytes(cur))
             cur = bytearray()
@@ -422,11 +428,10 @@ def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
                    for ci, dc_lut, ac_lut in scan]
     # the entropy loop is the per-symbol hot path: the bit reader runs
     # inlined on local ints (acc holds `nbits` real bits, LSB-aligned)
-    # instead of through _BitReader method calls, and the LUTs are plain
-    # Python lists — together ~4x over the method-call/numpy-scalar
-    # version (scripts/decode_bench.py --per-format)
-    if not segs:
-        return None
+    # instead of through method calls, and the LUTs are plain Python
+    # lists — together ~4x over the method-call/numpy-scalar version
+    # (scripts/decode_bench.py --per-format). segs is never empty:
+    # _split_entropy appends the current segment on every return path.
     seg_idx = 0
     data = segs[0]
     ndata = len(data)
@@ -539,10 +544,16 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     dead task."""
     try:
         frame = _decode_frame(b)
-        if frame is None:
-            return None
-        return _frame_to_rgb(frame)
     except (ValueError, IndexError, OverflowError, MemoryError):
+        return None  # malformed-input classes the parser maps to quarantine
+    if frame is None:
+        return None
+    try:
+        return _frame_to_rgb(frame)
+    except MemoryError:
+        # executor pressure on a legitimate huge payload — quarantine.
+        # Any OTHER exception past a successful parse is a decoder bug
+        # and must stay loud, not be misfiled as a quarantine row.
         return None
 
 

@@ -803,16 +803,20 @@ def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
             while r + k < h and fts[r + k] >= 3:
                 k += 1
             if k >= _WAVEFRONT_MIN_ROWS and w >= _WAVEFRONT_MIN_WIDTH:
-                # blocked to bound the int16 working set (_WAVEFRONT_BLOCK_PX);
-                # a sub-crossover tail (< _WAVEFRONT_MIN_ROWS rows) folds
-                # into the final block instead of paying a per-diagonal
-                # dispatch it can't amortize — the cap overshoots by at
-                # most 63 rows, immaterial next to the ~2M-px block
+                # blocked to bound the int16 working set: the true bound
+                # is max(_WAVEFRONT_BLOCK_PX, _WAVEFRONT_MIN_ROWS * w) px
+                # (the 64-row floor dominates only for very wide images).
+                # A sub-crossover tail (< 64 rows) folds into the final
+                # block ONLY while the folded block stays within 2x the
+                # px budget — on pathologically wide images it runs as
+                # its own wavefront block instead (short diagonals, but
+                # still far cheaper than w*bpp*rows scalar Python steps)
                 block = max(_WAVEFRONT_MIN_ROWS, _WAVEFRONT_BLOCK_PX // w)
                 done = 0
                 while done < k:
                     kk = min(k - done, block)
-                    if k - done - kk < _WAVEFRONT_MIN_ROWS:
+                    if (k - done - kk < _WAVEFRONT_MIN_ROWS
+                            and (k - done) * w <= 2 * _WAVEFRONT_BLOCK_PX):
                         kk = k - done
                     out[r + done : r + done + kk] = _avg_paeth_wavefront(
                         lines[r + done : r + done + kk],

@@ -252,14 +252,19 @@ def summarize() -> None:
     resource = [r for r in latest.values()
                 if not r.get("agree") and not r.get("oracle_timeout")
                 and is_resource(r)]
+    # oracle-side failures that are neither timeouts nor resource deaths
+    # (e.g. a DuckDB OutOfMemoryException) — still not engine failures
+    oracle_err = [r for r in latest.values()
+                  if r.get("status") == "oracle_error" and r not in resource]
     fail = [r for r in latest.values()
             if not r.get("agree") and not r.get("oracle_timeout")
-            and r not in resource]
+            and r not in resource and r not in oracle_err]
     print(json.dumps({
         "entries": len(latest),
         "agree": len(agree),
         "oracle_timeout": sorted(r["name"] for r in timeout),
         "oracle_resource": sorted(r["name"] for r in resource),
+        "oracle_error": sorted(r["name"] for r in oracle_err),
         "fail": sorted(r["name"] for r in fail),
         "spark_total_s": round(sum(r.get("spark_s", 0) for r in latest.values()), 1),
         "duck_total_s": round(sum(r.get("duck_s", 0) for r in latest.values()), 1),

@@ -284,6 +284,21 @@ def test_fill_bytes_before_markers_decode():
     assert decode_jpeg_pixels(padded) == want
 
 
+def test_fill_bytes_before_rst_markers_decode():
+    """Fill bytes are also legal before RST markers INSIDE the entropy
+    stream (same T.81 B.1.1.2 clause) — the r10 review repro: one 0xFF
+    inserted before the first RST0 of a conforming restart-interval file
+    must decode identically, not terminate the scan early."""
+    dcy = list(range(-4, 4))
+    base = jpeg_encode_dc_only(32, 16, [dcy, [10, -10], [-25, 25]],
+                               restart_interval=1)
+    want = decode_jpeg_pixels(base)
+    assert want is not None
+    i = base.index(b"\xff\xd0")
+    padded = base[:i] + b"\xff" + base[i:]
+    assert decode_jpeg_pixels(padded) == want
+
+
 def test_sampling_sum_over_spec_cap_quarantines():
     """T.81 A.1.1 caps sum(Hi*Vi) at 10 — a 4x4+1x1+1x1 frame (sum 18)
     must be rejected BEFORE the coefficient allocation it would inflate."""

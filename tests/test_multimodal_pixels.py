@@ -400,6 +400,11 @@ def test_png_reconstruct_wavefront_blocking_agrees(monkeypatch):
     # ~2 blocks of 80 rows + remainder (max() floors the block at 64 rows)
     monkeypatch.setattr(mm, "_WAVEFRONT_BLOCK_PX", 80 * 80)
     assert mm._png_reconstruct(bytes(body), w, h, bpp) == raw
+    # the floor case (BLOCK_PX // w < _WAVEFRONT_MIN_ROWS): the tail must
+    # NOT fold into the 64-row floor block (it would breach the px
+    # budget) yet still reconstruct exactly as its own block
+    monkeypatch.setattr(mm, "_WAVEFRONT_BLOCK_PX", 16 * 80)
+    assert mm._png_reconstruct(bytes(body), w, h, bpp) == raw
 
 
 # ----------------------------------------------------------------- gif
