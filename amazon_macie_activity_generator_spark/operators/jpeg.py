@@ -9,10 +9,14 @@ majority of crawl JPEGs use: SOF0 frames, 8-bit precision, 1 or 3
 components, interleaved single-scan entropy data with optional restart
 markers (DRI/RSTn), byte stuffing, standard or custom Huffman tables,
 and integer-ratio chroma subsampling (4:4:4, 4:2:0, 4:2:2 all fall out
-of the generic replication upsampler). Progressive (SOF2), arithmetic
-coding, 12-bit precision, hierarchical, and multi-scan non-interleaved
-files return ``None`` (quarantine, never a dead task) — the same
-contract as every other decoder in ``operators/multimodal.py``.
+of the generic replication upsampler), and — since the progressive
+layer landed — SOF2 progressive frames: multi-scan spectral selection
+plus successive approximation per ITU T.81 G.1.2 (DC first/refine, AC
+first/refine with EOB-run semantics), with DQT/DHT/DRI updates between
+scans. Arithmetic coding, 12-bit precision, hierarchical, and
+multi-scan non-interleaved *sequential* files return ``None``
+(quarantine, never a dead task) — the same contract as every other
+decoder in ``operators/multimodal.py``.
 
 Exactness conventions (the decoder IS the spec for the oracle):
 
@@ -254,23 +258,97 @@ def _split_entropy(b: bytes, start: int) -> tuple[list[bytes], int] | None:
     return segs, n
 
 
+class _BitReader:
+    """MSB-first bit reader over one entropy segment, for the progressive
+    path. The baseline hot loop stays inlined on local ints (measured 4x
+    there); progressive scans are four distinct scan kinds with many
+    small reads, where the method-call overhead buys tractable control
+    flow — progressive decode is entropy-bound Python either way (see
+    the native-codec seam note in operators/multimodal.py)."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, k: int):
+        """k raw bits MSB-first, or None past end of segment."""
+        acc = self.acc
+        nbits = self.nbits
+        data = self.data
+        pos = self.pos
+        while nbits < k:
+            if pos >= self.n:
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= k
+        v = (acc >> nbits) & ((1 << k) - 1)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+        self.pos = pos
+        return v
+
+    def huff(self, lut) -> int | None:
+        """One Huffman symbol via the 16-bit left-aligned LUT (zero-padded
+        peek past segment end, same as the baseline loop); None on an
+        invalid prefix or exhausted segment."""
+        acc = self.acc
+        nbits = self.nbits
+        data = self.data
+        pos = self.pos
+        while nbits < 16 and pos < self.n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        e = (
+            lut[(acc >> (nbits - 16)) & 0xFFFF]
+            if nbits >= 16
+            else lut[(acc << (16 - nbits)) & 0xFFFF]
+        )
+        ln = e & 31
+        if ln == 0 or ln > nbits:
+            return None
+        nbits -= ln
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+        self.pos = pos
+        return e >> 5
+
+
+# hostile-input scan cap for progressive streams: real encoders emit
+# <= ~14 scans (libjpeg's default script is 10 for 3 components, and a
+# fully-split spectral script stays well under this); a crafted file
+# cycling hundreds of 2-byte scans would otherwise buy per-scan setup
+# work for free
+_MAX_PROG_SCANS = 64
+
+
 def _decode_frame(b: bytes):
-    """Parse + entropy-decode one baseline JFIF stream. Returns
-    ``(w, h, comps)`` where ``comps`` is a list of dicts with natural-
-    order int32 coefficient stacks (DEQUANTIZED), per-component sampling
-    and block-grid geometry — or None for unsupported/malformed input.
-    Split from the IDCT/color stage so tests can check the integer
-    entropy-decode path exactly."""
+    """Parse + entropy-decode one JFIF stream (baseline SOF0 single-scan
+    or progressive SOF2 multi-scan). Returns ``(w, h, comps)`` where
+    ``comps`` is a list of dicts with natural-order int32 coefficient
+    stacks (DEQUANTIZED), per-component sampling and block-grid geometry
+    — or None for unsupported/malformed input. Split from the IDCT/color
+    stage so tests can check the integer entropy-decode path exactly."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     qtables: dict[int, np.ndarray] = {}
     huff_dc: dict[int, np.ndarray] = {}
     huff_ac: dict[int, np.ndarray] = {}
     frame = None  # (w, h, [(cid, hi, vi, tq), ...])
+    progressive = False
+    prog = None  # per-component coefficient grids, allocated at first SOS
+    nscans = 0
     restart = 0
     i = 2
     n = len(b)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if b[i] != 0xFF:
             return None
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
@@ -278,13 +356,18 @@ def _decode_frame(b: bytes):
         # garbage "length" read from the marker byte itself
         while b[i + 1] == 0xFF:
             i += 1
-            if i + 4 > n:
+            if i + 2 > n:
                 return None
         marker = b[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI: end of a progressive stream, or
+            if prog is not None and nscans:  # premature before any scan
+                w, h, comps = frame
+                return _finalize_progressive(prog, comps, qtables, w, h)
+            return None
+        if i + 4 > n:
             return None
         seglen = int.from_bytes(b[i + 2 : i + 4], "big")
         if seglen < 2 or i + 2 + seglen > n:
@@ -330,9 +413,10 @@ def _decode_frame(b: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = lut
             if j != len(body):
                 return None
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if frame is not None or len(body) < 6 or body[0] != 8:
                 return None
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nf = body[5]
@@ -350,9 +434,9 @@ def _decode_frame(b: bytes):
                 # MCU = one block); normalize so the grids come out right
                 comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+            return None  # extended/lossless/arithmetic/hierarchical
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
                 return None
@@ -362,9 +446,51 @@ def _decode_frame(b: bytes):
                 return None
             ns = body[0]
             w, h, comps = frame
-            if ns != len(comps) or len(body) != 4 + 2 * ns:
+            if len(body) != 4 + 2 * ns:
                 return None
-            scan = []  # (comp_idx, dc_lut, ac_lut)
+            if not progressive:
+                if ns != len(comps):
+                    return None
+                scan = []  # (comp_idx, dc_lut, ac_lut)
+                used = set()
+                for s in range(ns):
+                    cs = body[1 + 2 * s]
+                    td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 15
+                    idx = next(
+                        (k for k, c in enumerate(comps) if c[0] == cs), None
+                    )
+                    if idx is None or idx in used:
+                        return None
+                    used.add(idx)
+                    if td not in huff_dc or ta not in huff_ac:
+                        return None
+                    scan.append((idx, huff_dc[td], huff_ac[ta]))
+                for _, hi, vi, tq in comps:
+                    if tq not in qtables:
+                        return None
+                return _decode_scan(
+                    b, i + 2 + seglen, w, h, comps, scan, qtables, restart
+                )
+            # ---- progressive scan (T.81 G.1.2) ----
+            nscans += 1
+            if nscans > _MAX_PROG_SCANS or not 1 <= ns <= len(comps):
+                return None
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            # spectral-selection / successive-approximation validity:
+            # DC scans are the band [0,0] (any component subset,
+            # interleaved allowed); AC scans are a band inside [1,63]
+            # over exactly one component; Al caps at 13 and a
+            # refinement pass must refine exactly one bit position
+            if ss == 0:
+                if se != 0:
+                    return None
+            elif ns != 1 or not ss <= se <= 63:
+                return None
+            if al > 13 or (ah and ah != al + 1):
+                return None
+            scan = []  # (comp_idx, dc_lut_or_None, ac_lut_or_None)
             used = set()
             for s in range(ns):
                 cs = body[1 + 2 * s]
@@ -375,17 +501,275 @@ def _decode_frame(b: bytes):
                 if idx is None or idx in used:
                     return None
                 used.add(idx)
-                if td not in huff_dc or ta not in huff_ac:
+                dc_lut = ac_lut = None
+                if ss == 0 and ah == 0:  # DC first needs a DC table;
+                    dc_lut = huff_dc.get(td)  # DC refine is raw bits
+                    if dc_lut is None:
+                        return None
+                if ss > 0:  # AC first AND refine read run/EOB symbols
+                    ac_lut = huff_ac.get(ta)
+                    if ac_lut is None:
+                        return None
+                scan.append((idx, dc_lut, ac_lut))
+            if prog is None:
+                prog = _prog_init(b, i, w, h, comps)
+                if prog is None:
                     return None
-                scan.append((idx, huff_dc[td], huff_ac[ta]))
-            for _, hi, vi, tq in comps:
-                if tq not in qtables:
-                    return None
-            return _decode_scan(
-                b, i + 2 + seglen, w, h, comps, scan, qtables, restart
+            pos = _decode_scan_progressive(
+                b, i + 2 + seglen, w, h, comps, prog, scan,
+                ss, se, ah, al, restart,
             )
+            if pos is None:
+                return None
+            i = pos
+            continue
         i += 2 + seglen
     return None
+
+
+def _prog_init(b: bytes, i: int, w: int, h: int, comps):
+    """Allocate per-component zigzag-order coefficient grids for a
+    progressive stream, padded to the interleaved MCU grid (non-
+    interleaved scans cover the unpadded prefix). The decompression-bomb
+    guard is the progressive twin of the baseline entropy-bits check: a
+    conforming stream must carry a DC-first scan covering every block of
+    every component (T.81 G.1.1.1.1 — AC scans may not precede it), and
+    every DC code costs at least one bit, so remaining-bytes * 8 below
+    total_blocks proves the header's dims are a bomb, BEFORE the grids
+    are staged."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        return None
+    if sum(hi * vi for _, hi, vi, _ in comps) > 10:  # T.81 A.1.1 cap
+        return None
+    for _, hi, vi, _ in comps:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = []
+    ni = []  # non-interleaved (block_rows, block_cols) per component
+    total_blocks = 0
+    for _, hi, vi, _ in comps:
+        brows, bcols = mcuy * vi, mcux * hi
+        total_blocks += brows * bcols
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        ni.append((-(-ch // 8), -(-cw // 8)))
+    if (len(b) - i) * 8 < total_blocks:
+        return None
+    for _, hi, vi, _ in comps:
+        grids.append(np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32))
+    return {"grids": grids, "ni": ni, "mcux": mcux, "mcuy": mcuy}
+
+
+def _decode_scan_progressive(
+    b, start, w, h, comps, prog, scan, ss, se, ah, al, restart
+):
+    """Decode one progressive scan into the persistent coefficient grids.
+    Returns the stream position of the 0xFF opening the next marker, or
+    None for malformed input. Implements the four scan kinds of T.81
+    G.1.2: DC first (Huffman diffs, shifted left Al), DC refine (one raw
+    bit per block ORed at Al), AC first (run/size with EOB runs), AC
+    refine (correction bits over already-nonzero coefficients, newly-
+    significant values at +-1<<Al, EOB-run correction sweeps)."""
+    split = _split_entropy(b, start)
+    if split is None:
+        return None
+    segs, pos_after = split
+    grids = prog["grids"]
+    mcux = prog["mcux"]
+    if len(scan) > 1:
+        interleaved = True
+        nmcu = mcux * prog["mcuy"]
+    else:
+        interleaved = False
+        nbr, nbc = prog["ni"][scan[0][0]]
+        nmcu = nbr * nbc
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    preds = [0] * len(comps)
+    eobrun = 0
+    mcus_in_seg = 0
+    p1 = 1 << al
+    m1 = -p1
+    for m in range(nmcu):
+        if restart and mcus_in_seg == restart:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return None
+            reader = _BitReader(segs[seg_idx])
+            preds = [0] * len(comps)
+            eobrun = 0
+            mcus_in_seg = 0
+        mcus_in_seg += 1
+        if ss == 0:  # DC scan (interleaved or single-component)
+            for ci, dc_lut, _ in scan:
+                _, hi, vi, _ = comps[ci]
+                if interleaved:
+                    my, mx = divmod(m, mcux)
+                    positions = [
+                        (my * vi + bv, mx * hi + bh)
+                        for bv in range(vi)
+                        for bh in range(hi)
+                    ]
+                else:
+                    positions = [divmod(m, prog["ni"][ci][1])]
+                g = grids[ci]
+                for by, bx in positions:
+                    if ah == 0:
+                        t = reader.huff(dc_lut)
+                        if t is None or t > 15:
+                            return None
+                        if t:
+                            v = reader.bits(t)
+                            if v is None:
+                                return None
+                            preds[ci] += (
+                                v - (1 << t) + 1
+                                if v < (1 << (t - 1))
+                                else v
+                            )
+                        g[by, bx, 0] = preds[ci] << al
+                    else:
+                        bit = reader.bits(1)
+                        if bit is None:
+                            return None
+                        if bit:
+                            g[by, bx, 0] |= p1
+            continue
+        # AC scan: exactly one component, band [ss, se]
+        ci, _, ac_lut = scan[0]
+        by, bx = divmod(m, prog["ni"][ci][1])
+        blk = grids[ci][by, bx]
+        if ah == 0:  # AC first (G.1.2.2)
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = reader.huff(ac_lut)
+                if sym is None:
+                    return None
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        v = reader.bits(r)
+                        if v is None:
+                            return None
+                        eobrun += v
+                    break
+                k += r
+                if k > se:
+                    return None
+                v = reader.bits(s)
+                if v is None:
+                    return None
+                val = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                blk[k] = val << al
+                k += 1
+            continue
+        # AC refine (G.1.2.3): per-coefficient correction bits; work on a
+        # plain list — the loop reads/writes single cells, where numpy
+        # scalar extraction costs ~3x (same measurement as _decode_lut)
+        lst = blk.tolist()
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = reader.huff(ac_lut)
+                if sym is None:
+                    return None
+                r, s = sym >> 4, sym & 15
+                sval = 0
+                if s == 0:
+                    if r < 15:
+                        # unlike AC-first, the run count INCLUDES the
+                        # current block — its correction sweep below
+                        # still consumes bits before the decrement
+                        eobrun = 1 << r
+                        if r:
+                            v = reader.bits(r)
+                            if v is None:
+                                return None
+                            eobrun += v
+                        break
+                    # r == 15: ZRL — advance over 16 zero-history cells
+                else:
+                    if s != 1:
+                        return None
+                    bit = reader.bits(1)
+                    if bit is None:
+                        return None
+                    sval = p1 if bit else m1
+                while k <= se:
+                    c = lst[k]
+                    if c != 0:
+                        bit = reader.bits(1)
+                        if bit is None:
+                            return None
+                        if bit and not (c & p1):
+                            lst[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if sval:
+                    if k > se:
+                        return None
+                    lst[k] = sval
+                k += 1
+        if eobrun > 0:
+            # correction sweep over the rest of the band — runs both for
+            # the block that decoded the EOB symbol and for every block
+            # wholly inside the run
+            while k <= se:
+                c = lst[k]
+                if c != 0:
+                    bit = reader.bits(1)
+                    if bit is None:
+                        return None
+                    if bit and not (c & p1):
+                        lst[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+        blk[:] = lst
+    return pos_after
+
+
+def _finalize_progressive(prog, comps, qtables, w: int, h: int):
+    """Dequantize the accumulated grids and reshape to the MCU-scan-order
+    natural-order coefficient stacks `_frame_to_rgb` expects — the exact
+    layout `_decode_scan` produces, so the IDCT/upsample/color stage is
+    shared verbatim between the baseline and progressive paths."""
+    nat_idx = list(ZIGZAG)
+    result = []
+    for (cid, hi, vi, tq), grid in zip(comps, prog["grids"]):
+        q = qtables.get(tq)
+        if q is None:
+            return None
+        brows, bcols = grid.shape[0], grid.shape[1]
+        mcuy, mcux = brows // vi, bcols // hi
+        nat = np.zeros_like(grid)
+        nat[..., nat_idx] = grid
+        nat *= q[None, None, :]
+        coeffs = (
+            nat.reshape(mcuy, vi, mcux, hi, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1, 8, 8)
+        )
+        result.append({
+            "id": cid, "h": hi, "v": vi,
+            "coeffs": coeffs,
+            "grid": (brows, bcols),
+            "mcu_grid": (mcuy, mcux),
+        })
+    return w, h, result
 
 
 def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
@@ -743,6 +1127,271 @@ def jpeg_encode_baseline(
     return bytes(out)
 
 
+# AC Huffman table for the progressive encoder: the Annex K tables lack
+# the EOBn run-length symbols (0x10..0xE0) progressive scans need, so the
+# twin ships a universal table carrying every RS value — 255 codes at
+# length 8 plus one at length 9 (a single DHT `bits` byte caps at 255).
+# Deliberately suboptimal; the twin optimizes for exercising the decoder,
+# not for compression.
+PROG_AC_TABLE = (
+    (0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(256)),
+)
+
+
+def _flush_eobrun(bw, state, ac_codes) -> None:
+    """Emit the pending EOB run (EOBn symbol + extension bits) followed by
+    the correction bits buffered while the run accumulated (T.81 G.1.2.3
+    ordering: the decoder reads them during its run correction sweeps)."""
+    e = state["eobrun"]
+    if e == 0 and not state["be"]:
+        return
+    if e > 0:
+        nb = e.bit_length() - 1
+        code, ln = ac_codes[nb << 4]
+        bw.write(code, ln)
+        if nb:
+            bw.write(e & ((1 << nb) - 1), nb)
+        state["eobrun"] = 0
+    for bit in state["be"]:
+        bw.write(bit, 1)
+    state["be"] = []
+
+
+def _enc_ac_first(bw, blk, ss, se, al, ac_codes, state) -> None:
+    """AC-first pass over one block's band: run/size over the magnitudes
+    shifted right Al, with zero bands folded into the cross-block EOB
+    run."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        t2 = (-t if t < 0 else t) >> al
+        if t2 == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, state, ac_codes)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = t2.bit_length()
+        code, ln = ac_codes[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(t2 if t >= 0 else (1 << s) - 1 - t2, s)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:  # EOBn caps at r=14
+            _flush_eobrun(bw, state, ac_codes)
+
+
+def _enc_ac_refine(bw, blk, ss, se, al, ac_codes, state) -> None:
+    """AC-refinement pass: newly-significant coefficients (magnitude 1 at
+    this bit position) as run/1 symbols with a sign bit; already-nonzero
+    coefficients contribute buffered correction bits emitted after the
+    next symbol (or carried into the EOB-run buffer at block end)."""
+    absv = [0] * (se + 1 - ss)
+    eobpos = ss - 1  # index of the last newly-significant coefficient
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        t2 = (-t if t < 0 else t) >> al
+        absv[k - ss] = t2
+        if t2 == 1:
+            eobpos = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t2 = absv[k - ss]
+        if t2 == 0:
+            r += 1
+            continue
+        # emit pending ZRLs unless they fold into the EOB run (everything
+        # at or past the last newly-significant coefficient does)
+        while r > 15 and k <= eobpos:
+            _flush_eobrun(bw, state, ac_codes)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+        if t2 > 1:  # history coefficient: buffer its correction bit
+            br.append(t2 & 1)
+            continue
+        _flush_eobrun(bw, state, ac_codes)
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["be"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, state, ac_codes)
+
+
+def jpeg_encode_progressive(
+    comp_coeffs,
+    w: int,
+    h: int,
+    sampling=((2, 2), (1, 1), (1, 1)),
+    qy: int = 8,
+    qc: int = 8,
+    scans=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Complete progressive (SOF2) JFIF file over the same QUANTIZED
+    MCU-scan-order coefficient blocks ``jpeg_encode_baseline`` takes, so
+    equivalence tests can feed identical coefficients through both paths
+    and require identical pixels. ``scans`` is a list of
+    ``(comp_indices, Ss, Se, Ah, Al)`` — default is libjpeg's standard
+    10-scan script (DC first Al=1, split-band AC firsts, DC refine, AC
+    refines down to Al=0), which fully refines, so the decoded image is
+    bit-identical to the baseline encoding of the same coefficients."""
+    nf = len(comp_coeffs)
+    if nf == 1:
+        sampling = ((1, 1),)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nmcu = mcux * mcuy
+    grids = []
+    ni = []
+    for ci, coefs in enumerate(comp_coeffs):
+        hi, vi = sampling[ci]
+        arr = np.asarray(coefs, dtype=np.int64)
+        assert arr.shape == (nmcu * hi * vi, 64), \
+            "blocks must cover the MCU grid"
+        grids.append(
+            arr.reshape(mcuy, mcux, vi, hi, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(mcuy * vi, mcux * hi, 64)
+        )
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        ni.append((-(-ch // 8), -(-cw // 8)))
+    if scans is None:
+        if nf == 1:
+            scans = [
+                ((0,), 0, 0, 0, 1),
+                ((0,), 1, 63, 0, 1),
+                ((0,), 0, 0, 1, 0),
+                ((0,), 1, 63, 1, 0),
+            ]
+        else:
+            allc = tuple(range(nf))
+            scans = [
+                (allc, 0, 0, 0, 1),
+                ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+                ((1,), 1, 63, 0, 1), ((2,), 1, 63, 0, 1),
+                (allc, 0, 0, 1, 0),
+                ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+                ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+            ]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes([qy] * 64))
+    if nf == 3:
+        out += _seg(0xDB, b"\x01" + bytes([qc] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
+    for ci in range(nf):
+        hi, vi = sampling[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+
+    def dht(tc, th, table):
+        bits, vals = table
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, STD_DC_LUMA) + dht(1, 0, PROG_AC_TABLE)
+    if nf == 3:
+        out += dht(0, 1, STD_DC_CHROMA) + dht(1, 1, PROG_AC_TABLE)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    dc_codes = [
+        _canonical_codes(*(STD_DC_LUMA if ci == 0 else STD_DC_CHROMA))
+        for ci in range(nf)
+    ]
+    ac_codes = _canonical_codes(*PROG_AC_TABLE)
+
+    for cis, ss, se, ah, al in scans:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, ((t if ss == 0 else 0) << 4)
+                          | (t if ss > 0 else 0)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+
+        interleaved = len(cis) > 1
+        if interleaved:
+            n_units = nmcu
+        else:
+            nbr, nbc = ni[cis[0]]
+            n_units = nbr * nbc
+        bw = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+        preds = {ci: 0 for ci in cis}
+        rst = 0
+        for m in range(n_units):
+            if restart_interval and m and m % restart_interval == 0:
+                _flush_eobrun(bw, state, ac_codes)
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = {ci: 0 for ci in cis}
+            if ss == 0:
+                for ci in cis:
+                    hi, vi = sampling[ci]
+                    if interleaved:
+                        my, mx = divmod(m, mcux)
+                        poss = [
+                            (my * vi + bv, mx * hi + bh)
+                            for bv in range(vi)
+                            for bh in range(hi)
+                        ]
+                    else:
+                        poss = [divmod(m, ni[ci][1])]
+                    for by, bx in poss:
+                        dc = int(grids[ci][by, bx, 0])
+                        if ah == 0:
+                            t = dc >> al  # arithmetic shift, per G.1.2.1
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            cat = _category(diff)
+                            code, ln = dc_codes[ci][cat]
+                            bw.write(code, ln)
+                            if cat:
+                                bw.write(
+                                    diff if diff >= 0
+                                    else diff + (1 << cat) - 1,
+                                    cat,
+                                )
+                        else:
+                            bw.write((dc >> al) & 1, 1)
+            else:
+                ci = cis[0]
+                by, bx = divmod(m, ni[ci][1])
+                blk = grids[ci][by, bx]
+                if ah == 0:
+                    _enc_ac_first(bw, blk, ss, se, al, ac_codes, state)
+                else:
+                    _enc_ac_refine(bw, blk, ss, se, al, ac_codes, state)
+        _flush_eobrun(bw, state, ac_codes)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_encode_dc_only(
     w: int,
     h: int,
@@ -750,17 +1399,28 @@ def jpeg_encode_dc_only(
     sampling=((2, 2), (1, 1), (1, 1)),
     q: int = 8,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """DC-only baseline JPEG: ``dcs`` is one iterable of per-block DC
-    values (quantized, scan order) per component. With the flat quant
-    table ``q=8`` the decoded sample for a block is exactly
-    ``clamp(dc + 128)`` (module docstring), which is what makes the
-    ``multimodal_pixels_jpeg`` oracle's channel sums pure arithmetic."""
+    """DC-only JPEG (baseline, or progressive with ``progressive=True``):
+    ``dcs`` is one iterable of per-block DC values (quantized, scan
+    order) per component. With the flat quant table ``q=8`` the decoded
+    sample for a block is exactly ``clamp(dc + 128)`` (module
+    docstring), which is what makes the ``multimodal_pixels_jpeg``
+    oracle's channel sums pure arithmetic — for BOTH encodings, since
+    the progressive script fully refines, so a hash match on a
+    progressive-route file proves the multi-scan machinery (DC
+    first/refine, AC EOB runs over the all-zero bands) ends at the same
+    pixels."""
     coeffs = []
     for vals in dcs:
         arr = np.zeros((len(vals), 64), dtype=np.int32)
         arr[:, 0] = list(vals)
         coeffs.append(arr)
+    if progressive:
+        return jpeg_encode_progressive(
+            coeffs, w, h, sampling=sampling, qy=q, qc=q,
+            restart_interval=restart_interval,
+        )
     return jpeg_encode_baseline(
         coeffs, w, h, sampling=sampling, qy=q, qc=q,
         restart_interval=restart_interval,

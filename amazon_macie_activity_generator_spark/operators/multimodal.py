@@ -24,11 +24,14 @@ plus 8-bit palette, interlaced or not — full ``zlib`` inflate, per-row
 reconstruction of all five filter types None/Sub/Up/Average/Paeth with
 spec-correct bpp-sized neighbors, Adam7 deinterlacing), GIF87a/89a
 (a from-scratch variable-width LZW decoder + global/local color tables;
-interop-verified against a real-world-encoded file), and baseline JPEG
-(``operators/jpeg.py``, round 10: SOF0 Huffman scans with byte
+interop-verified against a real-world-encoded file), and JPEG
+(``operators/jpeg.py``, round 10: baseline SOF0 Huffman scans with byte
 stuffing and restart markers, table-driven Huffman decode, vectorized
 IDCT, replication chroma upsampling for 4:4:4/4:2:0/4:2:2, fixed-point
-YCbCr->RGB) — all canonicalized into a top-down RGB byte stream — then
+YCbCr->RGB — plus progressive SOF2 multi-scan streams: spectral
+selection and successive approximation per T.81 G.1.2, DC/AC
+first+refine with EOB runs) — all canonicalized into a top-down RGB
+byte stream — then
 emits per-channel sums / pixel counts / a pixel sha256 (features, not
 pixels, so downstream shuffles stay narrow). Malformed, truncated, or
 unsupported payloads yield a NULL-stats row, never a dead task, and a
@@ -37,9 +40,10 @@ decompression-bomb guard caps claimed dimensions and inflate output.
 nearest-neighbor resize for the decodable formats, NULL-payload quarantine
 otherwise. Only video codecs remain behind NotImplementedError
 (``sample_frames`` with ``decode_stub=False``) — frame-accurate seeking
-genuinely needs ffmpeg, which this container lacks. Progressive/
-arithmetic/12-bit JPEG quarantines (baseline covers the overwhelming
-majority of crawl JPEGs).
+genuinely needs ffmpeg, which this container lacks. Arithmetic-coded/
+12-bit/hierarchical JPEG quarantines (baseline + progressive together
+cover effectively all crawl JPEGs; arithmetic coding is patent-era rare
+and unsupported by most browsers, so crawl corpora barely contain it).
 
 THE NATIVE-CODEC SEAM: at 100 TB of real images the decode engine should
 be a native codec (libpng / libjpeg-turbo / ffmpeg), and it slots in at
@@ -344,12 +348,12 @@ def resize_images(
     payload bytes.
 
     ``decode_stub=False`` is REAL since round 8: payloads decodable by
-    :func:`decode_pixels_bytes` (BMP/PPM/PNG/GIF/baseline JPEG) are
-    nearest-neighbor resized to ``width x height`` raw RGB (src pixel
+    :func:`decode_pixels_bytes` (BMP/PPM/PNG/GIF/JPEG incl. progressive)
+    are nearest-neighbor resized to ``width x height`` raw RGB (src pixel
     (y*h//H, x*w//W) — the standard NN mapping, exactly reproducible by
     an oracle or test arithmetically). Undecodable payloads (video,
-    progressive JPEG, garbage) quarantine to a NULL payload row, the
-    same never-a-dead-task contract as decode_pixels."""
+    arithmetic-coded JPEG, garbage) quarantine to a NULL payload row,
+    the same never-a-dead-task contract as decode_pixels."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -1306,9 +1310,15 @@ def synthetic_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     h = 8*(1 + id%3); 1 = 4:2:0 with w = 16*(1 + id%3),
     h = 16*(1 + id%2)); the scan-order block DCs are
     dcY(b) = (id + 7b)%64 - 32, dcCb(b) = (2id + 11b)%64 - 32,
-    dcCr(b) = (3id + 5b)%64 - 32; and ``id % 3 == 1`` files carry a
+    dcCr(b) = (3id + 5b)%64 - 32; ``id % 3 == 1`` files carry a
     restart interval of 2 MCUs, so a hash match also proves RSTn
-    handling and DC-predictor resets."""
+    handling and DC-predictor resets; and ``id % 5 == 2`` files are
+    PROGRESSIVE (SOF2, libjpeg's default 10-scan script) over the same
+    DC values — the full refinement ends at the identical
+    ``clamp(dc + 128)`` pixels, so the unchanged arithmetic oracle now
+    also proves the multi-scan machinery (DC first/refine, AC EOB runs
+    over the all-zero bands, and — when id also hits the restart rule —
+    per-scan RSTn resets)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1332,6 +1342,7 @@ def synthetic_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             return jpeg_encode_dc_only(
                 w, h, [dcy, dcb, dcr], sampling=sampling,
                 restart_interval=2 if i % 3 == 1 else 0,
+                progressive=i % 5 == 2,
             )
 
         for pdf in batches:

@@ -1773,13 +1773,16 @@ FROM lut GROUP BY media_id, rk, w, h
 
 
 def q_multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BASELINE JPEG decode (round 10, VERDICT r9 ask #1 — the last
-    first-class raster format): id-parameterized JFIF files built by the
-    real entropy encoder (``operators/jpeg.py``) with flat quant tables
+    """JPEG decode (round 10, VERDICT r9 ask #1 — the last first-class
+    raster format): id-parameterized JFIF files built by the real
+    entropy encoder (``operators/jpeg.py``) with flat quant tables
     (q=8) and DC-only blocks are decoded by ``decode_pixels`` through
-    the full baseline pipeline — marker parse, table-driven Huffman
-    decode of the interleaved scan (with byte stuffing and, for
-    id %% 3 == 1, restart markers + DC predictor resets), dequantize,
+    the full pipeline — marker parse, table-driven Huffman decode of
+    the interleaved scan (with byte stuffing and, for id %% 3 == 1,
+    restart markers + DC predictor resets; id %% 5 == 2 files are
+    PROGRESSIVE SOF2 with libjpeg's 10-scan script, whose full
+    refinement ends at the same pixels — so the same oracle also pins
+    the multi-scan DC-first/refine + AC EOB-run machinery), dequantize,
     vectorized IDCT, replication chroma upsampling (4:4:4 and 4:2:0 by
     id %% 2), and the 16-bit fixed-point YCbCr->RGB conversion. A
     DC-only block's IDCT is exactly constant ``dc*q/8 = dc`` (q=8), so

@@ -202,6 +202,15 @@ def per_format_table(size: int, reps: int) -> dict[str, float]:
              [int(v) for v in rng.integers(-32, 32, size=n_mcu)],
              [int(v) for v in rng.integers(-32, 32, size=n_mcu)]],
         ),
+        # progressive twin of the same DC-only grammar: the multi-scan
+        # layer's per-symbol cost vs the inlined baseline loop
+        "jpeg_prog": jpeg_encode_dc_only(
+            w, h,
+            [[int(v) for v in rng.integers(-32, 32, size=4 * n_mcu)],
+             [int(v) for v in rng.integers(-32, 32, size=n_mcu)],
+             [int(v) for v in rng.integers(-32, 32, size=n_mcu)]],
+            progressive=True,
+        ),
     }
     out: dict[str, float] = {}
     for fmt, payload in payloads.items():

@@ -59,7 +59,9 @@ def _valid_payloads() -> list[bytes]:
                         w, h, bpp=2, ctype=4),
         ]
     # JPEG (r10): mutations reach the marker walk, DHT/DQT parsers,
-    # table-driven Huffman decode, restart resync, and IDCT plumbing
+    # table-driven Huffman decode, restart resync, and IDCT plumbing —
+    # plus the progressive multi-scan layer (DC/AC first+refine, EOB
+    # runs, per-scan restart resync) via SOF2 twins of the same files
     out += [
         jpeg_encode_dc_only(
             16, 8, [[5, -10], [3, 3], [-7, 20]],
@@ -70,6 +72,15 @@ def _valid_payloads() -> list[bytes]:
             restart_interval=1,
         ),
         jpeg_encode_dc_only(8, 8, [[12]]),
+        jpeg_encode_dc_only(
+            16, 8, [[5, -10], [3, 3], [-7, 20]],
+            sampling=((1, 1), (1, 1), (1, 1)), progressive=True,
+        ),
+        jpeg_encode_dc_only(
+            32, 16, [list(range(-4, 4)), [10, -10], [-25, 25]],
+            restart_interval=1, progressive=True,
+        ),
+        jpeg_encode_dc_only(8, 8, [[12]], progressive=True),
     ]
     return out
 
