@@ -677,6 +677,14 @@ def _decode_scan_progressive(
         # AC refine (G.1.2.3): per-coefficient correction bits; work on a
         # plain list — the loop reads/writes single cells, where numpy
         # scalar extraction costs ~3x (same measurement as _decode_lut)
+        if eobrun > 0 and not blk[ss : se + 1].any():
+            # block wholly inside an EOB run with an all-zero band: the
+            # correction sweep below only consumes bits at nonzero band
+            # cells, so it is a provable no-op — skip the list round-
+            # trip (the dominant cost on sparse files, and the hostile
+            # amplification where one 2-byte EOBn buys a full-grid sweep)
+            eobrun -= 1
+            continue
         lst = blk.tolist()
         k = ss
         if eobrun == 0:
@@ -919,7 +927,8 @@ def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
 
 
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
-    """Baseline JPEG -> (w, h, top-down RGB bytes); None to quarantine.
+    """JPEG (baseline SOF0 or progressive SOF2) -> (w, h, top-down RGB
+    bytes); None to quarantine.
     IDCT + upsample + color conversion per the module's exactness
     conventions; grayscale expands to RGB like the PNG ctype-0 path.
     MemoryError is quarantined too: the entropy-bits guard makes
@@ -1042,6 +1051,36 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
+def _encode_headers(
+    sof_marker: int, nf: int, w: int, h: int, sampling, qy: int, qc: int,
+    luma_ac, chroma_ac, restart_interval: int,
+) -> bytearray:
+    """SOI through DRI, shared by the baseline and progressive encoder
+    twins — they differ only in the SOF marker and the AC Huffman
+    tables."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes([qy] * 64))
+    if nf == 3:
+        out += _seg(0xDB, b"\x01" + bytes([qc] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
+    for ci in range(nf):
+        hi, vi = sampling[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += _seg(sof_marker, sof)
+
+    def dht(tc, th, table):
+        bits, vals = table
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, STD_DC_LUMA) + dht(1, 0, luma_ac)
+    if nf == 3:
+        out += dht(0, 1, STD_DC_CHROMA) + dht(1, 1, chroma_ac)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    return out
+
+
 def jpeg_encode_baseline(
     comp_coeffs,
     w: int,
@@ -1069,27 +1108,10 @@ def jpeg_encode_baseline(
         hi, vi = sampling[ci]
         assert len(coefs) == nmcu * hi * vi, "blocks must cover the MCU grid"
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    qzz_y = bytes([qy] * 64)
-    out += _seg(0xDB, b"\x00" + qzz_y)
-    if nf == 3:
-        out += _seg(0xDB, b"\x01" + bytes([qc] * 64))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
-    for ci in range(nf):
-        hi, vi = sampling[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += _seg(0xC0, sof)
-
-    def dht(tc, th, table):
-        bits, vals = table
-        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, STD_DC_LUMA) + dht(1, 0, STD_AC_LUMA)
-    if nf == 3:
-        out += dht(0, 1, STD_DC_CHROMA) + dht(1, 1, STD_AC_CHROMA)
-    if restart_interval:
-        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out = _encode_headers(
+        0xC0, nf, w, h, sampling, qy, qc,
+        STD_AC_LUMA, STD_AC_CHROMA, restart_interval,
+    )
     sos = bytes([nf])
     for ci in range(nf):
         t = 0 if ci == 0 else 1
@@ -1252,6 +1274,7 @@ def jpeg_encode_progressive(
     refines down to Al=0), which fully refines, so the decoded image is
     bit-identical to the baseline encoding of the same coefficients."""
     nf = len(comp_coeffs)
+    assert nf in (1, 3), "twin encodes grayscale or YCbCr only"
     if nf == 1:
         sampling = ((1, 1),)
     hmax = max(s[0] for s in sampling)
@@ -1293,26 +1316,10 @@ def jpeg_encode_progressive(
                 ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
             ]
 
-    out = bytearray(b"\xff\xd8")
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, b"\x00" + bytes([qy] * 64))
-    if nf == 3:
-        out += _seg(0xDB, b"\x01" + bytes([qc] * 64))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
-    for ci in range(nf):
-        hi, vi = sampling[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += _seg(0xC2, sof)
-
-    def dht(tc, th, table):
-        bits, vals = table
-        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, STD_DC_LUMA) + dht(1, 0, PROG_AC_TABLE)
-    if nf == 3:
-        out += dht(0, 1, STD_DC_CHROMA) + dht(1, 1, PROG_AC_TABLE)
-    if restart_interval:
-        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out = _encode_headers(
+        0xC2, nf, w, h, sampling, qy, qc,
+        PROG_AC_TABLE, PROG_AC_TABLE, restart_interval,
+    )
 
     dc_codes = [
         _canonical_codes(*(STD_DC_LUMA if ci == 0 else STD_DC_CHROMA))
