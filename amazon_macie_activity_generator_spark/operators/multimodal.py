@@ -19,10 +19,12 @@ the task, matching large-pipeline robustness norms.
 PIXEL decode is REAL for the stdlib-decodable formats (rounds 8-10):
 ``decode_pixels`` parses BMP (24-bpp padded BGR and 32-bpp BGRA,
 bottom-up or top-down via negative height), binary PPM ``P6`` (maxval
-255, ``#`` comments), PNG (8- and 16-bit grayscale/RGB/gray+alpha/RGBA
-plus 8-bit palette, interlaced or not — full ``zlib`` inflate, per-row
-reconstruction of all five filter types None/Sub/Up/Average/Paeth with
-spec-correct bpp-sized neighbors, Adam7 deinterlacing), GIF87a/89a
+255, ``#`` comments), PNG (the full spec 11.2.2 depth/color-type
+matrix: 8- and 16-bit grayscale/RGB/gray+alpha/RGBA, 1/2/4/8-bit
+palette and sub-byte grayscale, interlaced or not — full ``zlib``
+inflate, per-row reconstruction of all five filter types
+None/Sub/Up/Average/Paeth with spec-correct bpp-sized neighbors
+(1 byte over packed sub-byte rows), Adam7 deinterlacing), GIF87a/89a
 (a from-scratch variable-width LZW decoder + global/local color tables;
 interop-verified against a real-world-encoded file), and JPEG
 (``operators/jpeg.py``, round 10: baseline SOF0 Huffman scans with byte
@@ -532,12 +534,27 @@ def _png_encode(
     neighbor; ``interlace=1`` emits the seven Adam7 passes, each
     independently filtered (empty passes contribute no bytes, per spec),
     so the encoded stream exercises every filter at every pixel width
-    AND the deinterlace scatter."""
+    AND the deinterlace scatter. For sub-byte depths (1/2/4, ctype 0 or
+    3) ``raw`` is one byte PER SAMPLE (< 2^bitdepth) and rows are packed
+    MSB-first with byte padding before filtering (bpp is ignored)."""
     import zlib
 
     import numpy as np
 
-    if interlace:
+    if bitdepth < 8:
+        if interlace:
+            arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+            out = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub = np.ascontiguousarray(arr[y0::dy, x0::dx]).tobytes()
+                out += _png_pack_subbyte_rows(sub, pw, ph, bitdepth)
+        else:
+            out = _png_pack_subbyte_rows(raw, w, h, bitdepth)
+    elif interlace:
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, bpp)
         out = bytearray()
         for x0, y0, dx, dy in _ADAM7:
@@ -844,17 +861,58 @@ def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
     return out.tobytes()
 
 
+def _png_unpack_subbyte(unf: bytes, w: int, h: int, depth: int):
+    """Unpack reconstructed sub-byte rows (MSB-first packed, byte-padded)
+    into an (h, w) uint8 sample array — vectorized shift/mask over the
+    packed bytes, then the per-row pad bits are trimmed."""
+    import numpy as np
+
+    rb = (w * depth + 7) // 8
+    arr = np.frombuffer(unf, dtype=np.uint8).reshape(h, rb)
+    per = 8 // depth
+    shifts = (np.arange(per)[::-1] * depth).astype(np.uint8)
+    mask = np.uint8((1 << depth) - 1)
+    samples = (arr[:, :, None] >> shifts[None, None, :]) & mask
+    return samples.reshape(h, rb * per)[:, :w]
+
+
+def _png_pack_subbyte_rows(
+    samples: bytes, pw: int, ph: int, depth: int
+) -> bytearray:
+    """Encoder twin of :func:`_png_unpack_subbyte`: pack one-byte-per-
+    sample rows (values < 2^depth) MSB-first with per-row byte padding,
+    then filter with the spec's 1-byte left neighbor."""
+    import numpy as np
+
+    arr = np.frombuffer(samples, dtype=np.uint8).reshape(ph, pw)
+    per = 8 // depth
+    padw = -(-pw // per) * per
+    padded = np.zeros((ph, padw), dtype=np.uint8)
+    padded[:, :pw] = arr
+    shifts = (np.arange(per)[::-1] * depth).astype(np.uint8)
+    packed = (
+        (padded.reshape(ph, -1, per).astype(np.uint16) << shifts)
+        .sum(axis=2)
+        .astype(np.uint8)
+    )
+    return _png_filter_rows(packed.tobytes(), packed.shape[1], ph, 1)
+
+
 def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     """PNG color types 0 (grayscale), 2 (RGB), 3 (palette via PLTE), 4
     (gray+alpha) and 6 (RGBA) at bit depth 8, plus bit depth 16 for the
     non-palette types (big-endian samples, downsampled to 8-bit by
-    taking the high byte — the standard lossy narrowing), interlaced
+    taking the high byte — the standard lossy narrowing), plus the
+    sub-byte depths 1/2/4 for grayscale and palette (MSB-first packed
+    samples, rows padded to a byte boundary; gray scaled by
+    255/(2^d - 1) — the spec's exact sample scaling), interlaced
     (Adam7) or not — canonicalized to RGB (gray expanded, palette looked
     up, alpha dropped). Filter reconstruction operates on bpp-sized
     pixels per the spec — the left neighbor in Sub/Average/Paeth is
-    ``bpp`` BYTES back (so RGB16 uses 6) — and each Adam7 pass is an
-    independently filtered sub-image scattered into the frame at
-    (x0 + i*dx, y0 + j*dy). Sub-byte depths (1/2/4) quarantine."""
+    ``bpp`` BYTES back (so RGB16 uses 6, and any sub-byte depth uses 1:
+    filters apply to the PACKED row bytes). Each Adam7 pass is an
+    independently filtered sub-image (sub-byte passes pack their own
+    rows) scattered into the frame at (x0 + i*dx, y0 + j*dy)."""
     import zlib
 
     if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n":
@@ -876,11 +934,12 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             ctype = body[9]
             interlace = body[12]
             nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-            if nch is None or depth not in (8, 16) or interlace > 1:
-                return None  # sub-byte depths / invalid color types
-            if ctype == 3 and depth != 8:
-                return None  # 16-bit palette indices don't exist
-            bpp = nch * (depth // 8)
+            # spec 11.2.2 table: allowed depths per color type
+            ok_depth = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                        4: (8, 16), 6: (8, 16)}
+            if nch is None or depth not in ok_depth[ctype] or interlace > 1:
+                return None
+            bpp = max(1, nch * depth // 8)
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
@@ -899,6 +958,10 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     if ctype == 3 and plte is None:
         return None  # palette image with no palette is unrenderable
+    # packed bytes per row of `width` pixels (== width * bpp at byte
+    # depths; ceil(width * depth / 8) for the sub-byte single-channel
+    # cases — rows pad to a byte boundary per spec 7.2)
+    rowbytes = (lambda width: (width * depth * nch + 7) // 8)
     if interlace:
         passes = []
         expected = 0
@@ -908,9 +971,9 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             if pw <= 0 or ph <= 0:
                 continue  # empty pass: no bytes at all, per spec
             passes.append((x0, y0, dx, dy, pw, ph))
-            expected += ph * (pw * bpp + 1)
+            expected += ph * (rowbytes(pw) + 1)
     else:
-        expected = (w * bpp + 1) * h
+        expected = (rowbytes(w) + 1) * h
     try:
         # bounded inflate: a bomb claiming small dims can't blow memory
         dec = zlib.decompressobj()
@@ -921,29 +984,58 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     import numpy as np
 
-    if interlace:
-        img = np.zeros((h, w, bpp), dtype=np.uint8)
-        off = 0
-        for x0, y0, dx, dy, pw, ph in passes:
-            npass = ph * (pw * bpp + 1)
-            sub = _png_reconstruct(data[off : off + npass], pw, ph, bpp)
-            if sub is None:
+    if depth < 8:
+        # sub-byte: filters ran over the PACKED row bytes (left neighbor
+        # = 1 byte), so reconstruct with the packed width as the pixel
+        # count and bpp=1, then unpack MSB-first and trim the row pad
+        if interlace:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                npass = ph * (rowbytes(pw) + 1)
+                sub = _png_reconstruct(
+                    data[off : off + npass], rowbytes(pw), ph, 1
+                )
+                if sub is None:
+                    return None
+                samples[y0::dy, x0::dx] = _png_unpack_subbyte(
+                    sub, pw, ph, depth
+                )
+                off += npass
+        else:
+            unf = _png_reconstruct(data, rowbytes(w), h, 1)
+            if unf is None:
                 return None
-            img[y0::dy, x0::dx] = np.frombuffer(
-                sub, dtype=np.uint8
-            ).reshape(ph, pw, bpp)
-            off += npass
+            samples = _png_unpack_subbyte(unf, w, h, depth)
+        if ctype == 0:
+            # exact spec scaling to 8-bit: 255/(2^d - 1) is integral
+            # (255, 85, 17) for d = 1, 2, 4
+            samples = samples * np.uint8(255 // ((1 << depth) - 1))
+        px = samples[..., None]
     else:
-        unfiltered = _png_reconstruct(data, w, h, bpp)
-        if unfiltered is None:
-            return None
-        if ctype == 2 and depth == 8:
-            return w, h, unfiltered  # fast path: already canonical RGB
-        img = np.frombuffer(unfiltered, dtype=np.uint8).reshape(h, w, bpp)
-    if depth == 16:  # big-endian samples: high byte is the 8-bit value
-        px = img.reshape(h, w, nch, 2)[..., 0]
-    else:
-        px = img.reshape(h, w, nch)
+        if interlace:
+            img = np.zeros((h, w, bpp), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                npass = ph * (pw * bpp + 1)
+                sub = _png_reconstruct(data[off : off + npass], pw, ph, bpp)
+                if sub is None:
+                    return None
+                img[y0::dy, x0::dx] = np.frombuffer(
+                    sub, dtype=np.uint8
+                ).reshape(ph, pw, bpp)
+                off += npass
+        else:
+            unfiltered = _png_reconstruct(data, w, h, bpp)
+            if unfiltered is None:
+                return None
+            if ctype == 2 and depth == 8:
+                return w, h, unfiltered  # fast path: already canonical RGB
+            img = np.frombuffer(unfiltered, dtype=np.uint8).reshape(h, w, bpp)
+        if depth == 16:  # big-endian samples: high byte is the 8-bit value
+            px = img.reshape(h, w, nch, 2)[..., 0]
+        else:
+            px = img.reshape(h, w, nch)
     if ctype == 2:
         # tobytes() emits a C-order copy of the (possibly strided) view
         return w, h, px.tobytes()

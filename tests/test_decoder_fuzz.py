@@ -57,6 +57,12 @@ def _valid_payloads() -> list[bytes]:
             _png_encode(bytes(v for p in range(w * h)
                               for v in ((i + p) % 256, 255)),
                         w, h, bpp=2, ctype=4),
+            # sub-byte depths: mutations reach the bit unpack, row-pad
+            # trim, packed-row filters, and short-palette bound checks
+            _png_encode(bytes((i + p) % 2 for p in range(w * h)),
+                        w, h, ctype=0, bitdepth=1, interlace=1),
+            _png_encode(bytes((i + p) % 16 for p in range(w * h)),
+                        w, h, ctype=3, bitdepth=4, plte=pal[:48]),
         ]
     # JPEG (r10): mutations reach the marker walk, DHT/DQT parsers,
     # table-driven Huffman decode, restart resync, and IDCT plumbing —

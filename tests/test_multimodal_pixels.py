@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import zlib
 
+import numpy as np
 import pytest
 
 from amazon_macie_activity_generator_spark.operators.multimodal import (
@@ -207,12 +208,89 @@ def test_png_interlaced_palette_round_trip():
 def test_png_unsupported_depth_interlace_variants_quarantine():
     good = _png_encode(_raw_fill(1, 4, 4), 4, 4)
     for mutate in (
-        lambda b: b[:24] + bytes([4]) + b[25:],            # bit depth 4
-        lambda b: b[:24] + bytes([1]) + b[25:],            # bit depth 1
+        # sub-byte depths are valid ONLY for ctypes 0 and 3 (spec
+        # 11.2.2) — on this RGB (ctype 2) file they must quarantine
+        lambda b: b[:24] + bytes([4]) + b[25:],            # depth 4 + RGB
+        lambda b: b[:24] + bytes([1]) + b[25:],            # depth 1 + RGB
         lambda b: b[:28] + bytes([2]) + b[29:],            # interlace 2
         lambda b: b[:24] + bytes([16, 3]) + b[26:],        # 16-bit palette
     ):
         assert decode_pixels_bytes(mutate(good)) is None
+
+
+def test_png_subbyte_gray_round_trip():
+    """Depths 1/2/4 grayscale: MSB-first unpack, row-pad trim, and the
+    exact 255/(2^d - 1) sample scaling, plain and interlaced."""
+    rng = np.random.RandomState(7)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for w, h in ((1, 1), (7, 3), (8, 8), (17, 13), (33, 21)):
+            s = rng.randint(0, 1 << depth, size=w * h).astype(np.uint8)
+            exp = np.repeat(
+                (s.reshape(h, w) * scale)[..., None], 3, axis=2
+            ).tobytes()
+            for interlace in (0, 1):
+                out = decode_pixels_bytes(_png_encode(
+                    s.tobytes(), w, h, ctype=0, bitdepth=depth,
+                    interlace=interlace,
+                ))
+                assert out == ("png", w, h, exp), (depth, w, h, interlace)
+
+
+def test_png_subbyte_palette_round_trip():
+    """Depths 1/2/4 palette: packed indices through the PLTE lookup —
+    including a palette SHORTER than 2^depth, where only in-range
+    indices may appear."""
+    rng = np.random.RandomState(8)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        pal = bytes(
+            v for k in range(n)
+            for v in ((3 * k + 1) % 256, (5 * k) % 256, (7 * k + 2) % 256)
+        )
+        pa = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+        for w, h in ((5, 4), (16, 9), (31, 17)):
+            s = rng.randint(0, n, size=w * h).astype(np.uint8)
+            exp = pa[s.reshape(h, w)].tobytes()
+            for interlace in (0, 1):
+                out = decode_pixels_bytes(_png_encode(
+                    s.tobytes(), w, h, ctype=3, bitdepth=depth, plte=pal,
+                    interlace=interlace,
+                ))
+                assert out == ("png", w, h, exp), (depth, w, h, interlace)
+
+
+def test_png_subbyte_palette_out_of_range_index_quarantines():
+    # 2-entry palette with a depth-2 index of 3: corrupt per spec
+    b = _png_encode(bytes([0, 1, 3, 2]), 2, 2, ctype=3, bitdepth=2,
+                    plte=bytes(6))
+    assert decode_pixels_bytes(b) is None
+
+
+def test_png_subbyte_row_pad_bits_are_ignored():
+    # w=3 at depth 2 leaves 2 pad bits per row; set them in the packed
+    # stream directly and require identical decode (the spec says pad
+    # bits carry no meaning)
+    import zlib
+    s = np.array([1, 2, 3, 0, 1, 2], dtype=np.uint8)
+    clean = _png_encode(s.tobytes(), 3, 2, ctype=0, bitdepth=2)
+    ref = decode_pixels_bytes(clean)
+    # rebuild with filter 0 rows and dirty pad bits
+    rows = bytearray()
+    for r in range(2):
+        rows.append(0)
+        packed = (s[3 * r] << 6) | (s[3 * r + 1] << 4) | (s[3 * r + 2] << 2)
+        rows.append(packed | 0b11)  # dirty pad
+    ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [2, 0, 0, 0, 0]
+    )
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _png_chunk,
+    )
+    dirty = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+             + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+             + _png_chunk(b"IEND", b""))
+    assert decode_pixels_bytes(dirty) == ref
 
 
 def test_bmp_32bpp_drops_alpha():
