@@ -5,7 +5,8 @@ This closes the last first-class raster-format gap in the multimodal
 decode surface (round 10): real crawl corpora are majority-JPEG, and
 until now JPEG payloads header-decoded (dims) but quarantined at pixel
 access. The decoder handles the baseline process the overwhelming
-majority of crawl JPEGs use: SOF0 frames, 8-bit precision, 1 or 3
+majority of crawl JPEGs use: SOF0 frames (and 8-bit SOF1 extended
+sequential, which is the same process), 8-bit precision, 1 or 3
 components, interleaved single-scan entropy data with optional restart
 markers (DRI/RSTn), byte stuffing, standard or custom Huffman tables,
 and integer-ratio chroma subsampling (4:4:4, 4:2:0, 4:2:2 all fall out
@@ -413,7 +414,12 @@ def _decode_frame(b: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = lut
             if j != len(body):
                 return None
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
+            # 8-bit extended sequential IS the baseline process plus the
+            # (already supported) 4-slot table ids — T.81 annex B note:
+            # every baseline stream is a valid extended-sequential one.
+            # 12-bit precision quarantines via the body[0] != 8 check.
             if frame is not None or len(body) < 6 or body[0] != 8:
                 return None
             progressive = marker == 0xC2
@@ -434,9 +440,9 @@ def _decode_frame(b: bytes):
                 # MCU = one block); normalize so the grids come out right
                 comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/lossless/arithmetic/hierarchical
+            return None  # lossless/arithmetic/hierarchical/differential
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
                 return None

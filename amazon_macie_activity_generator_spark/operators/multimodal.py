@@ -40,7 +40,11 @@ unsupported payloads yield a NULL-stats row, never a dead task, and a
 decompression-bomb guard caps claimed dimensions and inflate output.
 ``resize_images(decode_stub=False)`` rides the same decoders: real
 nearest-neighbor resize for the decodable formats, NULL-payload quarantine
-otherwise. Only video codecs remain behind NotImplementedError
+otherwise. The AUDIO leg is real too: ``extract_audio_features`` decodes
+RIFF/WAVE integer PCM (8-bit unsigned-centered / 16 / 24 sign-extended /
+32-bit, mono+multichannel, truncation-tolerant, 16M-sample bomb guard)
+and emits exact int64 stats (sample_sum / abs_peak / duration) plus a
+float64 rms — narrow features out, never the samples. Only video codecs remain behind NotImplementedError
 (``sample_frames`` with ``decode_stub=False``) — frame-accurate seeking
 genuinely needs ffmpeg, which this container lacks. Arithmetic-coded/
 12-bit/hierarchical JPEG quarantines (baseline + progressive together
@@ -69,6 +73,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -181,6 +186,132 @@ def _parse_wav_duration_ms(b: bytes | None) -> int | None:
     return (data_size // block_align) * 1000 // sample_rate
 
 
+# audio decompression-bomb guard: total samples (frames x channels),
+# the audio twin of _MAX_PIXELS (16M samples of int32 stage = 64 MB)
+_MAX_SAMPLES = 1 << 24
+
+
+def _decode_wav_pcm(b: bytes | None):
+    """RIFF/WAVE integer-PCM decode -> (sample_rate, frames) where
+    ``frames`` is an int32 ndarray of shape (n_frames, n_channels) —
+    or None to quarantine (non-WAV, malformed, float/compressed
+    formats, over-budget sample counts). Depth conventions: 8-bit
+    samples are unsigned per spec and are CENTERED here (value - 128, so
+    silence is 0 at every depth); 16/24/32-bit are signed little-endian
+    (24-bit sign-extended from 3 bytes). A data chunk longer than the
+    remaining bytes truncates to the complete frames actually present —
+    the same tolerance as `_parse_wav_duration_ms`, so a tail-truncated
+    upload yields stats over its real audio instead of a dead row."""
+    import numpy as np
+
+    if not b or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt_code = sample_rate = block_align = bits = nch = None
+    data: bytes | None = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            fmt_code = int.from_bytes(b[i + 8 : i + 10], "little")
+            nch = int.from_bytes(b[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            block_align = int.from_bytes(b[i + 20 : i + 22], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + csize]
+        i += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if (fmt_code != 1 or not sample_rate or not nch or not bits
+            or data is None):
+        return None  # float (3) / ADPCM / extensible quarantine
+    if bits not in (8, 16, 24, 32) or block_align != nch * (bits // 8):
+        return None
+    n_frames = len(data) // block_align
+    if n_frames == 0 or n_frames * nch > _MAX_SAMPLES:
+        return None
+    data = data[: n_frames * block_align]
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.int32)
+    else:  # 24-bit: 3-byte LE, sign-extended
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        x = (raw[:, 0].astype(np.int32)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | (raw[:, 2].astype(np.int32) << 16))
+        samples = (x ^ 0x800000) - 0x800000
+    return sample_rate, samples.reshape(n_frames, nch)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType(), True),
+    StructField("sample_rate", LongType(), True),
+    StructField("n_channels", LongType(), True),
+    StructField("n_frames", LongType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("sample_sum", LongType(), True),
+    StructField("abs_peak", LongType(), True),
+    StructField("rms", DoubleType(), True),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over RIFF/WAVE PCM payloads —
+    the audio twin of :func:`decode_pixels`: Arrow-batched mapInPandas,
+    narrow typed stats out (never the samples, so downstream shuffles
+    stay narrow), NULL-stats quarantine for anything
+    :func:`_decode_wav_pcm` rejects. ``sample_sum`` and ``abs_peak`` are
+    exact int64 (centered-sample convention above — bounded by
+    2^31 * 2^24 so they cannot overflow); ``rms`` is the float64
+    root-mean-square over all channels. duration_ms floors, matching
+    `_parse_wav_duration_ms`."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    out = _decode_wav_pcm(b)
+                except (ValueError, IndexError, OverflowError, MemoryError):
+                    out = None
+                if out is None:
+                    rows.append({"media_id": mid})
+                    continue
+                rate, frames = out
+                n_frames, nch = frames.shape
+                flat = frames.ravel()
+                rows.append({
+                    "media_id": mid,
+                    "sample_rate": rate,
+                    "n_channels": nch,
+                    "n_frames": n_frames,
+                    "duration_ms": n_frames * 1000 // rate,
+                    "sample_sum": int(flat.sum(dtype=np.int64)),
+                    "abs_peak": int(np.abs(flat.astype(np.int64)).max()),
+                    "rms": float(
+                        np.sqrt(np.mean(flat.astype(np.float64) ** 2))
+                    ),
+                })
+            out_pdf = pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_channels",
+                         "n_frames", "duration_ms", "sample_sum",
+                         "abs_peak", "rms"],
+            )
+            for c in ("media_id", "sample_rate", "n_channels", "n_frames",
+                      "duration_ms", "sample_sum", "abs_peak"):
+                out_pdf[c] = out_pdf[c].astype("Int64")
+            out_pdf["rms"] = out_pdf["rms"].astype("float64")
+            yield out_pdf
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 def _decode_batch(pdf: "pd.DataFrame", stub: bool) -> "pd.DataFrame":
     import hashlib
 
@@ -286,6 +417,83 @@ def _wav_bytes(media_id: int) -> bytes:
         + data_size.to_bytes(4, "little")
     )
     return header + bytes((media_id + j) % 256 for j in range(data_size))
+
+
+def _wav_encode(frames, sample_rate: int, bits: int) -> bytes:
+    """RIFF/WAVE integer-PCM writer over an int (n_frames, n_channels)
+    array — the encoder twin of :func:`_decode_wav_pcm` (8-bit stored
+    unsigned per spec, i.e. value + 128; 16/24/32 signed LE; odd-length
+    data chunks get the RIFF pad byte)."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.int64)
+    n_frames, nch = arr.shape
+    if bits == 8:
+        data = (arr + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = arr.astype("<i2").tobytes()
+    elif bits == 32:
+        data = arr.astype("<i4").tobytes()
+    elif bits == 24:
+        x = arr & 0xFFFFFF
+        data = np.stack(
+            [x & 0xFF, (x >> 8) & 0xFF, (x >> 16) & 0xFF], axis=-1
+        ).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    block_align = nch * (bits // 8)
+    header = (
+        b"RIFF"
+        + (36 + len(data) + (len(data) % 2)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + nch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return header + data + (b"\x00" if len(data) % 2 else b"")
+
+
+def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM WAV media spanning the full integer-PCM decode
+    matrix — the audio sibling of :func:`synthetic_pixel_media`. Grammar
+    (ids >= 0, same NULL conventions as the siblings): bits =
+    (8, 16, 24)[id % 3], channels = 1 + id % 2, rate = 8000 * (1 + id % 3),
+    n_frames = 50 + id % 200, and flat sample j (frame-major, channel-
+    minor) is ((id * 7 + 13 * j) % 201) - 100 — valid at every depth and
+    arithmetically predictable, so a test (or oracle) can re-derive
+    sample_sum / abs_peak / duration without decoding."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def build(i: int) -> bytes:
+            bits = (8, 16, 24)[i % 3]
+            nch = 1 + i % 2
+            rate = 8000 * (1 + i % 3)
+            n_frames = 50 + i % 200
+            j = np.arange(n_frames * nch, dtype=np.int64)
+            samples = ((i * 7 + 13 * j) % 201) - 100
+            return _wav_encode(samples.reshape(n_frames, nch), rate, bits)
+
+        for pdf in batches:
+            mids = pdf[id_col].astype("Int64")
+            filled = mids.fillna(0)
+            yield pd.DataFrame({
+                "media_id": mids,
+                "kind": "audio",
+                "payload": filled.map(lambda i: build(int(i))),
+                "source_uri": "synthetic-wav://" + filled.astype(str),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def synthetic_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1149,9 +1357,9 @@ def _gif_lzw_encode(indices: bytes, min_size: int) -> bytes:
 
 def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     """GIF87a/89a: logical screen + global/local color table + LZW image
-    data -> RGB. Single full-frame non-interlaced images only (animated /
-    tiled / interlaced GIFs quarantine — a training-data media column
-    treats those as the video-ish class)."""
+    data -> RGB, interlaced (four-pass row scatter) or not. Single
+    full-frame images only (animated / tiled GIFs quarantine — a
+    training-data media column treats those as the video-ish class)."""
     if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w = int.from_bytes(b[6:8], "little")
@@ -1193,8 +1401,8 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 if len(ct) < 3 * n:
                     return None
                 pos += 3 * n
-            if iflags & 0x40 or (left, top, iw, ih) != (0, 0, w, h) or ct is None:
-                return None  # interlaced / partial-frame / no palette
+            if (left, top, iw, ih) != (0, 0, w, h) or ct is None:
+                return None  # partial-frame / no palette
             if pos >= len(b):
                 return None
             min_size = b[pos]
@@ -1210,8 +1418,20 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 return None
             import numpy as np
 
+            arr = np.frombuffer(idx, dtype=np.uint8)
+            if iflags & 0x40:
+                # GIF interlace: file rows arrive in the four-pass order
+                # (8k, 8k+4, 4k+2, 2k+1) — scatter them back to display
+                # order (GIF89a spec appendix E)
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                rows = np.empty((h, w), dtype=np.uint8)
+                rows[order] = arr.reshape(h, w)
+                arr = rows.reshape(-1)
             pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
-            decoded = (w, h, pal[np.frombuffer(idx, dtype=np.uint8)].tobytes())
+            decoded = (w, h, pal[arr].tobytes())
             # keep scanning: a second image descriptor means animation
         elif block == 0x3B:
             break
@@ -1220,9 +1440,24 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     return decoded
 
 
-def _gif_encode(indices: bytes, palette: bytes, w: int, h: int) -> bytes:
+def _gif_encode(
+    indices: bytes, palette: bytes, w: int, h: int, interlace: bool = False
+) -> bytes:
     """Full single-frame GIF89a file over palette ``indices`` — the
-    synthetic/test twin of :func:`_decode_gif_pixels`."""
+    synthetic/test twin of :func:`_decode_gif_pixels`. ``interlace``
+    stores the rows in the spec's four-pass order and sets the flag."""
+    if interlace:
+        import numpy as np
+
+        order = np.concatenate([
+            np.arange(0, h, 8), np.arange(4, h, 8),
+            np.arange(2, h, 4), np.arange(1, h, 2),
+        ])
+        indices = (
+            np.frombuffer(indices, dtype=np.uint8)
+            .reshape(h, w)[order]
+            .tobytes()
+        )
     ncolors = len(palette) // 3
     depth = max(1, (ncolors - 1).bit_length())
     table = palette + bytes(3 * ((1 << depth) - ncolors))
@@ -1238,7 +1473,7 @@ def _gif_encode(indices: bytes, palette: bytes, w: int, h: int) -> bytes:
         + bytes([0x80 | (depth - 1), 0, 0])
         + table
         + b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-        + b"\x00"
+        + (b"\x40" if interlace else b"\x00")
         + bytes([min_size]) + bytes(blocks) + b"\x00"
         + b"\x3b"
     )

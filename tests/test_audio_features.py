@@ -1,0 +1,214 @@
+"""Real WAV PCM decode + audio feature extraction.
+
+The audio twin of the pixel-decode tests: `_decode_wav_pcm` /
+`extract_audio_features` must produce EXACT integer stats over the full
+integer-PCM matrix (8 unsigned-centered / 16 / 24 sign-extended / 32 bit,
+mono+stereo), truncate gracefully, and quarantine (NULL stats) anything
+malformed — never raise, never a dead task.
+
+Reference context: /root/reference/src/main.py has no media ops at all;
+audio feature extraction is a north-star training-pipeline capability
+(multimodal columns clause).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from amazon_macie_activity_generator_spark.operators.multimodal import (
+    _decode_wav_pcm,
+    _wav_bytes,
+    _wav_encode,
+    extract_audio_features,
+    synthetic_audio_media,
+)
+
+
+def _grammar_samples(i: int):
+    bits = (8, 16, 24)[i % 3]
+    nch = 1 + i % 2
+    rate = 8000 * (1 + i % 3)
+    n_frames = 50 + i % 200
+    j = np.arange(n_frames * nch, dtype=np.int64)
+    samples = ((i * 7 + 13 * j) % 201) - 100
+    return bits, nch, rate, samples.reshape(n_frames, nch)
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+@pytest.mark.parametrize("nch", [1, 2])
+def test_pcm_round_trip_exact(bits, nch):
+    rng = np.random.RandomState(bits * 10 + nch)
+    lo, hi = (-128, 128) if bits == 8 else (-(1 << (bits - 2)), 1 << (bits - 2))
+    frames = rng.randint(lo, hi, size=(37, nch)).astype(np.int64)
+    b = _wav_encode(frames, 44100, bits)
+    out = _decode_wav_pcm(b)
+    assert out is not None
+    rate, got = out
+    assert rate == 44100 and got.shape == (37, nch)
+    assert np.array_equal(got, frames)
+
+
+def test_24bit_sign_extension_extremes():
+    frames = np.array([[-(1 << 23)], [(1 << 23) - 1], [0], [-1]],
+                      dtype=np.int64)
+    out = _decode_wav_pcm(_wav_encode(frames, 8000, 24))
+    assert out is not None and np.array_equal(out[1], frames)
+
+
+def test_8bit_centered_convention():
+    # stored unsigned 0..255; decoded centered so silence (128) is 0
+    frames = np.array([[-128], [0], [127]], dtype=np.int64)
+    out = _decode_wav_pcm(_wav_encode(frames, 8000, 8))
+    assert out is not None and np.array_equal(out[1], frames)
+
+
+def test_truncated_data_chunk_decodes_complete_frames():
+    frames = np.arange(20, dtype=np.int64).reshape(10, 2) * 100
+    b = _wav_encode(frames, 16000, 16)
+    cut = b[: len(b) - 5]  # drops the last frame and a bit more
+    out = _decode_wav_pcm(cut)
+    assert out is not None
+    assert out[1].shape[0] == (len(cut) - 44) // 4
+    assert np.array_equal(out[1], frames[: out[1].shape[0]])
+
+
+def test_legacy_wav_bytes_still_decode():
+    # the r7-era duration fixture: mono 16-bit 8 kHz with byte fill
+    b = _wav_bytes(11)
+    out = _decode_wav_pcm(b)
+    assert out is not None
+    rate, frames = out
+    assert rate == 8000 and frames.shape == (100 + 11 % 400, 1)
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda b: b"",                                       # empty
+    lambda b: b[:30],                                    # truncated header
+    lambda b: b.replace(b"RIFF", b"RIFX", 1),            # wrong magic
+    lambda b: b.replace(b"WAVE", b"AVI ", 1),            # not WAVE
+    lambda b: b[:20] + (3).to_bytes(2, "little") + b[22:],   # float fmt
+    lambda b: b[:20] + (2).to_bytes(2, "little") + b[22:],   # ADPCM
+    lambda b: b[:34] + (12).to_bytes(2, "little") + b[36:],  # 12-bit depth
+    lambda b: b[:32] + (7).to_bytes(2, "little") + b[34:],   # bad align
+    lambda b: b[:24] + (0).to_bytes(4, "little") + b[28:],   # zero rate
+    lambda b: b.replace(b"data", b"LIST", 1),            # no data chunk
+])
+def test_hostile_variants_quarantine(mutate):
+    good = _wav_encode(np.zeros((8, 1), dtype=np.int64), 8000, 16)
+    assert _decode_wav_pcm(mutate(good)) is None
+
+
+def test_sample_budget_bomb_quarantines():
+    # a REAL over-budget payload (one sample past the 16M cap, ~32 MB of
+    # zeros) must quarantine before feature math runs
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _MAX_SAMPLES,
+    )
+    n = _MAX_SAMPLES + 1
+    data = bytes(2 * n)  # 16-bit mono zeros
+    b = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+         + b"fmt " + (16).to_bytes(4, "little")
+         + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+         + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+         + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+         + b"data" + len(data).to_bytes(4, "little") + data)
+    assert _decode_wav_pcm(b) is None
+    # the same file one frame shorter decodes (csize still claims n,
+    # the slice truncates to the n-1 complete frames actually present)
+    assert _decode_wav_pcm(b[:-4]) is not None
+
+
+def test_claimed_oversize_data_chunk_truncates_not_allocates():
+    # a data chunk CLAIMING 1 GB over an 8-frame file must decode the 8
+    # real frames (the slice bounds it), not stage a giant buffer
+    b = bytearray(_wav_encode(np.ones((8, 1), dtype=np.int64), 8000, 16))
+    at = bytes(b).find(b"data") + 4
+    b[at:at + 4] = (1 << 30).to_bytes(4, "little")
+    out = _decode_wav_pcm(bytes(b))
+    assert out is not None and out[1].shape == (8, 1)
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(max_size=2048))
+def test_random_bytes_never_raise(data):
+    out = _decode_wav_pcm(data)
+    assert out is None or (out[0] > 0 and out[1].ndim == 2)
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_wavs_never_raise(flips):
+    payload = bytearray(_wav_encode(
+        (np.arange(60, dtype=np.int64).reshape(30, 2) * 7 % 1000) - 500,
+        22050, 24,
+    ))
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    out = _decode_wav_pcm(bytes(payload))
+    assert out is None or (out[0] > 0 and out[1].ndim == 2)
+
+
+# ---------------------------------------------------------------------------
+# Spark stage
+# ---------------------------------------------------------------------------
+
+
+def test_extract_audio_features_stage_exact(spark):
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    media = synthetic_audio_media(ids)
+    got = {
+        r["media_id"]: r
+        for r in extract_audio_features(media).collect()
+    }
+    assert len(got) == 24
+    for i in range(24):
+        bits, nch, rate, frames = _grammar_samples(i)
+        flat = frames.ravel()
+        r = got[i]
+        assert r["sample_rate"] == rate
+        assert r["n_channels"] == nch
+        assert r["n_frames"] == frames.shape[0]
+        assert r["duration_ms"] == frames.shape[0] * 1000 // rate
+        assert r["sample_sum"] == int(flat.sum())
+        assert r["abs_peak"] == int(np.abs(flat).max())
+        assert r["rms"] == pytest.approx(
+            float(np.sqrt(np.mean(flat.astype(np.float64) ** 2)))
+        )
+
+
+def test_extract_audio_features_quarantines_garbage(spark):
+    import pandas as pd
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    pdf = pd.DataFrame({
+        "media_id": pd.array([1, 2, 3], dtype="Int64"),
+        "kind": "audio",
+        "payload": [b"not a wav", None,
+                    _wav_encode(np.ones((4, 1), dtype=np.int64), 8000, 16)],
+        "source_uri": "x",
+    })
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert rows[1]["sample_rate"] is None and rows[1]["rms"] is None
+    assert rows[2]["sample_rate"] is None
+    assert rows[3]["sample_sum"] == 4 and rows[3]["abs_peak"] == 1
+
+
+def test_null_id_still_yields_row(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": pd.array([None, 5], dtype="Int64")})
+    df = spark.createDataFrame(pdf)
+    out = extract_audio_features(synthetic_audio_media(df)).collect()
+    assert len(out) == 2
+    assert any(r["media_id"] is None and r["n_frames"] is not None
+               for r in out)  # NULL id synthesizes id 0's payload

@@ -270,6 +270,28 @@ def test_hostile_variants_quarantine(mutate):
     assert decode_jpeg_pixels(payload) is None
 
 
+def test_sof1_extended_sequential_decodes_as_baseline():
+    """8-bit SOF1 is the baseline process (T.81: every baseline stream
+    is valid extended-sequential) — patching the SOF marker must decode
+    to identical pixels; a 12-bit SOF1 still quarantines."""
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        jpeg_encode_dc_only,
+    )
+
+    b = jpeg_encode_dc_only(
+        32, 16, [list(range(-4, 4)), [10, -10], [-25, 25]],
+        restart_interval=1,
+    )
+    base = decode_jpeg_pixels(b)
+    assert base is not None
+    at = b.find(b"\xff\xc0")
+    patched = b[:at] + b"\xff\xc1" + b[at + 2:]
+    assert decode_jpeg_pixels(patched) == base
+    # 12-bit precision (first SOF body byte) stays quarantined
+    twelve = patched[:at + 4] + bytes([12]) + patched[at + 5:]
+    assert decode_jpeg_pixels(twelve) is None
+
+
 def test_fill_bytes_before_markers_decode():
     """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
     a conforming file using them must decode identically, not quarantine

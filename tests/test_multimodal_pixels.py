@@ -260,6 +260,23 @@ def test_png_subbyte_palette_round_trip():
                 assert out == ("png", w, h, exp), (depth, w, h, interlace)
 
 
+def test_gif_interlaced_round_trip():
+    """Interlaced GIFs deinterlace via the spec's four-pass row scatter —
+    heights below, at, and above the pass strides all land right."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _GIF_FILL_PALETTE,
+        _gif_encode,
+    )
+    rng = np.random.RandomState(5)
+    for w, h in ((3, 1), (4, 2), (5, 5), (8, 8), (7, 9), (16, 23)):
+        idx = rng.randint(0, 256, size=w * h).astype(np.uint8).tobytes()
+        plain = decode_pixels_bytes(
+            _gif_encode(idx, _GIF_FILL_PALETTE, w, h))
+        inter = decode_pixels_bytes(
+            _gif_encode(idx, _GIF_FILL_PALETTE, w, h, interlace=True))
+        assert plain is not None and inter == plain, (w, h)
+
+
 def test_png_subbyte_palette_out_of_range_index_quarantines():
     # 2-entry palette with a depth-2 index of 3: corrupt per spec
     b = _png_encode(bytes([0, 1, 3, 2]), 2, 2, ctype=3, bitdepth=2,
@@ -575,11 +592,14 @@ def test_gif_hostile_variants_quarantine():
 
     pal = bytes(range(12))  # 4 colors
     good = bytearray(_gif_encode(bytes([0, 1, 2, 3]), pal, 2, 2))
-    # interlace flag set -> quarantine (deinterlace unsupported by design)
-    bad = bytearray(good)
-    desc = bad.index(0x2C, 6)
-    bad[desc + 9] |= 0x40
-    assert decode_pixels_bytes(bytes(bad)) is None
+    desc = good.index(0x2C, 6)
+    # interlace flag on a non-interlaced stream still DECODES (row
+    # reorder only — the data is structurally valid); it must not raise
+    # and must keep dims (the interlaced round-trip test pins values)
+    flagged = bytearray(good)
+    flagged[desc + 9] |= 0x40
+    out = decode_pixels_bytes(bytes(flagged))
+    assert out is not None and out[1:3] == (2, 2)
     # truncated LZW data
     assert decode_pixels_bytes(bytes(good[: len(good) // 2])) is None
     # ANIMATED: splice a second full-frame image block before the trailer —
