@@ -758,7 +758,7 @@ def _png_encode(
                 ph = (h - y0 + dy - 1) // dy
                 if pw <= 0 or ph <= 0:
                     continue
-                sub = np.ascontiguousarray(arr[y0::dy, x0::dx]).tobytes()
+                sub = arr[y0::dy, x0::dx].tobytes()  # C-order copy
                 out += _png_pack_subbyte_rows(sub, pw, ph, bitdepth)
         else:
             out = _png_pack_subbyte_rows(raw, w, h, bitdepth)
@@ -1166,10 +1166,11 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     if ctype == 3 and plte is None:
         return None  # palette image with no palette is unrenderable
-    # packed bytes per row of `width` pixels (== width * bpp at byte
-    # depths; ceil(width * depth / 8) for the sub-byte single-channel
-    # cases — rows pad to a byte boundary per spec 7.2)
-    rowbytes = (lambda width: (width * depth * nch + 7) // 8)
+    def rowbytes(width: int) -> int:
+        # packed bytes per row of `width` pixels (== width * bpp at byte
+        # depths; ceil(width * depth / 8) for the sub-byte single-channel
+        # cases — rows pad to a byte boundary per spec 7.2)
+        return (width * depth * nch + 7) // 8
     if interlace:
         passes = []
         expected = 0
