@@ -298,6 +298,95 @@ def test_progressive_dims_parse_via_header_walk():
 
 
 # ---------------------------------------------------------------------------
+# hand-authored spec streams: decoder evidence INDEPENDENT of both encoder
+# twins (the GIF decoder has the same style of test) — every bit below is
+# computed by hand from T.81 G.1.2 + the canonical-code rules of Annex C
+# ---------------------------------------------------------------------------
+
+
+def _hand_stream(scans_bits):
+    """Assemble an 8x8 grayscale SOF2 file (flat q=8, Annex K DC table,
+    the universal AC table) around hand-written per-scan bit strings."""
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        PROG_AC_TABLE,
+        STD_DC_LUMA,
+        _seg,
+    )
+
+    def bits_to_bytes(bitstr):
+        bitstr += "1" * ((8 - len(bitstr) % 8) % 8)  # pad with 1s per spec
+        raw = bytes(int(bitstr[i:i + 8], 2) for i in range(0, len(bitstr), 8))
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + bytes([8] * 64))
+    out += _seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
+                + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    bits_dc, vals_dc = STD_DC_LUMA
+    out += _seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(vals_dc))
+    bits_ac, vals_ac = PROG_AC_TABLE
+    out += _seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(vals_ac))
+    for (ss, se, ahal), bits in scans_bits:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, ahal]))
+        out += bits_to_bytes(bits)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_hand_authored_dc_scans_decode_to_known_pixels():
+    """DC first (Al=1, diff=5 -> Annex K category-3 code '100' + bits
+    '101'), an all-zero AC band (EOB0 = universal-table code 0x00 at
+    length 8), then a DC refine bit 1: final DC = (5 << 1) | 1 = 11, and
+    with q=8 a DC-only block decodes to the constant 11 + 128 = 139."""
+    b = _hand_stream([
+        ((0, 0, 0x01), "100" + "101"),
+        ((1, 63, 0x00), "00000000"),
+        ((0, 0, 0x10), "1"),
+    ])
+    out = decode_jpeg_pixels(b)
+    assert out is not None and out[:2] == (8, 8)
+    assert set(out[2]) == {139}
+
+
+def test_hand_authored_ac_first_and_refine_coefficients():
+    """Exercises AC newly-significant placement, history correction bits,
+    and the refine-side sign/ordering rules on hand bits, checked at the
+    INTEGER coefficient layer (_decode_frame) so no IDCT is involved:
+
+    - DC first Al=1: diff=5 -> DC 10            ('100'+'101')
+    - AC first band 1-63 Al=1: symbol 0x41 (run 4, size 1) + bit '1'
+      places +1<<1 = 2 at zigzag k=5, then EOB0  ('01000001'+'1'+'00000000')
+    - DC refine Al=0: bit 1 -> DC 11
+    - AC refine Al=0: symbol 0x71 (seven zero-HISTORY cells: k=1..4 and
+      6..8 — k=5 is history and does not count) + sign '1', then during
+      the advance one correction bit '1' for k=5 (2 -> 3), placing +1 at
+      k=9; EOB0 sweeps the rest (no nonzero cells -> no bits)
+    Final zigzag: [11, 0,0,0,0, 3, 0,0,0, 1, 0...]; dequantized x8 at
+    natural positions 0, 2 (ZIGZAG[5]), 24 (ZIGZAG[9])."""
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        ZIGZAG,
+        _decode_frame,
+    )
+
+    b = _hand_stream([
+        ((0, 0, 0x01), "100" + "101"),
+        ((1, 63, 0x01), "01000001" + "1" + "00000000"),
+        ((0, 0, 0x10), "1"),
+        ((1, 63, 0x10), "01110001" + "1" + "1" + "00000000"),
+    ])
+    frame = _decode_frame(b)
+    assert frame is not None
+    w, h, comps = frame
+    assert (w, h) == (8, 8) and len(comps) == 1
+    coeffs = comps[0]["coeffs"].reshape(64)
+    expected = np.zeros(64, dtype=np.int64)
+    expected[0] = 11 * 8
+    expected[ZIGZAG[5]] = 3 * 8
+    expected[ZIGZAG[9]] = 1 * 8
+    assert np.array_equal(coeffs, expected)
+
+
+# ---------------------------------------------------------------------------
 # property fuzz: random coefficients, sampling, restart, script depth
 # ---------------------------------------------------------------------------
 
