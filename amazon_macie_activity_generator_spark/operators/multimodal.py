@@ -44,9 +44,13 @@ otherwise. The AUDIO leg is real too: ``extract_audio_features`` decodes
 RIFF/WAVE integer PCM (8-bit unsigned-centered / 16 / 24 sign-extended /
 32-bit, mono+multichannel, truncation-tolerant, 16M-sample bomb guard)
 and emits exact int64 stats (sample_sum / abs_peak / duration) plus a
-float64 rms — narrow features out, never the samples. Only video codecs remain behind NotImplementedError
-(``sample_frames`` with ``decode_stub=False``) — frame-accurate seeking
-genuinely needs ffmpeg, which this container lacks. Arithmetic-coded/
+float64 rms — narrow features out, never the samples. And the
+MULTI-FRAME leg: ``sample_frames(decode_stub=False)`` decodes animated
+GIF for real (the defined full-frame/opaque subset, GCE-timestamped,
+decode work capped at max_frames) and samples frames at ``every_ms``
+boundaries; true video containers (ISO-BMFF/EBML/AVI magic) raise
+NotImplementedError — frame-accurate video seeking genuinely needs
+ffmpeg and that seam stays loud. Arithmetic-coded/
 12-bit/hierarchical JPEG quarantines (baseline + progressive together
 cover effectively all crawl JPEGs; arithmetic coding is patent-era rare
 and unsupported by most browsers, so crawl corpora barely contain it).
@@ -610,42 +614,116 @@ def resize_images(
 
 FRAME_SCHEMA = StructType([
     StructField("media_id", LongType(), True),
-    StructField("frame_idx", LongType(), False),
-    StructField("ts_ms", LongType(), False),
+    # nullable since the real decode path landed: a quarantined payload
+    # yields one all-NULL-fields row (same signal as the NULL-stats rows
+    # of decode_pixels), never zero rows and never a dead task
+    StructField("frame_idx", LongType(), True),
+    StructField("ts_ms", LongType(), True),
     StructField("frame_payload", BinaryType(), True),
 ])
+
+# magic prefixes of true video containers: the one class sample_frames'
+# real mode still cannot decode without ffmpeg — kept as the package's
+# honest NotImplementedError rather than silently quarantined
+_VIDEO_MAGIC = (b"\x1aE\xdf\xa3",)  # EBML (webm/mkv)
+
+
+def _is_video_container(b: bytes) -> bool:
+    if len(b) < 12:
+        return False
+    if b[:4] in _VIDEO_MAGIC:
+        return True
+    if b[4:8] == b"ftyp":  # ISO BMFF (mp4/mov), size-prefixed
+        return True
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return True
+    return False
 
 
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 16, decode_stub: bool = True
 ) -> DataFrame:
-    """Frame sampling for video rows: one output row per sampled frame —
-    mapInPandas here is a flat map (output rows != input rows), which is
-    why this is a mapInPandas stage and not a scalar UDF. Stub mode
-    derives a deterministic frame count from the payload digest (a real
-    build seeks with ffmpeg at ``every_ms`` steps)."""
+    """Frame sampling for multi-frame media: one output row per sampled
+    frame — mapInPandas here is a flat map (output rows != input rows),
+    which is why this is a mapInPandas stage and not a scalar UDF. Stub
+    mode derives a deterministic frame count from the payload digest.
+
+    ``decode_stub=False`` is REAL for animated GIF (the one multi-frame
+    format decodable stdlib-only; see :func:`_decode_gif_frames` for the
+    defined full-frame/opaque subset): frames are decoded to raw RGB
+    payloads with cumulative GCE timestamps, then sampled — frame 0
+    always, thereafter the first frame at or past each ``every_ms``
+    boundary, capped at ``max_frames``. Decode work is bounded by the
+    same cap: sampling operates over the first ``max_frames`` DECODED
+    frames (a hostile million-frame file cannot buy unbounded LZW work),
+    and a zero-delay animation yields just frame 0 — with no timeline
+    there is nothing at later sample points. True video containers (ISO-BMFF/EBML/AVI magic)
+    still raise NotImplementedError — frame-accurate seeking genuinely
+    needs ffmpeg, which this container lacks, and that seam stays loud
+    rather than silently quarantined. Anything else (malformed, subset
+    violations, non-media bytes) yields one NULL-fields quarantine row,
+    the same never-a-dead-task contract as decode_pixels."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
 
         import pandas as pd
 
+        cols = ["media_id", "frame_idx", "ts_ms", "frame_payload"]
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("video codecs not available in this environment")
             out: list[dict] = []
-            for _, row in pdf.iterrows():
-                digest = hashlib.sha256(row["payload"] or b"").digest()
-                duration_ms = int.from_bytes(digest[:4], "big") % 600000
-                n = min(max_frames, max(1, duration_ms // every_ms))
-                for i in range(n):
-                    out.append({
-                        "media_id": row["media_id"],
-                        "frame_idx": i,
-                        "ts_ms": i * every_ms,
-                        "frame_payload": digest + i.to_bytes(4, "big"),
-                    })
-            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "ts_ms", "frame_payload"])
+            if decode_stub:
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    digest = hashlib.sha256(payload or b"").digest()
+                    duration_ms = int.from_bytes(digest[:4], "big") % 600000
+                    n = min(max_frames, max(1, duration_ms // every_ms))
+                    for i in range(n):
+                        out.append({
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "ts_ms": i * every_ms,
+                            "frame_payload": digest + i.to_bytes(4, "big"),
+                        })
+                yield pd.DataFrame(out, columns=cols)
+                continue
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is not None and _is_video_container(payload):
+                    raise NotImplementedError(
+                        "video codecs not available in this environment"
+                    )
+                decoded = None
+                if payload is not None:
+                    try:
+                        decoded = _decode_gif_frames(payload, max_frames)
+                    except (ValueError, IndexError, OverflowError,
+                            MemoryError):
+                        decoded = None
+                if decoded is None:
+                    out.append({"media_id": mid})  # quarantine row
+                    continue
+                _w, _h, frames = decoded
+                # frame i displays for delay_ms[i], so it appears at the
+                # sum of the PRIOR frames' delays
+                t = 0
+                next_sample = 0
+                emitted = 0
+                for i, (delay_ms, rgb) in enumerate(frames):
+                    if emitted >= max_frames:
+                        break
+                    if t >= next_sample:
+                        out.append({
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "ts_ms": t,
+                            "frame_payload": rgb,
+                        })
+                        emitted += 1
+                        next_sample = (t // every_ms + 1) * every_ms
+                    t += delay_ms
+            pdf_out = pd.DataFrame(out, columns=cols)
+            for c in ("media_id", "frame_idx", "ts_ms"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            yield pdf_out
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
@@ -1441,6 +1519,115 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     return decoded
 
 
+def _decode_gif_frames(
+    b: bytes, max_frames: int
+) -> tuple[int, int, list[tuple[int, bytes]]] | None:
+    """Animated (or single-frame) GIF -> (w, h, [(delay_ms, rgb), ...]).
+    Defined-subset semantics, each chosen so the result is exact without
+    a compositor: every frame must be FULL-FRAME (left=top=0, iw=w,
+    ih=h — each frame wholly replaces the screen, so disposal methods
+    are irrelevant) and OPAQUE (a GCE transparency flag quarantines:
+    transparent pixels composite over prior frames). Interlaced frames
+    reuse the four-pass scatter. Per-file work is bounded by
+    ``max_frames`` (later frames are parsed past, not decoded) and the
+    usual ``_MAX_PIXELS`` screen guard; delay is the GCE's centiseconds
+    as milliseconds (0 when absent — callers clamp for sampling).
+    Returns None to quarantine (not a GIF, malformed, subset violated)."""
+    import numpy as np
+
+    if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        return None
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = b[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    frames: list[tuple[int, bytes]] = []
+    pending_delay = 0
+    interlace_order = None
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension
+            if pos + 2 > len(b):
+                return None
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control: delay + transparency
+                if pos + 6 > len(b) or b[pos] != 4:
+                    return None
+                if b[pos + 1] & 1:
+                    return None  # transparency: compositing semantics
+                pending_delay = int.from_bytes(
+                    b[pos + 2 : pos + 4], "little"
+                ) * 10
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(b[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = b[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    return None
+                pos += 3 * n
+            if (left, top, iw, ih) != (0, 0, w, h) or ct is None:
+                return None  # partial frame: needs compositing
+            if pos >= len(b):
+                return None
+            min_size = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                n = b[pos]
+                lzw += b[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            if len(frames) >= max_frames:
+                # bounded work: the frame is parsed past, not decoded
+                pending_delay = 0
+                continue
+            idx = _gif_lzw_decode(bytes(lzw), min_size, w * h)
+            if idx is None or max(idx) * 3 + 3 > len(ct):
+                return None
+            arr = np.frombuffer(idx, dtype=np.uint8)
+            if iflags & 0x40:
+                if interlace_order is None:
+                    interlace_order = np.concatenate([
+                        np.arange(0, h, 8), np.arange(4, h, 8),
+                        np.arange(2, h, 4), np.arange(1, h, 2),
+                    ])
+                rows = np.empty((h, w), dtype=np.uint8)
+                rows[interlace_order] = arr.reshape(h, w)
+                arr = rows.reshape(-1)
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            frames.append((pending_delay, pal[arr].tobytes()))
+            pending_delay = 0
+        elif block == 0x3B:
+            break
+        else:
+            return None
+    if not frames:
+        return None
+    return w, h, frames
+
+
 def _gif_encode(
     indices: bytes, palette: bytes, w: int, h: int, interlace: bool = False
 ) -> bytes:
@@ -1478,6 +1665,54 @@ def _gif_encode(
         + bytes([min_size]) + bytes(blocks) + b"\x00"
         + b"\x3b"
     )
+
+
+def _gif_encode_animated(
+    frame_indices: list[bytes],
+    palette: bytes,
+    w: int,
+    h: int,
+    delays_cs: list[int] | None = None,
+    interlace: bool = False,
+    transparent: bool = False,
+) -> bytes:
+    """Multi-frame GIF89a twin of :func:`_decode_gif_frames`: one GCE
+    (delay in centiseconds; optional transparency flag, for quarantine
+    tests) + full-frame image block per entry. Reuses the single-frame
+    encoder's LZW/palette layout per frame."""
+    import numpy as np
+
+    ncolors = len(palette) // 3
+    depth = max(1, (ncolors - 1).bit_length())
+    table = palette + bytes(3 * ((1 << depth) - ncolors))
+    min_size = max(2, depth)
+    out = bytearray(
+        b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (depth - 1), 0, 0]) + table
+    )
+    for fi, indices in enumerate(frame_indices):
+        delay = (delays_cs or [0] * len(frame_indices))[fi]
+        out += (b"\x21\xf9\x04"
+                + bytes([1 if transparent else 0])
+                + delay.to_bytes(2, "little") + b"\x00\x00")
+        if interlace:
+            order = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            indices = (np.frombuffer(indices, dtype=np.uint8)
+                       .reshape(h, w)[order].tobytes())
+        lzw = _gif_lzw_encode(indices, min_size)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks += bytes([len(chunk)]) + chunk
+        out += (b"\x2c" + bytes(4)
+                + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + (b"\x40" if interlace else b"\x00")
+                + bytes([min_size]) + bytes(blocks) + b"\x00")
+    out += b"\x3b"
+    return bytes(out)
 
 
 def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:

@@ -699,3 +699,156 @@ def test_synthetic_pixel_media_null_id(spark):
     assert set(rows) == {5, None}
     # NULL id synthesizes deterministically as id 0 but keeps media_id NULL
     assert bytes(rows[None].payload) == _bmp_encode(_raw_fill(0, 1, 1), 1, 1)
+
+
+# ------------------------------------------------- animated GIF frame sampling
+
+
+def _frames_fixture(n, w, h, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, size=w * h).astype(np.uint8).tobytes()
+            for _ in range(n)]
+
+
+def test_gif_animated_frames_decode_exact():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _GIF_FILL_PALETTE,
+        _decode_gif_frames,
+        _gif_encode_animated,
+    )
+    w, h = 5, 4
+    idxs = _frames_fixture(3, w, h, seed=1)
+    b = _gif_encode_animated(idxs, _GIF_FILL_PALETTE, w, h,
+                             delays_cs=[10, 20, 30])
+    out = _decode_gif_frames(b, max_frames=16)
+    assert out is not None
+    gw, gh, frames = out
+    assert (gw, gh) == (w, h) and len(frames) == 3
+    pal = np.frombuffer(_GIF_FILL_PALETTE, np.uint8).reshape(-1, 3)
+    for (delay, rgb), idx, exp_delay in zip(frames, idxs, (100, 200, 300)):
+        assert delay == exp_delay
+        assert rgb == pal[np.frombuffer(idx, np.uint8)].tobytes()
+
+
+def test_gif_animated_interlaced_frames_round_trip():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _GIF_FILL_PALETTE,
+        _decode_gif_frames,
+        _gif_encode_animated,
+    )
+    w, h = 7, 9
+    idxs = _frames_fixture(2, w, h, seed=2)
+    plain = _decode_gif_frames(
+        _gif_encode_animated(idxs, _GIF_FILL_PALETTE, w, h), 16)
+    inter = _decode_gif_frames(
+        _gif_encode_animated(idxs, _GIF_FILL_PALETTE, w, h, interlace=True),
+        16)
+    assert plain is not None and inter is not None
+    assert [rgb for _, rgb in inter[2]] == [rgb for _, rgb in plain[2]]
+
+
+def test_gif_transparency_flag_quarantines_frames():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _GIF_FILL_PALETTE,
+        _decode_gif_frames,
+        _gif_encode_animated,
+    )
+    idxs = _frames_fixture(2, 4, 4, seed=3)
+    b = _gif_encode_animated(idxs, _GIF_FILL_PALETTE, 4, 4, transparent=True)
+    assert _decode_gif_frames(b, 16) is None
+
+
+def test_gif_frame_decode_budget_bounds_work():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _GIF_FILL_PALETTE,
+        _decode_gif_frames,
+        _gif_encode_animated,
+    )
+    idxs = _frames_fixture(10, 4, 4, seed=4)
+    out = _decode_gif_frames(
+        _gif_encode_animated(idxs, _GIF_FILL_PALETTE, 4, 4), max_frames=3)
+    assert out is not None and len(out[2]) == 3  # rest parsed past
+
+
+def test_sample_frames_real_gif(spark):
+    import pandas as pd
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _GIF_FILL_PALETTE,
+        MEDIA_SCHEMA,
+        _gif_encode_animated,
+        sample_frames,
+    )
+
+    w, h = 4, 3
+    idxs = _frames_fixture(5, w, h, seed=5)
+    # delays 40cs = 400ms each: frames at 0/400/800/1200/1600ms;
+    # every_ms=1000 samples frame 0 (t=0), frame 3 (t=1200 >= 1000),
+    # then next boundary 2000 > 1600 -> done
+    animated = _gif_encode_animated(idxs, _GIF_FILL_PALETTE, w, h,
+                                    delays_cs=[40] * 5)
+    pdf = pd.DataFrame({
+        "media_id": pd.array([1, 2, 3], dtype="Int64"),
+        "kind": "video",
+        "payload": [animated, b"definitely not media", None],
+        "source_uri": "x",
+    })
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    rows = sample_frames(media, every_ms=1000, max_frames=16,
+                         decode_stub=False).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert [(r["frame_idx"], r["ts_ms"]) for r in
+            sorted(by_media[1], key=lambda r: r["frame_idx"])] == \
+        [(0, 0), (3, 1200)]
+    pal = np.frombuffer(_GIF_FILL_PALETTE, np.uint8).reshape(-1, 3)
+    frame0 = sorted(by_media[1], key=lambda r: r["frame_idx"])[0]
+    assert bytes(frame0["frame_payload"]) == \
+        pal[np.frombuffer(idxs[0], np.uint8)].tobytes()
+    # garbage and NULL payloads: one NULL-fields quarantine row each
+    for mid in (2, 3):
+        assert len(by_media[mid]) == 1
+        assert by_media[mid][0]["frame_idx"] is None
+        assert by_media[mid][0]["frame_payload"] is None
+
+
+def test_sample_frames_true_video_container_stays_loud(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    mp4ish = bytes(4) + b"ftyp" + b"isom" + bytes(16)
+    pdf = pd.DataFrame({
+        "media_id": pd.array([1], dtype="Int64"),
+        "kind": "video",
+        "payload": [mp4ish],
+        "source_uri": "x",
+    })
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    with _pytest.raises(Exception):  # NotImplementedError crosses Py4J
+        sample_frames(media, decode_stub=False).collect()
+
+
+def test_sample_frames_stub_mode_unchanged(spark):
+    import pandas as pd
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    pdf = pd.DataFrame({
+        "media_id": pd.array([7], dtype="Int64"),
+        "kind": "video",
+        "payload": [b"anything"],
+        "source_uri": "x",
+    })
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    rows = sample_frames(media, every_ms=1000, max_frames=8).collect()
+    assert rows and all(r["media_id"] == 7 for r in rows)
+    assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
