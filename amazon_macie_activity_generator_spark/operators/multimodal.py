@@ -663,6 +663,9 @@ def sample_frames(
     rather than silently quarantined. Anything else (malformed, subset
     violations, non-media bytes) yields one NULL-fields quarantine row,
     the same never-a-dead-task contract as decode_pixels."""
+    if every_ms <= 0 or max_frames <= 0:
+        # fail at the API boundary, not as a ZeroDivisionError mid-task
+        raise ValueError("every_ms and max_frames must be positive")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -1500,14 +1503,9 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             arr = np.frombuffer(idx, dtype=np.uint8)
             if iflags & 0x40:
                 # GIF interlace: file rows arrive in the four-pass order
-                # (8k, 8k+4, 4k+2, 2k+1) — scatter them back to display
-                # order (GIF89a spec appendix E)
-                order = np.concatenate([
-                    np.arange(0, h, 8), np.arange(4, h, 8),
-                    np.arange(2, h, 4), np.arange(1, h, 2),
-                ])
+                # — scatter them back to display order
                 rows = np.empty((h, w), dtype=np.uint8)
-                rows[order] = arr.reshape(h, w)
+                rows[_gif_interlace_order(h)] = arr.reshape(h, w)
                 arr = rows.reshape(-1)
             pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
             decoded = (w, h, pal[arr].tobytes())
@@ -1519,6 +1517,18 @@ def _decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     return decoded
 
 
+def _gif_interlace_order(h: int):
+    """Display-row order of the GIF four-pass interlace (GIF89a appendix
+    E): file row k belongs at display row order[k]. Shared by both
+    decoders and both encoder twins."""
+    import numpy as np
+
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+
+
 def _decode_gif_frames(
     b: bytes, max_frames: int
 ) -> tuple[int, int, list[tuple[int, bytes]]] | None:
@@ -1528,10 +1538,16 @@ def _decode_gif_frames(
     ih=h — each frame wholly replaces the screen, so disposal methods
     are irrelevant) and OPAQUE (a GCE transparency flag quarantines:
     transparent pixels composite over prior frames). Interlaced frames
-    reuse the four-pass scatter. Per-file work is bounded by
-    ``max_frames`` (later frames are parsed past, not decoded) and the
-    usual ``_MAX_PIXELS`` screen guard; delay is the GCE's centiseconds
-    as milliseconds (0 when absent — callers clamp for sampling).
+    reuse the four-pass scatter. Per-file work AND memory are bounded:
+    at most ``max_frames`` frames decode, the screen obeys the usual
+    ``_MAX_PIXELS`` guard, and the TOTAL decoded pixels across frames
+    are capped at ``_MAX_PIXELS`` too (a tiny crafted file with 16
+    max-screen solid frames would otherwise buffer ~800 MB of RGB —
+    frames past either budget are parsed past, not decoded). Delay is
+    the GCE's centiseconds as milliseconds, 0 when absent or encoded 0
+    — kept raw: the sampler documents that a zero-delay animation has
+    no timeline and yields only frame 0 (browsers that clamp 0 to
+    ~100 ms are making a playback choice, not a decode claim).
     Returns None to quarantine (not a GIF, malformed, subset violated)."""
     import numpy as np
 
@@ -1599,8 +1615,10 @@ def _decode_gif_frames(
                 lzw += b[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             pos += 1
-            if len(frames) >= max_frames:
-                # bounded work: the frame is parsed past, not decoded
+            if (len(frames) >= max_frames
+                    or (len(frames) + 1) * w * h > _MAX_PIXELS):
+                # bounded work and memory: past either budget the frame
+                # is parsed past, not decoded
                 pending_delay = 0
                 continue
             idx = _gif_lzw_decode(bytes(lzw), min_size, w * h)
@@ -1609,10 +1627,7 @@ def _decode_gif_frames(
             arr = np.frombuffer(idx, dtype=np.uint8)
             if iflags & 0x40:
                 if interlace_order is None:
-                    interlace_order = np.concatenate([
-                        np.arange(0, h, 8), np.arange(4, h, 8),
-                        np.arange(2, h, 4), np.arange(1, h, 2),
-                    ])
+                    interlace_order = _gif_interlace_order(h)
                 rows = np.empty((h, w), dtype=np.uint8)
                 rows[interlace_order] = arr.reshape(h, w)
                 arr = rows.reshape(-1)
@@ -1628,43 +1643,54 @@ def _decode_gif_frames(
     return w, h, frames
 
 
-def _gif_encode(
-    indices: bytes, palette: bytes, w: int, h: int, interlace: bool = False
-) -> bytes:
-    """Full single-frame GIF89a file over palette ``indices`` — the
-    synthetic/test twin of :func:`_decode_gif_pixels`. ``interlace``
-    stores the rows in the spec's four-pass order and sets the flag."""
-    if interlace:
-        import numpy as np
-
-        order = np.concatenate([
-            np.arange(0, h, 8), np.arange(4, h, 8),
-            np.arange(2, h, 4), np.arange(1, h, 2),
-        ])
-        indices = (
-            np.frombuffer(indices, dtype=np.uint8)
-            .reshape(h, w)[order]
-            .tobytes()
-        )
+def _gif_screen_header(palette: bytes, w: int, h: int) -> tuple[bytes, int]:
+    """GIF89a signature + logical screen + padded global color table;
+    returns (header_bytes, lzw_min_size). Shared by both encoder twins."""
     ncolors = len(palette) // 3
     depth = max(1, (ncolors - 1).bit_length())
     table = palette + bytes(3 * ((1 << depth) - ncolors))
-    min_size = max(2, depth)
+    header = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (depth - 1), 0, 0])
+        + table
+    )
+    return header, max(2, depth)
+
+
+def _gif_frame_block(
+    indices: bytes, w: int, h: int, min_size: int, interlace: bool
+) -> bytes:
+    """Image descriptor + LZW sub-blocks for one full-frame image.
+    Shared by both encoder twins."""
+    if interlace:
+        import numpy as np
+
+        indices = (
+            np.frombuffer(indices, dtype=np.uint8)
+            .reshape(h, w)[_gif_interlace_order(h)]
+            .tobytes()
+        )
     lzw = _gif_lzw_encode(indices, min_size)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         blocks += bytes([len(chunk)]) + chunk
     return (
-        b"GIF89a"
-        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-        + bytes([0x80 | (depth - 1), 0, 0])
-        + table
-        + b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
         + (b"\x40" if interlace else b"\x00")
         + bytes([min_size]) + bytes(blocks) + b"\x00"
-        + b"\x3b"
     )
+
+
+def _gif_encode(
+    indices: bytes, palette: bytes, w: int, h: int, interlace: bool = False
+) -> bytes:
+    """Full single-frame GIF89a file over palette ``indices`` — the
+    synthetic/test twin of :func:`_decode_gif_pixels`. ``interlace``
+    stores the rows in the spec's four-pass order and sets the flag."""
+    header, min_size = _gif_screen_header(palette, w, h)
+    return header + _gif_frame_block(indices, w, h, min_size, interlace) + b"\x3b"
 
 
 def _gif_encode_animated(
@@ -1678,39 +1704,16 @@ def _gif_encode_animated(
 ) -> bytes:
     """Multi-frame GIF89a twin of :func:`_decode_gif_frames`: one GCE
     (delay in centiseconds; optional transparency flag, for quarantine
-    tests) + full-frame image block per entry. Reuses the single-frame
-    encoder's LZW/palette layout per frame."""
-    import numpy as np
-
-    ncolors = len(palette) // 3
-    depth = max(1, (ncolors - 1).bit_length())
-    table = palette + bytes(3 * ((1 << depth) - ncolors))
-    min_size = max(2, depth)
-    out = bytearray(
-        b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-        + bytes([0x80 | (depth - 1), 0, 0]) + table
-    )
+    tests) + full-frame image block per entry, via the shared
+    :func:`_gif_screen_header` / :func:`_gif_frame_block` emitters."""
+    header, min_size = _gif_screen_header(palette, w, h)
+    out = bytearray(header)
     for fi, indices in enumerate(frame_indices):
         delay = (delays_cs or [0] * len(frame_indices))[fi]
         out += (b"\x21\xf9\x04"
                 + bytes([1 if transparent else 0])
                 + delay.to_bytes(2, "little") + b"\x00\x00")
-        if interlace:
-            order = np.concatenate([
-                np.arange(0, h, 8), np.arange(4, h, 8),
-                np.arange(2, h, 4), np.arange(1, h, 2),
-            ])
-            indices = (np.frombuffer(indices, dtype=np.uint8)
-                       .reshape(h, w)[order].tobytes())
-        lzw = _gif_lzw_encode(indices, min_size)
-        blocks = bytearray()
-        for i in range(0, len(lzw), 255):
-            chunk = lzw[i : i + 255]
-            blocks += bytes([len(chunk)]) + chunk
-        out += (b"\x2c" + bytes(4)
-                + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-                + (b"\x40" if interlace else b"\x00")
-                + bytes([min_size]) + bytes(blocks) + b"\x00")
+        out += _gif_frame_block(indices, w, h, min_size, interlace)
     out += b"\x3b"
     return bytes(out)
 

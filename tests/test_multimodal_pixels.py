@@ -852,3 +852,40 @@ def test_sample_frames_stub_mode_unchanged(spark):
     rows = sample_frames(media, every_ms=1000, max_frames=8).collect()
     assert rows and all(r["media_id"] == 7 for r in rows)
     assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+
+
+def test_gif_frames_total_pixel_budget_bounds_memory():
+    # a 3000x3000 screen (~9M px) with 3 solid frames compresses tiny
+    # but would buffer 81MB of RGB without the cumulative budget:
+    # 16.7M-px cap / 9M px -> only frame 0 decodes, the rest parse past
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_gif_frames,
+        _gif_encode_animated,
+    )
+    w = h = 3000
+    solid = bytes(w * h)  # index 0 everywhere -> tiny LZW
+    pal = bytes(6)  # 2 colors
+    b = _gif_encode_animated([solid] * 3, pal, w, h, delays_cs=[10] * 3)
+    out = _decode_gif_frames(b, max_frames=16)
+    assert out is not None
+    assert len(out[2]) == 1  # budget = _MAX_PIXELS total decoded pixels
+
+
+def test_sample_frames_rejects_nonpositive_knobs(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    pdf = pd.DataFrame({
+        "media_id": pd.array([1], dtype="Int64"),
+        "kind": "video", "payload": [b"x"], "source_uri": "x",
+    })
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    with _pytest.raises(ValueError):
+        sample_frames(media, every_ms=0, decode_stub=False)
+    with _pytest.raises(ValueError):
+        sample_frames(media, max_frames=0)
