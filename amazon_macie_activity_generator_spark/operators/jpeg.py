@@ -179,10 +179,14 @@ def _decode_lut(bits, vals) -> list:
         code <<= 1
     lut = arr.tolist()
     # list entries are ~2 MB of boxed ints apiece (vs 256 KiB as numpy),
-    # so the churn cap is 8, not 64: real corpora use the 4 Annex K
-    # tables; a hostile corpus cycling distinct tables can pin at most
-    # ~18 MB per worker, and uncached tables still decode (just slower)
-    if len(_LUT_CACHE) < 8:
+    # so the churn cap is 8, not 64; a hostile corpus cycling distinct
+    # tables pins at most ~18 MB per worker and uncached tables still
+    # decode (just slower). The standard tables bypass the cap: without
+    # that, a worker whose first few files carry optimized per-file
+    # tables (mozjpeg -optimize emits 4 per file) would fill every slot
+    # and force an LUT rebuild per Annex-K file forever after — at most
+    # 5 bypass keys, so the hard bound is 13 entries (~26 MB)
+    if len(_LUT_CACHE) < 8 or key in _STD_TABLE_KEYS:
         _LUT_CACHE[key] = lut
     return lut
 
@@ -1164,6 +1168,16 @@ def jpeg_encode_baseline(
 PROG_AC_TABLE = (
     (0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0),
     tuple(range(256)),
+)
+
+# cache keys of the tables real corpora overwhelmingly ship (plus the
+# progressive twin's universal table) — these bypass the _LUT_CACHE
+# churn cap so per-file optimized tables can't evict them (see
+# _decode_lut)
+_STD_TABLE_KEYS = frozenset(
+    (tuple(bits), tuple(vals))
+    for bits, vals in (STD_DC_LUMA, STD_DC_CHROMA,
+                       STD_AC_LUMA, STD_AC_CHROMA, PROG_AC_TABLE)
 )
 
 

@@ -1118,9 +1118,12 @@ def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
                 # (the 64-row floor dominates only for very wide images).
                 # A sub-crossover tail (< 64 rows) folds into the final
                 # block ONLY while the folded block stays within 2x the
-                # px budget — on pathologically wide images it runs as
-                # its own wavefront block instead (short diagonals, but
-                # still far cheaper than w*bpp*rows scalar Python steps)
+                # px budget — on pathologically wide images (where even
+                # one 64-row fold would blow the budget) the tail falls
+                # through to the scalar lane scan instead: a wavefront
+                # over < 64 rows never amortizes its per-diagonal numpy
+                # dispatch (the measured crossover this module's gate
+                # constants encode)
                 block = max(_WAVEFRONT_MIN_ROWS, _WAVEFRONT_BLOCK_PX // w)
                 done = 0
                 while done < k:
@@ -1128,6 +1131,18 @@ def _png_reconstruct(data: bytes, w: int, h: int, bpp: int) -> bytes | None:
                     if (k - done - kk < _WAVEFRONT_MIN_ROWS
                             and (k - done) * w <= 2 * _WAVEFRONT_BLOCK_PX):
                         kk = k - done
+                    if kk < _WAVEFRONT_MIN_ROWS:
+                        pr_bytes = prior.tobytes()
+                        for rr in range(r + done, r + done + kk):
+                            row = _avg_paeth_row_scalar(
+                                lines[rr].tobytes(), pr_bytes,
+                                int(fts[rr]), stride, bpp,
+                            )
+                            out[rr] = np.frombuffer(bytes(row), np.uint8)
+                            pr_bytes = bytes(row)
+                        prior = out[r + done + kk - 1]
+                        done += kk
+                        continue
                     out[r + done : r + done + kk] = _avg_paeth_wavefront(
                         lines[r + done : r + done + kk],
                         fts[r + done : r + done + kk], prior, w, bpp,
@@ -1721,9 +1736,18 @@ def _gif_encode_animated(
 def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
     """Sniff + decode one payload to (fmt, w, h, top-down RGB bytes); None
     for anything malformed, truncated, or outside the supported formats
-    (BMP / PPM / PNG / GIF / baseline JPEG)."""
+    (BMP / PPM / PNG / GIF / JPEG incl. progressive)."""
     if not b or len(b) < 10:
         return None
+    if b[:2] == b"\xff\xd8":  # JPEG (round 10) — OUTSIDE the broad
+        # except: decode_jpeg_pixels implements the malformed-input ->
+        # None mapping itself, precisely so that an exception past a
+        # successful parse means a decoder BUG and stays loud instead of
+        # being misfiled as a quarantine row here
+        from .jpeg import decode_jpeg_pixels
+
+        out = decode_jpeg_pixels(b)
+        return ("jpeg",) + out if out else None
     try:
         if b[:2] == b"BM":
             out = _decode_bmp_pixels(b)
@@ -1737,16 +1761,11 @@ def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
         if b[:6] in (b"GIF87a", b"GIF89a"):
             out = _decode_gif_pixels(b)
             return ("gif",) + out if out else None
-        if b[:2] == b"\xff\xd8":  # baseline JPEG (round 10)
-            from .jpeg import decode_jpeg_pixels
-
-            out = decode_jpeg_pixels(b)
-            return ("jpeg",) + out if out else None
     except (ValueError, IndexError, OverflowError, MemoryError):
         # MemoryError included: a legitimate huge payload under executor
         # pressure degrades to a NULL-stats quarantine row, never a dead
         # task (the decoders bound their own transients — PNG inflate cap,
-        # wavefront blocking, JPEG entropy-bits guard + chunked IDCT)
+        # wavefront blocking)
         return None
     return None
 

@@ -253,9 +253,11 @@ def summarize() -> None:
                 if not r.get("agree") and not r.get("oracle_timeout")
                 and is_resource(r)]
     # oracle-side failures that are neither timeouts nor resource deaths
-    # (e.g. a DuckDB OutOfMemoryException) — still not engine failures
+    # (e.g. a DuckDB OutOfMemoryException) — still not engine failures.
+    # The status values are mutually exclusive by construction in
+    # drive_chunk, so no overlap check with `resource` is needed.
     oracle_err = [r for r in latest.values()
-                  if r.get("status") == "oracle_error" and r not in resource]
+                  if r.get("status") == "oracle_error"]
     fail = [r for r in latest.values()
             if not r.get("agree") and not r.get("oracle_timeout")
             and r not in resource and r not in oracle_err]
