@@ -179,7 +179,9 @@ def _parse_wav_duration_ms(b: bytes | None) -> int | None:
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         csize = int.from_bytes(b[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(b):
+        if cid == b"fmt " and i + 24 <= len(b) and csize >= 16:
+            # csize < 16 would read the NEXT chunk's header bytes as fmt
+            # fields — reject the chunk instead of parsing garbage
             sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
             block_align = int.from_bytes(b[i + 20 : i + 22], "little")
         elif cid == b"data":
@@ -194,18 +196,36 @@ def _parse_wav_duration_ms(b: bytes | None) -> int | None:
 # the audio twin of _MAX_PIXELS (16M samples of int32 stage = 64 MB)
 _MAX_SAMPLES = 1 << 24
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail (bytes 2..16 of the
+# KSDATAFORMAT_SUBTYPE_* media GUIDs — the leading 2 bytes carry the
+# classic wFormatTag code, 1 = PCM, 3 = IEEE float)
+_WAVE_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
 
 def _decode_wav_pcm(b: bytes | None):
-    """RIFF/WAVE integer-PCM decode -> (sample_rate, frames) where
-    ``frames`` is an int32 ndarray of shape (n_frames, n_channels) —
-    or None to quarantine (non-WAV, malformed, float/compressed
-    formats, over-budget sample counts). Depth conventions: 8-bit
+    """RIFF/WAVE PCM decode -> (sample_rate, frames) where ``frames`` is
+    an int32 ndarray of shape (n_frames, n_channels) — or None to
+    quarantine (non-WAV, malformed, compressed codecs, over-budget
+    sample counts). Accepted fmt lanes: classic integer PCM (wFormatTag
+    1), IEEE float (tag 3, 32/64-bit), and WAVE_FORMAT_EXTENSIBLE
+    (tag 0xFFFE) wrapping either — the SubFormat GUID must carry the
+    standard KSDATAFORMAT tail, and the sample data is decoded at the
+    container depth (valid-bits-left-justified storage per the spec, so
+    the container read IS the sample value). Depth conventions: 8-bit
     samples are unsigned per spec and are CENTERED here (value - 128, so
     silence is 0 at every depth); 16/24/32-bit are signed little-endian
-    (24-bit sign-extended from 3 bytes). A data chunk longer than the
-    remaining bytes truncates to the complete frames actually present —
-    the same tolerance as `_parse_wav_duration_ms`, so a tail-truncated
-    upload yields stats over its real audio instead of a dead row."""
+    (24-bit sign-extended from 3 bytes). FLOAT lane convention (defined
+    here, documented for oracle use): nominal-range floats map onto the
+    16-bit integer lattice — i = clip(rint(x * 32768), -32768, 32767) —
+    so float stats are directly comparable with 16-bit PCM stats; any
+    non-finite sample (NaN/Inf) quarantines the file, matching the
+    engine's finite-gate convention, since garbage stats are worse than
+    an honest NULL row. A fmt chunk whose declared size is under the
+    16 fixed bytes is rejected (it would read the next chunk's header
+    bytes as fmt fields). A data chunk longer than the remaining bytes
+    truncates to the complete frames actually present — the same
+    tolerance as `_parse_wav_duration_ms`, so a tail-truncated upload
+    yields stats over its real audio instead of a dead row."""
     import numpy as np
 
     if not b or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -216,25 +236,47 @@ def _decode_wav_pcm(b: bytes | None):
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         csize = int.from_bytes(b[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(b):
+        if cid == b"fmt " and i + 24 <= len(b) and csize >= 16:
             fmt_code = int.from_bytes(b[i + 8 : i + 10], "little")
             nch = int.from_bytes(b[i + 10 : i + 12], "little")
             sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
             block_align = int.from_bytes(b[i + 20 : i + 22], "little")
             bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            if fmt_code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                # 40-byte fmt: cbSize(2) validBits(2) channelMask(4)
+                # SubFormat GUID(16); the GUID's first 2 bytes are the
+                # real format code, the tail must be the standard one
+                if csize < 40 or i + 48 > len(b):
+                    return None
+                sub = b[i + 32 : i + 48]
+                if sub[2:] != _WAVE_GUID_TAIL:
+                    return None
+                fmt_code = int.from_bytes(sub[:2], "little")
         elif cid == b"data":
             data = b[i + 8 : i + 8 + csize]
         i += 8 + csize + (csize % 2)  # chunks are word-aligned
-    if (fmt_code != 1 or not sample_rate or not nch or not bits
+    if (fmt_code not in (1, 3) or not sample_rate or not nch or not bits
             or data is None):
-        return None  # float (3) / ADPCM / extensible quarantine
-    if bits not in (8, 16, 24, 32) or block_align != nch * (bits // 8):
+        return None  # ADPCM / MP3 / unknown-GUID quarantine
+    if fmt_code == 3:
+        if bits not in (32, 64):
+            return None
+    elif bits not in (8, 16, 24, 32):
+        return None
+    if block_align != nch * (bits // 8):
         return None
     n_frames = len(data) // block_align
     if n_frames == 0 or n_frames * nch > _MAX_SAMPLES:
         return None
     data = data[: n_frames * block_align]
-    if bits == 8:
+    if fmt_code == 3:
+        x = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+        if not np.isfinite(x).all():
+            return None  # NaN/Inf: finite-gate quarantine (docstring)
+        samples = np.clip(
+            np.rint(x.astype(np.float64) * 32768), -32768, 32767
+        ).astype(np.int32)
+    elif bits == 8:
         samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
     elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
@@ -423,41 +465,71 @@ def _wav_bytes(media_id: int) -> bytes:
     return header + bytes((media_id + j) % 256 for j in range(data_size))
 
 
-def _wav_encode(frames, sample_rate: int, bits: int) -> bytes:
-    """RIFF/WAVE integer-PCM writer over an int (n_frames, n_channels)
-    array — the encoder twin of :func:`_decode_wav_pcm` (8-bit stored
-    unsigned per spec, i.e. value + 128; 16/24/32 signed LE; odd-length
-    data chunks get the RIFF pad byte)."""
+def _wav_encode(
+    frames,
+    sample_rate: int,
+    bits: int,
+    fmt: str = "pcm",
+    extensible: bool = False,
+) -> bytes:
+    """RIFF/WAVE writer over an (n_frames, n_channels) array — the
+    encoder twin of :func:`_decode_wav_pcm`. ``fmt='pcm'`` takes ints
+    (8-bit stored unsigned per spec, i.e. value + 128; 16/24/32 signed
+    LE); ``fmt='float'`` takes floats stored as IEEE ``<f4``/``<f8``
+    (bits 32/64, wFormatTag 3). ``extensible=True`` wraps either lane in
+    a 40-byte WAVE_FORMAT_EXTENSIBLE fmt chunk (tag 0xFFFE, cbSize 22,
+    validBits = container bits, the standard KSDATAFORMAT GUID).
+    Odd-length data chunks get the RIFF pad byte."""
     import numpy as np
 
-    arr = np.asarray(frames, dtype=np.int64)
-    n_frames, nch = arr.shape
-    if bits == 8:
-        data = (arr + 128).astype(np.uint8).tobytes()
-    elif bits == 16:
-        data = arr.astype("<i2").tobytes()
-    elif bits == 32:
-        data = arr.astype("<i4").tobytes()
-    elif bits == 24:
-        x = arr & 0xFFFFFF
-        data = np.stack(
-            [x & 0xFF, (x >> 8) & 0xFF, (x >> 16) & 0xFF], axis=-1
-        ).astype(np.uint8).tobytes()
+    if fmt == "float":
+        if bits not in (32, 64):
+            raise ValueError(f"unsupported float depth {bits}")
+        arr = np.asarray(frames, dtype=np.float64)
+        n_frames, nch = arr.shape
+        data = arr.astype("<f4" if bits == 32 else "<f8").tobytes()
+        tag = 3
     else:
-        raise ValueError(f"unsupported bit depth {bits}")
+        arr = np.asarray(frames, dtype=np.int64)
+        n_frames, nch = arr.shape
+        if bits == 8:
+            data = (arr + 128).astype(np.uint8).tobytes()
+        elif bits == 16:
+            data = arr.astype("<i2").tobytes()
+        elif bits == 32:
+            data = arr.astype("<i4").tobytes()
+        elif bits == 24:
+            x = arr & 0xFFFFFF
+            data = np.stack(
+                [x & 0xFF, (x >> 8) & 0xFF, (x >> 16) & 0xFF], axis=-1
+            ).astype(np.uint8).tobytes()
+        else:
+            raise ValueError(f"unsupported bit depth {bits}")
+        tag = 1
     block_align = nch * (bits // 8)
-    header = (
-        b"RIFF"
-        + (36 + len(data) + (len(data) % 2)).to_bytes(4, "little")
-        + b"WAVE"
-        + b"fmt "
-        + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")
+    fmt_body = (
+        (0xFFFE if extensible else tag).to_bytes(2, "little")
         + nch.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + (sample_rate * block_align).to_bytes(4, "little")
         + block_align.to_bytes(2, "little")
         + bits.to_bytes(2, "little")
+    )
+    if extensible:
+        fmt_body += (
+            (22).to_bytes(2, "little")       # cbSize
+            + bits.to_bytes(2, "little")     # wValidBitsPerSample
+            + (0).to_bytes(4, "little")      # dwChannelMask
+            + tag.to_bytes(2, "little") + _WAVE_GUID_TAIL
+        )
+    header = (
+        b"RIFF"
+        + (20 + len(fmt_body) + len(data) + (len(data) % 2)).to_bytes(
+            4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + len(fmt_body).to_bytes(4, "little")
+        + fmt_body
         + b"data"
         + len(data).to_bytes(4, "little")
     )

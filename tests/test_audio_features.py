@@ -155,6 +155,109 @@ def test_bitflipped_wavs_never_raise(flips):
 
 
 # ---------------------------------------------------------------------------
+# Float (wFormatTag 3) + WAVE_FORMAT_EXTENSIBLE lanes (round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [32, 64])
+@pytest.mark.parametrize("nch", [1, 2])
+def test_float_lane_maps_to_16bit_lattice_exact(bits, nch):
+    # integers k in [-32768, 32767] stored as k/32768 are exact in f32
+    # (|k| < 2^24) and must decode back to exactly k
+    rng = np.random.RandomState(bits + nch)
+    k = rng.randint(-32768, 32768, size=(41, nch)).astype(np.int64)
+    b = _wav_encode(k / 32768.0, 48000, bits, fmt="float")
+    out = _decode_wav_pcm(b)
+    assert out is not None
+    rate, got = out
+    assert rate == 48000 and np.array_equal(got, k)
+
+
+def test_float_lane_clips_out_of_range():
+    b = _wav_encode(np.array([[1.5], [-2.0], [0.0]]), 8000, 32, fmt="float")
+    out = _decode_wav_pcm(b)
+    assert out is not None
+    assert out[1].ravel().tolist() == [32767, -32768, 0]
+
+
+def test_float_lane_nonfinite_quarantines():
+    for bad in (np.nan, np.inf, -np.inf):
+        b = _wav_encode(np.array([[0.5], [bad]]), 8000, 32, fmt="float")
+        assert _decode_wav_pcm(b) is None
+
+
+def test_float_lane_rejects_integer_depths():
+    # tag 3 with a 16-bit container is malformed — quarantine, not decode
+    b = bytearray(_wav_encode(np.zeros((8, 1), dtype=np.int64), 8000, 16))
+    b[20:22] = (3).to_bytes(2, "little")
+    assert _decode_wav_pcm(bytes(b)) is None
+
+
+@pytest.mark.parametrize("fmt,bits", [("pcm", 16), ("pcm", 24),
+                                      ("float", 32)])
+def test_extensible_wrapper_round_trip(fmt, bits):
+    if fmt == "float":
+        k = np.arange(-10, 10, dtype=np.int64).reshape(10, 2)
+        frames = k / 32768.0
+        want = k
+    else:
+        frames = want = (np.arange(20, dtype=np.int64).reshape(10, 2)
+                         * 99 - 500)
+    b = _wav_encode(frames, 22050, bits, fmt=fmt, extensible=True)
+    # wrapper sanity: fmt chunk is 40 bytes and the tag is 0xFFFE
+    assert b[16:20] == (40).to_bytes(4, "little")
+    assert b[20:22] == (0xFFFE).to_bytes(2, "little")
+    out = _decode_wav_pcm(b)
+    assert out is not None
+    rate, got = out
+    assert rate == 22050 and np.array_equal(got, want)
+
+
+def test_extensible_unknown_guid_quarantines():
+    b = bytearray(_wav_encode(np.ones((8, 1), dtype=np.int64), 8000, 16,
+                              extensible=True))
+    b[34] ^= 0xFF  # corrupt a GUID tail byte (offset 32+2 into fmt at 20)
+    assert _decode_wav_pcm(bytes(b)) is None
+
+
+def test_extensible_truncated_fmt_quarantines():
+    # claims 0xFFFE but the fmt chunk is only the 16 base bytes
+    b = bytearray(_wav_encode(np.ones((8, 1), dtype=np.int64), 8000, 16))
+    b[20:22] = (0xFFFE).to_bytes(2, "little")
+    assert _decode_wav_pcm(bytes(b)) is None
+
+
+def test_undersized_fmt_chunk_rejected_not_misparsed():
+    # a fmt chunk declaring csize 12 would have the data chunk's header
+    # read as its rate/align fields — both decoders must reject it
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _parse_wav_duration_ms,
+    )
+
+    good = _wav_encode(np.ones((8, 1), dtype=np.int64), 8000, 16)
+    bad = bytearray(good)
+    bad[16:20] = (12).to_bytes(4, "little")  # fmt csize: 16 -> 12
+    assert _decode_wav_pcm(bytes(bad)) is None
+    assert _parse_wav_duration_ms(bytes(bad)) is None
+    assert _parse_wav_duration_ms(good) is not None
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_float_extensible_never_raise(flips):
+    payload = bytearray(_wav_encode(
+        np.linspace(-0.9, 0.9, 64).reshape(32, 2), 16000, 32,
+        fmt="float", extensible=True,
+    ))
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    out = _decode_wav_pcm(bytes(payload))
+    assert out is None or (out[0] > 0 and out[1].ndim == 2)
+
+
+# ---------------------------------------------------------------------------
 # Spark stage
 # ---------------------------------------------------------------------------
 
