@@ -344,6 +344,11 @@ def _decode_frame(b: bytes):
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     qtables: dict[int, np.ndarray] = {}
+    # progressive streams may legally redefine a DQT slot between scans
+    # (T.81 B.2.4.1); libjpeg latches each component's table at the
+    # component's FIRST scan and we match that de-facto reference —
+    # qlatch maps component index -> the table snapshot taken then
+    qlatch: dict[int, np.ndarray] = {}
     huff_dc: dict[int, np.ndarray] = {}
     huff_ac: dict[int, np.ndarray] = {}
     frame = None  # (w, h, [(cid, hi, vi, tq), ...])
@@ -370,7 +375,8 @@ def _decode_frame(b: bytes):
         if marker == 0xD9:  # EOI: end of a progressive stream, or
             if prog is not None and nscans:  # premature before any scan
                 w, h, comps = frame
-                return _finalize_progressive(prog, comps, qtables, w, h)
+                return _finalize_progressive(prog, comps, qtables, qlatch,
+                                             w, h)
             return None
         if i + 4 > n:
             return None
@@ -521,6 +527,12 @@ def _decode_frame(b: bytes):
                     if ac_lut is None:
                         return None
                 scan.append((idx, dc_lut, ac_lut))
+            for idx, _, _ in scan:
+                if idx not in qlatch:
+                    q = qtables.get(comps[idx][3])
+                    if q is None:
+                        return None  # table must precede first use
+                    qlatch[idx] = q
             if prog is None:
                 prog = _prog_init(b, i, w, h, comps)
                 if prog is None:
@@ -760,15 +772,22 @@ def _decode_scan_progressive(
     return pos_after
 
 
-def _finalize_progressive(prog, comps, qtables, w: int, h: int):
+def _finalize_progressive(prog, comps, qtables, qlatch, w: int, h: int):
     """Dequantize the accumulated grids and reshape to the MCU-scan-order
     natural-order coefficient stacks `_frame_to_rgb` expects — the exact
     layout `_decode_scan` produces, so the IDCT/upsample/color stage is
-    shared verbatim between the baseline and progressive paths."""
+    shared verbatim between the baseline and progressive paths.
+
+    Dequantization uses ``qlatch`` — the table snapshot taken at each
+    component's FIRST scan (matching libjpeg's latch; a between-scan DQT
+    redefinition must not apply retroactively). A component that never
+    appeared in any scan has an all-zero grid; it falls back to the
+    current table, and any table dequantizes zeros to zeros."""
     nat_idx = list(ZIGZAG)
     result = []
-    for (cid, hi, vi, tq), grid in zip(comps, prog["grids"]):
-        q = qtables.get(tq)
+    for ci, ((cid, hi, vi, tq), grid) in enumerate(
+            zip(comps, prog["grids"])):
+        q = qlatch.get(ci, qtables.get(tq))
         if q is None:
             return None
         brows, bcols = grid.shape[0], grid.shape[1]

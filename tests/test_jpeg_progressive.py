@@ -386,6 +386,43 @@ def test_hand_authored_ac_first_and_refine_coefficients():
     assert np.array_equal(coeffs, expected)
 
 
+def test_between_scan_dqt_redefinition_does_not_apply_retroactively():
+    """T.81 B.2.4.1 allows redefining a DQT slot between scans; libjpeg
+    latches each component's table at its FIRST scan and never looks
+    again. Rebuild the known DC-only stream (decodes to constant 139
+    with q=8) but redefine table 0 to all-16 before the refine scan:
+    with the latch the result is still 139; a last-table-wins decoder
+    would dequantize 11*16 and clip to 255."""
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        PROG_AC_TABLE,
+        STD_DC_LUMA,
+        _seg,
+    )
+
+    def bb(bitstr):
+        bitstr += "1" * ((8 - len(bitstr) % 8) % 8)
+        raw = bytes(int(bitstr[i:i + 8], 2) for i in range(0, len(bitstr), 8))
+        return raw.replace(b"\xff", b"\xff\x00")
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + bytes([8] * 64))
+    out += _seg(0xC2, bytes([8]) + (8).to_bytes(2, "big")
+                + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    bits_dc, vals_dc = STD_DC_LUMA
+    out += _seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(vals_dc))
+    bits_ac, vals_ac = PROG_AC_TABLE
+    out += _seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(vals_ac))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bb("100" + "101")
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bb("00000000")
+    # the redefinition under test: table 0 becomes all-16 mid-stream
+    out += _seg(0xDB, b"\x00" + bytes([16] * 64))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bb("1")
+    out += b"\xff\xd9"
+    res = decode_jpeg_pixels(bytes(out))
+    assert res is not None and res[:2] == (8, 8)
+    assert set(res[2]) == {139}
+
+
 # ---------------------------------------------------------------------------
 # property fuzz: random coefficients, sampling, restart, script depth
 # ---------------------------------------------------------------------------
