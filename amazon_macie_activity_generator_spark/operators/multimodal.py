@@ -41,13 +41,17 @@ decompression-bomb guard caps claimed dimensions and inflate output.
 ``resize_images(decode_stub=False)`` rides the same decoders: real
 nearest-neighbor resize for the decodable formats, NULL-payload quarantine
 otherwise. The AUDIO leg is real too: ``extract_audio_features`` decodes
-RIFF/WAVE integer PCM (8-bit unsigned-centered / 16 / 24 sign-extended /
-32-bit, mono+multichannel, truncation-tolerant, 16M-sample bomb guard)
-and emits exact int64 stats (sample_sum / abs_peak / duration) plus a
-float64 rms — narrow features out, never the samples. And the
+RIFF/WAVE PCM — integer (8-bit unsigned-centered / 16 / 24 sign-extended
+/ 32-bit), IEEE float (fmt 3, 32/64-bit, mapped onto the 16-bit integer
+lattice), and WAVE_FORMAT_EXTENSIBLE wrappers around either (round 11) —
+mono+multichannel, truncation-tolerant, 16M-sample bomb guard — and
+emits exact int64 stats (sample_sum / abs_peak / duration) plus a
+float64 rms; narrow features out, never the samples. And the
 MULTI-FRAME leg: ``sample_frames(decode_stub=False)`` decodes animated
-GIF for real (the defined full-frame/opaque subset, GCE-timestamped,
-decode work capped at max_frames) and samples frames at ``every_ms``
+GIF for real with FULL COMPOSITING (round 11: partial frames onto the
+logical screen, disposal methods 0-3, GCE transparency — each sampled
+frame is the composited screen, GCE-timestamped, work and memory
+bounded by a cumulative pixel budget) and samples frames at ``every_ms``
 boundaries; true video containers (ISO-BMFF/EBML/AVI magic) raise
 NotImplementedError — frame-accurate video seeking genuinely needs
 ffmpeg and that seam stays loud. Arithmetic-coded/
@@ -721,19 +725,24 @@ def sample_frames(
     mode derives a deterministic frame count from the payload digest.
 
     ``decode_stub=False`` is REAL for animated GIF (the one multi-frame
-    format decodable stdlib-only; see :func:`_decode_gif_frames` for the
-    defined full-frame/opaque subset): frames are decoded to raw RGB
-    payloads with cumulative GCE timestamps, then sampled — frame 0
-    always, thereafter the first frame at or past each ``every_ms``
-    boundary, capped at ``max_frames``. Decode work is bounded by the
-    same cap: sampling operates over the first ``max_frames`` DECODED
-    frames (a hostile million-frame file cannot buy unbounded LZW work),
-    and a zero-delay animation yields just frame 0 — with no timeline
-    there is nothing at later sample points. True video containers (ISO-BMFF/EBML/AVI magic)
+    format decodable stdlib-only; see :func:`_decode_gif_frames` — round
+    11: full compositing, i.e. partial frames, disposal methods 0-3 and
+    GCE transparency, each sampled frame being the composited logical
+    screen): frames are decoded with cumulative GCE timestamps, then
+    sampled — frame 0 always, thereafter the first frame at or past each
+    ``every_ms`` boundary. ``max_frames`` caps EMITTED rows only; decode
+    work/memory are bounded inside the decoder by a cumulative
+    ``_MAX_PIXELS`` budget over LZW output and buffered screens (16.7M
+    px — >4000 frames at 64x64), so long animations' later boundaries
+    stay reachable instead of hitting a fixed decoded-frame horizon; a
+    file past the budget contributes only its in-budget prefix of the
+    timeline (documented truncation, see the decoder docstring). A
+    zero-delay animation yields just frame 0 — with no timeline there is
+    nothing at later sample points. True video containers (ISO-BMFF/EBML/AVI magic)
     still raise NotImplementedError — frame-accurate seeking genuinely
     needs ffmpeg, which this container lacks, and that seam stays loud
-    rather than silently quarantined. Anything else (malformed, subset
-    violations, non-media bytes) yields one NULL-fields quarantine row,
+    rather than silently quarantined. Anything else (malformed,
+    non-media bytes) yields one NULL-fields quarantine row,
     the same never-a-dead-task contract as decode_pixels."""
     if every_ms <= 0 or max_frames <= 0:
         # fail at the API boundary, not as a ZeroDivisionError mid-task
@@ -769,7 +778,7 @@ def sample_frames(
                 decoded = None
                 if payload is not None:
                     try:
-                        decoded = _decode_gif_frames(payload, max_frames)
+                        decoded = _decode_gif_frames(payload)
                     except (ValueError, IndexError, OverflowError,
                             MemoryError):
                         decoded = None
@@ -1617,25 +1626,39 @@ def _gif_interlace_order(h: int):
 
 
 def _decode_gif_frames(
-    b: bytes, max_frames: int
+    b: bytes, max_frames: int | None = None
 ) -> tuple[int, int, list[tuple[int, bytes]]] | None:
-    """Animated (or single-frame) GIF -> (w, h, [(delay_ms, rgb), ...]).
-    Defined-subset semantics, each chosen so the result is exact without
-    a compositor: every frame must be FULL-FRAME (left=top=0, iw=w,
-    ih=h — each frame wholly replaces the screen, so disposal methods
-    are irrelevant) and OPAQUE (a GCE transparency flag quarantines:
-    transparent pixels composite over prior frames). Interlaced frames
-    reuse the four-pass scatter. Per-file work AND memory are bounded:
-    at most ``max_frames`` frames decode, the screen obeys the usual
-    ``_MAX_PIXELS`` guard, and the TOTAL decoded pixels across frames
-    are capped at ``_MAX_PIXELS`` too (a tiny crafted file with 16
-    max-screen solid frames would otherwise buffer ~800 MB of RGB —
-    frames past either budget are parsed past, not decoded). Delay is
-    the GCE's centiseconds as milliseconds, 0 when absent or encoded 0
-    — kept raw: the sampler documents that a zero-delay animation has
-    no timeline and yields only frame 0 (browsers that clamp 0 to
-    ~100 ms are making a playback choice, not a decode claim).
-    Returns None to quarantine (not a GIF, malformed, subset violated)."""
+    """Animated (or single-frame) GIF -> (w, h, [(delay_ms, rgb), ...])
+    with REAL compositing (round 11 — the full-frame/opaque subset
+    restriction is gone): each frame is composited onto the logical
+    screen at its (left, top, iw, ih) rectangle, GCE transparency
+    passes the underlying screen pixel through, and disposal methods
+    0-3 apply per spec AFTER the frame's snapshot is taken (0/1 leave
+    the screen, 2 restores the rectangle to the background color, 3
+    restores the pre-frame screen). Reserved disposals 4-7 quarantine.
+    Each emitted RGB is the full w x h screen AFTER compositing that
+    frame — the observable a real player shows. Defined conventions
+    (this decoder is the oracle spec): the initial screen and the
+    disposal-2 fill are the logical-screen background color — the GCT
+    entry named by the header's background index, black when absent or
+    out of range (browsers render these as transparent; an opaque RGB
+    contract needs a concrete color and this is the spec's own);
+    interlaced frames reuse the four-pass scatter over the FRAME's own
+    rows; delay is the GCE's centiseconds as milliseconds, 0 when
+    absent or encoded 0 — kept raw (the sampler documents that a
+    zero-delay animation has no timeline and yields only frame 0).
+
+    Work AND memory are bounded without a frame-count cliff: the
+    cumulative LZW output across ALL frames and the cumulative buffered
+    snapshot pixels are each capped at ``_MAX_PIXELS`` (16.7M px —
+    e.g. >4000 frames at 64x64); a file exceeding either budget yields
+    its in-budget PREFIX of frames (documented truncation: later
+    frames are not examined), so sampling boundaries deep into long
+    animations stay reachable up to the budget instead of a fixed
+    16-frame horizon. ``max_frames`` is an OPTIONAL extra cap for
+    direct callers; the sampler no longer passes one. Returns None to
+    quarantine (not a GIF, malformed, reserved disposal, color-table
+    violations)."""
     import numpy as np
 
     if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1643,6 +1666,7 @@ def _decode_gif_frames(
     w = int.from_bytes(b[6:8], "little")
     h = int.from_bytes(b[8:10], "little")
     flags = b[10]
+    bg_index = b[11]
     if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
         return None
     pos = 13
@@ -1653,9 +1677,15 @@ def _decode_gif_frames(
         if len(gct) < 3 * n:
             return None
         pos += 3 * n
+    bg_rgb = (0, 0, 0)
+    if gct is not None and 3 * bg_index + 3 <= len(gct):
+        bg_rgb = tuple(gct[3 * bg_index : 3 * bg_index + 3])
+    screen = np.empty((h, w, 3), dtype=np.uint8)
+    screen[:] = bg_rgb
     frames: list[tuple[int, bytes]] = []
-    pending_delay = 0
-    interlace_order = None
+    pending = (0, 0, None)  # (delay_ms, disposal, transparent_idx|None)
+    orders: dict[int, object] = {}  # per-frame-height interlace scatter
+    work_px = 0
     while pos < len(b):
         block = b[pos]
         if block == 0x21:  # extension
@@ -1663,14 +1693,18 @@ def _decode_gif_frames(
                 return None
             label = b[pos + 1]
             pos += 2
-            if label == 0xF9:  # graphic control: delay + transparency
+            if label == 0xF9:  # graphic control
                 if pos + 6 > len(b) or b[pos] != 4:
                     return None
-                if b[pos + 1] & 1:
-                    return None  # transparency: compositing semantics
-                pending_delay = int.from_bytes(
+                packed = b[pos + 1]
+                disposal = (packed >> 2) & 7
+                if disposal > 3:
+                    return None  # reserved (spec) — quarantine
+                delay_ms = int.from_bytes(
                     b[pos + 2 : pos + 4], "little"
                 ) * 10
+                tidx = b[pos + 4] if packed & 1 else None
+                pending = (delay_ms, disposal, tidx)
             while pos < len(b) and b[pos] != 0:
                 pos += 1 + b[pos]
             pos += 1
@@ -1690,8 +1724,9 @@ def _decode_gif_frames(
                 if len(ct) < 3 * n:
                     return None
                 pos += 3 * n
-            if (left, top, iw, ih) != (0, 0, w, h) or ct is None:
-                return None  # partial frame: needs compositing
+            if (iw < 1 or ih < 1 or left + iw > w or top + ih > h
+                    or ct is None):
+                return None  # rectangle outside the screen: malformed
             if pos >= len(b):
                 return None
             min_size = b[pos]
@@ -1702,25 +1737,51 @@ def _decode_gif_frames(
                 lzw += b[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             pos += 1
-            if (len(frames) >= max_frames
-                    or (len(frames) + 1) * w * h > _MAX_PIXELS):
-                # bounded work and memory: past either budget the frame
-                # is parsed past, not decoded
-                pending_delay = 0
-                continue
-            idx = _gif_lzw_decode(bytes(lzw), min_size, w * h)
-            if idx is None or max(idx) * 3 + 3 > len(ct):
+            if (work_px + iw * ih > _MAX_PIXELS
+                    or (len(frames) + 1) * w * h > _MAX_PIXELS
+                    or (max_frames is not None
+                        and len(frames) >= max_frames)):
+                break  # budget: return the in-budget prefix (docstring)
+            work_px += iw * ih
+            idx = _gif_lzw_decode(bytes(lzw), min_size, iw * ih)
+            if idx is None:
                 return None
             arr = np.frombuffer(idx, dtype=np.uint8)
-            if iflags & 0x40:
-                if interlace_order is None:
-                    interlace_order = _gif_interlace_order(h)
-                rows = np.empty((h, w), dtype=np.uint8)
-                rows[interlace_order] = arr.reshape(h, w)
-                arr = rows.reshape(-1)
+            delay_ms, disposal, tidx = pending
+            pending = (0, 0, None)
+            ncolors = len(ct) // 3
+            if tidx is None:
+                if int(arr.max()) >= ncolors:
+                    return None
+            else:
+                opaque = arr != tidx
+                # transparent pixels are never looked up, so only the
+                # opaque ones must be inside the color table
+                if opaque.any() and int(arr[opaque].max()) >= ncolors:
+                    return None
+            if iflags & 0x40:  # interlace: scatter the FRAME's rows
+                order = orders.get(ih)
+                if order is None:
+                    order = orders[ih] = _gif_interlace_order(ih)
+                rows = np.empty((ih, iw), dtype=np.uint8)
+                rows[order] = arr.reshape(ih, iw)
+                arr2d = rows
+            else:
+                arr2d = arr.reshape(ih, iw)
             pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
-            frames.append((pending_delay, pal[arr].tobytes()))
-            pending_delay = 0
+            saved = screen.copy() if disposal == 3 else None
+            region = screen[top : top + ih, left : left + iw]
+            patch = pal[np.minimum(arr2d, ncolors - 1)]
+            if tidx is None:
+                region[:] = patch
+            else:
+                m = arr2d != tidx
+                region[m] = patch[m]
+            frames.append((delay_ms, screen.tobytes()))
+            if disposal == 2:
+                region[:] = bg_rgb
+            elif disposal == 3:
+                screen = saved
         elif block == 0x3B:
             break
         else:
@@ -1746,10 +1807,12 @@ def _gif_screen_header(palette: bytes, w: int, h: int) -> tuple[bytes, int]:
 
 
 def _gif_frame_block(
-    indices: bytes, w: int, h: int, min_size: int, interlace: bool
+    indices: bytes, w: int, h: int, min_size: int, interlace: bool,
+    left: int = 0, top: int = 0,
 ) -> bytes:
-    """Image descriptor + LZW sub-blocks for one full-frame image.
-    Shared by both encoder twins."""
+    """Image descriptor + LZW sub-blocks for one image, full-frame by
+    default or placed at (left, top) for compositing tests. Shared by
+    both encoder twins."""
     if interlace:
         import numpy as np
 
@@ -1764,7 +1827,8 @@ def _gif_frame_block(
         chunk = lzw[i : i + 255]
         blocks += bytes([len(chunk)]) + chunk
     return (
-        b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
         + (b"\x40" if interlace else b"\x00")
         + bytes([min_size]) + bytes(blocks) + b"\x00"
     )
@@ -1788,19 +1852,29 @@ def _gif_encode_animated(
     delays_cs: list[int] | None = None,
     interlace: bool = False,
     transparent: bool = False,
+    rects: list[tuple[int, int, int, int] | None] | None = None,
+    disposals: list[int] | None = None,
+    transparent_idx: int = 0,
 ) -> bytes:
     """Multi-frame GIF89a twin of :func:`_decode_gif_frames`: one GCE
-    (delay in centiseconds; optional transparency flag, for quarantine
-    tests) + full-frame image block per entry, via the shared
-    :func:`_gif_screen_header` / :func:`_gif_frame_block` emitters."""
+    (delay in centiseconds; optional transparency flag + index and
+    per-frame disposal method) + one image block per entry — full-frame
+    by default, or placed at ``rects[fi] = (left, top, iw, ih)`` for
+    compositing coverage — via the shared :func:`_gif_screen_header` /
+    :func:`_gif_frame_block` emitters."""
     header, min_size = _gif_screen_header(palette, w, h)
     out = bytearray(header)
     for fi, indices in enumerate(frame_indices):
         delay = (delays_cs or [0] * len(frame_indices))[fi]
-        out += (b"\x21\xf9\x04"
-                + bytes([1 if transparent else 0])
-                + delay.to_bytes(2, "little") + b"\x00\x00")
-        out += _gif_frame_block(indices, w, h, min_size, interlace)
+        disposal = (disposals or [0] * len(frame_indices))[fi]
+        rect = rects[fi] if rects is not None else None
+        left, top, iw, ih = rect if rect is not None else (0, 0, w, h)
+        packed = ((disposal & 7) << 2) | (1 if transparent else 0)
+        out += (b"\x21\xf9\x04" + bytes([packed])
+                + delay.to_bytes(2, "little")
+                + bytes([transparent_idx, 0]))
+        out += _gif_frame_block(indices, iw, ih, min_size, interlace,
+                                left, top)
     out += b"\x3b"
     return bytes(out)
 
@@ -1945,6 +2019,55 @@ def synthetic_palette_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame
                 "kind": "image",
                 "payload": filled.map(lambda i: build(int(i))),
                 "source_uri": "synthetic-plte://" + filled.astype(str),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthetic_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ANIMATED-GIF media (round 11) — the multi-frame
+    companion to :func:`synthetic_pixel_media`, built so a DuckDB oracle
+    predicts both the sampled frame TIMELINE and the decoded PIXELS of
+    every sampled frame arithmetically through the real LZW +
+    color-table + GCE-timestamp decode in :func:`_decode_gif_frames`.
+
+    Grammar (ids >= 0, same NULL conventions as the siblings):
+    w = 3 + id % 5, h = 2 + id % 4, n_frames = 1 + id % 6, every frame
+    full-screen and opaque with a 50 cs (500 ms) GCE delay — so frame f
+    appears at t = 500*f ms and ``sample_frames(every_ms=1000)`` emits
+    exactly the even frame indices below n_frames. The 16-entry palette
+    is p -> (p, 2p, 3p) and pixel j of frame f carries index
+    (id + 3f + j) % 16, so the RGB byte sum of sampled frame f is
+    6 * sum_j((id + 3f + j) % 16). Odd (id // 4) files store frames
+    interlaced — the four-pass scatter must be undone for the sums to
+    match, the same fold-in trick that made the pixels oracle prove
+    Adam7."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        pal = bytes(v for p in range(16) for v in (p, 2 * p, 3 * p))
+
+        def build(i: int) -> bytes:
+            w, h = 3 + i % 5, 2 + i % 4
+            nf = 1 + i % 6
+            frames = [
+                bytes((i + 3 * f + j) % 16 for j in range(w * h))
+                for f in range(nf)
+            ]
+            return _gif_encode_animated(
+                frames, pal, w, h, delays_cs=[50] * nf,
+                interlace=bool((i // 4) % 2),
+            )
+
+        for pdf in batches:
+            mids = pdf[id_col].astype("Int64")
+            filled = mids.fillna(0)
+            yield pd.DataFrame({
+                "media_id": mids,
+                "kind": "video",
+                "payload": filled.map(lambda i: build(int(i))),
+                "source_uri": "synthetic-gif://" + filled.astype(str),
             })
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)

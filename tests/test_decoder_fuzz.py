@@ -199,3 +199,79 @@ def test_png_reconstruct_fuzz_equals_naive(w, h, bpp, rng):
                           for i in range(stride))
         prior = row
     assert _png_reconstruct(bytes(body), w, h, bpp) == raw
+
+
+# ---------------------------------------------------------------------------
+# animated-GIF compositing decoder (round 11): the same hostile-bytes
+# contract over the multi-frame path — partial rects, disposals 0-3,
+# transparency, local tables — must never raise and never emit a
+# structurally invalid frame list
+# ---------------------------------------------------------------------------
+
+
+def _valid_animated() -> list[bytes]:
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_encode_animated,
+    )
+
+    pal = bytes(v for p in range(8) for v in ((p * 31) % 256,
+                                              (p * 57) % 256,
+                                              (p * 11) % 256))
+    full = [bytes((k + j) % 8 for j in range(6 * 5)) for k in range(3)]
+    return [
+        _gif_encode_animated(full, pal, 6, 5, delays_cs=[5, 10, 15]),
+        _gif_encode_animated(
+            [full[0], bytes((j % 8 for j in range(12))), full[2]],
+            pal, 6, 5, rects=[None, (2, 1, 4, 3), None],
+            disposals=[0, 2, 3], delays_cs=[5, 5, 5],
+        ),
+        _gif_encode_animated(
+            full[:2], pal, 6, 5, transparent=True, transparent_idx=3,
+            interlace=True,
+        ),
+    ]
+
+
+_ANIMATED = _valid_animated()
+
+
+def _check_frames(payload: bytes) -> None:
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_gif_frames,
+    )
+
+    out = _decode_gif_frames(payload)
+    if out is not None:
+        w, h, frames = out
+        assert w > 0 and h > 0 and frames
+        for delay, rgb in frames:
+            assert delay >= 0 and len(rgb) == w * h * 3
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(0, len(_ANIMATED) - 1),
+    st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+             min_size=1, max_size=8),
+)
+def test_bitflipped_animated_gifs_never_raise(idx, flips):
+    payload = bytearray(_ANIMATED[idx])
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    _check_frames(bytes(payload))
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, len(_ANIMATED) - 1), st.integers(0, 100))
+def test_truncated_animated_gifs_never_raise(idx, pct):
+    payload = _ANIMATED[idx]
+    _check_frames(payload[: len(payload) * pct // 100])
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(max_size=2048))
+def test_gif_magic_garbage_never_raises_frames(junk):
+    _check_frames(b"GIF89a" + junk)

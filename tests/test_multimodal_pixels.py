@@ -747,15 +747,162 @@ def test_gif_animated_interlaced_frames_round_trip():
     assert [rgb for _, rgb in inter[2]] == [rgb for _, rgb in plain[2]]
 
 
-def test_gif_transparency_flag_quarantines_frames():
+def _pal4():
+    # 4 colors: index p -> (10p+10, 10p+10, 10p+10); bg index 0 -> 10s
+    return bytes(v for p in range(4) for v in (10 * p + 10,) * 3)
+
+
+def _screens(b, max_frames=None):
     from amazon_macie_activity_generator_spark.operators.multimodal import (
-        _GIF_FILL_PALETTE,
+        _decode_gif_frames,
+    )
+    out = _decode_gif_frames(b, max_frames)
+    assert out is not None
+    w, h, frames = out
+    return [np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+            for _, rgb in frames]
+
+
+def test_gif_partial_frame_composites_onto_screen():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_encode_animated,
+    )
+    # frame 0: full 4x4 of index 0; frame 1: 2x2 of index 1 at (1,1)
+    b = _gif_encode_animated(
+        [bytes(16), bytes([1] * 4)], _pal4(), 4, 4,
+        rects=[None, (1, 1, 2, 2)],
+    )
+    s0, s1 = _screens(b)
+    assert (s0 == 10).all()
+    want = np.full((4, 4, 3), 10, np.uint8)
+    want[1:3, 1:3] = 20
+    assert np.array_equal(s1, want)
+
+
+def test_gif_first_frame_partial_shows_background_elsewhere():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_encode_animated,
+    )
+    # bg index is 0 (palette -> 10s); a lone 1x1 frame of index 2 at (3,0)
+    b = _gif_encode_animated([bytes([2])], _pal4(), 4, 2,
+                             rects=[(3, 0, 1, 1)])
+    (s0,) = _screens(b)
+    want = np.full((2, 4, 3), 10, np.uint8)
+    want[0, 3] = 30
+    assert np.array_equal(s0, want)
+
+
+def test_gif_transparency_passes_prior_screen_through():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_encode_animated,
+    )
+    # frame 0: full index 1 (20s); frame 1: checkerboard of transparent
+    # index 3 and opaque index 2 -> 30s where opaque, 20s show through
+    checker = bytes((3 if (i + i // 4) % 2 else 2) for i in range(16))
+    b = _gif_encode_animated(
+        [bytes([1] * 16), checker], _pal4(), 4, 4,
+        transparent=True, transparent_idx=3,
+    )
+    s0, s1 = _screens(b)
+    assert (s0 == 20).all()
+    for i in range(16):
+        r, c = divmod(i, 4)
+        expect = 20 if (i + r) % 2 else 30
+        assert (s1[r, c] == expect).all(), (r, c)
+
+
+def test_gif_transparent_index_may_exceed_palette():
+    # the LZW min code size is a free byte, so a stream may carry pixel
+    # values beyond the 4-entry color table (min_size 8 -> roots 0..255).
+    # tidx=200 pixels are never looked up (transparent, legal); the same
+    # pixels WITHOUT transparency are an out-of-table lookup: quarantine
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_gif_frames,
+        _gif_frame_block,
+        _gif_screen_header,
+    )
+    header, _ = _gif_screen_header(_pal4(), 4, 4)
+    mixed = bytes([200, 1] * 8)
+    gce = lambda packed: b"\x21\xf9\x04" + bytes([packed, 0, 0, 200, 0])  # noqa: E731
+    base = _gif_frame_block(bytes([1] * 16), 4, 4, 8, False)
+    patch = _gif_frame_block(mixed, 4, 4, 8, False)
+    transparent = header + gce(1) + base + gce(1) + patch + b"\x3b"
+    s0, s1 = _screens(transparent)
+    assert np.array_equal(s0, s1)  # transparent cells show frame 0
+    opaque = header + gce(0) + patch + b"\x3b"
+    assert _decode_gif_frames(opaque) is None
+
+
+def test_gif_disposal_2_restores_background_region():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_encode_animated,
+    )
+    # frame 0: full index 1, disposal 2 -> after snapshot the FULL rect
+    # (here the whole screen) resets to bg (10s); frame 1: 1x1 of index
+    # 3 at (0,0) -> screen shows 40 there and bg 10 elsewhere
+    b = _gif_encode_animated(
+        [bytes([1] * 16), bytes([3])], _pal4(), 4, 4,
+        rects=[None, (0, 0, 1, 1)], disposals=[2, 0],
+    )
+    s0, s1 = _screens(b)
+    assert (s0 == 20).all()
+    want = np.full((4, 4, 3), 10, np.uint8)
+    want[0, 0] = 40
+    assert np.array_equal(s1, want)
+
+
+def test_gif_disposal_3_restores_previous_screen():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_encode_animated,
+    )
+    # frame 0: full index 1; frame 1: full index 2 with disposal 3
+    # (restore previous); frame 2: 1x1 index 3 at (1,1) -> composited
+    # over the RESTORED frame-0 screen, not over frame 1
+    b = _gif_encode_animated(
+        [bytes([1] * 16), bytes([2] * 16), bytes([3])], _pal4(), 4, 4,
+        rects=[None, None, (1, 1, 1, 1)], disposals=[0, 3, 0],
+    )
+    s0, s1, s2 = _screens(b)
+    assert (s0 == 20).all() and (s1 == 30).all()
+    want = np.full((4, 4, 3), 20, np.uint8)
+    want[1, 1] = 40
+    assert np.array_equal(s2, want)
+
+
+def test_gif_reserved_disposal_quarantines():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
         _decode_gif_frames,
         _gif_encode_animated,
     )
-    idxs = _frames_fixture(2, 4, 4, seed=3)
-    b = _gif_encode_animated(idxs, _GIF_FILL_PALETTE, 4, 4, transparent=True)
-    assert _decode_gif_frames(b, 16) is None
+    b = _gif_encode_animated([bytes(16)], _pal4(), 4, 4, disposals=[4])
+    assert _decode_gif_frames(b) is None
+
+
+def test_gif_frame_rect_outside_screen_quarantines():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_gif_frames,
+        _gif_encode_animated,
+    )
+    b = _gif_encode_animated([bytes(4)], _pal4(), 4, 4,
+                             rects=[(3, 3, 2, 2)])
+    assert _decode_gif_frames(b) is None
+
+
+def test_gif_interlaced_partial_frame_composites_correctly():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_encode_animated,
+    )
+    rng = np.random.RandomState(9)
+    patch = rng.randint(0, 4, size=5 * 6).astype(np.uint8).tobytes()
+    plain = _gif_encode_animated(
+        [bytes(8 * 9), patch], _pal4(), 8, 9, rects=[None, (2, 3, 6, 5)])
+    inter = _gif_encode_animated(
+        [bytes(8 * 9), patch], _pal4(), 8, 9, rects=[None, (2, 3, 6, 5)],
+        interlace=True)
+    # the interlace four-pass scatter runs over the FRAME's own 5 rows;
+    # both encodings must composite to the same screens
+    for a, b_ in zip(_screens(plain), _screens(inter)):
+        assert np.array_equal(a, b_)
 
 
 def test_gif_frame_decode_budget_bounds_work():
