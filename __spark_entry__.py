@@ -41,6 +41,17 @@ from amazon_macie_activity_generator_spark.queries import QUERIES  # noqa: E402
 # --------------------------------------------------------------------------
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
+# Entries whose query/oracle SEMANTICS changed after their latest driver
+# row landed: evidence at or before the listed round predates the change
+# and proves nothing about the current definition, so they rank with
+# never-checked entries until a fresh row lands. Keep this tiny and
+# prune entries once a newer round's artifact covers them.
+_CHANGED_AFTER_ROUND = {
+    # r11: real animated-GIF route + frame_sum column folded in; the
+    # r10 row verified the stub-only grammar
+    "multimodal_frames": 10,
+}
+
 
 def _correctness_rounds() -> list[tuple[int, dict]]:
     """All (round_number, artifact) pairs on disk, ascending by round."""
@@ -85,6 +96,8 @@ def _rotation_order() -> list[str]:
             return 0
         if no_oracle and QUERIES[name][1] is not None:
             return 1  # oracle added after the last check — never hash-verified
+        if rno <= _CHANGED_AFTER_ROUND.get(name, -1):
+            return 1  # semantics changed since that row — never verified
         if rno < max_round:
             return 2
         return 3

@@ -1099,16 +1099,46 @@ FROM documents
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling flat-map stage. Oracle-checked: the stub's
-    frame count comes from the sha256-derived fake duration
-    (min(8, max(1, duration_ms // 1000))), which the oracle re-derives
-    and fans out with a range unnest."""
-    from amazon_macie_activity_generator_spark.operators.multimodal import sample_frames
+    """Video frame-sampling flat-map stage — two routes since round 11.
+    doc_id % 4 != 3 rides the deterministic stub (frame count from the
+    sha256-derived fake duration, frame_sum pinned -1); doc_id % 4 == 3
+    routes REAL animated-GIF bytes (the ``synthetic_gif_media`` grammar)
+    through ``sample_frames(decode_stub=False)``: the oracle re-derives
+    the sampled frame timeline (500 ms GCE delays -> even frame indices
+    below n_frames) AND each sampled frame's RGB byte sum arithmetically
+    through LZW decode, the 16-color table, GCE timestamps, and (for odd
+    id//4 files) interlace descatter — the same fold-in trick that took
+    ``multimodal_pixels`` through Adam7, so a hash match proves real
+    multi-frame pixel decode, not container sniffing."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        sample_frames,
+        synthetic_gif_media,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    media = documents_as_media(docs, kind="video")
-    out = sample_frames(media, every_ms=1000, max_frames=8)
-    return out.select("media_id", "frame_idx", "ts_ms")
+    stub_media = documents_as_media(
+        docs.filter(F.col("doc_id") % 4 != 3), kind="video")
+    stub = sample_frames(stub_media, every_ms=1000, max_frames=8).select(
+        "media_id", "frame_idx", "ts_ms",
+        F.lit(-1).cast("long").alias("frame_sum"),
+    )
+    gif_media = synthetic_gif_media(
+        docs.filter(F.col("doc_id") % 4 == 3).select("doc_id"))
+    real = sample_frames(
+        gif_media, every_ms=1000, max_frames=8, decode_stub=False,
+    ).select(
+        "media_id", "frame_idx", "ts_ms",
+        # byte sum of the decoded frame, JVM-side (hex-pair fold): the
+        # pixel-level evidence column; frames are <= 105 bytes here
+        F.expr(
+            "aggregate(transform("
+            " sequence(1, cast(length(frame_payload) as int)),"
+            " i -> cast(conv(substring(hex(frame_payload), 2*i-1, 2),"
+            "               16, 10) as bigint)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("frame_sum"),
+    )
+    return stub.unionByName(real)
 
 
 SQL_MULTIMODAL_FRAMES = """
@@ -1117,13 +1147,29 @@ WITH h AS (
          CAST(list_sum(list_transform(range(8),
            i -> CAST(strpos('0123456789abcdef', substr(sha256(coalesce(text, '')), i + 1, 1)) - 1 AS BIGINT)
                 * CAST(power(16, 7 - i) AS BIGINT))) AS BIGINT) % 600000 AS duration_ms
-  FROM documents
+  FROM documents WHERE doc_id % 4 <> 3
 ), f AS (
   SELECT media_id,
          unnest(range(least(8, greatest(1, duration_ms // 1000)))) AS frame_idx
   FROM h
+), stub AS (
+  SELECT media_id, frame_idx, frame_idx * 1000 AS ts_ms,
+         CAST(-1 AS BIGINT) AS frame_sum
+  FROM f
+), g AS (
+  SELECT doc_id AS i, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+         1 + doc_id % 6 AS nf
+  FROM documents WHERE doc_id % 4 = 3
+), rf AS (
+  SELECT i, w, h, nf, unnest([0, 2, 4]) AS f FROM g
+), realgif AS (
+  SELECT i AS media_id, CAST(f AS BIGINT) AS frame_idx,
+         CAST(500 * f AS BIGINT) AS ts_ms,
+         CAST(6 * list_sum(list_transform(range(w * h),
+              j -> (i + 3 * f + j) % 16)) AS BIGINT) AS frame_sum
+  FROM rf WHERE f < nf
 )
-SELECT media_id, frame_idx, frame_idx * 1000 AS ts_ms FROM f
+SELECT * FROM stub UNION ALL SELECT * FROM realgif
 """
 
 
