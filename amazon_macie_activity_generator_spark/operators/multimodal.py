@@ -2032,13 +2032,20 @@ def synthetic_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     color-table + GCE-timestamp decode in :func:`_decode_gif_frames`.
 
     Grammar (ids >= 0, same NULL conventions as the siblings):
-    w = 3 + id % 5, h = 2 + id % 4, n_frames = 1 + id % 6, every frame
-    full-screen and opaque with a 50 cs (500 ms) GCE delay — so frame f
-    appears at t = 500*f ms and ``sample_frames(every_ms=1000)`` emits
-    exactly the even frame indices below n_frames. The 16-entry palette
-    is p -> (p, 2p, 3p) and pixel j of frame f carries index
-    (id + 3f + j) % 16, so the RGB byte sum of sampled frame f is
-    6 * sum_j((id + 3f + j) % 16). Odd (id // 4) files store frames
+    w = 3 + id % 5, h = 2 + id % 4, n_frames = 1 + id % 6, opaque
+    frames with a 50 cs (500 ms) GCE delay each — so frame f appears at
+    t = 500*f ms and ``sample_frames(every_ms=1000)`` emits exactly the
+    even frame indices below n_frames. The 16-entry palette is
+    p -> (p, 2p, 3p). Even (id // 8) files are FULL-FRAME: pixel j of
+    frame f carries index (id + 3f + j) % 16, so the RGB byte sum of
+    sampled frame f is 6 * sum_j((id + 3f + j) % 16). Odd (id // 8)
+    files exercise REAL COMPOSITING: frame 0 is full-frame as above,
+    but frames f >= 1 are PARTIAL interior-column rects
+    (left=1, top=0, iw=w-2, ih=h, disposal 1 = keep) whose pixel j'
+    carries the same (id + 3f + j') % 16 — the composited screen keeps
+    frame 0's first and last columns, so the sum the oracle predicts is
+    only reproducible by a decoder that actually composites the patch
+    onto the retained screen. Odd (id // 4) files store frames
     interlaced — the four-pass scatter must be undone for the sums to
     match, the same fold-in trick that made the pixels oracle prove
     Adam7."""
@@ -2051,13 +2058,24 @@ def synthetic_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         def build(i: int) -> bytes:
             w, h = 3 + i % 5, 2 + i % 4
             nf = 1 + i % 6
-            frames = [
-                bytes((i + 3 * f + j) % 16 for j in range(w * h))
-                for f in range(nf)
-            ]
+            if (i // 8) % 2:  # compositing route: partial frames f >= 1
+                frames = [bytes((i + j) % 16 for j in range(w * h))] + [
+                    bytes((i + 3 * f + j) % 16
+                          for j in range((w - 2) * h))
+                    for f in range(1, nf)
+                ]
+                rects = [None] + [(1, 0, w - 2, h)] * (nf - 1)
+                disposals = [1] * nf
+            else:
+                frames = [
+                    bytes((i + 3 * f + j) % 16 for j in range(w * h))
+                    for f in range(nf)
+                ]
+                rects = disposals = None
             return _gif_encode_animated(
                 frames, pal, w, h, delays_cs=[50] * nf,
                 interlace=bool((i // 4) % 2),
+                rects=rects, disposals=disposals,
             )
 
         for pdf in batches:

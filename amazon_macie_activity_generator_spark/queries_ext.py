@@ -1106,10 +1106,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ``sample_frames(decode_stub=False)``: the oracle re-derives
     the sampled frame timeline (500 ms GCE delays -> even frame indices
     below n_frames) AND each sampled frame's RGB byte sum arithmetically
-    through LZW decode, the 16-color table, GCE timestamps, and (for odd
-    id//4 files) interlace descatter — the same fold-in trick that took
-    ``multimodal_pixels`` through Adam7, so a hash match proves real
-    multi-frame pixel decode, not container sniffing."""
+    through LZW decode, the 16-color table, GCE timestamps, (for odd
+    id//4 files) interlace descatter, and (for odd id//8 files) REAL
+    COMPOSITING — partial interior-column frames over a disposal-1 kept
+    screen, whose predicted sum mixes frame-0 border pixels with patch
+    pixels and is unreproducible without an actual compositor — the
+    same fold-in trick that took ``multimodal_pixels`` through Adam7,
+    so a hash match proves real multi-frame pixel decode, not container
+    sniffing."""
     from amazon_macie_activity_generator_spark.operators.multimodal import (
         sample_frames,
         synthetic_gif_media,
@@ -1163,10 +1167,22 @@ WITH h AS (
 ), rf AS (
   SELECT i, w, h, nf, unnest([0, 2, 4]) AS f FROM g
 ), realgif AS (
+  -- even id//8: full-frame pixels (i + 3f + j) % 16.  odd id//8: frame 0
+  -- full-frame, frames f >= 1 partial interior-column rects composited
+  -- over the KEPT screen (disposal 1) — columns 0 and w-1 still carry
+  -- frame 0's pixels, interior column c row r carries patch pixel
+  -- j' = r*(w-2) + (c-1)
   SELECT i AS media_id, CAST(f AS BIGINT) AS frame_idx,
          CAST(500 * f AS BIGINT) AS ts_ms,
          CAST(6 * list_sum(list_transform(range(w * h),
-              j -> (i + 3 * f + j) % 16)) AS BIGINT) AS frame_sum
+              j -> CASE
+                     WHEN (i // 8) % 2 = 0 OR f = 0
+                       THEN (i + 3 * f + j) % 16
+                     WHEN (j % w) = 0 OR (j % w) = w - 1
+                       THEN (i + j) % 16
+                     ELSE (i + 3 * f + ((j // w) * (w - 2)
+                                        + (j % w) - 1)) % 16
+                   END)) AS BIGINT) AS frame_sum
   FROM rf WHERE f < nf
 )
 SELECT * FROM stub UNION ALL SELECT * FROM realgif
