@@ -1443,49 +1443,83 @@ def _gif_lzw_decode(data: bytes, min_size: int, npix: int) -> bytes | None:
     stream. Hostile-input bounds: a legitimate stream never exceeds
     ~12 bits/pixel plus restart overhead, so oversized input (e.g. a
     megabyte of CLEAR spam for a 768-pixel image) is rejected up front
-    instead of burning seconds of driver-less task time, and codes are
-    read through a byte-fed accumulator, not per-bit indexing."""
+    instead of burning seconds of driver-less task time.
+
+    Code extraction is TWO-PHASE (round 11, measured ~2x over the
+    byte-fed accumulator it replaced, every content shape): the code
+    width is a deterministic function of the dictionary size — it bumps
+    exactly when the table reaches 2^width and resets only at CLEAR —
+    so the number of same-width codes ahead is known in advance
+    (= 2^width - len(table), +1 right after a CLEAR because the first
+    code adds no entry). Each such run is gathered in one vectorized
+    numpy step (three-byte little-endian windows, shift, mask),
+    truncated at the first CLEAR/END (those break the prediction), and
+    only the sequential dictionary/output bookkeeping stays a Python
+    loop. Batches are capped at 4096 codes so a CLEAR-heavy stream
+    never re-extracts its whole tail per restart."""
+    import numpy as np
+
     if not 2 <= min_size <= 8:
         return None
     if len(data) > 2 * npix + 4096:
         return None  # > ~16 bits/pixel: no real encoder output looks like this
     clear, end = 1 << min_size, (1 << min_size) + 1
+    buf = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8)
+    tri = (buf[:-2].astype(np.uint32)
+           | (buf[1:-1].astype(np.uint32) << 8)
+           | (buf[2:].astype(np.uint32) << 16))
+    nbits = len(data) * 8
     out = bytearray()
     width = min_size + 1
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    tlen = clear + 2
     prev: bytes | None = None
-    acc = nacc = 0
-    pos, ndata = 0, len(data)
-    while len(out) < npix:
-        while nacc < width:
-            if pos >= ndata:
-                return None  # ran out of bits before npix pixels
-            acc |= data[pos] << nacc
-            pos += 1
-            nacc += 8
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nacc -= width
-        if code == clear:
-            del table[clear + 2 :]
-            width = min_size + 1
-            prev = None
-            continue
-        if code == end:
-            break
-        if code < len(table):
-            entry = table[code]
-        elif code == len(table) and prev is not None:
-            entry = prev + prev[:1]  # the KwKwK case
+    bitpos = 0
+    out_len = 0
+    tappend = table.append
+    arange = np.arange
+    while out_len < npix:
+        if width < 12 and tlen < 4096:
+            room = (1 << width) - tlen + (1 if prev is None else 0)
         else:
-            return None  # code beyond the dictionary: corrupt stream
-        out += entry
-        if prev is not None and len(table) < 4096:
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < 12:
-                width += 1
-        prev = entry
-    return bytes(out[:npix]) if len(out) >= npix else None
+            room = 4096  # width is pinned; chunk to bound re-extraction
+        k = min(max(1, room), (nbits - bitpos) // width)
+        if k <= 0:
+            return None  # ran out of bits before npix pixels
+        offs = bitpos + width * arange(k, dtype=np.int64)
+        codes = (tri[offs >> 3] >> (offs & 7).astype(np.uint32)) \
+            & ((1 << width) - 1)
+        special = np.nonzero((codes == clear) | (codes == end))[0]
+        if special.size:
+            codes = codes[: int(special[0]) + 1]
+        codes_l = codes.tolist()
+        bitpos += width * len(codes_l)
+        for code in codes_l:
+            if code < tlen:
+                if code == clear:
+                    del table[clear + 2 :]
+                    tlen = clear + 2
+                    width = min_size + 1
+                    prev = None
+                    continue
+                if code == end:
+                    return bytes(out[:npix]) if out_len >= npix else None
+                entry = table[code]
+            elif code == tlen and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None  # code beyond the dictionary: corrupt stream
+            out += entry
+            out_len += len(entry)
+            if prev is not None and tlen < 4096:
+                tappend(prev + entry[:1])
+                tlen += 1
+            prev = entry
+            if out_len >= npix:
+                return bytes(out[:npix])
+        if width < 12 and tlen == (1 << width):
+            width += 1
+    return bytes(out[:npix]) if out_len >= npix else None
 
 
 def _gif_lzw_encode(indices: bytes, min_size: int) -> bytes:
