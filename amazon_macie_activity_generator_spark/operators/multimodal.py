@@ -1436,6 +1436,58 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     return w, h, px[..., :3].tobytes()  # RGBA -> drop alpha
 
 
+# Two-phase LZW pays per-batch numpy setup that tiny frames never
+# amortize — the scalar accumulator keeps small images/frames (the
+# grammar's composited GIF frames are ~6-35 px), mirroring the PNG
+# wavefront's measured dispatch gate.
+_LZW_TWO_PHASE_MIN_PIX = 512
+
+
+def _gif_lzw_decode_small(data: bytes, min_size: int, npix: int):
+    """Scalar byte-fed-accumulator LZW for sub-gate images — the exact
+    pre-r11 loop, kept as the small-input lane (and as the readable
+    reference for the two-phase path; equivalence is fuzz-pinned).
+    Callers go through :func:`_gif_lzw_decode`, which owns the
+    malformed-input guards shared by both lanes."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    out = bytearray()
+    width = min_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    acc = nacc = 0
+    pos, ndata = 0, len(data)
+    while len(out) < npix:
+        while nacc < width:
+            if pos >= ndata:
+                return None  # ran out of bits before npix pixels
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            del table[clear + 2 :]
+            width = min_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None  # code beyond the dictionary: corrupt stream
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:npix]) if len(out) >= npix else None
+
+
 def _gif_lzw_decode(data: bytes, min_size: int, npix: int) -> bytes | None:
     """GIF-variant LZW (LSB-first variable-width codes, CLEAR/END codes,
     width grows as the dictionary fills, capped at 12 bits until CLEAR).
@@ -1445,24 +1497,31 @@ def _gif_lzw_decode(data: bytes, min_size: int, npix: int) -> bytes | None:
     megabyte of CLEAR spam for a 768-pixel image) is rejected up front
     instead of burning seconds of driver-less task time.
 
-    Code extraction is TWO-PHASE (round 11, measured ~2x over the
-    byte-fed accumulator it replaced, every content shape): the code
-    width is a deterministic function of the dictionary size — it bumps
-    exactly when the table reaches 2^width and resets only at CLEAR —
-    so the number of same-width codes ahead is known in advance
-    (= 2^width - len(table), +1 right after a CLEAR because the first
-    code adds no entry). Each such run is gathered in one vectorized
-    numpy step (three-byte little-endian windows, shift, mask),
-    truncated at the first CLEAR/END (those break the prediction), and
-    only the sequential dictionary/output bookkeeping stays a Python
-    loop. Batches are capped at 4096 codes so a CLEAR-heavy stream
-    never re-extracts its whole tail per restart."""
+    Code extraction is TWO-PHASE above a measured size gate (round 11,
+    ~2x over the byte-fed accumulator on real image sizes, every content
+    shape): the code width is a deterministic function of the dictionary
+    size — it bumps exactly when the table reaches 2^width and resets
+    only at CLEAR — so the number of same-width codes ahead is known in
+    advance (= 2^width - len(table), +1 right after a CLEAR because the
+    first code adds no entry). Each such run is gathered in one
+    vectorized numpy step (three-byte little-endian windows, shift,
+    mask), truncated at the first CLEAR/END (those break the
+    prediction), and only the sequential dictionary/output bookkeeping
+    stays a Python loop. Batches are capped at 4096 codes so a
+    CLEAR-heavy stream never re-extracts its whole tail per restart.
+    Below the gate (``_LZW_TWO_PHASE_MIN_PIX``, measured: 5x SLOWER at
+    ~35 px, a wash at 256, 1.2-2.2x faster from 1024 up) the scalar
+    accumulator loop runs instead — per-batch numpy setup never
+    amortizes on tiny frames; both paths are pinned equivalent by the
+    round-trip fuzz."""
     import numpy as np
 
     if not 2 <= min_size <= 8:
         return None
     if len(data) > 2 * npix + 4096:
         return None  # > ~16 bits/pixel: no real encoder output looks like this
+    if npix < _LZW_TWO_PHASE_MIN_PIX:
+        return _gif_lzw_decode_small(data, min_size, npix)
     clear, end = 1 << min_size, (1 << min_size) + 1
     buf = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8)
     tri = (buf[:-2].astype(np.uint32)

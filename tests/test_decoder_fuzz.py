@@ -275,3 +275,48 @@ def test_truncated_animated_gifs_never_raise(idx, pct):
 @given(st.binary(max_size=2048))
 def test_gif_magic_garbage_never_raises_frames(junk):
     _check_frames(b"GIF89a" + junk)
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(1, 2000),          # npix spans the _LZW_TWO_PHASE_MIN_PIX gate
+    st.sampled_from([4, 16, 256]),  # palette sizes -> min code widths
+    st.booleans(),                  # runs vs noise content
+    st.randoms(use_true_random=False),
+)
+def test_lzw_two_phase_equals_scalar(npix, ncol, runs, rng):
+    """The r11 two-phase LZW and the scalar small-input lane must agree
+    on every well-formed stream (round trip) AND on mutated streams
+    (both None, or byte-identical output) — the dispatch gate must be
+    purely a performance choice, never a semantics one."""
+    import numpy as np
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_lzw_decode_small,
+        _gif_lzw_encode,
+    )
+    from amazon_macie_activity_generator_spark.operators import multimodal as mm
+
+    msz = max(2, (ncol - 1).bit_length())
+    if runs:
+        idx = bytes(np.repeat(
+            [rng.randrange(ncol) for _ in range(max(1, npix // 8))], 8
+        )[:npix].astype(np.uint8))
+    else:
+        idx = bytes(rng.randrange(ncol) for _ in range(npix))
+    npix = len(idx)
+    enc = bytes(_gif_lzw_encode(idx, msz))
+    # well-formed: the public fn (whichever lane the gate picks) and the
+    # scalar lane both decode exactly
+    assert mm._gif_lzw_decode(enc, msz, npix) == idx
+    assert _gif_lzw_decode_small(enc, msz, npix) == idx
+    # mutated: the public fn and the scalar lane must still agree (both
+    # None or byte-identical) — for npix >= the gate this pits the
+    # two-phase body against the scalar reference on corrupt streams
+    for _ in range(3):
+        m = bytearray(enc)
+        for _ in range(rng.randrange(1, 4)):
+            m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+        assert (mm._gif_lzw_decode(bytes(m), msz, npix)
+                == _gif_lzw_decode_small(bytes(m), msz, npix))
