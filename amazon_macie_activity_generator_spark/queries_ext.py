@@ -1098,24 +1098,48 @@ FROM documents
 """
 
 
+# byte sum of a decoded frame payload, JVM-side (hex-pair fold): the
+# pixel-level evidence column shared by the real-decode frame routes;
+# frames are <= 105 bytes (GIF grammar) / <= 576 bytes (AVI grammar)
+_FRAME_SUM_EXPR = (
+    "aggregate(transform("
+    " sequence(1, cast(length(frame_payload) as int)),"
+    " i -> cast(conv(substring(hex(frame_payload), 2*i-1, 2),"
+    "               16, 10) as bigint)),"
+    " 0L, (a, x) -> a + x)"
+)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling flat-map stage — two routes since round 11.
-    doc_id % 4 != 3 rides the deterministic stub (frame count from the
-    sha256-derived fake duration, frame_sum pinned -1); doc_id % 4 == 3
-    routes REAL animated-GIF bytes (the ``synthetic_gif_media`` grammar)
-    through ``sample_frames(decode_stub=False)``: the oracle re-derives
-    the sampled frame timeline (500 ms GCE delays -> even frame indices
+    """Video frame-sampling flat-map stage — three routes since round
+    12. doc_id % 4 != 3 rides the deterministic stub (frame count from
+    the sha256-derived fake duration, frame_sum pinned -1); NULL
+    doc_ids fall in NO route — ``NULL % k`` is NULL in Spark and DuckDB
+    alike, so NULL-id corpora are excluded from this entry in both
+    engines (they produced stub rows before r11; documented exclusion).
+    doc_id % 8 == 3 routes REAL animated-GIF bytes (the
+    ``synthetic_gif_media`` grammar) through
+    ``sample_frames(decode_stub=False)``: the oracle re-derives the
+    sampled frame timeline (500 ms GCE delays -> even frame indices
     below n_frames) AND each sampled frame's RGB byte sum arithmetically
-    through LZW decode, the 16-color table, GCE timestamps, (for odd
-    id//4 files) interlace descatter, and (for odd id//8 files) REAL
-    COMPOSITING — partial interior-column frames over a disposal-1 kept
-    screen, whose predicted sum mixes frame-0 border pixels with patch
-    pixels and is unreproducible without an actual compositor — the
-    same fold-in trick that took ``multimodal_pixels`` through Adam7,
-    so a hash match proves real multi-frame pixel decode, not container
-    sniffing."""
+    through LZW decode, the 16-color table, GCE timestamps, and (for odd
+    id//8 files) REAL COMPOSITING — partial interior-column frames over
+    a disposal-1 kept screen, whose predicted sum mixes frame-0 border
+    pixels with patch pixels and is unreproducible without an actual
+    compositor. (Odd id//4 files are stored interlaced; the whole-frame
+    sum is row-permutation-invariant, so interlace descatter is pinned
+    by unit tests, not by this oracle — stated plainly after the r11
+    review.) doc_id % 8 == 7 routes REAL MJPEG-in-AVI bytes (round 12,
+    the ``synthetic_avi_media`` grammar): the oracle predicts each
+    sampled frame's byte sum through the AVI RIFF walk, per-frame JPEG
+    Huffman+IDCT decode, and the fixed-point YCbCr->RGB conversion
+    (dcY/dcCb/dcCr arithmetic, the ``multimodal_pixels_jpeg`` formula),
+    plus the dwMicroSecPerFrame timeline. A hash match therefore proves
+    real multi-frame pixel decode across BOTH container families, not
+    container sniffing."""
     from amazon_macie_activity_generator_spark.operators.multimodal import (
         sample_frames,
+        synthetic_avi_media,
         synthetic_gif_media,
     )
 
@@ -1127,22 +1151,22 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("frame_sum"),
     )
     gif_media = synthetic_gif_media(
-        docs.filter(F.col("doc_id") % 4 == 3).select("doc_id"))
-    real = sample_frames(
+        docs.filter(F.col("doc_id") % 8 == 3).select("doc_id"))
+    real_gif = sample_frames(
         gif_media, every_ms=1000, max_frames=8, decode_stub=False,
     ).select(
         "media_id", "frame_idx", "ts_ms",
-        # byte sum of the decoded frame, JVM-side (hex-pair fold): the
-        # pixel-level evidence column; frames are <= 105 bytes here
-        F.expr(
-            "aggregate(transform("
-            " sequence(1, cast(length(frame_payload) as int)),"
-            " i -> cast(conv(substring(hex(frame_payload), 2*i-1, 2),"
-            "               16, 10) as bigint)),"
-            " 0L, (a, x) -> a + x)"
-        ).alias("frame_sum"),
+        F.expr(_FRAME_SUM_EXPR).alias("frame_sum"),
     )
-    return stub.unionByName(real)
+    avi_media = synthetic_avi_media(
+        docs.filter(F.col("doc_id") % 8 == 7).select("doc_id"))
+    real_avi = sample_frames(
+        avi_media, every_ms=1000, max_frames=8, decode_stub=False,
+    ).select(
+        "media_id", "frame_idx", "ts_ms",
+        F.expr(_FRAME_SUM_EXPR).alias("frame_sum"),
+    )
+    return stub.unionByName(real_gif).unionByName(real_avi)
 
 
 SQL_MULTIMODAL_FRAMES = """
@@ -1163,7 +1187,7 @@ WITH h AS (
 ), g AS (
   SELECT doc_id AS i, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
          1 + doc_id % 6 AS nf
-  FROM documents WHERE doc_id % 4 = 3
+  FROM documents WHERE doc_id % 8 = 3
 ), rf AS (
   SELECT i, w, h, nf, unnest([0, 2, 4]) AS f FROM g
 ), realgif AS (
@@ -1184,8 +1208,35 @@ WITH h AS (
                                         + (j % w) - 1)) % 16
                    END)) AS BIGINT) AS frame_sum
   FROM rf WHERE f < nf
+), av AS (
+  SELECT doc_id AS i, 1 + doc_id % 3 AS nb, 1 + doc_id % 6 AS nf
+  FROM documents WHERE doc_id % 8 = 7
+), avf AS (
+  SELECT i, nb, nf, unnest([0, 2, 4]) AS f FROM av
+), avb AS (
+  SELECT i, f, unnest(range(nb)) AS bk FROM avf WHERE f < nf
+), avc AS (
+  -- MJPEG-in-AVI route: DC-only 4:4:4 blocks with flat q=8, so every
+  -- decoded sample of block bk is the fixed-point YCbCr->RGB image of
+  -- (128 + dcY, dcCb, dcCr) — the multimodal_pixels_jpeg arithmetic
+  SELECT i, f,
+         128 + (i + 3 * f + 7 * bk) % 64 - 32 AS y,
+         (2 * i + 5 * f + 11 * bk) % 64 - 32 AS cb1,
+         (3 * i + 7 * f + 13 * bk) % 64 - 32 AS cr1
+  FROM avb
+), realavi AS (
+  SELECT i AS media_id, CAST(f AS BIGINT) AS frame_idx,
+         CAST(500 * f AS BIGINT) AS ts_ms,
+         CAST(64 * sum(
+             GREATEST(0, LEAST(255, y + CAST(floor((91881 * cr1 + 32768) / 65536.0) AS BIGINT)))
+           + GREATEST(0, LEAST(255, y - CAST(floor((22554 * cb1 + 46802 * cr1 + 32768) / 65536.0) AS BIGINT)))
+           + GREATEST(0, LEAST(255, y + CAST(floor((116130 * cb1 + 32768) / 65536.0) AS BIGINT)))
+         ) AS BIGINT) AS frame_sum
+  FROM avc GROUP BY i, f
 )
-SELECT * FROM stub UNION ALL SELECT * FROM realgif
+SELECT * FROM stub
+UNION ALL SELECT * FROM realgif
+UNION ALL SELECT * FROM realavi
 """
 
 

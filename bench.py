@@ -133,6 +133,10 @@ def main() -> None:
         "build_total": round(sum(builds.values()), 4),
         "reps": reps,
         "detail": "BENCH_DETAIL.json",
+        # how many of n_queries made the printed line (slowest-first under
+        # the byte budget) — sized at the worst case during the budget
+        # loop, overwritten with the real count before printing
+        "top_n": len(timings),
         "sf": sf_val,
     }
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
@@ -140,6 +144,7 @@ def main() -> None:
         if len(json.dumps(dict(base, queries=candidate), separators=(",", ":"))) > line_budget:
             break
         base["queries"] = candidate
+    base["top_n"] = len(base["queries"])
     print(json.dumps(base, separators=(",", ":")))
 
 

@@ -320,3 +320,80 @@ def test_lzw_two_phase_equals_scalar(npix, ncol, runs, rng):
             m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
         assert (mm._gif_lzw_decode(bytes(m), msz, npix)
                 == _gif_lzw_decode_small(bytes(m), msz, npix))
+
+
+# --------------------------------------------------------------- AVI (r12)
+
+def _valid_avis() -> list[bytes]:
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _avi_encode_mjpeg,
+    )
+
+    out = []
+    for i in (7, 23, 47):
+        nb = 1 + i % 3
+        w, h = 8 * nb, 8
+        frames = [
+            jpeg_encode_dc_only(
+                w, h,
+                [[(i + 3 * f + 7 * b) % 64 - 32 for b in range(nb)],
+                 [(2 * i + 5 * f + 11 * b) % 64 - 32 for b in range(nb)],
+                 [(3 * i + 7 * f + 13 * b) % 64 - 32 for b in range(nb)]],
+                sampling=((1, 1), (1, 1), (1, 1)),
+            )
+            for f in range(1 + i % 6)
+        ]
+        out.append(_avi_encode_mjpeg(frames, w, h))
+    return out
+
+
+_AVIS = _valid_avis()
+
+
+def _check_avi(payload: bytes) -> None:
+    """The AVI contract: None, a valid (w, h, frames) tuple, or the
+    DOCUMENTED NotImplementedError (a mutation can rewrite fccHandler
+    into a non-MJPEG codec — that raise is the honest seam, and the
+    sample_frames caller propagates it on purpose)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_avi_mjpeg_frames,
+    )
+
+    try:
+        out = _decode_avi_mjpeg_frames(payload)
+    except NotImplementedError:
+        return
+    if out is not None:
+        w, h, frames = out
+        assert w > 0 and h > 0 and frames
+        for delay, rgb in frames:
+            assert delay >= 0 and len(rgb) == w * h * 3
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(0, len(_AVIS) - 1),
+    st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+             min_size=1, max_size=8),
+)
+def test_bitflipped_avis_never_raise(idx, flips):
+    payload = bytearray(_AVIS[idx])
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    _check_avi(bytes(payload))
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, len(_AVIS) - 1), st.integers(0, 100))
+def test_truncated_avis_never_raise(idx, pct):
+    payload = _AVIS[idx]
+    _check_avi(payload[: len(payload) * pct // 100])
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(max_size=2048))
+def test_avi_magic_garbage_never_raises(junk):
+    _check_avi(b"RIFF" + len(junk).to_bytes(4, "little") + b"AVI " + junk)
