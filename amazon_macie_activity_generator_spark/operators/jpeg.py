@@ -809,6 +809,213 @@ def _finalize_progressive(prog, comps, qtables, qlatch, w: int, h: int):
     return w, h, result
 
 
+# consumed-bit masks for the batched entropy lane (acc is masked only at
+# refill time there, so every extract masks explicitly): index = bit count
+_MASK = tuple((1 << i) - 1 for i in range(97))
+
+# Dispatch gates for the batched+fast-LUT entropy lane, in ENTROPY
+# BYTES (sum of restart-segment lengths) — the direct proxy for symbol
+# count. Two thresholds because the 65536-entry fast-AC table costs
+# ~8 ms to build per distinct Huffman table: tables whose base LUT is
+# content-cached (_LUT_CACHE — Annex K standard tables always are) get
+# the fast table built ONCE per process and cached by identity, so the
+# low gate applies; a file carrying its own optimized tables (mozjpeg
+# -optimize) pays the build per file, so it must bring enough entropy
+# data to amortize it. DC-only files (~2 bytes/block) and the catalog's
+# tiny frames sit below both gates and keep the UNTOUCHED scalar lane —
+# the r11 LZW lesson (micro-bench the catalog's payload sizes, gate at
+# a measured threshold) applied to JPEG. Values measured on this box
+# (scripts/decode_bench.py, see SCALE.md decode-throughput table).
+_AC_FAST_MIN_ENTROPY_BYTES = 8192
+_AC_FAST_MIN_ENTROPY_BYTES_UNCACHED = 131072
+
+# fast-AC tables for IMMORTAL base LUTs only (members of _LUT_CACHE,
+# which never evicts), keyed by identity — id() is stable and never
+# reused for objects that stay alive, and the bound is _LUT_CACHE's own
+# (~13 entries), so this adds at most ~26 MB per worker
+_FAST_AC_CACHE: dict[int, list] = {}
+
+
+def _fast_ac_lut(ac_lut) -> list:
+    """libjpeg-turbo-style combined AC lookup: for every 16-bit window
+    whose Huffman code AND magnitude bits fit inside it (ln + s <= 16,
+    s > 0), precompute one int encoding (total_bits << 20) |
+    (zero_run << 16) | (extended_value + 32768), so the hot loop decodes
+    a complete nonzero AC coefficient with ONE table index instead of
+    symbol-decode + bit-extract + sign-extend. Entries that need the
+    general path (EOB, ZRL, invalid prefixes, codes longer than the
+    window) are -1. Built vectorized from the base LUT (~1-2 ms), only
+    above the ``_AC_FAST_MIN_ENTROPY_BYTES`` gate."""
+    E = np.asarray(ac_lut, dtype=np.int64)
+    ln = E & 31
+    rs = E >> 5
+    s = rs & 15
+    run = rs >> 4
+    tb = ln + s
+    valid = (ln > 0) & (s > 0) & (tb <= 16)
+    idx = np.arange(65536, dtype=np.int64)
+    sh = np.where(valid, 16 - tb, 0)
+    v = (idx >> sh) & ((np.int64(1) << s) - 1)
+    ext = np.where(
+        v < (np.int64(1) << np.maximum(s - 1, 0)),
+        v - (np.int64(1) << s) + 1,
+        v,
+    )
+    fe = (tb << 20) | (run << 16) | (ext + 32768)
+    return np.where(valid, fe, np.int64(-1)).tolist()
+
+
+_CHUNK48_W = None  # lazy (n, 6) byte -> 48-bit word weights
+
+
+def _chunks48(data: bytes) -> tuple[list, int]:
+    """Pre-split one entropy segment into 48-bit big-endian refill words
+    (numpy gather, one pass) so the hot loop's refill is a single list
+    index instead of a byte slice + ``int.from_bytes``. Returns
+    (words, n_covered_bytes); the < 6-byte tail stays byte-fed."""
+    global _CHUNK48_W
+    n6 = len(data) // 6
+    if n6 == 0:
+        return [], 0
+    if _CHUNK48_W is None:
+        _CHUNK48_W = (np.uint64(1) << (np.arange(5, -1, -1,
+                                                 dtype=np.uint64) * np.uint64(8)))
+    a = np.frombuffer(data, dtype=np.uint8, count=n6 * 6)
+    words = (a.reshape(n6, 6).astype(np.uint64) @ _CHUNK48_W).tolist()
+    return words, n6 * 6
+
+
+def _entropy_baseline_batched(segs, nmcu, restart, ncomp, scan_blocks, out):
+    """Batched twin of the inlined scalar entropy loop in
+    ``_decode_scan`` (round 12, the r10/r11 AC-dense ask). Three levers
+    over the scalar lane, all semantics-preserving: the bit accumulator
+    refills 48 bits per Python op from pre-gathered words
+    (:func:`_chunks48`) and is masked only at refill (extracts mask
+    explicitly via ``_MASK``); nonzero AC coefficients resolve through
+    the combined ``_fast_ac_lut`` in ONE table index (symbol + magnitude
+    + sign-extension together); and AC stores go through a writable
+    memoryview of the coefficient array (~40% cheaper than ndarray
+    ``__setitem__``; AC values are bounded to +-32767 by construction so
+    the int32 format can't reject them — DC predictors, which CAN
+    overflow int32 on hostile streams, keep the ndarray store and its
+    scalar-lane wrap semantics). Bit-exact with the scalar lane on
+    every stream — accept, reject, and zero-padded tail peeks included
+    (equivalence fuzz-pinned in tests/test_jpeg_fastpath.py).
+    ``scan_blocks`` rows are (ci, dc_lut, ac_lut, nblk, fast_ac).
+    Returns False to reject (the scalar lane's ``return None`` cases)."""
+    counts = [0] * ncomp
+    preds = [0] * ncomp
+    flats = [c.reshape(-1) for c in out]
+    views = [f.data for f in flats]
+    mask = _MASK
+    seg_idx = 0
+    data = segs[0]
+    ndata = len(data)
+    words, tpos = _chunks48(data)
+    nwords = len(words)
+    wi = 0
+    acc = nbits = 0
+    mcus_in_seg = 0
+    for _m in range(nmcu):
+        if restart and mcus_in_seg == restart:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return False
+            data = segs[seg_idx]
+            ndata = len(data)
+            words, tpos = _chunks48(data)
+            nwords = len(words)
+            wi = 0
+            acc = nbits = 0
+            preds = [0] * ncomp
+            mcus_in_seg = 0
+        for ci, dc_lut, ac_lut, nblk, fast_ac in scan_blocks:
+            flat = flats[ci]
+            mv = views[ci]
+            for _blk in range(nblk):
+                base = counts[ci] << 6
+                counts[ci] += 1
+                if nbits < 32:
+                    if wi < nwords:
+                        acc = ((acc & mask[nbits]) << 48) | words[wi]
+                        wi += 1
+                        nbits += 48
+                    elif tpos < ndata:
+                        chunk = data[tpos : tpos + 5]
+                        got = len(chunk)
+                        acc = ((acc & mask[nbits]) << (got << 3)) | int.from_bytes(chunk, "big")
+                        nbits += got << 3
+                        tpos += got
+                # DC: peek 16 (zero-padded past end), consume ln REAL bits
+                e = dc_lut[
+                    (acc >> (nbits - 16)) & 0xFFFF if nbits >= 16
+                    else ((acc & mask[nbits]) << (16 - nbits)) & 0xFFFF
+                ]
+                ln = e & 31
+                if ln == 0 or ln > nbits:
+                    return False
+                nbits -= ln
+                t = e >> 5
+                if t:
+                    if t > 15 or t > nbits:
+                        return False
+                    nbits -= t
+                    v = (acc >> nbits) & mask[t]
+                    preds[ci] += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+                flat[base] = preds[ci]
+                k = 1
+                while k < 64:
+                    if nbits < 32:
+                        if wi < nwords:
+                            acc = ((acc & mask[nbits]) << 48) | words[wi]
+                            wi += 1
+                            nbits += 48
+                        elif tpos < ndata:
+                            chunk = data[tpos : tpos + 5]
+                            got = len(chunk)
+                            acc = ((acc & mask[nbits]) << (got << 3)) | int.from_bytes(chunk, "big")
+                            nbits += got << 3
+                            tpos += got
+                    idx16 = (
+                        (acc >> (nbits - 16)) & 0xFFFF if nbits >= 16
+                        else ((acc & mask[nbits]) << (16 - nbits)) & 0xFFFF
+                    )
+                    fe = fast_ac[idx16]
+                    if fe >= 0:  # complete nonzero coefficient, one index
+                        tb = fe >> 20
+                        if tb > nbits:
+                            return False
+                        nbits -= tb
+                        k += (fe >> 16) & 15
+                        if k > 63:
+                            return False
+                        mv[base + k] = (fe & 0xFFFF) - 32768
+                        k += 1
+                        continue
+                    # general lane: EOB / ZRL / long codes / invalid
+                    e = ac_lut[idx16]
+                    ln = e & 31
+                    if ln == 0 or ln > nbits:
+                        return False
+                    nbits -= ln
+                    rs = e >> 5
+                    s = rs & 15
+                    if s == 0:
+                        if rs == 0xF0:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63 or s > nbits:
+                        return False
+                    nbits -= s
+                    v = (acc >> nbits) & mask[s]
+                    mv[base + k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                    k += 1
+        mcus_in_seg += 1
+    return True
+
+
 def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -843,6 +1050,42 @@ def _decode_scan(b, start, w, h, comps, scan, qtables, restart):
         np.zeros((nmcu * hi * vi, 64), dtype=np.int32)
         for _, hi, vi, _ in comps
     ]
+    entropy_bytes = sum(len(s) for s in segs)
+    ext_blocks = None
+    if entropy_bytes >= _AC_FAST_MIN_ENTROPY_BYTES:
+        # batched lane (r12): 48-bit refills + combined AC LUT — the
+        # AC-dense (photo-like) shape; bit-exact with the scalar lane
+        local_fast: dict[int, list] = {}
+        ext_blocks = []
+        for ci, dc_lut, ac_lut in scan:
+            key = id(ac_lut)
+            fast = _FAST_AC_CACHE.get(key) or local_fast.get(key)
+            if fast is None:
+                immortal = any(v is ac_lut for v in _LUT_CACHE.values())
+                if (not immortal and entropy_bytes
+                        < _AC_FAST_MIN_ENTROPY_BYTES_UNCACHED):
+                    ext_blocks = None  # per-file table build won't amortize
+                    break
+                fast = _fast_ac_lut(ac_lut)
+                (_FAST_AC_CACHE if immortal else local_fast)[key] = fast
+            ext_blocks.append((ci, dc_lut, ac_lut,
+                               comps[ci][1] * comps[ci][2], fast))
+    if ext_blocks is not None:
+        if not _entropy_baseline_batched(
+                segs, nmcu, restart, len(comps), ext_blocks, out):
+            return None
+        result = []
+        for (cid, hi, vi, tq), coefs in zip(comps, out):
+            nat = np.zeros_like(coefs)
+            nat[:, list(ZIGZAG)] = coefs
+            nat *= qtables[tq][None, :]
+            result.append({
+                "id": cid, "h": hi, "v": vi,
+                "coeffs": nat.reshape(-1, 8, 8),
+                "grid": (mcuy * vi, mcux * hi),
+                "mcu_grid": (mcuy, mcux),
+            })
+        return w, h, result
     counts = [0] * len(comps)
     preds = [0] * len(comps)
     scan_blocks = [(ci, dc_lut, ac_lut, comps[ci][1] * comps[ci][2])
