@@ -287,18 +287,24 @@ def lsh_scored_candidates(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
     )
 
-    # (id, vec, carry, tbl, bucket): posexplode of the per-table buckets
+    # (id, vec, norm, carry, tbl, bucket): posexplode of the per-table
+    # buckets. Norms are hoisted to once-per-ROW columns here (r12) —
+    # scoring previously re-folded BOTH vector norms per candidate PAIR;
+    # same fold expressions and same denominator product, so every 4-dp
+    # round (and every LSH oracle hash) is unchanged.
     c = corpus.select(
         F.col(id_col), F.col(vec_col), *[F.col(cc) for cc in corpus_carry],
+        norm_expr(F.col(vec_col)).alias("__cnrm"),
         F.posexplode(budf(F.col(vec_col))).alias("tbl", "bucket"),
     )
     # query side: exact bucket + all Hamming-1 probes, XOR'd from the
     # already-materialized bucket value (cheap long ops, no re-projection)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+        norm_expr(F.col(vec_col)).alias("__qnrm"),
         F.posexplode(budf(F.col(vec_col))).alias("tbl", "b0"),
     ).select(
-        query_id_col, "__qvec", "tbl",
+        query_id_col, "__qvec", "__qnrm", "tbl",
         F.explode(
             F.concat(
                 F.array(F.col("b0")),
@@ -308,7 +314,12 @@ def lsh_scored_candidates(
     )
 
     cand = c.join(q, on=["tbl", "bucket"]).filter(F.col(query_id_col) != F.col(id_col))
-    sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
+    denom = F.col("__cnrm") * F.col("__qnrm")
+    sim = F.round(
+        F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot_expr(F.col(vec_col), F.col("__qvec")) / denom),
+        4,
+    )
     return cand.select(
         query_id_col, id_col, *corpus_carry, sim.alias("sim")
     ).dropDuplicates([query_id_col, id_col])
@@ -459,14 +470,23 @@ def ivf_topk(
     queries = queries.filter(F.size(F.col(vec_col)) == dim_fit)
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
+        # norm hoisted to once per row (r12): same fold, same product,
+        # same 4-dp rounds as the old per-pair cosine_expr
+        norm_expr(F.col(vec_col)).alias("__cnrm"),
         F.element_at(_assign_udf(centroids, 1)(F.col(vec_col)), 1).alias("cluster"),
     )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+        norm_expr(F.col(vec_col)).alias("__qnrm"),
         F.explode(_assign_udf(centroids, nprobe)(F.col(vec_col))).alias("cluster"),
     )
     cand = c.join(F.broadcast(q), on="cluster").filter(F.col(query_id_col) != F.col(id_col))
-    sim = F.round(cosine_expr(F.col(vec_col), F.col("__qvec")), 4)
+    denom = F.col("__cnrm") * F.col("__qnrm")
+    sim = F.round(
+        F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot_expr(F.col(vec_col), F.col("__qvec")) / denom),
+        4,
+    )
     scored = cand.select(query_id_col, id_col, sim.alias("sim")).dropDuplicates(
         [query_id_col, id_col]
     )

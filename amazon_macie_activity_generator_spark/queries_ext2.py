@@ -456,7 +456,8 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join keyed on the cluster id, never all-pairs."""
     from amazon_macie_activity_generator_spark.operators.similarity import (
         brute_force_topk,
-        cosine_expr,
+        dot_expr,
+        norm_expr,
     )
 
     emb = (
@@ -506,12 +507,22 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent1, _IVF_NPROBE,
     ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster")
 
-    cand = corpus.join(F.broadcast(probes), "cluster").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
+    # norms hoisted to once-per-row columns (r12): same folds, same
+    # denominator product as cosine_expr, so 4-dp rounds and the oracle
+    # hash are unchanged — but the candidate stream folds O(dim) once
+    # per pair instead of three times
+    cand = corpus.withColumn("__cn", norm_expr(F.col("v"))).join(
+        F.broadcast(probes.withColumn("__qn", norm_expr(F.col("qv")))),
+        "cluster",
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    denom = F.col("__cn") * F.col("__qn")
     scored = cand.select(
         "query_id", "vec_id",
-        F.round(cosine_expr(F.col("v"), F.col("qv")), 4).alias("sim"),
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                dot_expr(F.col("v"), F.col("qv")) / denom),
+            4,
+        ).alias("sim"),
     ).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
     ann = (

@@ -752,26 +752,39 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(anchor, side) argmax is a struct-max aggregation — map-side
     combinable, so the |corpus| x |anchors| scored stream reduces to two
     rows per anchor inside each task before any shuffle (no window over
-    the scored frame). The brute-force scan is the exact baseline;
+    the scored frame). Both norms are hoisted to once-per-ROW columns
+    below the join (r12 — the scored stream previously re-folded BOTH
+    vector norms per PAIR, 3x the O(dim) work; same fold expressions,
+    same denominator product, so every 4-dp round and the oracle hash
+    are unchanged). The brute-force scan is the exact baseline;
     ``hard_negatives_lsh`` is the same miner over the SRP-LSH candidate
     generator — the proven swap when the corpus or anchor side grows.
     Ties break on (sim desc, vec_id
     asc) via the struct's (sim, -vec_id) ordering, mirrored in the
     oracle's row_number.
     """
-    from amazon_macie_activity_generator_spark.operators.similarity import cosine_expr
+    from amazon_macie_activity_generator_spark.operators.similarity import (
+        dot_expr,
+        norm_expr,
+    )
 
     # NULL vectors out on both sides (brute_force_topk's rule): a NULL
     # sim inside the struct-max would resolve by engine NULL semantics
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
-    )
+    ).withColumn("nrm", norm_expr(F.col("embedding")))
     anchors = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("q_label"),
+        F.col("nrm").alias("qn"),
     )
-    sim = F.round(cosine_expr(F.col("embedding"), F.col("qv")), 4)
+    denom = F.col("nrm") * F.col("qn")
+    sim = F.round(
+        F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot_expr(F.col("embedding"), F.col("qv")) / denom),
+        4,
+    )
     scored = (
         emb.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("query_id"))
