@@ -2343,24 +2343,39 @@ def synthetic_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     every sampled frame arithmetically through the real LZW +
     color-table + GCE-timestamp decode in :func:`_decode_gif_frames`.
 
-    Grammar (ids >= 0, same NULL conventions as the siblings):
-    w = 3 + id % 5, h = 2 + id % 4, n_frames = 1 + id % 6, opaque
-    frames with a 50 cs (500 ms) GCE delay each — so frame f appears at
-    t = 500*f ms and ``sample_frames(every_ms=1000)`` emits exactly the
-    even frame indices below n_frames. The 16-entry palette is
-    p -> (p, 2p, 3p). Even (id // 8) files are FULL-FRAME: pixel j of
-    frame f carries index (id + 3f + j) % 16, so the RGB byte sum of
-    sampled frame f is 6 * sum_j((id + 3f + j) % 16). Odd (id // 8)
-    files exercise REAL COMPOSITING: frame 0 is full-frame as above,
-    but frames f >= 1 are PARTIAL interior-column rects
-    (left=1, top=0, iw=w-2, ih=h, disposal 1 = keep) whose pixel j'
-    carries the same (id + 3f + j') % 16 — the composited screen keeps
-    frame 0's first and last columns, so the sum the oracle predicts is
-    only reproducible by a decoder that actually composites the patch
-    onto the retained screen. Odd (id // 4) files store frames
-    interlaced — the four-pass scatter must be undone for the sums to
-    match, the same fold-in trick that made the pixels oracle prove
-    Adam7."""
+    Grammar (ids >= 0, same NULL conventions as the siblings; the
+    feature parities moved to id//8 and id//16 in round 12 — the round-
+    12 catalog route is id % 8 == 3, under which the old (id//4)%2
+    interlace parity was constant-false, i.e. the route had silently
+    lost interlaced coverage):
+    w = 3 + id % 5, h = 2 + id % 4, n_frames = 1 + id % 6, frames with
+    a 50 cs (500 ms) GCE delay each — so frame f appears at t = 500*f
+    ms and ``sample_frames(every_ms=1000)`` emits exactly the even
+    frame indices below n_frames. The 16-entry palette is
+    p -> (p, 2p, 3p). Even (id // 16) files are FULL-FRAME and opaque:
+    pixel j of frame f carries index (id + 3f + j) % 16, so the RGB
+    byte sum of sampled frame f is 6 * sum_j((id + 3f + j) % 16). Odd
+    (id // 16) files exercise REAL COMPOSITING WITH TRANSPARENCY:
+    frame 0 is full-frame, frames f >= 1 are PARTIAL INTERIOR rects —
+    left=1, top=1, iw=w-2, ih=max(1, h-2), disposal 1 = keep — whose
+    pixel j' carries the same (id + 3f + j') % 16, and every frame's
+    GCE declares index 0 transparent: a patch position shows the MOST
+    RECENT opaque value (its last frame f' <= f whose index there is
+    nonzero, else frame 0's pixel), so the composited sum is only
+    reproducible by a decoder that composites offset patches AND
+    passes transparency through the retained screen. (Frame 0's
+    transparency is RGB-neutral by construction: palette[0] = (0,0,0)
+    equals the background fill.) Odd (id // 8) files store every frame
+    interlaced — and because the patch (height h-2) and the full
+    screen (height h) scatter under DIFFERENT four-pass permutations,
+    an interlace-ignoring decoder maps transparency holes to the wrong
+    frame-0 rows and the composited sums change: descatter is
+    OBSERVABLE in this oracle (verified by a flag-clearing probe in
+    tests), closing the r11 review's gap where whole-frame sums of
+    opaque frames were row-permutation-invariant. (With a FULL-height
+    patch the permutations coincide and the whole composite is one
+    global row permutation — sums would stay invariant; the partial
+    height is what breaks the symmetry.)"""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -2370,24 +2385,28 @@ def synthetic_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         def build(i: int) -> bytes:
             w, h = 3 + i % 5, 2 + i % 4
             nf = 1 + i % 6
-            if (i // 8) % 2:  # compositing route: partial frames f >= 1
+            if (i // 16) % 2:  # compositing route: partial frames f >= 1
+                ih = max(1, h - 2)
                 frames = [bytes((i + j) % 16 for j in range(w * h))] + [
                     bytes((i + 3 * f + j) % 16
-                          for j in range((w - 2) * h))
+                          for j in range((w - 2) * ih))
                     for f in range(1, nf)
                 ]
-                rects = [None] + [(1, 0, w - 2, h)] * (nf - 1)
+                rects = [None] + [(1, 1, w - 2, ih)] * (nf - 1)
                 disposals = [1] * nf
+                transparent = True
             else:
                 frames = [
                     bytes((i + 3 * f + j) % 16 for j in range(w * h))
                     for f in range(nf)
                 ]
                 rects = disposals = None
+                transparent = False
             return _gif_encode_animated(
                 frames, pal, w, h, delays_cs=[50] * nf,
-                interlace=bool((i // 4) % 2),
+                interlace=bool((i // 8) % 2),
                 rects=rects, disposals=disposals,
+                transparent=transparent, transparent_idx=0,
             )
 
         for pdf in batches:

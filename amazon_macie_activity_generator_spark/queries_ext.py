@@ -1118,18 +1118,24 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     alike, so NULL-id corpora are excluded from this entry in both
     engines (they produced stub rows before r11; documented exclusion).
     doc_id % 8 == 3 routes REAL animated-GIF bytes (the
-    ``synthetic_gif_media`` grammar) through
+    ``synthetic_gif_media`` grammar — feature parities re-keyed to
+    id//8 / id//16 in r12, since under the %8==3 route the old (id//4)
+    interlace parity was constant-false) through
     ``sample_frames(decode_stub=False)``: the oracle re-derives the
     sampled frame timeline (500 ms GCE delays -> even frame indices
     below n_frames) AND each sampled frame's RGB byte sum arithmetically
     through LZW decode, the 16-color table, GCE timestamps, and (for odd
-    id//8 files) REAL COMPOSITING — partial interior-column frames over
-    a disposal-1 kept screen, whose predicted sum mixes frame-0 border
-    pixels with patch pixels and is unreproducible without an actual
-    compositor. (Odd id//4 files are stored interlaced; the whole-frame
-    sum is row-permutation-invariant, so interlace descatter is pinned
-    by unit tests, not by this oracle — stated plainly after the r11
-    review.) doc_id % 8 == 7 routes REAL MJPEG-in-AVI bytes (round 12,
+    id//16 files) REAL COMPOSITING WITH TRANSPARENCY — partial
+    interior-column frames with GCE-transparent index 0 over a
+    disposal-1 kept screen, so each interior position shows its LAST
+    opaque frame's pixel (else frame 0's) and the predicted sum is
+    unreproducible without an actual transparency-aware compositor.
+    Because the transparency holes of an interlaced patch are
+    row-dependent, odd id//8 (interlaced) composite files make the
+    four-pass descatter OBSERVABLE in these sums — closing the r11
+    review's note that whole-frame sums of opaque frames are
+    row-permutation-invariant. doc_id % 8 == 7 routes REAL MJPEG-in-AVI
+    bytes (round 12,
     the ``synthetic_avi_media`` grammar): the oracle predicts each
     sampled frame's byte sum through the AVI RIFF walk, per-frame JPEG
     Huffman+IDCT decode, and the fixed-point YCbCr->RGB conversion
@@ -1191,21 +1197,33 @@ WITH h AS (
 ), rf AS (
   SELECT i, w, h, nf, unnest([0, 2, 4]) AS f FROM g
 ), realgif AS (
-  -- even id//8: full-frame pixels (i + 3f + j) % 16.  odd id//8: frame 0
-  -- full-frame, frames f >= 1 partial interior-column rects composited
-  -- over the KEPT screen (disposal 1) — columns 0 and w-1 still carry
-  -- frame 0's pixels, interior column c row r carries patch pixel
-  -- j' = r*(w-2) + (c-1)
+  -- even id//16: full-frame opaque pixels (i + 3f + j) % 16.
+  -- odd id//16: frame 0 full-frame; frames f >= 1 partial INTERIOR
+  -- rects (left=1, top=1, iw=w-2, ih=max(1,h-2)) composited over the
+  -- KEPT screen (disposal 1) with GCE-transparent index 0 — border
+  -- columns AND the top/bottom border rows carry frame 0's pixels,
+  -- and an interior position (patch index j' = (r-1)*(w-2) + (c-1))
+  -- shows its LAST frame f' <= f whose patch pixel there is a nonzero
+  -- index, else frame 0's pixel. The partial HEIGHT is what makes
+  -- interlace descatter observable: patch (h-2 rows) and screen
+  -- (h rows) scatter under different permutations, so misplaced
+  -- transparency holes show through the wrong frame-0 rows.
   SELECT i AS media_id, CAST(f AS BIGINT) AS frame_idx,
          CAST(500 * f AS BIGINT) AS ts_ms,
          CAST(6 * list_sum(list_transform(range(w * h),
               j -> CASE
-                     WHEN (i // 8) % 2 = 0 OR f = 0
+                     WHEN (i // 16) % 2 = 0 OR f = 0
                        THEN (i + 3 * f + j) % 16
                      WHEN (j % w) = 0 OR (j % w) = w - 1
+                          OR (j // w) = 0
+                          OR (j // w) >= 1 + GREATEST(1, h - 2)
                        THEN (i + j) % 16
-                     ELSE (i + 3 * f + ((j // w) * (w - 2)
-                                        + (j % w) - 1)) % 16
+                     ELSE COALESCE(
+                       (i + 3 * list_max(list_filter(range(1, f + 1),
+                          ff -> (i + 3 * ff + ((j // w - 1) * (w - 2)
+                                               + (j % w) - 1)) % 16 != 0))
+                          + ((j // w - 1) * (w - 2) + (j % w) - 1)) % 16,
+                       (i + j) % 16)
                    END)) AS BIGINT) AS frame_sum
   FROM rf WHERE f < nf
 ), av AS (

@@ -213,3 +213,116 @@ def test_synthetic_avi_media_grammar(spark):
         _, w, h, nf = _grammar_frames(i)
         assert out is not None and (out[0], out[1]) == (w, h)
         assert len(out[2]) == nf
+
+
+# ------------------------------------------------- GIF interlace pin (r12)
+
+def _gif_grammar_build(i: int) -> bytes:
+    """The synthetic_gif_media per-id payload (r12 grammar)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _gif_encode_animated,
+    )
+
+    pal = bytes(v for p in range(16) for v in (p, 2 * p, 3 * p))
+    w, h = 3 + i % 5, 2 + i % 4
+    nf = 1 + i % 6
+    if (i // 16) % 2:
+        ih = max(1, h - 2)
+        frames = [bytes((i + j) % 16 for j in range(w * h))] + [
+            bytes((i + 3 * f + j) % 16 for j in range((w - 2) * ih))
+            for f in range(1, nf)]
+        rects = [None] + [(1, 1, w - 2, ih)] * (nf - 1)
+        disp = [1] * nf
+        tr = True
+    else:
+        frames = [bytes((i + 3 * f + j) % 16 for j in range(w * h))
+                  for f in range(nf)]
+        rects = disp = None
+        tr = False
+    return _gif_encode_animated(
+        frames, pal, w, h, delays_cs=[50] * nf,
+        interlace=bool((i // 8) % 2), rects=rects, disposals=disp,
+        transparent=tr, transparent_idx=0)
+
+
+def _clear_interlace_flags(gif: bytes) -> bytes:
+    """Walk the GIF block structure and clear every image descriptor's
+    interlace bit WITHOUT touching the (still scattered) LZW data —
+    i.e. construct the file an interlace-IGNORING decoder would
+    effectively see."""
+    b = bytearray(gif)
+    pos = 13 + 48  # header + 16-entry GCT
+    cleared = 0
+    while pos < len(b):
+        if b[pos] == 0x21:
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif b[pos] == 0x2C:
+            b[pos + 9] &= ~0x40
+            cleared += 1
+            pos += 10 + 1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif b[pos] == 0x3B:
+            break
+        else:  # should not happen on grammar files
+            raise AssertionError(hex(b[pos]))
+    assert cleared > 0
+    return bytes(b)
+
+
+def test_gif_interlace_descatter_is_oracle_observable():
+    """The r11 review noted that whole-frame sums of OPAQUE frames are
+    row-permutation-invariant, so the frames oracle could not see
+    interlace. The r12 grammar (partial-HEIGHT transparent patches:
+    patch h-2 rows and screen h rows scatter under different four-pass
+    permutations) fixes that: decoding the scattered data as if
+    sequential must change the composited sums on interlaced composite
+    files. This is the observability proof backing the oracle claim in
+    q_multimodal_frames."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_gif_frames,
+    )
+
+    cands = [i for i in range(3, 600, 8)
+             if (i // 8) % 2 and (i // 16) % 2 and (1 + i % 6) > 1]
+    assert len(cands) >= 10
+    observable = 0
+    for i in cands:
+        g = _gif_grammar_build(i)
+        real = [sum(rgb) for _, rgb in _decode_gif_frames(g)[2]]
+        ign = _decode_gif_frames(_clear_interlace_flags(g))
+        if ign is None or [sum(rgb) for _, rgb in ign[2]] != real:
+            observable += 1
+    # every interlaced composite file in the probe distinguishes the
+    # decoders today; keep a margin against future grammar tweaks
+    assert observable >= len(cands) * 0.8
+
+
+def test_gif_grammar_full_height_patch_would_be_invariant():
+    """Regression guard for the reasoning itself: with a FULL-height
+    patch the screen and patch permutations coincide, the whole
+    composite is one global row permutation, and sums stay invariant —
+    the construction that looked interlace-sensitive but was not. Pin
+    that fact so nobody 'simplifies' the grammar back to it."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_gif_frames,
+        _gif_encode_animated,
+    )
+
+    pal = bytes(v for p in range(16) for v in (p, 2 * p, 3 * p))
+    i, w, h, nf = 27, 5, 5, 4
+    frames = [bytes((i + j) % 16 for j in range(w * h))] + [
+        bytes((i + 3 * f + j) % 16 for j in range((w - 2) * h))
+        for f in range(1, nf)]
+    g = _gif_encode_animated(
+        frames, pal, w, h, delays_cs=[50] * nf, interlace=True,
+        rects=[None] + [(1, 0, w - 2, h)] * (nf - 1),
+        disposals=[1] * nf, transparent=True, transparent_idx=0)
+    real = [sum(rgb) for _, rgb in _decode_gif_frames(g)[2]]
+    ign = [sum(rgb) for _, rgb in
+           _decode_gif_frames(_clear_interlace_flags(g))[2]]
+    assert real == ign  # invariant by symmetry — hence the partial height
