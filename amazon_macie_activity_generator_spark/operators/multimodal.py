@@ -208,13 +208,212 @@ _MAX_SAMPLES = 1 << 24
 _WAVE_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 
 
+# IMA/DVI ADPCM tables (round 12 — the first compressed-audio lane):
+# fixed by the IMA Digital Audio Pack spec; the encoder twin, this
+# decoder, and the DuckDB oracle's recursive state replay all share them
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_nibbles(pred: int, idx: int, nibbles, out: list) -> None:
+    """Standard IMA ADPCM nibble expansion, appending int16-range
+    predictions to ``out``. The predictor recurrence is inherently
+    sequential WITHIN a block, but every block restates (pred, index) in
+    its header, so blocks decode independently — that per-block
+    independence is the parallelism seam at scale, not SIMD."""
+    st = _IMA_STEP_TABLE
+    it = _IMA_INDEX_TABLE
+    for code in nibbles:
+        n = code & 7
+        step = st[idx]
+        diff = step >> 3
+        if n & 4:
+            diff += step
+        if n & 2:
+            diff += step >> 1
+        if n & 1:
+            diff += step >> 2
+        pred = pred - diff if code & 8 else pred + diff
+        if pred > 32767:
+            pred = 32767
+        elif pred < -32768:
+            pred = -32768
+        idx += it[n]
+        if idx < 0:
+            idx = 0
+        elif idx > 88:
+            idx = 88
+        out.append(pred)
+
+
+def _decode_wav_ima(sample_rate, nch, bits, block_align, spb, fact, data):
+    """IMA ADPCM (wFormatTag 0x11) -> (rate, int32 (n, nch)) or None.
+    Accepted shape: 4-bit nibbles, mono or stereo, block =
+    4-byte (predictor int16, step index, reserved) header per channel +
+    nibble words (stereo interleaves 4-byte groups per channel, spec
+    layout); spb (wSamplesPerBlock from the fmt extension) must satisfy
+    block_align = 4*nch + (spb-1)*nch/2 with whole nibble bytes (mono:
+    spb odd) / whole 4-byte groups (stereo: spb-1 % 8 == 0) — mismatched
+    declarations quarantine rather than desync. Sample 0 of each block
+    IS the header predictor; the `fact` chunk truncates the padded final
+    block to the real frame count (absent fact = all blocks full). A
+    trailing partial block is dropped (the PCM truncation tolerance);
+    a header step index > 88 quarantines (hostile state injection)."""
+    import numpy as np
+
+    if bits != 4 or nch not in (1, 2) or not spb or spb < 1:
+        return None
+    per_ch = spb - 1
+    if nch == 1:
+        if per_ch % 2:
+            return None
+    elif per_ch % 8:
+        return None
+    if block_align != 4 * nch + per_ch * nch // 2:
+        return None
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return None
+    total = nblocks * spb
+    n = min(fact, total) if fact is not None else total
+    if n <= 0 or n * nch > _MAX_SAMPLES:
+        return None
+    chans: list[list] = [[] for _ in range(nch)]
+    for blk_no in range(nblocks):
+        blk = data[blk_no * block_align : (blk_no + 1) * block_align]
+        preds = []
+        idxs = []
+        for ch in range(nch):
+            h = blk[4 * ch : 4 * ch + 4]
+            pred = int.from_bytes(h[:2], "little", signed=True)
+            idx = h[2]
+            if idx > 88:
+                return None
+            chans[ch].append(pred)
+            preds.append(pred)
+            idxs.append(idx)
+        body = blk[4 * nch :]
+        for ch in range(nch):
+            nibs = []
+            for g in range(4 * ch, len(body), 4 * nch):
+                for byte in body[g : g + 4]:
+                    nibs.append(byte & 15)
+                    nibs.append(byte >> 4)
+            _ima_decode_nibbles(preds[ch], idxs[ch], nibs[:per_ch], chans[ch])
+    frames = np.array(chans, dtype=np.int32).T[:n]
+    return sample_rate, frames
+
+
+def _wav_encode_ima_adpcm(samples, rate: int, samples_per_block: int) -> bytes:
+    """IMA ADPCM WAV writer twin of :func:`_decode_wav_ima`: fmt 0x11
+    (cbSize=2 + wSamplesPerBlock) + a `fact` chunk carrying the true
+    frame count + headered blocks, final block zero-nibble padded. The
+    quantizer tracks the DECODER's state (encode-by-decode), so the
+    decoded output is exactly the predictor track this encoder computed
+    — which is what lets the DuckDB oracle replay the codec as a
+    recursive state machine and predict the decoded stats of a LOSSY
+    format arithmetically."""
+    import numpy as np
+
+    st = _IMA_STEP_TABLE
+    it = _IMA_INDEX_TABLE
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n, nch = arr.shape
+    spb = samples_per_block
+    per_ch = spb - 1
+    block_align = 4 * nch + per_ch * nch // 2
+    out = bytearray()
+    idxs = [0] * nch
+    for lo in range(0, n, spb):
+        chunk = arr[lo : lo + spb]
+        headers = bytearray()
+        nib_streams: list[list] = []
+        for ch in range(nch):
+            xs = [int(v) for v in chunk[:, ch]]
+            pred = max(-32768, min(32767, xs[0]))
+            idx = idxs[ch]
+            headers += (pred & 0xFFFF).to_bytes(2, "little") + bytes([idx, 0])
+            nibs = []
+            for x in xs[1:]:
+                d = x - pred
+                sign = 8 if d < 0 else 0
+                if d < 0:
+                    d = -d
+                step = st[idx]
+                code = 0
+                if d >= step:
+                    code |= 4
+                    d -= step
+                if d >= step >> 1:
+                    code |= 2
+                    d -= step >> 1
+                if d >= step >> 2:
+                    code |= 1
+                nibs.append(sign | code)
+                diff = step >> 3
+                if code & 4:
+                    diff += step
+                if code & 2:
+                    diff += step >> 1
+                if code & 1:
+                    diff += step >> 2
+                pred = pred - diff if sign else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + it[code]))
+            nibs += [0] * (per_ch - len(nibs))  # pad the final block
+            idxs[ch] = idx
+            nib_streams.append(nibs)
+        chbytes = []
+        for ch in range(nch):
+            nibs = nib_streams[ch]
+            bb = bytearray()
+            for k in range(0, per_ch, 2):  # low nibble first, per spec
+                bb.append(nibs[k] | (nibs[k + 1] << 4))
+            chbytes.append(bb)
+        if nch == 1:
+            body = chbytes[0]
+        else:  # stereo: 4-byte groups, round-robin per channel
+            body = bytearray()
+            for g in range(0, len(chbytes[0]), 4):
+                for ch in range(nch):
+                    body += chbytes[ch][g : g + 4]
+        out += headers + body
+    avg = rate * block_align // spb if spb else 0
+    fmt = (
+        (0x11).to_bytes(2, "little") + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + avg.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + spb.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+        + b"data" + len(out).to_bytes(4, "little") + bytes(out)
+        + (b"\x00" if len(out) % 2 else b"")
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def _decode_wav_pcm(b: bytes | None):
     """RIFF/WAVE PCM decode -> (sample_rate, frames) where ``frames`` is
     an int32 ndarray of shape (n_frames, n_channels) — or None to
-    quarantine (non-WAV, malformed, compressed codecs, over-budget
+    quarantine (non-WAV, malformed, unsupported codecs, over-budget
     sample counts). Accepted fmt lanes: classic integer PCM (wFormatTag
-    1), IEEE float (tag 3, 32/64-bit), and WAVE_FORMAT_EXTENSIBLE
-    (tag 0xFFFE) wrapping either — the SubFormat GUID must carry the
+    1), IEEE float (tag 3, 32/64-bit), IMA ADPCM (tag 0x11, round 12 —
+    see :func:`_decode_wav_ima`; MP3 and other compressed tags still
+    quarantine), and WAVE_FORMAT_EXTENSIBLE
+    (tag 0xFFFE) wrapping integer or float PCM — the SubFormat GUID must carry the
     standard KSDATAFORMAT tail, and the sample data is decoded at the
     container depth (valid-bits-left-justified storage per the spec, so
     the container read IS the sample value). Stated limitation: a file
@@ -243,6 +442,7 @@ def _decode_wav_pcm(b: bytes | None):
     if not b or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     fmt_code = sample_rate = block_align = bits = nch = None
+    spb = fact = None
     data: bytes | None = None
     i = 12
     while i + 8 <= len(b):
@@ -264,12 +464,23 @@ def _decode_wav_pcm(b: bytes | None):
                 if sub[2:] != _WAVE_GUID_TAIL:
                     return None
                 fmt_code = int.from_bytes(sub[:2], "little")
+            elif fmt_code == 0x11:  # IMA ADPCM: ext carries samples/block
+                if csize >= 20 and i + 28 <= len(b):
+                    spb = int.from_bytes(b[i + 26 : i + 28], "little")
+        elif cid == b"fact" and csize >= 4 and i + 12 <= len(b):
+            fact = int.from_bytes(b[i + 8 : i + 12], "little")
         elif cid == b"data":
             data = b[i + 8 : i + 8 + csize]
         i += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if fmt_code == 0x11 and data is not None and sample_rate:
+        # IMA ADPCM (round 12) — the first compressed-audio lane; an
+        # extensible-wrapped 0x11 lands here with spb=None and
+        # quarantines (its fmt layout has no wSamplesPerBlock field)
+        return _decode_wav_ima(
+            sample_rate, nch, bits, block_align, spb, fact, data)
     if (fmt_code not in (1, 3) or not sample_rate or not nch or not bits
             or data is None):
-        return None  # ADPCM / MP3 / unknown-GUID quarantine
+        return None  # non-IMA ADPCM / MP3 / unknown-GUID quarantine
     if fmt_code == 3:
         if bits not in (32, 64):
             return None
@@ -549,24 +760,38 @@ def _wav_encode(
 
 
 def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic PCM WAV media spanning the full integer-PCM decode
-    matrix — the audio sibling of :func:`synthetic_pixel_media`. Grammar
-    (ids >= 0, same NULL conventions as the siblings): bits =
-    (8, 16, 24)[id % 3], channels = 1 + id % 2, rate = 8000 * (1 + id % 3),
-    n_frames = 50 + id % 200, and flat sample j (frame-major, channel-
-    minor) is ((id * 7 + 13 * j) % 201) - 100 — valid at every depth and
-    arithmetically predictable, so a test (or oracle) can re-derive
-    sample_sum / abs_peak / duration without decoding."""
+    """Deterministic WAV media spanning the integer-PCM decode matrix
+    plus (round 12) an IMA ADPCM lane — the audio sibling of
+    :func:`synthetic_pixel_media`. Grammar (ids >= 0, same NULL
+    conventions as the siblings): rate = 8000 * (1 + id % 3),
+    n_frames = 50 + id % 200, flat input sample j (frame-major,
+    channel-minor) is ((id * 7 + 13 * j) % 201) - 100. id % 7 == 5
+    files are MONO IMA ADPCM (samples/block 9/17/25 by id % 3 — multi-
+    block, padded final block, fact-chunk truncation): the format is
+    LOSSY, so decoded stats are predicted by replaying the encoder+
+    decoder state machine (the oracle does this as a recursive CTE),
+    not by the input formula. All other ids are lossless integer PCM
+    with bits = (8, 16, 24)[id % 3], channels = 1 + id % 2 — decoded
+    samples ARE the input formula at every depth."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
         def build(i: int) -> bytes:
-            bits = (8, 16, 24)[i % 3]
-            nch = 1 + i % 2
             rate = 8000 * (1 + i % 3)
             n_frames = 50 + i % 200
+            if i % 7 == 5:
+                # IMA ADPCM lane (round 12): mono, samples/block
+                # 9/17/25 by id%3 (multi-block files with a padded
+                # final block + fact truncation). LOSSY — the oracle
+                # replays the codec state machine, not the input.
+                j = np.arange(n_frames, dtype=np.int64)
+                samples = ((i * 7 + 13 * j) % 201) - 100
+                return _wav_encode_ima_adpcm(
+                    samples.reshape(n_frames, 1), rate, 9 + 8 * (i % 3))
+            bits = (8, 16, 24)[i % 3]
+            nch = 1 + i % 2
             j = np.arange(n_frames * nch, dtype=np.int64)
             samples = ((i * 7 + 13 * j) % 201) - 100
             return _wav_encode(samples.reshape(n_frames, nch), rate, bits)

@@ -1870,19 +1870,24 @@ FROM rgb GROUP BY media_id, rk, w, h
 
 
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode (round 11, VERDICT r10 ask #1a — the audio twin
-    of the pixel entries): id-parameterized RIFF/WAVE PCM files from the
-    ``synthetic_audio_media`` grammar — bits (8/16/24 by id%3, spanning
-    unsigned-centered, signed-LE, and sign-extended lanes), channels
-    1+id%2, rate 8000*(1+id%3), n_frames 50+id%200, flat sample j =
-    ((id*7 + 13j) % 201) - 100 — are decoded by
+    """REAL audio decode (round 11; round 12 adds the LOSSY lane — the
+    audio twin of the pixel entries): id-parameterized RIFF/WAVE files
+    from the ``synthetic_audio_media`` grammar are decoded by
     ``extract_audio_features`` (Arrow-batched mapInPandas over
-    ``_decode_wav_pcm``). The oracle re-derives every stat
-    arithmetically: exact int64 sample_sum / abs_peak across the depth
-    matrix, duration flooring, and the float64 rms (exact-integer sums
-    under 2^53 make both engines' mean+sqrt bit-identical). A hash match
-    proves real chunk-walk + PCM decode at every depth, not header
-    sniffing. NULL/negative doc_ids excluded in both engines."""
+    ``_decode_wav_pcm``). id%7 != 5: integer PCM — bits (8/16/24 by
+    id%3, spanning unsigned-centered, signed-LE, and sign-extended
+    lanes), channels 1+id%2, rate 8000*(1+id%3), n_frames 50+id%200,
+    flat sample j = ((id*7 + 13j) % 201) - 100 — lossless, so the
+    oracle re-derives every stat from the input formula. id%7 == 5:
+    MONO IMA ADPCM (samples/block 9/17/25 — multi-block with padded
+    final block + fact truncation), a LOSSY codec: the oracle REPLAYS
+    the encode-by-decode state machine as a recursive CTE (89-entry
+    step table, quantizer thresholds, reconstruction diff, int16
+    clamp, index walk), so a hash match proves the engine ran the
+    actual ADPCM predictor over every nibble — compressed-audio decode,
+    not header sniffing. Exact int64 sample_sum / abs_peak, duration
+    flooring, float64 rms bit-identical via exact-integer sums under
+    2^53. NULL/negative doc_ids excluded in both engines."""
     from amazon_macie_activity_generator_spark.operators.multimodal import (
         extract_audio_features,
         synthetic_audio_media,
@@ -1898,28 +1903,108 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MULTIMODAL_AUDIO = """
-WITH p AS (
+WITH RECURSIVE p AS (
   SELECT doc_id AS i,
          1 + doc_id % 2 AS nch,
          8000 * (1 + doc_id % 3) AS rate,
          50 + doc_id % 200 AS nf
   FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 400
+        AND doc_id % 7 <> 5
 ), s AS (
   SELECT i, nch, rate, nf,
          list_transform(range(nf * nch),
                         j -> (i * 7 + 13 * j) % 201 - 100) AS samples
   FROM p
+), pcm AS (
+  SELECT i AS media_id,
+         CAST(rate AS BIGINT) AS sample_rate,
+         CAST(nch AS BIGINT) AS n_channels,
+         CAST(nf AS BIGINT) AS n_frames,
+         CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+         CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+         CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS abs_peak,
+         sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE)
+              / (nf * nch)) AS rms
+  FROM s
+), ap AS (
+  -- IMA ADPCM lane (r12): mono, spb = 9/17/25, LOSSY — the oracle
+  -- replays the encode-by-decode state machine of
+  -- _wav_encode_ima_adpcm/_decode_wav_ima exactly: per block-start
+  -- sample the header predictor IS the input; per nibble the quantizer
+  -- thresholds (step, step/2, step/4), the reconstruction diff
+  -- (step/8 + bit-weighted step terms), int16 clamp, and the index
+  -- walk over the 89-entry step table
+  SELECT doc_id AS i, 8000 * (1 + doc_id % 3) AS rate,
+         50 + doc_id % 200 AS nf, 9 + 8 * (doc_id % 3) AS spb
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 400
+        AND doc_id % 7 = 5
+), st AS (
+  SELECT i, rate, nf, spb, 0 AS t,
+         CAST((i * 7) % 201 - 100 AS BIGINT) AS pred,
+         0 AS idx,
+         CAST((i * 7) % 201 - 100 AS BIGINT) AS ssum,
+         CAST(abs((i * 7) % 201 - 100) AS BIGINT) AS apk,
+         CAST(((i * 7) % 201 - 100) * ((i * 7) % 201 - 100) AS BIGINT) AS ssq
+  FROM ap
+  UNION ALL
+  SELECT i, rate, nf, spb, t + 1, d,
+         CASE WHEN (t + 1) % spb = 0 THEN idx
+              ELSE GREATEST(0, LEAST(88,
+                   idx + ([-1,-1,-1,-1,2,4,6,8])[n + 1])) END,
+         ssum + d, GREATEST(apk, abs(d)), ssq + d * d
+  FROM (
+    SELECT i, rate, nf, spb, t, idx, ssum, apk, ssq, n,
+           CASE WHEN (t + 1) % spb = 0 THEN x
+                ELSE GREATEST(-32768, LEAST(32767,
+                     pred + CASE WHEN x < pred THEN -diff ELSE diff END))
+           END AS d
+    FROM (
+      SELECT *,
+             step // 8 + CASE WHEN b4 THEN step ELSE 0 END
+                       + CASE WHEN b2 THEN step // 2 ELSE 0 END
+                       + CASE WHEN b1 THEN step // 4 ELSE 0 END AS diff,
+             4 * CAST(b4 AS INT) + 2 * CAST(b2 AS INT) + CAST(b1 AS INT) AS n
+      FROM (
+        SELECT *, a1 - CASE WHEN b2 THEN step // 2 ELSE 0 END >= step // 4 AS b1
+        FROM (
+          SELECT *, a1 >= step // 2 AS b2
+          FROM (
+            SELECT *, a0 - CASE WHEN b4 THEN step ELSE 0 END AS a1
+            FROM (
+              SELECT *, a0 >= step AS b4
+              FROM (
+                SELECT i, rate, nf, spb, t, pred, idx, ssum, apk, ssq,
+                       CAST((i * 7 + 13 * (t + 1)) % 201 - 100 AS BIGINT) AS x,
+                       abs(CAST((i * 7 + 13 * (t + 1)) % 201 - 100 AS BIGINT)
+                           - pred) AS a0,
+                       ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+                         41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+                         173,190,209,230,253,279,307,337,371,408,449,494,544,
+                         598,658,724,796,876,963,1060,1166,1282,1411,1552,
+                         1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+                         4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+                         11487,12635,13899,15289,16818,18500,20350,22385,
+                         24623,27086,29794,32767])[idx + 1] AS step
+                FROM st WHERE t + 1 < nf
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+), adpcm AS (
+  SELECT i AS media_id,
+         CAST(rate AS BIGINT) AS sample_rate,
+         CAST(1 AS BIGINT) AS n_channels,
+         CAST(nf AS BIGINT) AS n_frames,
+         CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+         ssum AS sample_sum,
+         apk AS abs_peak,
+         sqrt(CAST(ssq AS DOUBLE) / nf) AS rms
+  FROM st WHERE t = nf - 1
 )
-SELECT i AS media_id,
-       CAST(rate AS BIGINT) AS sample_rate,
-       CAST(nch AS BIGINT) AS n_channels,
-       CAST(nf AS BIGINT) AS n_frames,
-       CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
-       CAST(list_sum(samples) AS BIGINT) AS sample_sum,
-       CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS abs_peak,
-       sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE)
-            / (nf * nch)) AS rms
-FROM s
+SELECT * FROM pcm UNION ALL SELECT * FROM adpcm
 """
 
 

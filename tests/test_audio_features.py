@@ -90,7 +90,7 @@ def test_legacy_wav_bytes_still_decode():
     lambda b: b.replace(b"RIFF", b"RIFX", 1),            # wrong magic
     lambda b: b.replace(b"WAVE", b"AVI ", 1),            # not WAVE
     lambda b: b[:20] + (3).to_bytes(2, "little") + b[22:],   # float fmt
-    lambda b: b[:20] + (2).to_bytes(2, "little") + b[22:],   # ADPCM
+    lambda b: b[:20] + (2).to_bytes(2, "little") + b[22:],   # MS ADPCM (unsupported; IMA 0x11 is real since r12)
     lambda b: b[:34] + (12).to_bytes(2, "little") + b[36:],  # 12-bit depth
     lambda b: b[:32] + (7).to_bytes(2, "little") + b[34:],   # bad align
     lambda b: b[:24] + (0).to_bytes(4, "little") + b[28:],   # zero rate
@@ -272,6 +272,14 @@ def test_extract_audio_features_stage_exact(spark):
     assert len(got) == 24
     for i in range(24):
         bits, nch, rate, frames = _grammar_samples(i)
+        if i % 7 == 5:  # r12 IMA ADPCM lane: mono, lossy — the expected
+            # samples are the codec's decoded track, not the input
+            nch = 1
+            track = _ima_reference_track(
+                [((i * 7 + 13 * j) % 201) - 100
+                 for j in range(50 + i % 200)],
+                9 + 8 * (i % 3))
+            frames = np.array(track, dtype=np.int64).reshape(-1, 1)
         flat = frames.ravel()
         r = got[i]
         assert r["sample_rate"] == rate
@@ -315,3 +323,145 @@ def test_null_id_still_yields_row(spark):
     assert len(out) == 2
     assert any(r["media_id"] is None and r["n_frames"] is not None
                for r in out)  # NULL id synthesizes id 0's payload
+
+
+# ----------------------------------------------------- IMA ADPCM (r12)
+
+IT = (-1, -1, -1, -1, 2, 4, 6, 8)
+ST = (7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+
+def _ima_reference_track(xs, spb):
+    """Independent encode-by-decode state replay (the oracle's recursive
+    CTE in Python form): the decoded track of _wav_encode_ima_adpcm."""
+    out = []
+    pred = idx = 0
+    for t, x in enumerate(xs):
+        if t % spb == 0:
+            pred = max(-32768, min(32767, int(x)))
+            out.append(pred)
+            continue
+        d = x - pred
+        sign = d < 0
+        if sign:
+            d = -d
+        step = ST[idx]
+        n = 0
+        if d >= step:
+            n |= 4
+            d -= step
+        if d >= step >> 1:
+            n |= 2
+            d -= step >> 1
+        if d >= step >> 2:
+            n |= 1
+        diff = step >> 3
+        if n & 4:
+            diff += step
+        if n & 2:
+            diff += step >> 1
+        if n & 1:
+            diff += step >> 2
+        pred = pred - diff if sign else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + IT[n]))
+        out.append(pred)
+    return out
+
+
+@pytest.mark.parametrize("i", [5, 12, 19, 26, 47, 103, 215, 397])
+def test_ima_adpcm_grammar_roundtrip(i):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ima_adpcm,
+    )
+
+    rate = 8000 * (1 + i % 3)
+    nf = 50 + i % 200
+    spb = 9 + 8 * (i % 3)
+    xs = [((i * 7 + 13 * j) % 201) - 100 for j in range(nf)]
+    wav = _wav_encode_ima_adpcm(np.array(xs).reshape(-1, 1), rate, spb)
+    out = _decode_wav_pcm(wav)
+    assert out is not None
+    r, frames = out
+    assert r == rate and frames.shape == (nf, 1)
+    assert frames[:, 0].tolist() == _ima_reference_track(xs, spb)
+
+
+def test_ima_adpcm_stereo_roundtrip():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ima_adpcm,
+    )
+
+    rng = np.random.default_rng(5)
+    xs = rng.integers(-3000, 3000, size=(101, 2))
+    out = _decode_wav_pcm(_wav_encode_ima_adpcm(xs, 22050, 9))
+    assert out is not None and out[1].shape == (101, 2)
+    for ch in range(2):
+        assert out[1][:, ch].tolist() == _ima_reference_track(
+            [int(v) for v in xs[:, ch]], 9)
+
+
+def test_ima_adpcm_fact_truncates_padded_final_block():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ima_adpcm,
+    )
+
+    xs = np.arange(20).reshape(-1, 1) * 50  # 20 frames, spb=9 -> 3 blocks
+    wav = _wav_encode_ima_adpcm(xs, 8000, 9)
+    out = _decode_wav_pcm(wav)
+    assert out is not None and out[1].shape == (20, 1)  # not 27
+    # without the fact chunk, all blocks count as full
+    at = wav.index(b"fact")
+    no_fact = wav[:at] + wav[at + 12 :]
+    out2 = _decode_wav_pcm(no_fact)
+    assert out2 is not None and out2[1].shape == (27, 1)
+    assert out2[1][:20, 0].tolist() == out[1][:, 0].tolist()
+
+
+def test_ima_adpcm_hostile_quarantines():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ima_adpcm,
+    )
+
+    wav = _wav_encode_ima_adpcm(np.arange(100).reshape(-1, 1), 8000, 9)
+    assert _decode_wav_pcm(wav) is not None
+    # declared samples-per-block inconsistent with block align
+    b = bytearray(wav)
+    k = wav.index(b"fmt ") + 8 + 18
+    b[k : k + 2] = (11).to_bytes(2, "little")
+    assert _decode_wav_pcm(bytes(b)) is None
+    # hostile header step index > 88
+    b = bytearray(wav)
+    b[wav.index(b"data") + 8 + 2] = 200
+    assert _decode_wav_pcm(bytes(b)) is None
+    # 3-channel ADPCM unsupported
+    b = bytearray(wav)
+    b[wav.index(b"fmt ") + 8 + 2 : wav.index(b"fmt ") + 8 + 4] = (
+        (3).to_bytes(2, "little"))
+    assert _decode_wav_pcm(bytes(b)) is None
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_adpcm_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ima_adpcm,
+    )
+
+    good = _wav_encode_ima_adpcm(
+        (np.arange(150) * 37 % 401 - 200).reshape(-1, 1), 8000, 17)
+    payload = bytearray(good)
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    out = _decode_wav_pcm(bytes(payload))
+    if out is not None:
+        rate, frames = out
+        assert frames.ndim == 2 and frames.shape[0] >= 1
