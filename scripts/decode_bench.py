@@ -225,6 +225,64 @@ def per_format_table(size: int, reps: int) -> dict[str, float]:
     return out
 
 
+def ac_dense_table(reps: int) -> dict:
+    """Interleaved A/B of the scalar vs batched (r12) baseline JPEG
+    entropy lanes on AC-dense (photo-like) shapes — the measurement
+    behind the _AC_FAST_MIN_ENTROPY_BYTES gate and the SCALE.md
+    'batched baseline entropy lane' paragraph. Lanes alternate within
+    each rep so box contention cancels; pixel equality is asserted per
+    decode."""
+    from amazon_macie_activity_generator_spark.operators import jpeg as J
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        jpeg_encode_baseline,
+    )
+
+    def build(w, h, density, seed=3, rst=0):
+        rng = np.random.default_rng(seed)
+        nmcu = -(-w // 16) * (-(-h // 16))
+        comps = []
+        for nb in (4 * nmcu, nmcu, nmcu):
+            arr = np.zeros((nb, 64), dtype=np.int32)
+            arr[:, 0] = rng.integers(-32, 32, size=nb)
+            mask = rng.random((nb, 63)) < density
+            vals = rng.integers(-20, 21, size=(nb, 63))
+            vals[vals == 0] = 1
+            arr[:, 1:] = np.where(mask, vals, 0)
+            comps.append(arr)
+        return jpeg_encode_baseline(comps, w, h, restart_interval=rst)
+
+    decode_jpeg_pixels(build(64, 64, 0.35))  # warm the std fast-AC cache
+    shapes = [("dense35_128", 128, 128, 0.35, 0),
+              ("dense35_256", 256, 256, 0.35, 0),
+              ("dense15_256", 256, 256, 0.15, 0),
+              ("dense35_512", 512, 512, 0.35, 0),
+              ("rst_dense35_256", 256, 256, 0.35, 2)]
+    out: dict = {}
+    saved = J._AC_FAST_MIN_ENTROPY_BYTES
+    try:
+        for tag, w, h, d, rst in shapes:
+            payload = build(w, h, d, rst=rst)
+            ref = decode_jpeg_pixels(payload)
+            best = {"scalar": float("inf"), "batched": float("inf")}
+            for _ in range(max(reps, 5)):
+                for lane, gate in (("scalar", 1 << 60), ("batched", 0)):
+                    J._AC_FAST_MIN_ENTROPY_BYTES = gate
+                    t0 = time.perf_counter()
+                    got = decode_jpeg_pixels(payload)
+                    best[lane] = min(best[lane], time.perf_counter() - t0)
+                    assert got == ref, (tag, lane)
+            mbs = lambda t: round(w * h * 3 / t / 1e6, 2)  # noqa: E731
+            out[tag] = {
+                "scalar_mbs": mbs(best["scalar"]),
+                "batched_mbs": mbs(best["batched"]),
+                "ratio": round(best["scalar"] / best["batched"], 2),
+            }
+    finally:
+        J._AC_FAST_MIN_ENTROPY_BYTES = saved
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
@@ -235,10 +293,16 @@ def main() -> None:
                     help="also print the per-filter PNG micro table")
     ap.add_argument("--per-format", action="store_true",
                     help="also print single-thread MB/s per container format")
+    ap.add_argument("--ac-dense", action="store_true",
+                    help="A/B the scalar vs batched JPEG entropy lanes "
+                         "on AC-dense shapes, then exit")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
     result: dict = {"size": args.size, "base_images": args.base_images}
+    if args.ac_dense:
+        print(json.dumps({"ac_dense": ac_dense_table(args.reps)}))
+        return
     if args.micro:
         result["micro_png_filter_mbs"] = micro_filter_table(args.size, max(args.reps, 3))
         print(json.dumps({"micro": result["micro_png_filter_mbs"]}))
