@@ -265,64 +265,75 @@ def _split_entropy(b: bytes, start: int) -> tuple[list[bytes], int] | None:
 
 class _BitReader:
     """MSB-first bit reader over one entropy segment, for the progressive
-    path. The baseline hot loop stays inlined on local ints (measured 4x
-    there); progressive scans are four distinct scan kinds with many
-    small reads, where the method-call overhead buys tractable control
-    flow — progressive decode is entropy-bound Python either way (see
-    the native-codec seam note in operators/multimodal.py)."""
+    path. Round 12: the same batch-refill discipline as the baseline
+    batched lane — the accumulator is masked only at refill (extracts
+    mask explicitly via ``_MASK``) and refills pull 48-bit pre-gathered
+    words (:func:`_chunks48`, large segments only — the numpy gather is
+    skipped below 1 KiB so the catalog's tiny payloads pay nothing) or
+    <=5-byte slices near the tail. One refill always reaches >=16 bits
+    or exhausts the segment, and every read here is <=15 bits, so a
+    single refill check per call suffices. Semantics are unchanged:
+    zero-padded peeks past segment end, None on invalid prefixes or
+    short reads (equivalence pinned by the progressive-vs-baseline fuzz
+    and the hand-authored T.81 spec streams)."""
 
-    __slots__ = ("data", "n", "pos", "acc", "nbits")
+    __slots__ = ("data", "n", "words", "nwords", "wi", "tpos", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.data = data
         self.n = len(data)
-        self.pos = 0
+        if self.n >= 1024:
+            self.words, self.tpos = _chunks48(data)
+        else:
+            self.words, self.tpos = [], 0
+        self.nwords = len(self.words)
+        self.wi = 0
         self.acc = 0
         self.nbits = 0
 
+    def _refill(self) -> None:
+        if self.wi < self.nwords:
+            self.acc = ((self.acc & _MASK[self.nbits]) << 48) | self.words[self.wi]
+            self.wi += 1
+            self.nbits += 48
+        elif self.tpos < self.n:
+            chunk = self.data[self.tpos : self.tpos + 5]
+            got = len(chunk)
+            self.acc = ((self.acc & _MASK[self.nbits]) << (got << 3)) | int.from_bytes(chunk, "big")
+            self.nbits += got << 3
+            self.tpos += got
+
     def bits(self, k: int):
-        """k raw bits MSB-first, or None past end of segment."""
-        acc = self.acc
+        """k raw bits MSB-first (k <= 15 in every caller), or None past
+        end of segment."""
         nbits = self.nbits
-        data = self.data
-        pos = self.pos
-        while nbits < k:
-            if pos >= self.n:
+        if nbits < k:
+            self._refill()
+            nbits = self.nbits
+            if nbits < k:
                 return None
-            acc = (acc << 8) | data[pos]
-            pos += 1
-            nbits += 8
         nbits -= k
-        v = (acc >> nbits) & ((1 << k) - 1)
-        self.acc = acc & ((1 << nbits) - 1)
         self.nbits = nbits
-        self.pos = pos
-        return v
+        return (self.acc >> nbits) & _MASK[k]
 
     def huff(self, lut) -> int | None:
         """One Huffman symbol via the 16-bit left-aligned LUT (zero-padded
         peek past segment end, same as the baseline loop); None on an
         invalid prefix or exhausted segment."""
-        acc = self.acc
         nbits = self.nbits
-        data = self.data
-        pos = self.pos
-        while nbits < 16 and pos < self.n:
-            acc = (acc << 8) | data[pos]
-            pos += 1
-            nbits += 8
+        if nbits < 16:
+            self._refill()
+            nbits = self.nbits
+        acc = self.acc
         e = (
             lut[(acc >> (nbits - 16)) & 0xFFFF]
             if nbits >= 16
-            else lut[(acc << (16 - nbits)) & 0xFFFF]
+            else lut[((acc & _MASK[nbits]) << (16 - nbits)) & 0xFFFF]
         )
         ln = e & 31
         if ln == 0 or ln > nbits:
             return None
-        nbits -= ln
-        self.acc = acc & ((1 << nbits) - 1)
-        self.nbits = nbits
-        self.pos = pos
+        self.nbits = nbits - ln
         return e >> 5
 
 
