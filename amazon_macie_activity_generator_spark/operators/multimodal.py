@@ -1014,6 +1014,7 @@ def _avi_encode_mjpeg(
 
 def _decode_avi_mjpeg_frames(
     b: bytes,
+    sampling: tuple[int, int] | None = None,
 ) -> tuple[int, int, list] | None:
     """AVI/MJPEG -> (w, h, [(delay_ms, rgb), ...]) — the video-container
     decode that closed the package's one NotImplementedError seam for
@@ -1043,7 +1044,22 @@ def _decode_avi_mjpeg_frames(
     Frame chunks are ``NNdc``/``NNdb`` for the FIRST vids stream
     (stream 00 in the writer; the walker keys on the declared stream
     index), found directly in the movi list or inside nested
-    ``LIST rec`` groups (interleaved-AVI convention)."""
+    ``LIST rec`` groups (interleaved-AVI convention).
+
+    ``sampling=(every_ms, max_frames)`` switches to SAMPLING MODE, the
+    scale path :func:`sample_frames` rides: because MJPEG frames are
+    self-contained (unlike GIF, where LZW + compositing need every
+    prior frame), frames the sampler will not emit are skipped WITHOUT
+    entropy decode — a 30 fps video sampled at 1 Hz decodes ~1/30 of
+    its frames. Returns (w, h, [(frame_idx, ts_ms, rgb), ...]) — the
+    emitted rows directly, produced by the exact sampler recurrence
+    (emit when t >= boundary, then boundary = next multiple of
+    every_ms; zero-delay files yield only frame 0). Two deliberate
+    divergences from decode-everything-then-sample, both documented
+    behavior: skipped frames are not validated (a junk chunk the
+    sampler never reads cannot quarantine the file — what a real
+    player does), and the ``_MAX_PIXELS`` budget is spent on DECODED
+    pixels only (deep sample points in long videos stay reachable)."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     usec: int | None = None
@@ -1107,10 +1123,23 @@ def _decode_avi_mjpeg_frames(
     frames: list = []
     w = h = None
     px_budget = _MAX_PIXELS
+    # sampling mode state: MJPEG frames are self-contained, so frames
+    # the sampler will not emit are SKIPPED without entropy decode —
+    # the independence win GIF cannot have (LZW + compositing need
+    # every prior frame). t/next_sample/emitted mirror sample_frames'
+    # own loop exactly.
+    every_ms = max_emit = None
+    if sampling is not None:
+        every_ms, max_emit = sampling
+    t = 0
+    next_sample = 0
+    emitted = 0
+    frame_idx = 0
 
     def collect(lo: int, hi: int) -> bool:
-        """Walk a movi(-or-rec) body; False = budget exhausted."""
-        nonlocal w, h, px_budget
+        """Walk a movi(-or-rec) body; False = budget exhausted or (in
+        sampling mode) the emit cap was reached."""
+        nonlocal w, h, px_budget, t, next_sample, emitted, frame_idx
         i = lo
         while i + 8 <= hi:
             cid = b[i : i + 4]
@@ -1126,6 +1155,14 @@ def _decode_avi_mjpeg_frames(
                 if len(payload) == 0:
                     i = body_lo + csize + (csize % 2)
                     continue  # dropped-frame placeholder, skip
+                if sampling is not None:
+                    if emitted >= max_emit:
+                        return False
+                    if t < next_sample:  # sampler would skip: no decode
+                        t += delay_ms
+                        frame_idx += 1
+                        i = body_lo + csize + (csize % 2)
+                        continue
                 if payload[:2] != b"\xff\xd8":
                     raise ValueError("declared-MJPEG frame is not JPEG")
                 out = decode_jpeg_pixels(payload)
@@ -1139,7 +1176,14 @@ def _decode_avi_mjpeg_frames(
                 if fw * fh > px_budget:
                     return False  # in-budget prefix, same as GIF
                 px_budget -= fw * fh
-                frames.append((delay_ms, rgb))
+                if sampling is None:
+                    frames.append((delay_ms, rgb))
+                else:
+                    frames.append((frame_idx, t, rgb))
+                    emitted += 1
+                    next_sample = (t // every_ms + 1) * every_ms
+                    t += delay_ms
+                    frame_idx += 1
             i = body_lo + csize + (csize % 2)
         return True
 
@@ -1212,10 +1256,25 @@ def sample_frames(
                 decoded = None
                 if payload is not None and _is_video_container(payload):
                     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                        # MJPEG-in-AVI decodes for real (round 12); an
-                        # AVI declaring any other codec raises from the
-                        # decoder — the honest seam, kept loud
-                        decoded = _decode_avi_mjpeg_frames(payload)
+                        # MJPEG-in-AVI decodes for real (round 12) in
+                        # SAMPLING MODE — frames between sample
+                        # boundaries are skipped without entropy decode
+                        # (self-contained frames, unlike GIF). An AVI
+                        # declaring any other codec raises from the
+                        # decoder — the honest seam, kept loud.
+                        got = _decode_avi_mjpeg_frames(
+                            payload, sampling=(every_ms, max_frames))
+                        if got is None:
+                            out.append({"media_id": mid})  # quarantine
+                        else:
+                            for fi, ts, rgb in got[2]:
+                                out.append({
+                                    "media_id": mid,
+                                    "frame_idx": fi,
+                                    "ts_ms": ts,
+                                    "frame_payload": rgb,
+                                })
+                        continue
                     else:
                         raise NotImplementedError(
                             "video codecs not available in this environment"

@@ -326,3 +326,63 @@ def test_gif_grammar_full_height_patch_would_be_invariant():
     ign = [sum(rgb) for _, rgb in
            _decode_gif_frames(_clear_interlace_flags(g))[2]]
     assert real == ign  # invariant by symmetry — hence the partial height
+
+
+# --------------------------------------------- sampling mode (r12, late)
+
+def test_sampling_mode_matches_decode_then_sample():
+    """The decoder's sampling mode must emit exactly what decoding
+    everything and then running the sampler loop would emit."""
+    for i in [7, 15, 23, 31, 39, 47, 103, 207]:
+        jframes, w, h, nf = _grammar_frames(i)
+        avi = _avi_encode_mjpeg(jframes, w, h)
+        full = _decode_avi_mjpeg_frames(avi)
+        sampled = _decode_avi_mjpeg_frames(avi, sampling=(1000, 8))
+        # reference: replay the sampler over the full decode
+        expect = []
+        t = nxt = emitted = 0
+        for idx, (delay, rgb) in enumerate(full[2]):
+            if emitted >= 8:
+                break
+            if t >= nxt:
+                expect.append((idx, t, rgb))
+                emitted += 1
+                nxt = (t // 1000 + 1) * 1000
+            t += delay
+        assert sampled is not None and (sampled[0], sampled[1]) == (w, h)
+        assert sampled[2] == expect
+
+
+def test_sampling_mode_skips_decoding_unneeded_frames():
+    """A junk chunk at a frame index the sampler never reads must NOT
+    quarantine the file in sampling mode (skipped without decode) —
+    while the full-decode path still rejects it."""
+    jframes, w, h, nf = _grammar_frames(47)  # nf=6: sampled idx 0,2,4
+    bad = list(jframes)
+    bad[1] = b"\x00" * 40  # not JPEG; frame 1 is never sampled
+    avi = _avi_encode_mjpeg(bad, w, h)
+    assert _decode_avi_mjpeg_frames(avi) is None  # full path validates all
+    sampled = _decode_avi_mjpeg_frames(avi, sampling=(1000, 8))
+    assert sampled is not None
+    assert [(fi, ts) for fi, ts, _ in sampled[2]] == [
+        (0, 0), (2, 1000), (4, 2000)]
+    for fi, ts, rgb in sampled[2]:
+        assert sum(rgb) == _predicted_frame_sum(47, fi)
+
+
+def test_sampling_mode_zero_delay_yields_frame_zero_only():
+    jframes, w, h, nf = _grammar_frames(47)
+    avi = _avi_encode_mjpeg(jframes, w, h, usec_per_frame=0)
+    sampled = _decode_avi_mjpeg_frames(avi, sampling=(1000, 8))
+    assert sampled is not None and len(sampled[2]) == 1
+    assert sampled[2][0][:2] == (0, 0)
+
+
+def test_sampling_mode_budget_counts_decoded_frames_only(monkeypatch):
+    jframes, w, h, nf = _grammar_frames(47)  # 24x8 frames, nf=6
+    avi = _avi_encode_mjpeg(jframes, w, h)
+    # budget fits exactly two decoded frames; the full path would spend
+    # it on frames 0 and 1, sampling mode spends it on 0 and 2
+    monkeypatch.setattr(mm, "_MAX_PIXELS", 24 * 8 * 2)
+    sampled = _decode_avi_mjpeg_frames(avi, sampling=(1000, 8))
+    assert [fi for fi, _, _ in sampled[2]] == [0, 2]
