@@ -46,15 +46,10 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # and proves nothing about the current definition, so they rank with
 # never-checked entries until a fresh row lands. Keep this tiny and
 # prune entries once a newer round's artifact covers them.
-_CHANGED_AFTER_ROUND = {
-    # r12: MJPEG-in-AVI route folded in (doc_id % 8 == 7), GIF parities
-    # re-keyed + transparency compositing — the r11 row verified the
-    # GIF-only real grammar; prune once CORRECTNESS_r12 carries the row
-    "multimodal_frames": 11,
-    # r12: IMA ADPCM lane folded in (doc_id % 7 == 5, lossy state-replay
-    # oracle) — the r11 row verified the PCM-only grammar; prune next
-    # round
-    "multimodal_audio": 11,
+_CHANGED_AFTER_ROUND: dict[str, int] = {
+    # (empty — r12's promotions landed green rows in CORRECTNESS_r12 and
+    # were pruned in r13. Add "entry_name": round_number when an entry's
+    # query/oracle semantics change in-round.)
 }
 
 

@@ -106,8 +106,26 @@ def translate_formula(formula: str, t_col: str = "t") -> tuple[str, set[str]]:
                 # not pmod (always-positive) — the reference eval()s the
                 # formula with Python semantics, and the driver-side
                 # recurrence interpreter uses `%`; both evaluators of one
-                # formula must agree for negative divisors too
-                return f"({l} - floor({l} / {r}) * {r})"
+                # formula must agree for negative divisors too.
+                #
+                # Emitted as CPython's own float_rem algorithm: C fmod
+                # (Spark's `mod` on doubles is Java `%` = fmod) plus a
+                # divisor-sign correction when the signs disagree. The
+                # earlier `l - floor(l/r)*r` emulation is NOT Python `%`
+                # under IEEE doubles: for `1 % (1/5)`, `1/(1/5)` rounds
+                # to exactly 5.0 so it returned 0.0 where fmod-based
+                # Python returns 0.19999999999999996 (hypothesis-found,
+                # pinned in tests/test_formula_fuzz.py). fmod is exact at
+                # every magnitude, so this form also removes the old
+                # 2^53 divergence zone. NaN operands: Spark evaluates
+                # `NaN <> 0` true and `NaN < 0` false, so the branch adds
+                # r or nothing — either way NaN propagates, matching
+                # Python's `nan % r` / `l % nan`.
+                m = f"mod({l}, {r})"
+                return (
+                    f"({m} + (CASE WHEN {m} <> 0 AND ({m} < 0) <> ({r} < 0) "
+                    f"THEN {r} ELSE 0 END))"
+                )
             if isinstance(node.op, ast.Pow):
                 return f"power({l}, {r})"
             raise FormulaError(f"operator {type(node.op).__name__} not allowed")

@@ -1107,10 +1107,17 @@ def _decode_avi_mjpeg_frames(
     if not saw_vids or movi is None:
         return None  # malformed: no video stream / no frame data
     mjpeg_tags = (b"MJPG", b"mjpg", b"MJPA", b"dmb1")
+    blank_handler = vids_handler in (b"\x00\x00\x00\x00", b"    ")
     is_mjpeg = (vids_handler in mjpeg_tags
-                or (vids_handler in (b"\x00\x00\x00\x00", b"    ")
-                    and compression in mjpeg_tags))
+                or (blank_handler and compression in mjpeg_tags))
     if not is_mjpeg:
+        if blank_handler and compression is None:
+            # fccHandler blank AND no biCompression parsed (strf
+            # missing/truncated): the file never declares a codec at
+            # all — that is malformed, not an unsupported codec, so
+            # QUARANTINE it; NotImplementedError is reserved for files
+            # that positively declare a non-MJPEG codec
+            return None
         raise NotImplementedError(
             "video codecs not available in this environment")
     if not usec and scale and rate:
@@ -1153,8 +1160,20 @@ def _decode_avi_mjpeg_frames(
             elif cid[:2] == prefix and cid[2:] in (b"dc", b"db"):
                 payload = b[body_lo:body_hi]
                 if len(payload) == 0:
+                    # dropped-frame placeholder: no new image, but the
+                    # timeline still advances one tick (a real player
+                    # keeps showing the previous frame) — advance
+                    # t/frame_idx so every later frame's ts_ms and
+                    # frame_idx match the real timeline. In
+                    # non-sampling mode the per-frame delay stays
+                    # constant, so the previous frame's EXTENDED
+                    # display duration is not represented — documented
+                    # divergence, matching the GIF convention of one
+                    # (delay, rgb) pair per decoded frame.
+                    t += delay_ms
+                    frame_idx += 1
                     i = body_lo + csize + (csize % 2)
-                    continue  # dropped-frame placeholder, skip
+                    continue
                 if sampling is not None:
                     if emitted >= max_emit:
                         return False

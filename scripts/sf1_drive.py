@@ -119,6 +119,15 @@ def oracle_names() -> list[str]:
 
 ORACLE_TIMEOUT_S = int(os.environ.get("SF1_ORACLE_TIMEOUT_S", "300"))
 
+# Known oracle-heavy entries get a raised cap UP FRONT (r12: the
+# triangle_count DuckDB oracle legitimately runs ~330 s at sf1 where
+# Spark takes 27 s — an oracle-side cost, not an engine property; a
+# first-attempt timeout there just forces a manual uncapped re-drive).
+ORACLE_TIMEOUT_OVERRIDES_S = {
+    "triangle_count": max(ORACLE_TIMEOUT_S, 600),
+    "pagerank_copurchase": max(ORACLE_TIMEOUT_S, 600),
+}
+
 
 def _duck_with_timeout(con, sql: str, seconds: int):
     """Run an oracle with a wall-clock cap. Several oracles are
@@ -191,7 +200,8 @@ def drive_chunk(chunk: int, chunk_size: int, only: list[str] | None = None) -> N
                 rec["spark_s"] = round(time.perf_counter() - t0, 2)
                 t0 = time.perf_counter()
                 ddf, err, hung = _duck_with_timeout(
-                    con, oracles[name], ORACLE_TIMEOUT_S
+                    con, oracles[name],
+                    ORACLE_TIMEOUT_OVERRIDES_S.get(name, ORACLE_TIMEOUT_S),
                 )
                 rec["duck_s"] = round(time.perf_counter() - t0, 2)
                 if hung:
@@ -238,6 +248,18 @@ def summarize() -> None:
     # r10 status field are classified by the same rules they'd get today
     recs = [json.loads(line) for line in open(RESULTS)]
     latest: dict[str, dict] = {r["name"]: r for r in recs}
+    # Re-driven entries leave their stale rows in the file — mark them
+    # superseded IN PLACE so the committed jsonl self-describes and a
+    # naive recount (rows == entries) stays honest (r12: triangle_count
+    # carried a timeout row plus the uncapped agree row).
+    stale = [r for r in recs if r is not latest[r["name"]]
+             and not r.get("superseded")]
+    if stale:
+        for r in stale:
+            r["superseded"] = True
+        with open(RESULTS, "w") as out:
+            for r in recs:
+                out.write(json.dumps(r) + "\n")
     agree = [r for r in latest.values() if r.get("agree")]
     timeout = [r for r in latest.values() if r.get("oracle_timeout")]
 

@@ -386,3 +386,38 @@ def test_sampling_mode_budget_counts_decoded_frames_only(monkeypatch):
     monkeypatch.setattr(mm, "_MAX_PIXELS", 24 * 8 * 2)
     sampled = _decode_avi_mjpeg_frames(avi, sampling=(1000, 8))
     assert [fi for fi, _, _ in sampled[2]] == [0, 2]
+
+
+def test_dropped_frame_placeholder_advances_timeline():
+    """A zero-length 00dc chunk is a dropped-frame placeholder: no new
+    image, but the timeline still ticks — later frames' frame_idx and
+    ts_ms must match a real player's clock (ADVICE r12)."""
+    jframes, w, h, _ = _grammar_frames(7)
+    # frame 0, DROPPED, frame 1 — encoder writes b"" as an empty chunk
+    avi = _avi_encode_mjpeg([jframes[0], b"", jframes[1]], w, h)
+    # full decode: two real frames, constant per-frame delay (the
+    # extended display duration of frame 0 is a documented divergence)
+    full = _decode_avi_mjpeg_frames(avi)
+    assert full is not None and len(full[2]) == 2
+    # sampling mode at 1 ms (emit everything): the second real frame
+    # sits at slot 2 / t=1000ms, not slot 1 / t=500ms
+    sampled = _decode_avi_mjpeg_frames(avi, sampling=(1, 8))
+    assert [(fi, ts) for fi, ts, _ in sampled[2]] == [(0, 0), (2, 1000)]
+
+
+def test_blank_handler_without_strf_compression_quarantines():
+    """fccHandler blank AND no parseable strf biCompression = a file
+    that never declares a codec — malformed (return None), not an
+    unsupported codec (ADVICE r12). A blank handler with a POSITIVE
+    non-MJPEG biCompression still hits the honest codec seam."""
+    jframes, w, h, _ = _grammar_frames(7)
+    avi = _avi_encode_mjpeg(jframes, w, h, handler=b"\x00\x00\x00\x00")
+    # break the strf chunk id so biCompression is never parsed
+    k = avi.index(b"strf")
+    no_strf = avi[:k] + b"strx" + avi[k + 4 :]
+    assert _decode_avi_mjpeg_frames(no_strf) is None
+    # positively-declared non-MJPEG biCompression: seam stays loud
+    k = avi.index(b"MJPG", avi.index(b"strf"))
+    xvid = avi[:k] + b"XVID" + avi[k + 4 :]
+    with pytest.raises(NotImplementedError):
+        _decode_avi_mjpeg_frames(xvid)

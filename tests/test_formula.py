@@ -14,7 +14,8 @@ def test_simple_arithmetic():
 
 def test_power_and_mod():
     sql, _ = translate_formula("(t ** 2) % 7")
-    assert "power" in sql and "floor" in sql  # floored mod, not pmod
+    # floored mod = fmod + divisor-sign correction, not pmod
+    assert "power" in sql and "mod(" in sql and "CASE WHEN" in sql
 
 
 def test_max_datapoints_placeholder():

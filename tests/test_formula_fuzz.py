@@ -16,11 +16,13 @@ and the SQL path's behavior is that of the underlying SQL function
 (pinned separately below, not fuzzed).
 
 Two magnitude guards keep the property honest rather than flaky:
-- the floored-mod emulation ``l - floor(l/r)*r`` is documented to
-  diverge from Python ``%`` once ``|l/r|`` exceeds 2^53 (FP floor loses
-  integer precision) — formulas whose subexpressions exceed 1e12 are
-  skipped, matching the engine's real domain (t <= 20,160, blueprint
-  constants);
+- Python int arithmetic is exact at any magnitude while SQL runs IEEE
+  doubles, so formulas whose subexpressions exceed 1e12 are skipped,
+  matching the engine's real domain (t <= 20,160, blueprint constants).
+  (The mod emission itself no longer needs this guard: it is fmod plus
+  divisor-sign correction — CPython's own float_rem — exact at every
+  magnitude, unlike the earlier ``l - floor(l/r)*r`` form this fuzz
+  falsified with ``(1 % (1 / 5))``.)
 - Python int arithmetic is exact where SQL is double, so unbounded
   ``**`` towers are skipped by the same guard.
 """
@@ -113,6 +115,11 @@ def _interpreter_value(formula: str, t: int) -> float | None:
           suppress_health_check=[HealthCheck.too_slow])
 @example("(t % (0 - 3))")            # floored mod, negative divisor
 @example("((0 - t) % 3)")            # floored mod, negative dividend
+@example("(1 % (1 / 5))")            # fmod vs floor-form: 1/(1/5) rounds to
+                                     # exactly 5.0, so floor-form gave 0.0
+                                     # where Python gives 0.19999999999999996
+@example("(1 % (0 - (1 / 5)))")      # same, negative float divisor (the
+                                     # divisor-sign correction on top of fmod)
 @example("((0 - 2) ** 0.5)")         # complex in Python -> NaN both sides
 @example("((0 - 2) ** 3)")           # negative base, integral exponent
 @example("(datapoint_max % (0 - 2))")
@@ -167,7 +174,9 @@ def test_mod_by_zero_raises_in_both_evaluators(spark):
     with pytest.raises(ZeroDivisionError):
         eval_formula_step(formula, 3, [])
     sql, _ = translate_formula(formula)
-    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|divide by zero"):
+    # fmod-based emission raises REMAINDER_BY_ZERO under ANSI mode (the
+    # old floor-form raised DIVIDE_BY_ZERO via its embedded division)
+    with pytest.raises(Exception, match="REMAINDER_BY_ZERO|by zero"):
         spark.createDataFrame([(3,)], "t long").select(F.expr(sql)).collect()
 
 
