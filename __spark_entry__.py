@@ -47,9 +47,10 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # never-checked entries until a fresh row lands. Keep this tiny and
 # prune entries once a newer round's artifact covers them.
 _CHANGED_AFTER_ROUND: dict[str, int] = {
-    # (empty — r12's promotions landed green rows in CORRECTNESS_r12 and
-    # were pruned in r13. Add "entry_name": round_number when an entry's
-    # query/oracle semantics change in-round.)
+    # r13: MS-ADPCM lane folded in (doc_id % 7 == 3, previously integer
+    # PCM; lossy state-replay oracle) — the r12 row verified the
+    # IMA+PCM-only grammar; prune once CORRECTNESS_r13 carries the row
+    "multimodal_audio": 12,
 }
 
 

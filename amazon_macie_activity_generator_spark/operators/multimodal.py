@@ -405,13 +405,196 @@ def _wav_encode_ima_adpcm(samples, rate: int, samples_per_block: int) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+# MS-ADPCM (WAVE_FORMAT_ADPCM, wFormatTag 0x02) fixed tables — round 13,
+# the second compressed-audio lane. The 7 standard coefficient pairs
+# (iCoef1, iCoef2) every writer emits, and the 16-entry delta-adaptation
+# table. The adaptation table is SYMMETRIC in the signed nibble
+# (ADAPT[c & 0xF] == ADAPT[abs(c)] for c in -8..7), which is what lets
+# the DuckDB oracle index it by abs(code).
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _decode_wav_ms(sample_rate, nch, bits, block_align, spb, coefs,
+                   fact, data):
+    """MS-ADPCM (wFormatTag 0x02) -> (rate, int32 (n, nch)) or None.
+    The second compressed-audio lane (round 13; VERDICT r12 ask #4),
+    structured exactly like :func:`_decode_wav_ima`: headered blocks
+    that restate the full predictor state (so blocks decode
+    independently — the parallelism seam at scale), a `fact` chunk
+    truncating the padded final block, and quarantine on mismatched
+    declarations rather than desync.
+
+    Block layout (channel-interleaved header fields per the spec):
+    bPredictor per channel (1 byte, an index into the fmt-declared
+    coefficient pairs), iDelta per channel (int16), iSamp1 per channel
+    (int16), iSamp2 per channel (int16), then 4-bit nibbles — HIGH
+    nibble first (the opposite of IMA), stereo alternating channels
+    per nibble. Samples 0 and 1 of each block ARE iSamp2 and iSamp1
+    (in that order — the header carries them newest-first). Per
+    nibble, with signed code c in [-8, 7]:
+
+        pred   = (samp1*coef1 + samp2*coef2) >> 8   (arithmetic shift)
+        sample = clamp_int16(pred + c*delta)
+        delta  = max(16, (ADAPT[c & 0xF] * delta) >> 8)
+        samp2, samp1 = samp1, sample
+
+    Constraints enforced (quarantine on violation): bits == 4, mono or
+    stereo, spb >= 2, block_align == 7*nch + (spb-2)*nch/2 with whole
+    nibble bytes (mono: spb even), a header bPredictor within the
+    declared coefficient count (hostile state injection, the IMA
+    step-index>88 sibling). A trailing partial block is dropped."""
+    import numpy as np
+
+    if bits != 4 or nch not in (1, 2) or not spb or spb < 2 or not coefs:
+        return None
+    per_ch = spb - 2
+    if nch == 1 and per_ch % 2:
+        return None
+    if block_align != 7 * nch + per_ch * nch // 2:
+        return None
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return None
+    total = nblocks * spb
+    n = min(fact, total) if fact is not None else total
+    if n <= 0 or n * nch > _MAX_SAMPLES:
+        return None
+    at = _MS_ADAPT
+    chans: list[list] = [[] for _ in range(nch)]
+    for blk_no in range(nblocks):
+        blk = blk_no * block_align
+        c1s, c2s, deltas, s1s, s2s = [], [], [], [], []
+        for ch in range(nch):
+            pidx = data[blk + ch]
+            if pidx >= len(coefs):
+                return None  # hostile predictor index
+            c1s.append(coefs[pidx][0])
+            c2s.append(coefs[pidx][1])
+            deltas.append(int.from_bytes(
+                data[blk + nch + 2 * ch : blk + nch + 2 * ch + 2],
+                "little", signed=True))
+            s1s.append(int.from_bytes(
+                data[blk + 3 * nch + 2 * ch : blk + 3 * nch + 2 * ch + 2],
+                "little", signed=True))
+            s2s.append(int.from_bytes(
+                data[blk + 5 * nch + 2 * ch : blk + 5 * nch + 2 * ch + 2],
+                "little", signed=True))
+            # header carries them newest-first; emit oldest-first
+            chans[ch].append(s2s[ch])
+            chans[ch].append(s1s[ch])
+        body = data[blk + 7 * nch : blk + block_align]
+        nibs = []
+        for byte in body:
+            nibs.append(byte >> 4)   # HIGH nibble first (spec)
+            nibs.append(byte & 15)
+        for k, nib in enumerate(nibs):
+            ch = k % nch  # stereo alternates per nibble; mono trivially 0
+            c = nib - 16 if nib >= 8 else nib
+            pred = (s1s[ch] * c1s[ch] + s2s[ch] * c2s[ch]) >> 8
+            s = pred + c * deltas[ch]
+            if s > 32767:
+                s = 32767
+            elif s < -32768:
+                s = -32768
+            deltas[ch] = max(16, (at[nib] * deltas[ch]) >> 8)
+            s2s[ch] = s1s[ch]
+            s1s[ch] = s
+            chans[ch].append(s)
+    frames = np.array(chans, dtype=np.int32).T[:n]
+    return sample_rate, frames
+
+
+def _wav_encode_ms_adpcm(samples, rate: int, samples_per_block: int,
+                         predictor: int = 0, init_delta: int = 16) -> bytes:
+    """MS-ADPCM WAV writer twin of :func:`_decode_wav_ms`: fmt 0x02
+    (cbSize=32: wSamplesPerBlock + wNumCoef=7 + the 7 standard pairs)
+    + a `fact` chunk with the true frame count + headered blocks, final
+    block padded with code-0 nibbles. Encode-by-decode: the quantizer
+    (c = clamp(floor((x - pred) / delta), -8, 7), floored division)
+    tracks the decoder's reconstruction exactly, so the decoded output
+    is the predictor track this encoder computed — the property that
+    lets the DuckDB oracle replay the LOSSY codec as a recursive state
+    machine (the IMA pattern, queries_ext5.py). ``predictor`` selects
+    which standard coefficient pair every block uses (a real encoder
+    picks per-block; fixing it keeps the oracle a single recurrence),
+    ``init_delta`` (>= 16) is each block's starting iDelta."""
+    import numpy as np
+
+    at = _MS_ADAPT
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n, nch = arr.shape
+    spb = samples_per_block
+    per_ch = spb - 2
+    block_align = 7 * nch + per_ch * nch // 2
+    c1, c2 = _MS_COEFS[predictor]
+    out = bytearray()
+    for lo in range(0, n, spb):
+        chunk = arr[lo : lo + spb]
+        s2s, s1s, deltas = [], [], []
+        for ch in range(nch):
+            xs = [int(v) for v in chunk[:, ch]]
+            s2s.append(max(-32768, min(32767, xs[0])))
+            s1s.append(max(-32768, min(32767,
+                                       xs[1] if len(xs) > 1 else xs[0])))
+            deltas.append(init_delta)
+        hdr = bytes([predictor] * nch)
+        for vals in (deltas, s1s, s2s):
+            for v in vals:
+                hdr += (v & 0xFFFF).to_bytes(2, "little")
+        nibs = []
+        for k in range(2 * nch, spb * nch):  # frame-major, channel-minor
+            ch = k % nch
+            fr = k // nch
+            x = int(chunk[fr, ch]) if fr < len(chunk) else None
+            pred = (s1s[ch] * c1 + s2s[ch] * c2) >> 8
+            if x is None:
+                c = 0  # pad the final block: sample = pred
+            else:
+                c = max(-8, min(7, (x - pred) // deltas[ch]))
+            s = max(-32768, min(32767, pred + c * deltas[ch]))
+            nib = c & 0xF
+            deltas[ch] = max(16, (at[nib] * deltas[ch]) >> 8)
+            s2s[ch] = s1s[ch]
+            s1s[ch] = s
+            nibs.append(nib)
+        body = bytearray()
+        for k in range(0, len(nibs), 2):  # HIGH nibble first
+            body.append((nibs[k] << 4) | nibs[k + 1])
+        out += hdr + body
+    avg = rate * block_align // spb if spb else 0
+    fmt = (
+        (0x02).to_bytes(2, "little") + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + avg.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (32).to_bytes(2, "little") + spb.to_bytes(2, "little")
+        + (7).to_bytes(2, "little")
+        + b"".join((a & 0xFFFF).to_bytes(2, "little")
+                   + (b & 0xFFFF).to_bytes(2, "little")
+                   for a, b in _MS_COEFS)
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+        + b"data" + len(out).to_bytes(4, "little") + bytes(out)
+        + (b"\x00" if len(out) % 2 else b"")
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def _decode_wav_pcm(b: bytes | None):
     """RIFF/WAVE PCM decode -> (sample_rate, frames) where ``frames`` is
     an int32 ndarray of shape (n_frames, n_channels) — or None to
     quarantine (non-WAV, malformed, unsupported codecs, over-budget
     sample counts). Accepted fmt lanes: classic integer PCM (wFormatTag
     1), IEEE float (tag 3, 32/64-bit), IMA ADPCM (tag 0x11, round 12 —
-    see :func:`_decode_wav_ima`; MP3 and other compressed tags still
+    see :func:`_decode_wav_ima`), MS-ADPCM (tag 0x02, round 13 — see
+    :func:`_decode_wav_ms`; MP3 and other compressed tags still
     quarantine), and WAVE_FORMAT_EXTENSIBLE
     (tag 0xFFFE) wrapping integer or float PCM — the SubFormat GUID must carry the
     standard KSDATAFORMAT tail, and the sample data is decoded at the
@@ -443,6 +626,7 @@ def _decode_wav_pcm(b: bytes | None):
         return None
     fmt_code = sample_rate = block_align = bits = nch = None
     spb = fact = None
+    ms_coefs: list | None = None
     data: bytes | None = None
     i = 12
     while i + 8 <= len(b):
@@ -467,6 +651,16 @@ def _decode_wav_pcm(b: bytes | None):
             elif fmt_code == 0x11:  # IMA ADPCM: ext carries samples/block
                 if csize >= 20 and i + 28 <= len(b):
                     spb = int.from_bytes(b[i + 26 : i + 28], "little")
+            elif fmt_code == 0x02:  # MS-ADPCM: ext has spb + coef pairs
+                if csize >= 22 and i + 30 <= len(b):
+                    spb = int.from_bytes(b[i + 26 : i + 28], "little")
+                    ncoef = int.from_bytes(b[i + 28 : i + 30], "little")
+                    if 30 + 4 * ncoef <= 8 + csize and i + 30 + 4 * ncoef <= len(b):
+                        ms_coefs = [
+                            (int.from_bytes(b[o : o + 2], "little", signed=True),
+                             int.from_bytes(b[o + 2 : o + 4], "little", signed=True))
+                            for o in range(i + 30, i + 30 + 4 * ncoef, 4)
+                        ]
         elif cid == b"fact" and csize >= 4 and i + 12 <= len(b):
             fact = int.from_bytes(b[i + 8 : i + 12], "little")
         elif cid == b"data":
@@ -478,9 +672,15 @@ def _decode_wav_pcm(b: bytes | None):
         # quarantines (its fmt layout has no wSamplesPerBlock field)
         return _decode_wav_ima(
             sample_rate, nch, bits, block_align, spb, fact, data)
+    if fmt_code == 0x02 and data is not None and sample_rate:
+        # MS-ADPCM (round 13) — the second compressed-audio lane; a
+        # fmt ext that never declared coefficients (ms_coefs None)
+        # quarantines inside _decode_wav_ms via the coefs gate
+        return _decode_wav_ms(
+            sample_rate, nch, bits, block_align, spb, ms_coefs, fact, data)
     if (fmt_code not in (1, 3) or not sample_rate or not nch or not bits
             or data is None):
-        return None  # non-IMA ADPCM / MP3 / unknown-GUID quarantine
+        return None  # MP3 / other compressed tags / unknown-GUID quarantine
     if fmt_code == 3:
         if bits not in (32, 64):
             return None
@@ -761,18 +961,22 @@ def _wav_encode(
 
 def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic WAV media spanning the integer-PCM decode matrix
-    plus (round 12) an IMA ADPCM lane — the audio sibling of
-    :func:`synthetic_pixel_media`. Grammar (ids >= 0, same NULL
-    conventions as the siblings): rate = 8000 * (1 + id % 3),
-    n_frames = 50 + id % 200, flat input sample j (frame-major,
-    channel-minor) is ((id * 7 + 13 * j) % 201) - 100. id % 7 == 5
-    files are MONO IMA ADPCM (samples/block 9/17/25 by id % 3 — multi-
-    block, padded final block, fact-chunk truncation): the format is
-    LOSSY, so decoded stats are predicted by replaying the encoder+
-    decoder state machine (the oracle does this as a recursive CTE),
-    not by the input formula. All other ids are lossless integer PCM
-    with bits = (8, 16, 24)[id % 3], channels = 1 + id % 2 — decoded
-    samples ARE the input formula at every depth."""
+    plus compressed lanes: IMA ADPCM (round 12) and MS-ADPCM (round
+    13) — the audio sibling of :func:`synthetic_pixel_media`. Grammar
+    (ids >= 0, same NULL conventions as the siblings): rate =
+    8000 * (1 + id % 3), n_frames = 50 + id % 200, flat input sample j
+    (frame-major, channel-minor) is ((id * 7 + 13 * j) % 201) - 100.
+    id % 7 == 5 files are MONO IMA ADPCM (samples/block 9/17/25 by
+    id % 3 — multi-block, padded final block, fact-chunk truncation).
+    id % 7 == 3 files are MONO MS-ADPCM (samples/block 10/18/26 by
+    id % 3, coefficient pair (id // 7) % 7 — the slice exercises all
+    seven standard pairs — per-file initial iDelta 16 + (id % 11) * 9).
+    Both compressed formats are LOSSY, so decoded stats are predicted
+    by replaying the encoder+decoder state machine (the oracle does
+    this as recursive CTEs), not by the input formula. All other ids
+    are lossless integer PCM with bits = (8, 16, 24)[id % 3],
+    channels = 1 + id % 2 — decoded samples ARE the input formula at
+    every depth."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -790,6 +994,16 @@ def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 samples = ((i * 7 + 13 * j) % 201) - 100
                 return _wav_encode_ima_adpcm(
                     samples.reshape(n_frames, 1), rate, 9 + 8 * (i % 3))
+            if i % 7 == 3:
+                # MS-ADPCM lane (round 13): mono, samples/block
+                # 10/18/26, coefficient pair (i//7)%7 (i = 7k+3 walks
+                # all 7 standard pairs), init iDelta 16 + (i%11)*9.
+                # LOSSY — the oracle replays the codec state machine.
+                j = np.arange(n_frames, dtype=np.int64)
+                samples = ((i * 7 + 13 * j) % 201) - 100
+                return _wav_encode_ms_adpcm(
+                    samples.reshape(n_frames, 1), rate, 10 + 8 * (i % 3),
+                    predictor=(i // 7) % 7, init_delta=16 + (i % 11) * 9)
             bits = (8, 16, 24)[i % 3]
             nch = 1 + i % 2
             j = np.arange(n_frames * nch, dtype=np.int64)

@@ -1885,9 +1885,15 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     step table, quantizer thresholds, reconstruction diff, int16
     clamp, index walk), so a hash match proves the engine ran the
     actual ADPCM predictor over every nibble — compressed-audio decode,
-    not header sniffing. Exact int64 sample_sum / abs_peak, duration
-    flooring, float64 rms bit-identical via exact-integer sums under
-    2^53. NULL/negative doc_ids excluded in both engines."""
+    not header sniffing. id%7 == 3 (round 13): MONO MS-ADPCM (fmt
+    0x02; samples/block 10/18/26, coefficient pair (id//7)%7 walking
+    all seven standard pairs, initial iDelta 16 + (id%11)*9) — also
+    lossy, also replayed as a recursive CTE (two-sample linear
+    predictor, floored-division quantizer, symmetric delta-adaptation
+    table, per-block header restart). Exact int64 sample_sum /
+    abs_peak, duration flooring, float64 rms bit-identical via
+    exact-integer sums under 2^53. NULL/negative doc_ids excluded in
+    both engines."""
     from amazon_macie_activity_generator_spark.operators.multimodal import (
         extract_audio_features,
         synthetic_audio_media,
@@ -1909,13 +1915,14 @@ WITH RECURSIVE p AS (
          8000 * (1 + doc_id % 3) AS rate,
          50 + doc_id % 200 AS nf
   FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 400
-        AND doc_id % 7 <> 5
+        AND doc_id % 7 <> 5 AND doc_id % 7 <> 3
 ), s AS (
   SELECT i, nch, rate, nf,
          list_transform(range(nf * nch),
                         j -> (i * 7 + 13 * j) % 201 - 100) AS samples
   FROM p
 ), pcm AS (
+  -- (CTE p above already excludes both compressed lanes)
   SELECT i AS media_id,
          CAST(rate AS BIGINT) AS sample_rate,
          CAST(nch AS BIGINT) AS n_channels,
@@ -2003,8 +2010,73 @@ WITH RECURSIVE p AS (
          apk AS abs_peak,
          sqrt(CAST(ssq AS DOUBLE) / nf) AS rms
   FROM st WHERE t = nf - 1
+), mp AS (
+  -- MS-ADPCM lane (r13): mono, spb = 10/18/26, coefficient pair
+  -- (doc_id // 7) % 7 over the 7 standard pairs, per-file initial
+  -- iDelta 16 + (doc_id % 11) * 9. LOSSY — replay the encode-by-decode
+  -- state machine of _wav_encode_ms_adpcm/_decode_wav_ms exactly:
+  -- per-block samples 0/1 are the header (lossless), then per nibble
+  -- pred = (s1*c1 + s2*c2) >> 8, code = clamp(floor((x-pred)/delta),
+  -- -8, 7), sample = clamp_int16(pred + code*delta), delta =
+  -- max(16, ADAPT[|code|]*delta >> 8) with the symmetric 9-entry
+  -- adaptation table
+  SELECT doc_id AS i, 8000 * (1 + doc_id % 3) AS rate,
+         50 + doc_id % 200 AS nf, 10 + 8 * (doc_id % 3) AS spb,
+         ([256,512,0,192,240,460,392])[(doc_id // 7) % 7 + 1] AS c1,
+         ([0,-256,0,64,0,-208,-232])[(doc_id // 7) % 7 + 1] AS c2,
+         16 + (doc_id % 11) * 9 AS d0
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 400
+        AND doc_id % 7 = 3
+), ms AS (
+  SELECT i, rate, nf, spb, c1, c2, d0, 0 AS t,
+         CAST((i * 7) % 201 - 100 AS BIGINT) AS s1,
+         CAST(0 AS BIGINT) AS s2,
+         CAST(d0 AS BIGINT) AS dlt,
+         CAST((i * 7) % 201 - 100 AS BIGINT) AS ssum,
+         CAST(abs((i * 7) % 201 - 100) AS BIGINT) AS apk,
+         CAST(((i * 7) % 201 - 100) * ((i * 7) % 201 - 100) AS BIGINT) AS ssq
+  FROM mp
+  UNION ALL
+  SELECT i, rate, nf, spb, c1, c2, d0, t + 1,
+         d, s1, ndlt, ssum + d, GREATEST(apk, abs(d)), ssq + d * d
+  FROM (
+    SELECT i, rate, nf, spb, c1, c2, d0, t, s1, ssum, apk, ssq,
+           CASE WHEN pos <= 1 THEN x
+                ELSE GREATEST(-32768, LEAST(32767, p + cc * dlt)) END AS d,
+           CASE WHEN pos = 0 THEN CAST(d0 AS BIGINT)
+                WHEN pos = 1 THEN dlt
+                ELSE GREATEST(16,
+                     ([230,230,230,230,307,409,512,614,768])[abs(cc) + 1]
+                     * dlt // 256) END AS ndlt
+    FROM (
+      SELECT *, CASE WHEN pos <= 1 THEN CAST(0 AS BIGINT)
+                     ELSE GREATEST(-8, LEAST(7,
+                          CAST(floor((x - p) / CAST(dlt AS DOUBLE))
+                               AS BIGINT))) END AS cc
+      FROM (
+        SELECT *, CAST(floor((s1 * c1 + s2 * c2) / 256.0) AS BIGINT) AS p
+        FROM (
+          SELECT i, rate, nf, spb, c1, c2, d0, t, s1, s2, dlt,
+                 ssum, apk, ssq,
+                 (t + 1) % spb AS pos,
+                 CAST((i * 7 + 13 * (t + 1)) % 201 - 100 AS BIGINT) AS x
+          FROM ms WHERE t + 1 < nf
+        )
+      )
+    )
+  )
+), msout AS (
+  SELECT i AS media_id,
+         CAST(rate AS BIGINT) AS sample_rate,
+         CAST(1 AS BIGINT) AS n_channels,
+         CAST(nf AS BIGINT) AS n_frames,
+         CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+         ssum AS sample_sum,
+         apk AS abs_peak,
+         sqrt(CAST(ssq AS DOUBLE) / nf) AS rms
+  FROM ms WHERE t = nf - 1
 )
-SELECT * FROM pcm UNION ALL SELECT * FROM adpcm
+SELECT * FROM pcm UNION ALL SELECT * FROM adpcm UNION ALL SELECT * FROM msout
 """
 
 

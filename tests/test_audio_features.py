@@ -90,7 +90,7 @@ def test_legacy_wav_bytes_still_decode():
     lambda b: b.replace(b"RIFF", b"RIFX", 1),            # wrong magic
     lambda b: b.replace(b"WAVE", b"AVI ", 1),            # not WAVE
     lambda b: b[:20] + (3).to_bytes(2, "little") + b[22:],   # float fmt
-    lambda b: b[:20] + (2).to_bytes(2, "little") + b[22:],   # MS ADPCM (unsupported; IMA 0x11 is real since r12)
+    lambda b: b[:20] + (2).to_bytes(2, "little") + b[22:],   # MS-ADPCM tag on a PCM-shaped fmt (no ext => no spb/coefs): malformed (real 0x02 decode since r13)
     lambda b: b[:34] + (12).to_bytes(2, "little") + b[36:],  # 12-bit depth
     lambda b: b[:32] + (7).to_bytes(2, "little") + b[34:],   # bad align
     lambda b: b[:24] + (0).to_bytes(4, "little") + b[28:],   # zero rate
@@ -280,6 +280,13 @@ def test_extract_audio_features_stage_exact(spark):
                  for j in range(50 + i % 200)],
                 9 + 8 * (i % 3))
             frames = np.array(track, dtype=np.int64).reshape(-1, 1)
+        elif i % 7 == 3:  # r13 MS-ADPCM lane: mono, lossy likewise
+            nch = 1
+            track = _ms_reference_track(
+                [((i * 7 + 13 * j) % 201) - 100
+                 for j in range(50 + i % 200)],
+                10 + 8 * (i % 3), (i // 7) % 7, 16 + (i % 11) * 9)
+            frames = np.array(track, dtype=np.int64).reshape(-1, 1)
         flat = frames.ravel()
         r = got[i]
         assert r["sample_rate"] == rate
@@ -458,6 +465,140 @@ def test_bitflipped_adpcm_never_raises(flips):
 
     good = _wav_encode_ima_adpcm(
         (np.arange(150) * 37 % 401 - 200).reshape(-1, 1), 8000, 17)
+    payload = bytearray(good)
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    out = _decode_wav_pcm(bytes(payload))
+    if out is not None:
+        rate, frames = out
+        assert frames.ndim == 2 and frames.shape[0] >= 1
+
+
+# ----------------------------------------------------- MS-ADPCM (r13)
+
+MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+            (240, 0), (460, -208), (392, -232))
+MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614, 768)  # by |code|
+
+
+def _ms_reference_track(xs, spb, predictor, d0):
+    """Independent encode-by-decode state replay (the oracle's recursive
+    CTE in Python form): the decoded track of _wav_encode_ms_adpcm."""
+    c1, c2 = MS_COEFS[predictor]
+    out = []
+    s1 = s2 = dlt = 0
+    for t, x in enumerate(xs):
+        pos = t % spb
+        if pos == 0:
+            d, dlt = int(x), d0
+            s1, s2 = d, s1
+        elif pos == 1:
+            d = int(x)
+            s1, s2 = d, s1
+        else:
+            p = (s1 * c1 + s2 * c2) >> 8
+            c = max(-8, min(7, (int(x) - p) // dlt))
+            d = max(-32768, min(32767, p + c * dlt))
+            dlt = max(16, (MS_ADAPT[abs(c)] * dlt) >> 8)
+            s1, s2 = d, s1
+        out.append(d)
+    return out
+
+
+@pytest.mark.parametrize("i", [3, 10, 17, 24, 31, 38, 45, 101, 213, 395])
+def test_ms_adpcm_grammar_roundtrip(i):
+    """Grammar-shaped files: decoder output == the independent state
+    replay, for every standard coefficient pair ((i//7)%7 walks all 7)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ms_adpcm,
+    )
+
+    rate = 8000 * (1 + i % 3)
+    nf = 50 + i % 200
+    spb = 10 + 8 * (i % 3)
+    pred, d0 = (i // 7) % 7, 16 + (i % 11) * 9
+    xs = [((i * 7 + 13 * j) % 201) - 100 for j in range(nf)]
+    wav = _wav_encode_ms_adpcm(
+        np.array(xs).reshape(-1, 1), rate, spb, predictor=pred, init_delta=d0)
+    out = _decode_wav_pcm(wav)
+    assert out is not None
+    r, frames = out
+    assert r == rate and frames.shape == (nf, 1)
+    assert frames[:, 0].tolist() == _ms_reference_track(xs, spb, pred, d0)
+
+
+def test_ms_adpcm_stereo_roundtrip():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ms_adpcm,
+    )
+
+    rng = np.random.default_rng(13)
+    xs = rng.integers(-3000, 3000, size=(101, 2))
+    out = _decode_wav_pcm(
+        _wav_encode_ms_adpcm(xs, 22050, 18, predictor=1, init_delta=40))
+    assert out is not None and out[1].shape == (101, 2)
+    for ch in range(2):
+        assert out[1][:, ch].tolist() == _ms_reference_track(
+            [int(v) for v in xs[:, ch]], 18, 1, 40)
+
+
+def test_ms_adpcm_fact_truncates_padded_final_block():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ms_adpcm,
+    )
+
+    xs = np.arange(23).reshape(-1, 1) * 50  # 23 frames, spb=10 -> 3 blocks
+    wav = _wav_encode_ms_adpcm(xs, 8000, 10)
+    out = _decode_wav_pcm(wav)
+    assert out is not None and out[1].shape == (23, 1)  # not 30
+    at = wav.index(b"fact")
+    no_fact = wav[:at] + wav[at + 12 :]
+    out2 = _decode_wav_pcm(no_fact)
+    assert out2 is not None and out2[1].shape == (30, 1)
+    assert out2[1][:23, 0].tolist() == out[1][:, 0].tolist()
+
+
+def test_ms_adpcm_hostile_quarantines():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ms_adpcm,
+    )
+
+    wav = _wav_encode_ms_adpcm(np.arange(100).reshape(-1, 1), 8000, 10)
+    assert _decode_wav_pcm(wav) is not None
+    # declared samples-per-block inconsistent with block align
+    b = bytearray(wav)
+    k = wav.index(b"fmt ") + 8 + 18
+    b[k : k + 2] = (12).to_bytes(2, "little")
+    assert _decode_wav_pcm(bytes(b)) is None
+    # hostile block predictor index beyond the declared coefficient set
+    b = bytearray(wav)
+    b[wav.index(b"data") + 8] = 9
+    assert _decode_wav_pcm(bytes(b)) is None
+    # 3-channel unsupported
+    b = bytearray(wav)
+    k = wav.index(b"fmt ") + 8 + 2
+    b[k : k + 2] = (3).to_bytes(2, "little")
+    assert _decode_wav_pcm(bytes(b)) is None
+    # coefficient table truncated out of the fmt ext (wNumCoef says 7
+    # but csize only covers the first pair): coefs gate quarantines
+    b = bytearray(wav)
+    k = wav.index(b"fmt ") + 4
+    b[k : k + 4] = (16 + 6 + 4).to_bytes(4, "little")
+    assert _decode_wav_pcm(bytes(b)) is None
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_ms_adpcm_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_ms_adpcm,
+    )
+
+    good = _wav_encode_ms_adpcm(
+        (np.arange(150) * 37 % 401 - 200).reshape(-1, 1), 8000, 18,
+        predictor=5, init_delta=25)
     payload = bytearray(good)
     for pos, val in flips:
         payload[pos % len(payload)] = val
