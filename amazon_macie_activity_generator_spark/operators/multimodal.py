@@ -587,6 +587,114 @@ def _wav_encode_ms_adpcm(samples, rate: int, samples_per_block: int,
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+# G.711 companding (round 13): wFormatTag 0x07 = µ-law, 0x06 = A-law —
+# the telephony WAV formats. Both are STATELESS per-sample quantizers
+# (no predictor, no block state), which is why their DuckDB oracle is
+# plain per-sample arithmetic rather than a recursive state replay.
+# Formulas are the CCITT reference arithmetic; known-value pins
+# (µ: 0 <-> 0xFF, peak 32124; A: peak 32256 at 0xAA) plus full-domain
+# monotonicity/idempotence are tested in tests/test_audio_features.py.
+
+
+def _g711_decode_lut(law: str):
+    """256-entry int32 decode table for 'ulaw' / 'alaw' (content-cached:
+    built once per process, decode is then a single numpy take)."""
+    import numpy as np
+
+    cached = _g711_decode_lut.__dict__.get(law)
+    if cached is not None:
+        return cached
+    out = np.empty(256, dtype=np.int32)
+    for byte in range(256):
+        if law == "ulaw":
+            u = ~byte & 0xFF
+            x = ((((u & 0xF) << 3) + 132) << ((u >> 4) & 7)) - 132
+            out[byte] = -x if u & 0x80 else x
+        else:
+            a = byte ^ 0x55
+            t = (a & 0xF) << 4
+            seg = (a >> 4) & 7
+            t += 8 if seg == 0 else 0x108
+            if seg >= 2:
+                t <<= seg - 1
+            out[byte] = t if a & 0x80 else -t
+    _g711_decode_lut.__dict__[law] = out
+    return out
+
+
+def _decode_wav_g711(sample_rate, nch, bits, block_align, law, fact, data):
+    """G.711 µ-law / A-law -> (rate, int32 (n, nch)) or None. 8 bits per
+    sample, block_align == nch (quarantine otherwise); `fact` truncates
+    like the ADPCM lanes; a trailing partial frame is dropped. Being a
+    pure 256-entry LUT, decode runs at numpy take speed — like integer
+    PCM, never the seam."""
+    import numpy as np
+
+    if bits != 8 or not nch or nch > 8 or block_align != nch:
+        return None
+    n_frames = len(data) // nch
+    n = min(fact, n_frames) if fact is not None else n_frames
+    if n <= 0 or n * nch > _MAX_SAMPLES:
+        return None
+    raw = np.frombuffer(data[: n_frames * nch], dtype=np.uint8)
+    frames = _g711_decode_lut(law)[raw].reshape(n_frames, nch)[:n]
+    return sample_rate, frames
+
+
+def _g711_encode(arr, law: str):
+    """Vectorized CCITT encode of an int array -> uint8 codes."""
+    import numpy as np
+
+    x = np.asarray(arr, dtype=np.int64)
+    if law == "ulaw":
+        a = np.minimum(np.abs(x), 32635) + 132
+        exp = np.searchsorted(
+            np.array([256, 512, 1024, 2048, 4096, 8192, 16384]),
+            a, side="right")
+        mant = (a >> (exp + 3)) & 0xF
+        sign = np.where(x < 0, 0x80, 0)
+        return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+    # clamping m to 0xFFF reproduces CCITT's seg>=8 saturation branch
+    # (seg 7 / mant 15) for out-of-int16 magnitudes
+    m = np.minimum(np.where(x >= 0, x >> 3, (-x - 1) >> 3), 0xFFF)
+    seg = np.searchsorted(
+        np.array([0x20, 0x40, 0x80, 0x100, 0x200, 0x400, 0x800]),
+        m, side="right")
+    mant = np.where(seg < 2, (m >> 1) & 0xF, (m >> seg) & 0xF)
+    return (((seg << 4) | mant)
+            ^ np.where(x >= 0, 0xD5, 0x55)).astype(np.uint8)
+
+
+def _wav_encode_g711(samples, rate: int, law: str) -> bytes:
+    """G.711 WAV writer twin of :func:`_decode_wav_g711`: fmt 0x07
+    (µ-law) / 0x06 (A-law) with cbSize=0, a `fact` chunk (required for
+    non-PCM WAVE per the spec), one byte per sample. The companding is
+    lossy but STATELESS, so decode(encode(x)) is a pure function of x
+    and the oracle re-derives it arithmetically per sample."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n, nch = arr.shape
+    data = _g711_encode(arr.reshape(-1), law).tobytes()
+    tag = 0x07 if law == "ulaw" else 0x06
+    fmt = (
+        tag.to_bytes(2, "little") + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * nch).to_bytes(4, "little")
+        + nch.to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")  # cbSize = 0
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def _decode_wav_pcm(b: bytes | None):
     """RIFF/WAVE PCM decode -> (sample_rate, frames) where ``frames`` is
     an int32 ndarray of shape (n_frames, n_channels) — or None to
@@ -678,6 +786,11 @@ def _decode_wav_pcm(b: bytes | None):
         # quarantines inside _decode_wav_ms via the coefs gate
         return _decode_wav_ms(
             sample_rate, nch, bits, block_align, spb, ms_coefs, fact, data)
+    if fmt_code in (0x06, 0x07) and data is not None and sample_rate:
+        # G.711 A-law / µ-law (round 13) — stateless companding lanes
+        return _decode_wav_g711(
+            sample_rate, nch, bits, block_align,
+            "alaw" if fmt_code == 0x06 else "ulaw", fact, data)
     if (fmt_code not in (1, 3) or not sample_rate or not nch or not bits
             or data is None):
         return None  # MP3 / other compressed tags / unknown-GUID quarantine
@@ -971,12 +1084,16 @@ def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     id % 7 == 3 files are MONO MS-ADPCM (samples/block 10/18/26 by
     id % 3, coefficient pair (id // 7) % 7 — the slice exercises all
     seven standard pairs — per-file initial iDelta 16 + (id % 11) * 9).
-    Both compressed formats are LOSSY, so decoded stats are predicted
-    by replaying the encoder+decoder state machine (the oracle does
-    this as recursive CTEs), not by the input formula. All other ids
-    are lossless integer PCM with bits = (8, 16, 24)[id % 3],
-    channels = 1 + id % 2 — decoded samples ARE the input formula at
-    every depth."""
+    Both ADPCM formats are LOSSY with per-block state, so decoded
+    stats are predicted by replaying the encoder+decoder state machine
+    (the oracle does this as recursive CTEs), not by the input
+    formula. id % 7 == 1 / id % 7 == 6 files are G.711 µ-law / A-law
+    (round 13; mono+stereo, input amplified x327 to sweep all 8
+    companding segments) — lossy but STATELESS, so the oracle
+    re-derives decode(encode(x)) arithmetically per sample. Remaining
+    ids (%7 in 0/2/4) are lossless integer PCM with bits =
+    (8, 16, 24)[id % 3], channels = 1 + id % 2 — decoded samples ARE
+    the input formula at every depth."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -1004,6 +1121,18 @@ def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 return _wav_encode_ms_adpcm(
                     samples.reshape(n_frames, 1), rate, 10 + 8 * (i % 3),
                     predictor=(i // 7) % 7, init_delta=16 + (i % 11) * 9)
+            if i % 7 in (1, 6):
+                # G.711 lanes (round 13): µ-law (i%7==1) / A-law
+                # (i%7==6), mono+stereo — stateless companding, so the
+                # input is AMPLIFIED x327 (±32700) to sweep all 8
+                # segments and the µ-law 32635 clip; the oracle
+                # re-derives decode(encode(x)) per sample.
+                nch = 1 + i % 2
+                j = np.arange(n_frames * nch, dtype=np.int64)
+                samples = (((i * 7 + 13 * j) % 201) - 100) * 327
+                return _wav_encode_g711(
+                    samples.reshape(n_frames, nch), rate,
+                    "ulaw" if i % 7 == 1 else "alaw")
             bits = (8, 16, 24)[i % 3]
             nch = 1 + i % 2
             j = np.arange(n_frames * nch, dtype=np.int64)

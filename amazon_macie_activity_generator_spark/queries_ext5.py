@@ -1890,7 +1890,11 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     all seven standard pairs, initial iDelta 16 + (id%11)*9) — also
     lossy, also replayed as a recursive CTE (two-sample linear
     predictor, floored-division quantizer, symmetric delta-adaptation
-    table, per-block header restart). Exact int64 sample_sum /
+    table, per-block header restart). id%7 == 1 / id%7 == 6 (round
+    13): G.711 µ-law / A-law (mono+stereo, input amplified x327 to
+    sweep all companding segments) — lossy but STATELESS, so the
+    oracle re-derives decode(encode(x)) per sample with the CCITT
+    arithmetic, no recursion. Exact int64 sample_sum /
     abs_peak, duration flooring, float64 rms bit-identical via
     exact-integer sums under 2^53. NULL/negative doc_ids excluded in
     both engines."""
@@ -1915,7 +1919,7 @@ WITH RECURSIVE p AS (
          8000 * (1 + doc_id % 3) AS rate,
          50 + doc_id % 200 AS nf
   FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 400
-        AND doc_id % 7 <> 5 AND doc_id % 7 <> 3
+        AND doc_id % 7 NOT IN (1, 3, 5, 6)
 ), s AS (
   SELECT i, nch, rate, nf,
          list_transform(range(nf * nch),
@@ -2075,8 +2079,69 @@ WITH RECURSIVE p AS (
          apk AS abs_peak,
          sqrt(CAST(ssq AS DOUBLE) / nf) AS rms
   FROM ms WHERE t = nf - 1
+), gp AS (
+  -- G.711 lanes (r13): µ-law (law=1, doc_id%7==1) / A-law (law=0,
+  -- doc_id%7==6), mono+stereo, input amplified x327. STATELESS
+  -- companding: decode(encode(x)) is re-derived per sample with the
+  -- CCITT arithmetic — no recursion needed
+  SELECT doc_id AS i, 1 + doc_id % 2 AS nch,
+         8000 * (1 + doc_id % 3) AS rate, 50 + doc_id % 200 AS nf,
+         CASE WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END AS law
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id < 400
+        AND doc_id % 7 IN (1, 6)
+), gx AS (
+  SELECT i, nch, rate, nf, law,
+         ((i * 7 + 13 * unnest(range(nf * nch))) % 201 - 100) * 327 AS x
+  FROM gp
+), gd AS (
+  SELECT i, nch, rate, nf,
+         CASE WHEN law = 1 THEN
+           -- µ-law: a = min(|x|,32635)+132, p = 2^segment,
+           -- dec = sign * ((((a // (8p)) % 16) * 8 + 132) * p - 132)
+           (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+           * ((((ua // (8 * up)) % 16) * 8 + 132) * up - 132)
+         ELSE
+           -- A-law: m = 13-bit magnitude, seg/mant split,
+           -- dec = sign * ((mant*16 + (8 | 0x108)) << max(seg-1, 0))
+           (CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+           * (CASE WHEN aseg >= 2
+                   THEN (amant * 16 + 264) * (1 << (aseg - 1))
+                   WHEN aseg = 1 THEN amant * 16 + 264
+                   ELSE amant * 16 + 8 END)
+         END AS d
+  FROM (
+    SELECT *, CASE WHEN aseg < 2 THEN (am // 2) % 16
+                   ELSE (am >> aseg) & 15 END AS amant
+    FROM (
+      SELECT *,
+             CASE WHEN ua < 256 THEN 1 WHEN ua < 512 THEN 2
+                  WHEN ua < 1024 THEN 4 WHEN ua < 2048 THEN 8
+                  WHEN ua < 4096 THEN 16 WHEN ua < 8192 THEN 32
+                  WHEN ua < 16384 THEN 64 ELSE 128 END AS up,
+             CASE WHEN am <= 31 THEN 0 WHEN am <= 63 THEN 1
+                  WHEN am <= 127 THEN 2 WHEN am <= 255 THEN 3
+                  WHEN am <= 511 THEN 4 WHEN am <= 1023 THEN 5
+                  WHEN am <= 2047 THEN 6 ELSE 7 END AS aseg
+      FROM (
+        SELECT *, LEAST(abs(x), 32635) + 132 AS ua,
+               CASE WHEN x >= 0 THEN x // 8 ELSE (0 - x - 1) // 8 END AS am
+        FROM gx
+      )
+    )
+  )
+), g711 AS (
+  SELECT i AS media_id,
+         CAST(rate AS BIGINT) AS sample_rate,
+         CAST(nch AS BIGINT) AS n_channels,
+         CAST(nf AS BIGINT) AS n_frames,
+         CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+         CAST(sum(d) AS BIGINT) AS sample_sum,
+         CAST(max(abs(d)) AS BIGINT) AS abs_peak,
+         sqrt(CAST(sum(d * d) AS DOUBLE) / (nf * nch)) AS rms
+  FROM gd GROUP BY i, nch, rate, nf
 )
-SELECT * FROM pcm UNION ALL SELECT * FROM adpcm UNION ALL SELECT * FROM msout
+SELECT * FROM pcm UNION ALL SELECT * FROM adpcm
+UNION ALL SELECT * FROM msout UNION ALL SELECT * FROM g711
 """
 
 

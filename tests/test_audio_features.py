@@ -287,6 +287,13 @@ def test_extract_audio_features_stage_exact(spark):
                  for j in range(50 + i % 200)],
                 10 + 8 * (i % 3), (i // 7) % 7, 16 + (i % 11) * 9)
             frames = np.array(track, dtype=np.int64).reshape(-1, 1)
+        elif i % 7 in (1, 6):  # r13 G.711 lanes: stateless companding
+            law = "ulaw" if i % 7 == 1 else "alaw"
+            nf = 50 + i % 200
+            frames = np.array([
+                _g711_reference(((i * 7 + 13 * j) % 201 - 100) * 327, law)
+                for j in range(nf * nch)
+            ], dtype=np.int64).reshape(nf, nch)
         flat = frames.ravel()
         r = got[i]
         assert r["sample_rate"] == rate
@@ -599,6 +606,141 @@ def test_bitflipped_ms_adpcm_never_raises(flips):
     good = _wav_encode_ms_adpcm(
         (np.arange(150) * 37 % 401 - 200).reshape(-1, 1), 8000, 18,
         predictor=5, init_delta=25)
+    payload = bytearray(good)
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    out = _decode_wav_pcm(bytes(payload))
+    if out is not None:
+        rate, frames = out
+        assert frames.ndim == 2 and frames.shape[0] >= 1
+
+
+# ----------------------------------------------------- G.711 (r13)
+
+
+def _g711_reference(x: int, law: str) -> int:
+    """decode(encode(x)) re-derived with the oracle's arithmetic (the
+    SQL branch in SQL_MULTIMODAL_AUDIO, in Python form)."""
+    if law == "ulaw":
+        a = min(abs(x), 32635) + 132
+        p = 1
+        while a >= 256 * p and p < 128:
+            p *= 2
+        v = (((a // (8 * p)) % 16) * 8 + 132) * p - 132
+        return -v if x < 0 else v
+    m = x // 8 if x >= 0 else (-x - 1) // 8
+    seg = next(i for i, e in enumerate(
+        (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF)) if m <= e) \
+        if m <= 0x7FF else 7
+    mant = (m // 2) % 16 if seg < 2 else (m >> seg) & 15
+    base = mant * 16 + (8 if seg == 0 else 264)
+    t = base * (1 << (seg - 1)) if seg >= 2 else base
+    return t if x >= 0 else -t
+
+
+def test_g711_known_values():
+    """ITU G.711 pins: µ-law zero is 0xFF, µ-law peak decodes 32124,
+    A-law peak decodes 32256 (byte 0xAA)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _g711_decode_lut,
+        _g711_encode,
+    )
+
+    assert _g711_encode([0], "ulaw").tolist() == [0xFF]
+    assert _g711_decode_lut("ulaw")[0xFF] == 0
+    assert _g711_encode([32767], "ulaw").tolist() == [0x80]
+    assert _g711_decode_lut("ulaw")[0x80] == 32124
+    assert _g711_encode([32767], "alaw").tolist() == [0xAA]
+    assert _g711_decode_lut("alaw")[0xAA] == 32256
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_full_domain_roundtrip(law):
+    """Over the FULL int16 domain: decode(encode(x)) must equal the
+    oracle's arithmetic re-derivation, be monotone non-decreasing in x,
+    and be an idempotent quantizer (re-encoding a decoded value is a
+    fixed point)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _g711_decode_lut,
+        _g711_encode,
+    )
+
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    dec = _g711_decode_lut(law)[_g711_encode(xs, law)]
+    # oracle arithmetic, vectorized spot-grid + dense boundary sweep
+    grid = np.concatenate([xs[::97], xs[:2048], xs[-2048:]])
+    for x in grid:
+        assert dec[int(x) + 32768] == _g711_reference(int(x), law), x
+    assert (np.diff(dec) >= 0).all()
+    again = _g711_decode_lut(law)[_g711_encode(dec, law)]
+    assert np.array_equal(again, dec)
+    assert np.abs(dec - xs).max() <= 1024
+
+
+@pytest.mark.parametrize("i", [1, 8, 15, 22, 6, 13, 20, 27, 209, 412])
+def test_g711_grammar_roundtrip(i):
+    """Grammar-shaped files (id%7==1 µ-law / ==6 A-law, mono+stereo,
+    amplified x327): WAV decode == per-sample reference."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_g711,
+    )
+
+    law = "ulaw" if i % 7 == 1 else "alaw"
+    rate = 8000 * (1 + i % 3)
+    nf, nch = 50 + i % 200, 1 + i % 2
+    j = np.arange(nf * nch, dtype=np.int64)
+    xs = (((i * 7 + 13 * j) % 201) - 100) * 327
+    wav = _wav_encode_g711(xs.reshape(nf, nch), rate, law)
+    out = _decode_wav_pcm(wav)
+    assert out is not None
+    r, frames = out
+    assert r == rate and frames.shape == (nf, nch)
+    assert frames.reshape(-1).tolist() == [
+        _g711_reference(int(v), law) for v in xs]
+
+
+def test_g711_fact_truncates():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_g711,
+    )
+
+    wav = _wav_encode_g711(np.arange(20).reshape(-1, 1) * 100, 8000, "ulaw")
+    at = wav.index(b"fact") + 8
+    trunc = wav[:at] + (12).to_bytes(4, "little") + wav[at + 4 :]
+    out = _decode_wav_pcm(trunc)
+    assert out is not None and out[1].shape == (12, 1)
+
+
+def test_g711_hostile_quarantines():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_g711,
+    )
+
+    wav = _wav_encode_g711(np.arange(20).reshape(10, 2) * 100, 8000, "alaw")
+    assert _decode_wav_pcm(wav) is not None
+    # bits != 8
+    b = bytearray(wav)
+    k = wav.index(b"fmt ") + 8 + 14
+    b[k : k + 2] = (16).to_bytes(2, "little")
+    assert _decode_wav_pcm(bytes(b)) is None
+    # block_align != nch
+    b = bytearray(wav)
+    k = wav.index(b"fmt ") + 8 + 12
+    b[k : k + 2] = (5).to_bytes(2, "little")
+    assert _decode_wav_pcm(bytes(b)) is None
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_g711_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _wav_encode_g711,
+    )
+
+    good = _wav_encode_g711(
+        (np.arange(150) * 37 % 401 - 200).reshape(75, 2) * 150, 8000, "ulaw")
     payload = bytearray(good)
     for pos, val in flips:
         payload[pos % len(payload)] = val
