@@ -47,10 +47,14 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # never-checked entries until a fresh row lands. Keep this tiny and
 # prune entries once a newer round's artifact covers them.
 _CHANGED_AFTER_ROUND: dict[str, int] = {
-    # r13: MS-ADPCM lane folded in (doc_id % 7 == 3, previously integer
-    # PCM; lossy state-replay oracle) — the r12 row verified the
-    # IMA+PCM-only grammar; prune once CORRECTNESS_r13 carries the row
+    # r13: MS-ADPCM + G.711 lanes folded in (doc_id % 7 in 3/1/6,
+    # previously integer PCM) — the r12 row verified the IMA+PCM-only
+    # grammar; prune once CORRECTNESS_r13 carries the row
     "multimodal_audio": 12,
+    # r13: TGA/QOI sub-routes folded in (doc_id % 8 in 4/5, previously
+    # BMP/PPM; fmt CASE changed in the oracle) — prune once
+    # CORRECTNESS_r13 carries the row
+    "multimodal_pixels": 12,
 }
 
 

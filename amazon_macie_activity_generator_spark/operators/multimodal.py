@@ -1917,6 +1917,237 @@ def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     return w, h, b[i : i + w * h * 3]
 
 
+# TGA v2 footer signature — TGA has NO leading magic, so the engine
+# requires the spec-blessed 26-byte footer (TGA 2.0) to sniff the format
+# deterministically; the encoder twin always writes it.
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def _decode_tga_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """TGA (Truevision TARGA, round 13) -> (w, h, top-down RGB) or None.
+    Accepted: truecolor image types 2 (uncompressed) and 10 (RLE),
+    24/32 bpp BGR(A) with the attribute/alpha byte dropped (the BMP
+    32-bpp convention), bottom-up rows unless descriptor bit 5 is set.
+    Color-mapped/grayscale types, other depths, over-budget dims, RLE
+    packets that overrun the pixel count or the buffer, and truncated
+    data all quarantine. Requires the TGA 2.0 footer (see _TGA_FOOTER)
+    — sniffed in decode_pixels_bytes, re-checked here."""
+    import numpy as np
+
+    if len(b) < 18 + 26 or b[-26:][8:] != _TGA_FOOTER:
+        return None
+    idlen, cmaptype, imgtype = b[0], b[1], b[2]
+    w = int.from_bytes(b[12:14], "little")
+    h = int.from_bytes(b[14:16], "little")
+    bits, desc = b[16], b[17]
+    if cmaptype != 0 or imgtype not in (2, 10) or bits not in (24, 32):
+        return None
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        return None
+    nch = bits // 8
+    i = 18 + idlen
+    end = len(b) - 26
+    need = w * h * nch
+    if imgtype == 2:
+        if i + need > end:
+            return None
+        px = np.frombuffer(b, np.uint8, count=need, offset=i)
+    else:
+        # RLE: header bit 7 = run packet (one pixel repeated count
+        # times), else raw packet of count pixels; count = low7 + 1.
+        # Each packet yields >= nch bytes, so the loop is bounded by
+        # need/nch iterations (the budget check above bounds need).
+        out = bytearray()
+        while len(out) < need:
+            if i >= end:
+                return None
+            hdr = b[i]
+            i += 1
+            cnt = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                if i + nch > end:
+                    return None
+                out += b[i : i + nch] * cnt
+                i += nch
+            else:
+                if i + cnt * nch > end:
+                    return None
+                out += b[i : i + cnt * nch]
+                i += cnt * nch
+        if len(out) != need:
+            return None  # a packet overran the declared pixel count
+        px = np.frombuffer(bytes(out), np.uint8)
+    px = px.reshape(h, w, nch)[..., :3]
+    if not desc & 0x20:  # bit 5 clear = bottom-up storage
+        px = px[::-1]
+    return w, h, px[..., ::-1].tobytes()  # BGR -> RGB
+
+
+def _tga_encode(raw_rgb: bytes, w: int, h: int, rle: bool = False,
+                top_down: bool = True, bpp32: bool = False) -> bytes:
+    """TGA writer twin of :func:`_decode_tga_pixels`: truecolor type
+    2/10, BGR(A) from top-down RGB input, descriptor bit 5 per
+    ``top_down``, always footed with the v2 signature."""
+    import numpy as np
+
+    nch = 4 if bpp32 else 3
+    px = np.frombuffer(raw_rgb, np.uint8).reshape(h, w, 3)[..., ::-1]
+    if bpp32:
+        px = np.concatenate(
+            [px, np.full((h, w, 1), 255, np.uint8)], axis=2)
+    if not top_down:
+        px = px[::-1]
+    body = px.tobytes()
+    if rle:
+        # greedy run packets over identical consecutive pixels, raw
+        # packets otherwise, never crossing the 128 cap
+        flat = [body[k : k + nch] for k in range(0, len(body), nch)]
+        enc = bytearray()
+        k = 0
+        while k < len(flat):
+            run = 1
+            while (k + run < len(flat) and run < 128
+                   and flat[k + run] == flat[k]):
+                run += 1
+            if run > 1:
+                enc.append(0x80 | (run - 1))
+                enc += flat[k]
+                k += run
+            else:
+                j = k + 1
+                while (j < len(flat) and j - k < 128
+                       and (j + 1 >= len(flat) or flat[j] != flat[j + 1])):
+                    j += 1
+                enc.append(j - k - 1)
+                enc += b"".join(flat[k:j])
+                k = j
+        body = bytes(enc)
+    hdr = bytes([
+        0, 0, 10 if rle else 2,
+        0, 0, 0, 0, 0,  # no color map
+        0, 0, 0, 0,     # origin
+    ]) + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([
+        8 * nch, (0x20 if top_down else 0) | (8 if bpp32 else 0),
+    ])
+    footer = bytes(8) + _TGA_FOOTER
+    return hdr + body + footer
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def _decode_qoi_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """QOI (Quite OK Image, round 13) -> (w, h, top-down RGB) or None.
+    The full spec-defined op set: RGB, RGBA, INDEX (64-slot running
+    hash table), DIFF (2-bit wrapping channel deltas), LUMA (green
+    delta + red/blue relative), RUN (1..62). channels=4 images are
+    accepted with the alpha byte dropped from the output (the same
+    opaque-view convention as 32-bpp BMP/TGA). Truncated streams,
+    over-budget dims, and a missing 8-byte end marker quarantine."""
+    if (len(b) < 14 + 8 or b[:4] != b"qoif"
+            or b[-8:] != b"\x00" * 7 + b"\x01"):
+        return None
+    w = int.from_bytes(b[4:8], "big")
+    h = int.from_bytes(b[8:12], "big")
+    channels, colorspace = b[12], b[13]
+    if (w <= 0 or h <= 0 or w * h > _MAX_PIXELS
+            or channels not in (3, 4) or colorspace > 1):
+        return None
+    n = w * h
+    out = bytearray()
+    r, g, bl, a = 0, 0, 0, 255
+    index = [(0, 0, 0, 0)] * 64
+    i, end = 14, len(b) - 8
+    run = 0
+    for _ in range(n):
+        if run > 0:
+            run -= 1
+        elif i < end:
+            b0 = b[i]
+            i += 1
+            if b0 == 0xFE:  # QOI_OP_RGB
+                if i + 3 > end:
+                    return None
+                r, g, bl = b[i], b[i + 1], b[i + 2]
+                i += 3
+            elif b0 == 0xFF:  # QOI_OP_RGBA
+                if i + 4 > end:
+                    return None
+                r, g, bl, a = b[i], b[i + 1], b[i + 2], b[i + 3]
+                i += 4
+            elif b0 < 0x40:  # QOI_OP_INDEX
+                r, g, bl, a = index[b0]
+            elif b0 < 0x80:  # QOI_OP_DIFF
+                r = (r + ((b0 >> 4) & 3) - 2) % 256
+                g = (g + ((b0 >> 2) & 3) - 2) % 256
+                bl = (bl + (b0 & 3) - 2) % 256
+            elif b0 < 0xC0:  # QOI_OP_LUMA
+                if i >= end:
+                    return None
+                b1 = b[i]
+                i += 1
+                dg = (b0 & 0x3F) - 32
+                r = (r + dg + (b1 >> 4) - 8) % 256
+                g = (g + dg) % 256
+                bl = (bl + dg + (b1 & 15) - 8) % 256
+            else:  # QOI_OP_RUN
+                run = b0 & 0x3F
+            index[_qoi_hash(r, g, bl, a)] = (r, g, bl, a)
+        else:
+            return None  # stream exhausted before w*h pixels
+        out += bytes((r, g, bl))
+    return w, h, bytes(out)
+
+
+def _qoi_encode(raw_rgb: bytes, w: int, h: int) -> bytes:
+    """QOI writer twin of :func:`_decode_qoi_pixels` (channels=3).
+    Encode-by-decode: the index table is updated exactly when the
+    DECODER updates its own (once per emitted op, including the RUN
+    op), so every INDEX emission is provably consistent with the
+    decoder's table state."""
+    out = bytearray(b"qoif" + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    + bytes([3, 0]))
+    pr, pg, pb, pa = 0, 0, 0, 255
+    index = [(0, 0, 0, 0)] * 64
+    run = 0
+    for k in range(0, len(raw_rgb), 3):
+        r, g, b = raw_rgb[k], raw_rgb[k + 1], raw_rgb[k + 2]
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                index[_qoi_hash(pr, pg, pb, pa)] = (pr, pg, pb, pa)
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            index[_qoi_hash(pr, pg, pb, pa)] = (pr, pg, pb, pa)
+            run = 0
+        idx = _qoi_hash(r, g, b, 255)
+        if index[idx] == (r, g, b, 255):
+            out.append(idx)
+        else:
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                           | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+            index[idx] = (r, g, b, 255)
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+        index[_qoi_hash(pr, pg, pb, pa)] = (pr, pg, pb, pa)
+    return bytes(out) + b"\x00" * 7 + b"\x01"
+
+
 # Average/Paeth runs shorter/narrower than this stay on the scalar lane
 # scan: the wavefront's diagonal length is bounded by min(run height,
 # width), and a numpy dispatch per few-element diagonal step costs more
@@ -2840,7 +3071,8 @@ def _gif_encode_animated(
 def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
     """Sniff + decode one payload to (fmt, w, h, top-down RGB bytes); None
     for anything malformed, truncated, or outside the supported formats
-    (BMP / PPM / PNG / GIF / JPEG incl. progressive)."""
+    (BMP / PPM / PNG / GIF / JPEG incl. progressive / QOI / TGA — TGA,
+    having no leading magic, is sniffed by its v2 footer signature)."""
     if not b or len(b) < 10:
         return None
     if b[:2] == b"\xff\xd8":  # JPEG (round 10) — OUTSIDE the broad
@@ -2865,6 +3097,12 @@ def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
         if b[:6] in (b"GIF87a", b"GIF89a"):
             out = _decode_gif_pixels(b)
             return ("gif",) + out if out else None
+        if b[:4] == b"qoif":
+            out = _decode_qoi_pixels(b)
+            return ("qoi",) + out if out else None
+        if len(b) >= 44 and b[-26:][8:] == _TGA_FOOTER:
+            out = _decode_tga_pixels(b)
+            return ("tga",) + out if out else None
     except (ValueError, IndexError, OverflowError, MemoryError):
         # MemoryError included: a legitimate huge payload under executor
         # pressure degrades to a NULL-stats quarantine row, never a dead
@@ -2905,8 +3143,14 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     encoding variant — 2: plain 8-bit, 6: Adam7 interlaced, 10: 16-bit
     (samples v*257, so the high-byte narrowing recovers v), 14: Adam7 +
     16-bit — all decoding to the SAME raw fill, so the unchanged oracle
-    hash now also proves deinterlacing and 16-bit handling. NULL ids
-    synthesize as id 0 with media_id kept NULL (same convention as
+    hash now also proves deinterlacing and 16-bit handling. Round 13
+    sub-routes two more LOSSLESS containers over the same fill:
+    id % 8 == 4 is TGA (k = id//8 bits pick RLE-vs-uncompressed,
+    bottom-up-vs-top-down, 24-vs-32 bpp) and id % 8 == 5 is QOI (the
+    reference greedy encoder — the +3/channel fill emits LUMA/RUN/RGB
+    ops), so the oracle's per-channel sums stay formula-derived while
+    fmt flips to 'tga'/'qoi' on those slices. NULL ids synthesize as
+    id 0 with media_id kept NULL (same convention as
     synthetic_media)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -2919,8 +3163,18 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 return _gif_encode(indices, _GIF_FILL_PALETTE, w, h)
             raw = _raw_fill(i, w, h)
             if i % 4 == 0:
+                if i % 8 == 4:
+                    # TGA sub-route (round 13): k = i//8 bits pick the
+                    # variant axes (i//4 is constant-odd on this slice
+                    # — the derived-parity trap — so key on k)
+                    k = i // 8
+                    return _tga_encode(raw, w, h, rle=k % 2 == 1,
+                                       top_down=(k // 2) % 2 == 0,
+                                       bpp32=(k // 4) % 2 == 1)
                 return _bmp_encode(raw, w, h)
             if i % 4 == 1:
+                if i % 8 == 5:  # QOI sub-route (round 13)
+                    return _qoi_encode(raw, w, h)
                 return _ppm_encode(raw, w, h)
             variant = i % 16  # PNG route: 2 / 6 / 10 / 14
             interlace = 1 if variant in (6, 14) else 0

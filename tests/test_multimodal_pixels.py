@@ -15,6 +15,8 @@ import zlib
 
 import numpy as np
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from amazon_macie_activity_generator_spark.operators.multimodal import (
     _bmp_encode,
@@ -640,7 +642,12 @@ def test_decode_pixels_stage_matches_arithmetic(spark, sf_dir):
         i = r.media_id
         w, h = 1 + i % 32, 1 + i % 24
         assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
-        assert r.fmt == {0: "bmp", 1: "ppm", 2: "png", 3: "gif"}[i % 4]
+        if i % 8 == 4:
+            assert r.fmt == "tga"  # r13 sub-route of the BMP slice
+        elif i % 8 == 5:
+            assert r.fmt == "qoi"  # r13 sub-route of the PPM slice
+        else:
+            assert r.fmt == {0: "bmp", 1: "ppm", 2: "png", 3: "gif"}[i % 4]
         expected = [0, 0, 0]
         for j in range(w * h * 3):
             expected[j % 3] += (i + j) % 256
@@ -1036,3 +1043,150 @@ def test_sample_frames_rejects_nonpositive_knobs(spark):
         sample_frames(media, every_ms=0, decode_stub=False)
     with _pytest.raises(ValueError):
         sample_frames(media, max_frames=0)
+
+
+# ------------------------------------------------------ TGA + QOI (r13)
+
+
+def test_tga_roundtrip_all_variants():
+    """Every (RLE, origin, bpp) combination decodes back to the exact
+    top-down RGB input."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _tga_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    for rle in (False, True):
+        for td in (False, True):
+            for b32 in (False, True):
+                w, h = 13, 9
+                raw = rng.integers(0, 256, w * h * 3,
+                                   dtype=np.uint8).tobytes()
+                out = decode_pixels_bytes(
+                    _tga_encode(raw, w, h, rle=rle, top_down=td, bpp32=b32))
+                assert out == ("tga", w, h, raw), (rle, td, b32)
+
+
+def test_tga_rle_run_packets_compress_and_roundtrip():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _tga_encode,
+    )
+
+    rng = np.random.default_rng(8)
+    raw = bytes([7, 8, 9]) * 50 + rng.integers(
+        0, 256, 150, dtype=np.uint8).tobytes()
+    rle = _tga_encode(raw, 10, 10, rle=True)
+    flat = _tga_encode(raw, 10, 10, rle=False)
+    assert len(rle) < len(flat)  # the run actually compressed
+    assert decode_pixels_bytes(rle) == ("tga", 10, 10, raw)
+
+
+def test_tga_requires_v2_footer_for_sniffing():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tga_pixels,
+        _tga_encode,
+    )
+
+    raw = bytes((2 * j) % 256 for j in range(13 * 2 * 3))
+    tga = _tga_encode(raw, 13, 2)
+    assert decode_pixels_bytes(tga) is not None
+    # strip the footer: no magic anywhere -> unsniffable, quarantined
+    assert decode_pixels_bytes(tga[:-26]) is None
+    assert _decode_tga_pixels(tga[:-26]) is None
+
+
+def test_tga_hostile_variants_quarantine():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _tga_encode,
+    )
+
+    raw = bytes(13 * 2 * 3)
+    tga = _tga_encode(raw, 13, 2)
+    # color-mapped type
+    assert decode_pixels_bytes(tga[:1] + b"\x01" + tga[2:]) is None
+    # grayscale image type 3
+    assert decode_pixels_bytes(tga[:2] + b"\x03" + tga[3:]) is None
+    # 16-bpp depth
+    assert decode_pixels_bytes(tga[:16] + b"\x10" + tga[17:]) is None
+    # truncated pixel data (footer re-appended so sniffing still hits)
+    assert decode_pixels_bytes(tga[:30] + tga[-26:]) is None
+    # RLE packet overrunning the declared pixel count
+    rle = bytearray(_tga_encode(raw, 13, 2, rle=True))
+    rle[18] = 0x80 | 127  # first packet now claims a 128-pixel run
+    assert decode_pixels_bytes(bytes(rle)) is None
+
+
+def test_qoi_roundtrip_content_shapes():
+    """Random, run-heavy, palette-ish, grammar-fill, and all-zero
+    (first-pixel run from the initial decoder state) images all
+    roundtrip exactly through the full op set."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _qoi_encode,
+        _raw_fill,
+    )
+
+    rng = np.random.default_rng(9)
+    for raw in [
+        rng.integers(0, 256, 17 * 11 * 3, dtype=np.uint8).tobytes(),
+        bytes([5, 5, 5]) * 120 + bytes([9, 1, 2]) * 67,
+        bytes([(p % 4) * 60 for p in range(17 * 11 * 3)]),
+        _raw_fill(37, 17, 11),
+        bytes(17 * 11 * 3),
+    ]:
+        assert decode_pixels_bytes(
+            _qoi_encode(raw, 17, 11)) == ("qoi", 17, 11, raw)
+
+
+def test_qoi_rgba_channels_accepted_alpha_dropped():
+    """A channels=4 header with RGBA ops decodes with the alpha byte
+    dropped (the 32-bpp BMP/TGA opaque-view convention)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_qoi_pixels,
+    )
+
+    # hand-assembled 2x1 RGBA stream: RGBA(10,20,30,40), RGB(50,60,70)
+    q = (b"qoif" + (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+         + bytes([4, 0])
+         + bytes([0xFF, 10, 20, 30, 40])
+         + bytes([0xFE, 50, 60, 70])
+         + b"\x00" * 7 + b"\x01")
+    assert _decode_qoi_pixels(q) == (2, 1, bytes([10, 20, 30, 50, 60, 70]))
+
+
+def test_qoi_hostile_variants_quarantine():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _qoi_encode,
+    )
+
+    raw = bytes(range(36))
+    q = _qoi_encode(raw, 4, 3)
+    assert decode_pixels_bytes(q) == ("qoi", 4, 3, raw)
+    # missing end marker
+    assert decode_pixels_bytes(q[:-8]) is None
+    # truncated op stream (end marker re-appended)
+    assert decode_pixels_bytes(q[:15] + q[-8:]) is None
+    # zero dims / bad channels
+    assert decode_pixels_bytes(q[:4] + bytes(4) + q[8:]) is None
+    assert decode_pixels_bytes(q[:12] + b"\x05" + q[13:]) is None
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_tga_qoi_never_raise(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _qoi_encode,
+        _raw_fill,
+        _tga_encode,
+    )
+
+    for payload in (
+        bytearray(_tga_encode(_raw_fill(11, 9, 7), 9, 7, rle=True)),
+        bytearray(_qoi_encode(_raw_fill(12, 9, 7), 9, 7)),
+    ):
+        for pos, val in flips:
+            payload[pos % len(payload)] = val
+        out = decode_pixels_bytes(bytes(payload))
+        assert out is None or (len(out) == 4 and
+                               len(out[3]) == out[1] * out[2] * 3)
