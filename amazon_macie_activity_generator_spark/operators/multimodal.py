@@ -2148,6 +2148,227 @@ def _qoi_encode(raw_rgb: bytes, w: int, h: int) -> bytes:
     return bytes(out) + b"\x00" * 7 + b"\x01"
 
 
+def _packbits_decode(b: bytes, lo: int, hi: int, cap: int) -> bytes | None:
+    """TIFF PackBits (Apple RLE): header n in -127..127 — n >= 0 copies
+    n+1 literal bytes, n < 0 repeats the next byte 1-n times, -128 is a
+    no-op. Returns None on truncation or when output exceeds ``cap``
+    (the strip's declared size — a bomb/corruption guard)."""
+    out = bytearray()
+    i = lo
+    while i < hi:
+        n = b[i] - 256 if b[i] >= 128 else b[i]
+        i += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if i + n + 1 > hi:
+                return None
+            out += b[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= hi:
+                return None
+            out += b[i : i + 1] * (1 - n)
+            i += 1
+        if len(out) > cap:
+            return None
+    return bytes(out)
+
+
+def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """Baseline TIFF (round 13) -> (w, h, top-down RGB) or None.
+    Accepted: both byte orders (II/MM), chunky 8-bit RGB (photometric
+    2, 3 samples) and grayscale (photometric 1, 1 sample — expanded to
+    RGB), compression 1 (none) or 32773 (PackBits), strip-organized
+    (any RowsPerStrip). First IFD only. Everything else quarantines:
+    tiled files, planar=2, other depths/compressions (LZW/JPEG-in-TIFF
+    are native-codec territory), palette photometric, strips that
+    overrun the buffer or decode short."""
+    import numpy as np
+
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II\x2a\x00":
+        bo = "little"
+    elif b[:4] == b"MM\x00\x2a":
+        bo = "big"
+    else:
+        return None
+
+    def u(lo: int, size: int) -> int:
+        return int.from_bytes(b[lo : lo + size], bo)
+
+    ifd = u(4, 4)
+    if ifd + 2 > len(b):
+        return None
+    nent = u(ifd, 2)
+    if ifd + 2 + 12 * nent > len(b):
+        return None
+    tags: dict[int, tuple[int, int, int]] = {}
+    for k in range(nent):
+        e = ifd + 2 + 12 * k
+        tags[u(e, 2)] = (u(e + 2, 2), u(e + 4, 4), e + 8)
+
+    _SIZES = {1: 1, 3: 2, 4: 4}
+
+    def values(tag: int) -> list[int] | None:
+        if tag not in tags:
+            return None
+        typ, cnt, at = tags[tag]
+        size = _SIZES.get(typ)
+        if size is None or cnt == 0 or cnt > 1 << 20:
+            return None
+        lo = at if size * cnt <= 4 else u(at, 4)
+        if lo + size * cnt > len(b):
+            return None
+        return [u(lo + size * i, size) for i in range(cnt)]
+
+    def scalar(tag: int, default: int | None = None) -> int | None:
+        v = values(tag)
+        return v[0] if v else default
+
+    w = scalar(256)
+    h = scalar(257)
+    comp = scalar(259, 1)
+    photo = scalar(262)
+    spp = scalar(277, 1)
+    planar = scalar(284, 1)
+    bps = values(258) or [1]
+    offsets = values(273)
+    counts = values(279)
+    if (not w or not h or w * h > _MAX_PIXELS or planar != 1
+            or comp not in (1, 32773) or offsets is None or counts is None
+            or len(offsets) != len(counts)
+            or any(v != 8 for v in bps) or len(bps) != spp):
+        return None
+    if not ((photo == 2 and spp == 3) or (photo == 1 and spp == 1)):
+        return None
+    rps = scalar(278, h) or h
+    if rps <= 0 or (h + rps - 1) // rps != len(offsets):
+        return None
+    need = w * h * spp
+    out = bytearray()
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b) or off < 8:
+            return None
+        rows = min(rps, h - s * rps)
+        want = rows * w * spp
+        if comp == 1:
+            if cnt < want:
+                return None
+            out += b[off : off + want]
+        else:
+            dec = _packbits_decode(b, off, off + cnt, want)
+            if dec is None or len(dec) < want:
+                return None
+            out += dec[:want]
+    if len(out) != need:
+        return None
+    if spp == 1:
+        px = np.frombuffer(bytes(out), np.uint8)
+        return w, h, np.repeat(px, 3).tobytes()
+    return w, h, bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs of >= 3 identical bytes become repeat
+    packets, everything else literal packets (max 128 each)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(256 + 1 - run)  # -(run-1) as unsigned
+            out.append(data[i])
+            i += run
+        else:
+            j = i
+            lit = 0
+            while j < n and lit < 128:
+                r = 1
+                while j + r < n and r < 3 and data[j + r] == data[j]:
+                    r += 1
+                if r >= 3:
+                    break
+                j += 1
+                lit += 1
+            out.append(lit - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
+                 big_endian: bool = False, rows_per_strip: int = 0) -> bytes:
+    """TIFF writer twin of :func:`_decode_tiff_pixels`: chunky 8-bit
+    RGB, II or MM byte order, compression 1 or 32773 (PackBits),
+    single- or multi-strip per ``rows_per_strip`` (0 = one strip)."""
+    bo = "big" if big_endian else "little"
+    rps = rows_per_strip or h
+    nstrips = (h + rps - 1) // rps
+    strips = []
+    for s in range(nstrips):
+        rows = min(rps, h - s * rps)
+        chunk = raw_rgb[s * rps * w * 3 : (s * rps + rows) * w * 3]
+        strips.append(_packbits_encode(chunk) if packbits else chunk)
+
+    def u16(v: int) -> bytes:
+        return v.to_bytes(2, bo)
+
+    def u32(v: int) -> bytes:
+        return v.to_bytes(4, bo)
+
+    entries = []  # (tag, type, count, value_bytes_or_deferred)
+    # layout: header(8) + IFD + next(4) + [bps array][offsets][counts] + strips
+    n_ent = 10
+    ifd_size = 2 + 12 * n_ent + 4
+    aux_at = 8 + ifd_size
+    bps_at = aux_at
+    off_at = bps_at + 6
+    cnt_at = off_at + (4 * nstrips if nstrips > 1 else 0)
+    data_at = cnt_at + (4 * nstrips if nstrips > 1 else 0)
+    offs = []
+    pos = data_at
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def inline16(v: int) -> bytes:
+        return u16(v) + b"\x00\x00"
+
+    entries = [
+        (256, 3, 1, inline16(w)),
+        (257, 3, 1, inline16(h)),
+        (258, 3, 3, u32(bps_at)),
+        (259, 3, 1, inline16(32773 if packbits else 1)),
+        (262, 3, 1, inline16(2)),
+        (273, 4, nstrips,
+         u32(offs[0]) if nstrips == 1 else u32(off_at)),
+        (277, 3, 1, inline16(3)),
+        (278, 3, 1, inline16(rps)),
+        (279, 4, nstrips,
+         u32(len(strips[0])) if nstrips == 1 else u32(cnt_at)),
+        (284, 3, 1, inline16(1)),
+    ]
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + u32(8)
+    out += u16(len(entries))
+    for tag, typ, cnt, val in entries:
+        out += u16(tag) + u16(typ) + u32(cnt) + val
+    out += u32(0)  # no next IFD
+    out += u16(8) * 3  # BitsPerSample [8,8,8]
+    if nstrips > 1:
+        for o in offs:
+            out += u32(o)
+        for s in strips:
+            out += u32(len(s))
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 # Average/Paeth runs shorter/narrower than this stay on the scalar lane
 # scan: the wavefront's diagonal length is bounded by min(run height,
 # width), and a numpy dispatch per few-element diagonal step costs more
@@ -3100,6 +3321,9 @@ def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
         if b[:4] == b"qoif":
             out = _decode_qoi_pixels(b)
             return ("qoi",) + out if out else None
+        if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            out = _decode_tiff_pixels(b)
+            return ("tiff",) + out if out else None
         if len(b) >= 44 and b[-26:][8:] == _TGA_FOOTER:
             out = _decode_tga_pixels(b)
             return ("tga",) + out if out else None
@@ -3144,12 +3368,14 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (samples v*257, so the high-byte narrowing recovers v), 14: Adam7 +
     16-bit — all decoding to the SAME raw fill, so the unchanged oracle
     hash now also proves deinterlacing and 16-bit handling. Round 13
-    sub-routes two more LOSSLESS containers over the same fill:
+    sub-routes three more LOSSLESS containers over the same fill:
     id % 8 == 4 is TGA (k = id//8 bits pick RLE-vs-uncompressed,
-    bottom-up-vs-top-down, 24-vs-32 bpp) and id % 8 == 5 is QOI (the
+    bottom-up-vs-top-down, 24-vs-32 bpp), id % 8 == 5 is QOI (the
     reference greedy encoder — the +3/channel fill emits LUMA/RUN/RGB
-    ops), so the oracle's per-channel sums stay formula-derived while
-    fmt flips to 'tga'/'qoi' on those slices. NULL ids synthesize as
+    ops), and id % 8 == 7 is TIFF (k bits pick PackBits-vs-none,
+    MM-vs-II byte order, multi-vs-single strip), so the oracle's
+    per-channel sums stay formula-derived while fmt flips to
+    'tga'/'qoi'/'tiff' on those slices. NULL ids synthesize as
     id 0 with media_id kept NULL (same convention as
     synthetic_media)."""
 
@@ -3158,6 +3384,15 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         def build(i: int) -> bytes:
             w, h = 1 + i % 32, 1 + i % 24
+            if i % 8 == 7:
+                # TIFF sub-route of the GIF slice (round 13): k = i//8
+                # bits pick PackBits-vs-none, MM-vs-II byte order, and
+                # multi-vs-single strip
+                k = i // 8
+                return _tiff_encode(
+                    _raw_fill(i, w, h), w, h, packbits=k % 2 == 1,
+                    big_endian=(k // 2) % 2 == 1,
+                    rows_per_strip=(1 + h // 2) if (k // 4) % 2 else 0)
             if i % 4 == 3:  # GIF encodes palette INDICES, not the raw fill
                 indices = bytes((i + 3 * p) % 256 for p in range(w * h))
                 return _gif_encode(indices, _GIF_FILL_PALETTE, w, h)

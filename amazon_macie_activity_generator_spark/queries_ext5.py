@@ -1677,8 +1677,9 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     and GIF through the real LZW compressor + a fixed 256-color palette
     (so the hash also proves the variable-width LZW decoder). Round 13
     sub-routes id%8==4 to TGA (type 2/10 truecolor incl. RLE, both row
-    origins, 24/32 bpp) and id%8==5 to QOI (full op set) — both
-    lossless over the same raw fill, so only the fmt column's CASE
+    origins, 24/32 bpp), id%8==5 to QOI (full op set), and id%8==7 to
+    TIFF (II+MM byte orders, PackBits + uncompressed, multi-strip) —
+    all lossless over the same raw fill, so only the fmt column's CASE
     changes here while the sums stay formula-derived.
     The oracle re-derives per-channel sums arithmetically over the raw
     index space — a hash match proves every pixel byte was decoded
@@ -1716,6 +1717,7 @@ WITH m AS (
   SELECT doc_id AS media_id,
          ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
          CASE WHEN doc_id % 8 = 4 THEN 'tga' WHEN doc_id % 8 = 5 THEN 'qoi'
+              WHEN doc_id % 8 = 7 THEN 'tiff'
               WHEN doc_id % 4 = 0 THEN 'bmp' WHEN doc_id % 4 = 1 THEN 'ppm'
               WHEN doc_id % 4 = 2 THEN 'png' ELSE 'gif' END AS fmt,
          1 + doc_id % 32 AS w, 1 + doc_id % 24 AS h

@@ -646,6 +646,8 @@ def test_decode_pixels_stage_matches_arithmetic(spark, sf_dir):
             assert r.fmt == "tga"  # r13 sub-route of the BMP slice
         elif i % 8 == 5:
             assert r.fmt == "qoi"  # r13 sub-route of the PPM slice
+        elif i % 8 == 7:
+            assert r.fmt == "tiff"  # r13 sub-route of the GIF slice
         else:
             assert r.fmt == {0: "bmp", 1: "ppm", 2: "png", 3: "gif"}[i % 4]
         expected = [0, 0, 0]
@@ -1184,6 +1186,139 @@ def test_bitflipped_tga_qoi_never_raise(flips):
     for payload in (
         bytearray(_tga_encode(_raw_fill(11, 9, 7), 9, 7, rle=True)),
         bytearray(_qoi_encode(_raw_fill(12, 9, 7), 9, 7)),
+    ):
+        for pos, val in flips:
+            payload[pos % len(payload)] = val
+        out = decode_pixels_bytes(bytes(payload))
+        assert out is None or (len(out) == 4 and
+                               len(out[3]) == out[1] * out[2] * 3)
+
+
+# ----------------------------------------------------------- TIFF (r13)
+
+
+def test_tiff_roundtrip_all_variants():
+    """Every (compression, byte order, strip layout) combination decodes
+    back to the exact top-down RGB input — including single-row strips."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _tiff_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for pb in (False, True):
+        for be in (False, True):
+            for rps in (0, 3, 1):
+                w, h = 13, 9
+                raw = rng.integers(0, 256, w * h * 3,
+                                   dtype=np.uint8).tobytes()
+                out = decode_pixels_bytes(_tiff_encode(
+                    raw, w, h, packbits=pb, big_endian=be,
+                    rows_per_strip=rps))
+                assert out == ("tiff", w, h, raw), (pb, be, rps)
+
+
+def test_tiff_packbits_compresses_and_roundtrips():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_encode,
+    )
+
+    rng = np.random.default_rng(12)
+    runs = bytes([5]) * 180 + rng.integers(
+        0, 256, 120, dtype=np.uint8).tobytes()
+    pb = _tiff_encode(runs, 10, 10, packbits=True)
+    assert len(pb) < len(_tiff_encode(runs, 10, 10))
+    assert decode_pixels_bytes(pb) == ("tiff", 10, 10, runs)
+    # PackBits edges: empty, literal/run boundaries, 128-byte caps
+    for data in (b"", b"a", b"ab", b"aaa", b"a" * 200,
+                 bytes(range(256)) * 2, b"ab" + b"c" * 129 + b"de"):
+        enc = _packbits_encode(data)
+        assert _packbits_decode(enc, 0, len(enc), len(data)) == data
+
+
+def test_tiff_grayscale_expands_to_rgb():
+    """photometric 1 / 1 sample-per-pixel expands g -> (g, g, g), the
+    PNG grayscale convention."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _tiff_encode,
+    )
+
+    w, h = 6, 4
+    gray = bytes((11 * j + 5) % 256 for j in range(w * h))
+    # hand-patch an RGB twin down to gray: rewrite the IFD fields
+    t = bytearray(_tiff_encode(bytes(
+        v for g in gray for v in (g, g, g)), w, h))
+    # easier: build gray by editing SamplesPerPixel/Photometric/BPS
+    # count and replacing the strip — instead assemble directly:
+    bo = "little"
+    def u16(v): return v.to_bytes(2, bo)
+    def u32(v): return v.to_bytes(4, bo)
+    entries = [
+        (256, 3, 1, u16(w) + b"\x00\x00"),
+        (257, 3, 1, u16(h) + b"\x00\x00"),
+        (258, 3, 1, u16(8) + b"\x00\x00"),
+        (259, 3, 1, u16(1) + b"\x00\x00"),
+        (262, 3, 1, u16(1) + b"\x00\x00"),
+        (273, 4, 1, u32(8 + 2 + 12 * 8 + 4)),
+        (277, 3, 1, u16(1) + b"\x00\x00"),
+        (279, 4, 1, u32(len(gray))),
+    ]
+    g = bytearray(b"II\x2a\x00" + u32(8) + u16(len(entries)))
+    for tag, typ, cnt, val in entries:
+        g += u16(tag) + u16(typ) + u32(cnt) + val
+    g += u32(0) + gray
+    out = _decode_tiff_pixels(bytes(g))
+    assert out == (w, h, b"".join(bytes([v, v, v]) for v in gray))
+
+
+def test_tiff_hostile_variants_quarantine():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _tiff_encode,
+    )
+
+    raw = bytes(13 * 2 * 3)
+    t = _tiff_encode(raw, 13, 2)
+    ifd = 8 + 2  # first entry
+    def patch_entry_value(buf, tag, newval16):
+        b2 = bytearray(buf)
+        n = int.from_bytes(b2[8:10], "little")
+        for k in range(n):
+            e = 10 + 12 * k
+            if int.from_bytes(b2[e:e+2], "little") == tag:
+                b2[e + 8 : e + 10] = newval16.to_bytes(2, "little")
+                return bytes(b2)
+        raise AssertionError(tag)
+    # LZW compression (5): native-codec territory, quarantined
+    assert decode_pixels_bytes(patch_entry_value(t, 259, 5)) is None
+    # planar configuration 2
+    assert decode_pixels_bytes(patch_entry_value(t, 284, 2)) is None
+    # palette photometric (3)
+    assert decode_pixels_bytes(patch_entry_value(t, 262, 3)) is None
+    # truncated strip data
+    assert decode_pixels_bytes(t[:-10]) is None
+    # IFD count pointing past the buffer
+    b2 = bytearray(t)
+    b2[8:10] = (999).to_bytes(2, "little")
+    assert decode_pixels_bytes(bytes(b2)) is None
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_tiff_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _raw_fill,
+        _tiff_encode,
+    )
+
+    for payload in (
+        bytearray(_tiff_encode(_raw_fill(15, 9, 7), 9, 7, packbits=True,
+                               rows_per_strip=3)),
+        bytearray(_tiff_encode(_raw_fill(23, 9, 7), 9, 7,
+                               big_endian=True)),
     ):
         for pos, val in flips:
             payload[pos % len(payload)] = val
