@@ -2175,15 +2175,160 @@ def _packbits_decode(b: bytes, lo: int, hi: int, cap: int) -> bytes | None:
     return bytes(out)
 
 
+def _tiff_lzw_decode(b: bytes, lo: int, hi: int, cap: int) -> bytes | None:
+    """TIFF-variant LZW (spec section 13) -> bytes or None. Differs from
+    the GIF variant (:func:`_gif_lzw_decode`) in three ways: codes are
+    packed MSB-first, the symbol alphabet is always 8-bit (Clear=256,
+    EOI=257, first dictionary code 258, width starts at 9), and the
+    width bump happens one code EARLY — the width grows when the table
+    reaches 2^width - 1 entries, not 2^width (libtiff's
+    ``free_ent > nbitsmask-1``; GIF-timed streams desynchronize exactly
+    at code 511). A conforming stream starts with Clear; one that does
+    not (or that references beyond the table, or runs out of bits
+    before ``cap`` output bytes) returns None. Output is truncated at
+    ``cap`` (the segment's declared decompressed size — strips/tiles
+    each carry an independent LZW stream, so ``cap`` is exact and
+    doubles as the bomb guard)."""
+    out = bytearray()
+    table: list[bytes] | None = None
+    tlen = 258
+    width = 9
+    acc = nbits = 0
+    pos = lo
+    prev: bytes | None = None
+    while len(out) < cap:
+        while nbits < width:
+            if pos >= hi:
+                return None  # bits exhausted before EOI / cap reached
+            acc = (acc << 8) | b[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == 257:  # EOI before cap bytes: short segment
+            return None
+        if code == 256:  # Clear: (re)initialize
+            if table is None:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+            else:
+                del table[258:]
+            tlen = 258
+            width = 9
+            prev = None
+            continue
+        if table is None:
+            return None  # stream must open with Clear
+        if code < tlen:
+            entry = table[code]
+        elif code == tlen and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None  # code beyond the dictionary: corrupt stream
+        out += entry
+        if prev is not None and tlen < 4096:
+            table.append(prev + entry[:1])
+            tlen += 1
+            # early change: widen at 2^width - 1 (one before GIF's rule)
+            if tlen == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:cap])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW compressor (test/synthetic twin of
+    :func:`_tiff_lzw_decode`): MSB-first packing, opening Clear,
+    trailing EOI, and the early-change width rule mirrored one table
+    entry ahead of the decoder — the encoder widens when ITS table
+    reaches 2^width (the decoder, lagging one entry, hits 2^width - 1
+    at the same code position). The table is reset with a Clear once
+    it reaches 4094 entries (the spec's encoder contract, leaving
+    codes 4094/4095 never assigned)."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def put(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    put(256, width)  # opening Clear
+    cur = b""
+    for ch in data:
+        nxt = cur + bytes([ch])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:  # table full: Clear and restart
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([ch])
+    if cur:
+        put(table[cur], width)
+    put(257, width)  # EOI
+    if nbits:
+        put(0, 8 - nbits)  # zero-pad to a byte boundary
+    return bytes(out)
+
+
+def _tiff_undiff(seg: bytes, nrows: int, npx: int, spp: int) -> bytes:
+    """Reverse TIFF predictor 2 (horizontal differencing, tag 317): each
+    row of a decompressed strip/tile stores per-sample deltas from the
+    pixel to its left; recover with a per-channel cumulative sum mod
+    256 along the row."""
+    import numpy as np
+
+    a = np.frombuffer(seg, np.uint8).reshape(nrows, npx, spp)
+    return (a.astype(np.int64).cumsum(axis=1) % 256).astype(np.uint8).tobytes()
+
+
+def _tiff_diff(seg: bytes, npx: int, spp: int) -> bytes:
+    """Predictor-2 writer twin of :func:`_tiff_undiff`: per-channel
+    horizontal differences mod 256 (first pixel of each row kept)."""
+    import numpy as np
+
+    a = np.frombuffer(seg, np.uint8).astype(np.int16).reshape(-1, npx, spp)
+    d = np.empty_like(a)
+    d[:, 0] = a[:, 0]
+    d[:, 1:] = a[:, 1:] - a[:, :-1]
+    return (d % 256).astype(np.uint8).tobytes()
+
+
 def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     """Baseline TIFF (round 13) -> (w, h, top-down RGB) or None.
     Accepted: both byte orders (II/MM), chunky 8-bit RGB (photometric
     2, 3 samples) and grayscale (photometric 1, 1 sample — expanded to
-    RGB), compression 1 (none) or 32773 (PackBits), strip-organized
-    (any RowsPerStrip). First IFD only. Everything else quarantines:
-    tiled files, planar=2, other depths/compressions (LZW/JPEG-in-TIFF
-    are native-codec territory), palette photometric, strips that
-    overrun the buffer or decode short."""
+    RGB), compression 1 (none), 5 (LZW, early-change per spec
+    section 13) or 32773 (PackBits), predictor 1 or 2 (horizontal
+    differencing, tag 317), and either strip organization (any
+    RowsPerStrip) or tile organization (tags 322-325, edge tiles
+    zero-padded per spec). First IFD only. Everything else
+    quarantines: planar=2, other depths/compressions, palette
+    photometric, files that carry both strip and tile tags, and
+    segments that overrun the buffer or decode short.
+
+    Round 13 also accepts compression 7 (new-style JPEG, TIFF
+    TechNote 2): every strip/tile is an independent JPEG stream
+    decoded through the in-repo codec (``operators/jpeg.py``), with
+    the optional JPEGTables tag 347 (an abbreviated SOI+DQT/DHT+EOI
+    blob) spliced after each segment's SOI before decode. Photometric
+    must be 6 (YCbCr — the JPEG stream itself carries sampling and
+    does the color convert) and predictor must be 1; segment streams
+    must decode to exactly the segment's geometry (strip = w x rows,
+    tile = tilew x tileh)."""
     import numpy as np
 
     if len(b) < 8:
@@ -2209,7 +2354,7 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         e = ifd + 2 + 12 * k
         tags[u(e, 2)] = (u(e + 2, 2), u(e + 4, 4), e + 8)
 
-    _SIZES = {1: 1, 3: 2, 4: 4}
+    _SIZES = {1: 1, 3: 2, 4: 4, 7: 1}  # 7 = UNDEFINED (raw bytes)
 
     def values(tag: int) -> list[int] | None:
         if tag not in tags:
@@ -2233,41 +2378,117 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     photo = scalar(262)
     spp = scalar(277, 1)
     planar = scalar(284, 1)
+    pred = scalar(317, 1)
     bps = values(258) or [1]
-    offsets = values(273)
-    counts = values(279)
     if (not w or not h or w * h > _MAX_PIXELS or planar != 1
-            or comp not in (1, 32773) or offsets is None or counts is None
-            or len(offsets) != len(counts)
+            or comp not in (1, 5, 7, 32773) or pred not in (1, 2)
             or any(v != 8 for v in bps) or len(bps) != spp):
         return None
-    if not ((photo == 2 and spp == 3) or (photo == 1 and spp == 1)):
-        return None
-    rps = scalar(278, h) or h
-    if rps <= 0 or (h + rps - 1) // rps != len(offsets):
-        return None
-    need = w * h * spp
-    out = bytearray()
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(b) or off < 8:
+    if comp == 7:
+        # new-style JPEG: the embedded stream does sampling + color
+        # conversion itself; predictor differencing never applies
+        if photo != 6 or spp != 3 or pred != 1:
             return None
-        rows = min(rps, h - s * rps)
-        want = rows * w * spp
-        if comp == 1:
-            if cnt < want:
-                return None
-            out += b[off : off + want]
-        else:
-            dec = _packbits_decode(b, off, off + cnt, want)
-            if dec is None or len(dec) < want:
-                return None
-            out += dec[:want]
-    if len(out) != need:
+    elif not ((photo == 2 and spp == 3) or (photo == 1 and spp == 1)):
         return None
+
+    jtables = b""
+    if comp == 7 and 347 in tags:
+        tv = values(347)
+        if tv is None:
+            return None
+        tb = bytes(tv)
+        # JPEGTables is itself an abbreviated JPEG stream: SOI,
+        # DQT/DHT segments, EOI (TechNote 2) — splice its interior
+        # after each segment's SOI below
+        if len(tb) < 4 or tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+            return None
+        jtables = tb[2:-2]
+
+    def segment(off: int, cnt: int, want: int,
+                sw: int = 0, sh: int = 0) -> bytes | None:
+        """One strip/tile -> exactly ``want`` decompressed bytes or
+        None (each segment carries an independent compressed stream).
+        For compression 7 the segment is a JPEG stream that must
+        decode to exactly ``sw`` x ``sh`` RGB."""
+        if off < 8 or off + cnt > len(b):
+            return None
+        if comp == 7:
+            from .jpeg import decode_jpeg_pixels
+
+            s = b[off : off + cnt]
+            if s[:2] != b"\xff\xd8":
+                return None
+            if jtables:
+                s = s[:2] + jtables + s[2:]
+            out = decode_jpeg_pixels(bytes(s))
+            if out is None or out[0] != sw or out[1] != sh:
+                return None
+            return out[2]
+        if comp == 1:
+            return b[off : off + want] if cnt >= want else None
+        dec = (_tiff_lzw_decode(b, off, off + cnt, want) if comp == 5
+               else _packbits_decode(b, off, off + cnt, want))
+        if dec is None or len(dec) < want:
+            return None
+        return dec[:want]
+
+    if any(t in tags for t in (322, 323, 324, 325)):
+        # tile-organized: tiles are always full tilew x tileh (edge
+        # tiles zero-padded by the writer), pasted then cropped here
+        if 273 in tags or 279 in tags:
+            return None  # strip- and tile-organized at once: malformed
+        tw = scalar(322)
+        th = scalar(323)
+        offsets = values(324)
+        counts = values(325)
+        if (not tw or not th or tw * th > _MAX_PIXELS
+                or offsets is None or counts is None
+                or len(offsets) != len(counts)):
+            return None
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if across * down != len(offsets):
+            return None
+        img = np.zeros((h, w, spp), np.uint8)
+        for t, (off, cnt) in enumerate(zip(offsets, counts)):
+            seg = segment(off, cnt, tw * th * spp, tw, th)
+            if seg is None:
+                return None
+            if pred == 2:
+                seg = _tiff_undiff(seg, th, tw, spp)
+            tr, tc = divmod(t, across)
+            rows = min(th, h - tr * th)
+            cols = min(tw, w - tc * tw)
+            tile = np.frombuffer(seg, np.uint8).reshape(th, tw, spp)
+            img[tr * th : tr * th + rows, tc * tw : tc * tw + cols] = \
+                tile[:rows, :cols]
+        out = img.tobytes()
+    else:
+        offsets = values(273)
+        counts = values(279)
+        if (offsets is None or counts is None
+                or len(offsets) != len(counts)):
+            return None
+        rps = scalar(278, h) or h
+        if rps <= 0 or (h + rps - 1) // rps != len(offsets):
+            return None
+        buf = bytearray()
+        for s, (off, cnt) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - s * rps)
+            seg = segment(off, cnt, rows * w * spp, w, rows)
+            if seg is None:
+                return None
+            if pred == 2:
+                seg = _tiff_undiff(seg, rows, w, spp)
+            buf += seg
+        if len(buf) != w * h * spp:
+            return None
+        out = bytes(buf)
     if spp == 1:
-        px = np.frombuffer(bytes(out), np.uint8)
+        px = np.frombuffer(out, np.uint8)
         return w, h, np.repeat(px, 3).tobytes()
-    return w, h, bytes(out)
+    return w, h, out
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -2300,19 +2521,86 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _jpeg_abbreviate(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG stream into the TIFF JPEGTables blob (tag
+    347: SOI + every DQT/DHT segment + EOI, TechNote 2) and the
+    abbreviated image stream (everything else, entropy copied verbatim
+    from the first SOS on). Twin of the tag-347 splice in
+    :func:`_decode_tiff_pixels`."""
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    i, n = 2, len(stream)
+    while i + 4 <= n:
+        marker = stream[i + 1]
+        if marker == 0xDA:  # SOS: entropy follows — stop parsing
+            rest += stream[i:]
+            break
+        seglen = int.from_bytes(stream[i + 2 : i + 4], "big")
+        seg = stream[i : i + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        i += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
 def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
-                 big_endian: bool = False, rows_per_strip: int = 0) -> bytes:
+                 big_endian: bool = False, rows_per_strip: int = 0,
+                 lzw: bool = False, predictor2: bool = False,
+                 tile: int = 0, jpeg_segments: list | None = None,
+                 jpeg_tables: bytes = b"") -> bytes:
     """TIFF writer twin of :func:`_decode_tiff_pixels`: chunky 8-bit
-    RGB, II or MM byte order, compression 1 or 32773 (PackBits),
-    single- or multi-strip per ``rows_per_strip`` (0 = one strip)."""
+    RGB, II or MM byte order, compression 1 / 5 (LZW) / 32773
+    (PackBits), optional predictor 2 (horizontal differencing, applied
+    per segment before compression), and either strip organization
+    (``rows_per_strip``, 0 = one strip) or tile organization (``tile``
+    = square tile edge; edge tiles zero-padded to full size per spec).
+    ``lzw`` wins over ``packbits`` when both are set.
+
+    ``jpeg_segments`` switches to compression 7 (new-style JPEG,
+    photometric 6): the pre-encoded per-segment JPEG streams are
+    stored verbatim (``raw_rgb`` is ignored; segment count must match
+    the strip/tile geometry), and a non-empty ``jpeg_tables`` blob is
+    recorded as tag 347."""
+    import numpy as np
+
     bo = "big" if big_endian else "little"
-    rps = rows_per_strip or h
-    nstrips = (h + rps - 1) // rps
-    strips = []
-    for s in range(nstrips):
-        rows = min(rps, h - s * rps)
-        chunk = raw_rgb[s * rps * w * 3 : (s * rps + rows) * w * 3]
-        strips.append(_packbits_encode(chunk) if packbits else chunk)
+    spp = 3
+
+    def pack(chunk: bytes, npx_row: int) -> bytes:
+        if predictor2:
+            chunk = _tiff_diff(chunk, npx_row, spp)
+        if lzw:
+            return _tiff_lzw_encode(chunk)
+        if packbits:
+            return _packbits_encode(chunk)
+        return chunk
+
+    chunks: list[bytes] = []
+    if jpeg_segments is not None:
+        chunks = [bytes(s) for s in jpeg_segments]
+    elif tile:
+        across = (w + tile - 1) // tile
+        down = (h + tile - 1) // tile
+        a = np.frombuffer(raw_rgb, np.uint8).reshape(h, w, spp)
+        padded = np.zeros((down * tile, across * tile, spp), np.uint8)
+        padded[:h, :w] = a
+        for tr in range(down):
+            for tc in range(across):
+                t = padded[tr * tile : (tr + 1) * tile,
+                           tc * tile : (tc + 1) * tile]
+                chunks.append(pack(t.tobytes(), tile))
+    else:
+        rps = rows_per_strip or h
+        for s in range((h + rps - 1) // rps):
+            rows = min(rps, h - s * rps)
+            chunks.append(
+                pack(raw_rgb[s * rps * w * spp : (s * rps + rows) * w * spp],
+                     w))
+    nch = len(chunks)
+    if jpeg_segments is not None:
+        comp_tag = 7
+    else:
+        comp_tag = 5 if lzw else (32773 if packbits else 1)
 
     def u16(v: int) -> bytes:
         return v.to_bytes(2, bo)
@@ -2320,52 +2608,68 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
     def u32(v: int) -> bytes:
         return v.to_bytes(4, bo)
 
-    entries = []  # (tag, type, count, value_bytes_or_deferred)
-    # layout: header(8) + IFD + next(4) + [bps array][offsets][counts] + strips
-    n_ent = 10
-    ifd_size = 2 + 12 * n_ent + 4
-    aux_at = 8 + ifd_size
-    bps_at = aux_at
-    off_at = bps_at + 6
-    cnt_at = off_at + (4 * nstrips if nstrips > 1 else 0)
-    data_at = cnt_at + (4 * nstrips if nstrips > 1 else 0)
-    offs = []
-    pos = data_at
-    for s in strips:
-        offs.append(pos)
-        pos += len(s)
-
     def inline16(v: int) -> bytes:
         return u16(v) + b"\x00\x00"
 
-    entries = [
+    # (tag, type, count, inline-value-or-marker); aux arrays follow the
+    # IFD: [bps array][offsets if nch>1][counts if nch>1][segment data]
+    entries: list[tuple[int, int, int, object]] = [
         (256, 3, 1, inline16(w)),
         (257, 3, 1, inline16(h)),
-        (258, 3, 3, u32(bps_at)),
-        (259, 3, 1, inline16(32773 if packbits else 1)),
-        (262, 3, 1, inline16(2)),
-        (273, 4, nstrips,
-         u32(offs[0]) if nstrips == 1 else u32(off_at)),
-        (277, 3, 1, inline16(3)),
-        (278, 3, 1, inline16(rps)),
-        (279, 4, nstrips,
-         u32(len(strips[0])) if nstrips == 1 else u32(cnt_at)),
+        (258, 3, 3, "bps"),
+        (259, 3, 1, inline16(comp_tag)),
+        (262, 3, 1, inline16(6 if comp_tag == 7 else 2)),
+        (277, 3, 1, inline16(spp)),
         (284, 3, 1, inline16(1)),
     ]
+    if predictor2:
+        entries.append((317, 3, 1, inline16(2)))
+    if jpeg_tables:
+        entries.append((347, 7, len(jpeg_tables), "jtab"))
+    if tile:
+        entries.append((322, 3, 1, inline16(tile)))
+        entries.append((323, 3, 1, inline16(tile)))
+        entries.append((324, 4, nch, "offs"))
+        entries.append((325, 4, nch, "cnts"))
+    else:
+        entries.append((273, 4, nch, "offs"))
+        entries.append((278, 3, 1, inline16(rows_per_strip or h)))
+        entries.append((279, 4, nch, "cnts"))
+    entries.sort(key=lambda e: e[0])  # IFD entries must ascend by tag
+    n_ent = len(entries)
+    bps_at = 8 + 2 + 12 * n_ent + 4
+    off_at = bps_at + 6
+    cnt_at = off_at + (4 * nch if nch > 1 else 0)
+    jtab_at = cnt_at + (4 * nch if nch > 1 else 0)
+    data_at = jtab_at + len(jpeg_tables)
+    offs = []
+    pos = data_at
+    for c in chunks:
+        offs.append(pos)
+        pos += len(c)
     out = bytearray()
     out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + u32(8)
-    out += u16(len(entries))
+    out += u16(n_ent)
     for tag, typ, cnt, val in entries:
+        if val == "bps":
+            val = u32(bps_at)
+        elif val == "offs":
+            val = u32(offs[0]) if nch == 1 else u32(off_at)
+        elif val == "cnts":
+            val = u32(len(chunks[0])) if nch == 1 else u32(cnt_at)
+        elif val == "jtab":
+            val = u32(jtab_at)
         out += u16(tag) + u16(typ) + u32(cnt) + val
     out += u32(0)  # no next IFD
     out += u16(8) * 3  # BitsPerSample [8,8,8]
-    if nstrips > 1:
+    if nch > 1:
         for o in offs:
             out += u32(o)
-        for s in strips:
-            out += u32(len(s))
-    for s in strips:
-        out += s
+        for c in chunks:
+            out += u32(len(c))
+    out += jpeg_tables
+    for c in chunks:
+        out += c
     return bytes(out)
 
 
@@ -3372,9 +3676,10 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     id % 8 == 4 is TGA (k = id//8 bits pick RLE-vs-uncompressed,
     bottom-up-vs-top-down, 24-vs-32 bpp), id % 8 == 5 is QOI (the
     reference greedy encoder — the +3/channel fill emits LUMA/RUN/RGB
-    ops), and id % 8 == 7 is TIFF (k bits pick PackBits-vs-none,
-    MM-vs-II byte order, multi-vs-single strip), so the oracle's
-    per-channel sums stay formula-derived while fmt flips to
+    ops), and id % 8 == 7 is TIFF (k bits pick LZW-vs-PackBits-vs-none
+    compression, predictor-2 differencing under LZW, MM-vs-II byte
+    order, tiled-vs-strip organization, multi-vs-single strip), so the
+    oracle's per-channel sums stay formula-derived while fmt flips to
     'tga'/'qoi'/'tiff' on those slices. NULL ids synthesize as
     id 0 with media_id kept NULL (same convention as
     synthetic_media)."""
@@ -3386,13 +3691,23 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             w, h = 1 + i % 32, 1 + i % 24
             if i % 8 == 7:
                 # TIFF sub-route of the GIF slice (round 13): k = i//8
-                # bits pick PackBits-vs-none, MM-vs-II byte order, and
-                # multi-vs-single strip
+                # bits pick the container axes — bit 3 LZW-vs-baseline
+                # (under LZW, bit 0 becomes predictor-2; otherwise it is
+                # PackBits-vs-none), bit 1 MM-vs-II byte order, bit 4
+                # tiled-vs-strips (16x16 tiles, edge-padded), bit 2
+                # multi-vs-single strip when striped. All lossless over
+                # the same fill, so the oracle's sums never move.
                 k = i // 8
+                lzw = (k // 8) % 2 == 1
+                tiled = (k // 16) % 2 == 1
                 return _tiff_encode(
-                    _raw_fill(i, w, h), w, h, packbits=k % 2 == 1,
+                    _raw_fill(i, w, h), w, h,
+                    packbits=not lzw and k % 2 == 1,
                     big_endian=(k // 2) % 2 == 1,
-                    rows_per_strip=(1 + h // 2) if (k // 4) % 2 else 0)
+                    rows_per_strip=0 if tiled
+                    else ((1 + h // 2) if (k // 4) % 2 else 0),
+                    lzw=lzw, predictor2=lzw and k % 2 == 1,
+                    tile=16 if tiled else 0)
             if i % 4 == 3:  # GIF encodes palette INDICES, not the raw fill
                 indices = bytes((i + 3 * p) % 256 for p in range(w * h))
                 return _gif_encode(indices, _GIF_FILL_PALETTE, w, h)

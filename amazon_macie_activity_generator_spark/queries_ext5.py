@@ -1678,9 +1678,10 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (so the hash also proves the variable-width LZW decoder). Round 13
     sub-routes id%8==4 to TGA (type 2/10 truecolor incl. RLE, both row
     origins, 24/32 bpp), id%8==5 to QOI (full op set), and id%8==7 to
-    TIFF (II+MM byte orders, PackBits + uncompressed, multi-strip) —
-    all lossless over the same raw fill, so only the fmt column's CASE
-    changes here while the sums stay formula-derived.
+    TIFF (II+MM byte orders, LZW/PackBits/uncompressed, predictor-2
+    differencing, tiled + strip organization) — all lossless over the
+    same raw fill, so only the fmt column's CASE changes here while
+    the sums stay formula-derived.
     The oracle re-derives per-channel sums arithmetically over the raw
     index space — a hash match proves every pixel byte was decoded
     through the real container format. The pixel sha256 column is

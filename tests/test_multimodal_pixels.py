@@ -1290,8 +1290,10 @@ def test_tiff_hostile_variants_quarantine():
                 b2[e + 8 : e + 10] = newval16.to_bytes(2, "little")
                 return bytes(b2)
         raise AssertionError(tag)
-    # LZW compression (5): native-codec territory, quarantined
+    # declared-LZW (5) over raw strip bytes: no opening Clear -> None
     assert decode_pixels_bytes(patch_entry_value(t, 259, 5)) is None
+    # JPEG-in-TIFF (7): native-codec territory, quarantined
+    assert decode_pixels_bytes(patch_entry_value(t, 259, 7)) is None
     # planar configuration 2
     assert decode_pixels_bytes(patch_entry_value(t, 284, 2)) is None
     # palette photometric (3)
@@ -1325,3 +1327,190 @@ def test_bitflipped_tiff_never_raises(flips):
         out = decode_pixels_bytes(bytes(payload))
         assert out is None or (len(out) == 4 and
                                len(out[3]) == out[1] * out[2] * 3)
+
+
+# ------------------------------------------------- TIFF LZW/tiles (r13)
+
+
+def test_tiff_lzw_roundtrip_all_variants():
+    """LZW x predictor-2 x tiled x byte order over shapes that exercise
+    exact-tile, padded-edge-tile, and sub-tile geometries."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _tiff_encode,
+    )
+
+    rng = np.random.default_rng(13)
+    for w, h in ((16, 16), (20, 20), (33, 17), (3, 5)):
+        raw = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        for pred in (False, True):
+            for tile in (0, 16):
+                for be in (False, True):
+                    out = decode_pixels_bytes(_tiff_encode(
+                        raw, w, h, lzw=True, predictor2=pred,
+                        big_endian=be, tile=tile,
+                        rows_per_strip=0 if tile else 5))
+                    assert out == ("tiff", w, h, raw), (w, h, pred, tile, be)
+    # predictor-2 and tiles also compose with PackBits / uncompressed
+    raw = rng.integers(0, 256, 20 * 20 * 3, dtype=np.uint8).tobytes()
+    for pb in (False, True):
+        out = decode_pixels_bytes(_tiff_encode(
+            raw, 20, 20, packbits=pb, predictor2=True, tile=16))
+        assert out == ("tiff", 20, 20, raw), pb
+
+
+def test_tiff_lzw_codec_golden_and_boundaries():
+    """Golden pins freeze the bit-level conventions (MSB-first packing,
+    opening Clear, EOI, zero-pad) AND the early-change width timing: a
+    GIF-timed pair would still round-trip, so byte-identity over a
+    width-crossing buffer is what actually pins the TIFF rule. The tiny
+    vector is hand-checked: codes 256,7,258,258,257 at 9 bits."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    assert _tiff_lzw_encode(b"\x07" * 5) == b"\x80\x01\xe0P(\x08"
+    assert _tiff_lzw_encode(b"") == b"\x80@@"
+    # crosses the 9->10 early-change boundary (>253 table entries)
+    buf = bytes((i * 31 + (i >> 5)) % 256 for i in range(2000))
+    enc = _tiff_lzw_encode(buf)
+    assert hashlib.md5(enc).hexdigest() == "be638a4d560f1c7850f552a2ad59f00f"
+    assert _tiff_lzw_decode(enc, 0, len(enc), 2000) == buf
+    # crosses every width boundary plus the 4094-entry Clear restart
+    big = bytes((i * 131 + (i >> 3) * 17) % 256 for i in range(30000))
+    enc = _tiff_lzw_encode(big)
+    assert hashlib.md5(enc).hexdigest() == "9b485071ec3a141532412ee518fc3dbf"
+    assert _tiff_lzw_decode(enc, 0, len(enc), 30000) == big
+    # exact sizes around the first width bump round-trip too
+    for n in (250, 253, 254, 255, 256, 260, 509, 520):
+        data = bytes((7 * i) % 251 for i in range(n))
+        e = _tiff_lzw_encode(data)
+        assert _tiff_lzw_decode(e, 0, len(e), n) == data, n
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=4096))
+def test_tiff_lzw_roundtrip_fuzz(data):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    enc = _tiff_lzw_encode(data)
+    assert _tiff_lzw_decode(enc, 0, len(enc), len(data)) == data
+
+
+def test_tiff_lzw_hostile_streams_quarantine():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    enc = _tiff_lzw_encode(b"hello world, hello world")
+    # truncation: bits run out before cap bytes decode
+    assert _tiff_lzw_decode(enc, 0, len(enc) - 2, 24) is None
+    # asking for more than the stream carries hits EOI -> None
+    assert _tiff_lzw_decode(enc, 0, len(enc), 25) is None
+    # stream that does not open with Clear (9-bit code 0 first)
+    assert _tiff_lzw_decode(b"\x00" * 8, 0, 8, 4) is None
+    # code beyond the dictionary right after Clear: 100000000 100000010
+    bad = bytes([0b10000000, 0b01000000, 0b10000000, 0])
+    assert _tiff_lzw_decode(bad, 0, len(bad), 4) is None
+    # empty stream
+    assert _tiff_lzw_decode(b"", 0, 0, 1) is None
+
+
+def test_tiff_tiled_and_predictor_hostile_quarantine():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _raw_fill,
+        _tiff_encode,
+    )
+
+    raw = _raw_fill(9, 20, 20)
+    t = _tiff_encode(raw, 20, 20, lzw=True, predictor2=True, tile=16)
+
+    def patch_entry_value(buf, tag, newval16):
+        b2 = bytearray(buf)
+        n = int.from_bytes(b2[8:10], "little")
+        for k in range(n):
+            e = 10 + 12 * k
+            if int.from_bytes(b2[e : e + 2], "little") == tag:
+                b2[e + 8 : e + 10] = newval16.to_bytes(2, "little")
+                return bytes(b2)
+        raise AssertionError(tag)
+
+    assert _decode_tiff_pixels(t) == (20, 20, raw)
+    # predictor 3 (floating point) quarantines
+    assert _decode_tiff_pixels(patch_entry_value(t, 317, 3)) is None
+    # JPEG-in-TIFF (compression 7): native-codec territory
+    assert _decode_tiff_pixels(patch_entry_value(t, 259, 7)) is None
+    # tile size 0
+    assert _decode_tiff_pixels(patch_entry_value(t, 322, 0)) is None
+    # wrong tile grid: TileWidth 32 -> 1x2 tiles declared, 4 stored
+    assert _decode_tiff_pixels(patch_entry_value(t, 322, 32)) is None
+    # strip AND tile tags at once: malformed
+    s = _tiff_encode(raw, 20, 20)
+    b2 = bytearray(s)
+    n = int.from_bytes(b2[8:10], "little")
+    for k in range(n):
+        e = 10 + 12 * k
+        if int.from_bytes(b2[e : e + 2], "little") == 278:
+            b2[e : e + 2] = (322).to_bytes(2, "little")  # now a tile tag
+    assert _decode_tiff_pixels(bytes(b2)) is None
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_lzw_tiled_tiff_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _raw_fill,
+        _tiff_encode,
+    )
+
+    for payload in (
+        bytearray(_tiff_encode(_raw_fill(31, 20, 18), 20, 18, lzw=True,
+                               predictor2=True, tile=16)),
+        bytearray(_tiff_encode(_raw_fill(47, 20, 18), 20, 18, lzw=True,
+                               big_endian=True, rows_per_strip=7)),
+    ):
+        for pos, val in flips:
+            payload[pos % len(payload)] = val
+        out = decode_pixels_bytes(bytes(payload))
+        assert out is None or (len(out) == 4 and
+                               len(out[3]) == out[1] * out[2] * 3)
+
+
+def test_tiff_grammar_slice_covers_new_axes(spark):
+    """The id%8==7 grammar slice routes k-bits onto LZW / predictor /
+    tiled variants; every such payload still decodes to the raw fill
+    (lossless — the catalog oracle's sums never move)."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _raw_fill,
+        synthetic_pixel_media,
+    )
+
+    # k = i//8: 8 (lzw), 9 (lzw+pred), 16/17 (tiled), 24/25 (lzw+tiled)
+    ids = [71, 79, 135, 143, 199, 207]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r.media_id: bytes(r.payload)
+            for r in synthetic_pixel_media(df).collect()}
+    for i in ids:
+        w, h = 1 + i % 32, 1 + i % 24
+        assert _decode_tiff_pixels(rows[i]) == (w, h, _raw_fill(i, w, h)), i
+    # the two compressed routes actually set the declared compression
+    comp_of = {}
+    for i in (71, 135, 199):
+        b = rows[i]
+        n = int.from_bytes(b[8:10], "little")
+        for k in range(n):
+            e = 10 + 12 * k
+            if int.from_bytes(b[e : e + 2], "little") == 259:
+                comp_of[i] = int.from_bytes(b[e + 8 : e + 10], "little")
+    assert comp_of[71] == 5       # lzw slice
+    assert comp_of[135] == 1      # tiled, uncompressed
+    assert comp_of[199] == 5      # lzw + tiled
