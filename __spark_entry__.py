@@ -55,6 +55,10 @@ _CHANGED_AFTER_ROUND: dict[str, int] = {
     # BMP/PPM; fmt CASE changed in the oracle) — prune once
     # CORRECTNESS_r13 carries the row
     "multimodal_pixels": 12,
+    # r13: JPEG-in-TIFF (compression 7) sub-route folded in
+    # (doc_id % 7 == 3, previously bare JFIF; fmt CASE changed in the
+    # oracle) — prune once CORRECTNESS_r13 carries the row
+    "multimodal_pixels_jpeg": 12,
 }
 
 

@@ -3953,7 +3953,18 @@ def synthetic_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ``clamp(dc + 128)`` pixels, so the unchanged arithmetic oracle now
     also proves the multi-scan machinery (DC first/refine, AC EOB runs
     over the all-zero bands, and — when id also hits the restart rule —
-    per-scan RSTn resets)."""
+    per-scan RSTn resets).
+
+    Round 13: ``id % 7 == 3`` files wrap the SAME content in a TIFF
+    compression-7 container (new-style JPEG, TechNote 2) instead of a
+    bare JFIF — with k = id//7, byte order II/MM by k%2 and layout by
+    k%3: 0 = one full-image JPEG stream in a single strip; 1 = one
+    independent JPEG stream per MCU row with the shared DQT/DHT tables
+    abbreviated into the JPEGTables tag (347); 2 = per-MCU-row
+    self-contained streams. Strips slice the scan-order DC arrays at
+    MCU-row boundaries, so the pasted decode is pixel-identical to the
+    bare-JFIF encode and the oracle's channel sums are unchanged —
+    only the fmt column flips to 'tiff' on this slice."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -3974,11 +3985,43 @@ def synthetic_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             dcy = [(i + 7 * b) % 64 - 32 for b in range(n_y)]
             dcb = [(2 * i + 11 * b) % 64 - 32 for b in range(n_c)]
             dcr = [(3 * i + 5 * b) % 64 - 32 for b in range(n_c)]
-            return jpeg_encode_dc_only(
-                w, h, [dcy, dcb, dcr], sampling=sampling,
-                restart_interval=2 if i % 3 == 1 else 0,
-                progressive=i % 5 == 2,
-            )
+            ri = 2 if i % 3 == 1 else 0
+            prog = i % 5 == 2
+            if i % 7 != 3:
+                return jpeg_encode_dc_only(
+                    w, h, [dcy, dcb, dcr], sampling=sampling,
+                    restart_interval=ri, progressive=prog,
+                )
+            # TIFF compression-7 wrap (see docstring): strips are
+            # independent JPEG streams over MCU-row slices of the same
+            # scan-order DC arrays, so pixels (and the oracle's sums)
+            # are identical to the bare-JFIF route
+            k = i // 7
+            mh = 8 if i % 2 == 0 else 16  # MCU row height
+            if k % 3 == 0:
+                segs = [jpeg_encode_dc_only(
+                    w, h, [dcy, dcb, dcr], sampling=sampling,
+                    restart_interval=ri, progressive=prog)]
+                rps = h
+                jt = b""
+            else:
+                ypr, cpr = ((w // 8, w // 8) if i % 2 == 0
+                            else (4 * (w // 16), w // 16))
+                segs = [jpeg_encode_dc_only(
+                    w, mh,
+                    [dcy[s * ypr : (s + 1) * ypr],
+                     dcb[s * cpr : (s + 1) * cpr],
+                     dcr[s * cpr : (s + 1) * cpr]],
+                    sampling=sampling, restart_interval=ri,
+                    progressive=prog) for s in range(h // mh)]
+                rps = mh
+                jt = b""
+                if k % 3 == 1:
+                    jt = _jpeg_abbreviate(segs[0])[0]
+                    segs = [_jpeg_abbreviate(s)[1] for s in segs]
+            return _tiff_encode(
+                b"", w, h, big_endian=k % 2 == 1, rows_per_strip=rps,
+                jpeg_segments=segs, jpeg_tables=jt)
 
         for pdf in batches:
             mids = pdf[id_col].astype("Int64")

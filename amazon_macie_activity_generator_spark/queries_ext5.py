@@ -1813,8 +1813,16 @@ def q_multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = b (4:4:4) or b//4 (4:2:0), then the decoder's exact fixed-point
     conversion (floor((91881*cr1 + 32768)/65536) etc.). A hash match
     therefore proves real Huffman+IDCT+upsample+color decode, not
-    container sniffing. Same id conventions as the other pixel entries:
-    NULL and negative doc_ids excluded in both engines."""
+    container sniffing. Round 13: the id %% 7 == 3 slice wraps the same
+    JPEG content in TIFF compression-7 containers (single full strip /
+    per-MCU-row strips with JPEGTables tag-347 abbreviation /
+    self-contained per-row strips, II+MM byte orders) — strips slice
+    the scan-order DC arrays at MCU-row boundaries so the pasted
+    decode is pixel-identical, the sums formula is unchanged, and only
+    the fmt CASE flips to 'tiff'; a hash match on that slice proves
+    the container walk + tables splice + per-strip JPEG decode. Same
+    id conventions as the other pixel entries: NULL and negative
+    doc_ids excluded in both engines."""
     from amazon_macie_activity_generator_spark.operators.multimodal import (
         decode_pixels,
         synthetic_jpeg_media,
@@ -1840,6 +1848,9 @@ WITH m AS (
   SELECT doc_id AS media_id,
          ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
          doc_id % 2 AS sub,
+         -- round 13: the id%7==3 slice ships the same JPEG content
+         -- inside a TIFF compression-7 container, so only fmt flips
+         CASE WHEN doc_id % 7 = 3 THEN 'tiff' ELSE 'jpeg' END AS fmt,
          CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 4)
               ELSE 16 * (1 + doc_id % 3) END AS w,
          CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 3)
@@ -1848,32 +1859,32 @@ WITH m AS (
 ), blk AS (
   -- one row per 8x8 luma block, scan order; n_blocks = (w/8)*(h/8) for
   -- BOTH subsamplings (4:2:0 has 4 Y blocks per 16x16 MCU)
-  SELECT media_id, rk, w, h, sub,
+  SELECT media_id, rk, fmt, w, h, sub,
          unnest(range((w // 8) * (h // 8))) AS yb
   FROM m
 ), cc AS (
   -- DC-only blocks with flat q=8: decoded Y sample = 128 + dcY(yb);
   -- chroma block index is yb (4:4:4) or yb//4 (= its MCU, 4:2:0)
-  SELECT media_id, rk, w, h,
+  SELECT media_id, rk, fmt, w, h,
          128 + ((media_id + 7 * yb) % 64) - 32 AS y,
          ((2 * media_id + 11 * (CASE WHEN sub = 0 THEN yb ELSE yb // 4 END)) % 64) - 32 AS cb1,
          ((3 * media_id + 5 * (CASE WHEN sub = 0 THEN yb ELSE yb // 4 END)) % 64) - 32 AS cr1
   FROM blk
 ), rgb AS (
   -- the decoder's exact fixed-point YCbCr->RGB (arithmetic shift = floor)
-  SELECT media_id, rk, w, h,
+  SELECT media_id, rk, fmt, w, h,
          GREATEST(0, LEAST(255, y + CAST(floor((91881 * cr1 + 32768) / 65536.0) AS BIGINT))) AS r,
          GREATEST(0, LEAST(255, y - CAST(floor((22554 * cb1 + 46802 * cr1 + 32768) / 65536.0) AS BIGINT))) AS g,
          GREATEST(0, LEAST(255, y + CAST(floor((116130 * cb1 + 32768) / 65536.0) AS BIGINT))) AS b
   FROM cc
 )
-SELECT media_id, 'jpeg' AS fmt,
+SELECT media_id, fmt,
        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
        CAST(w * h AS BIGINT) AS n_pixels,
        CAST(64 * sum(r) AS BIGINT) AS r_sum,
        CAST(64 * sum(g) AS BIGINT) AS g_sum,
        CAST(64 * sum(b) AS BIGINT) AS b_sum
-FROM rgb GROUP BY media_id, rk, w, h
+FROM rgb GROUP BY media_id, rk, fmt, w, h
 """
 
 

@@ -22,9 +22,13 @@ from amazon_macie_activity_generator_spark.operators.multimodal import (
     _GIF_FILL_PALETTE,
     _bmp_encode,
     _gif_encode,
+    _jpeg_abbreviate,
     _png_encode,
     _ppm_encode,
+    _qoi_encode,
     _raw_fill,
+    _tga_encode,
+    _tiff_encode,
     decode_pixels_bytes,
 )
 
@@ -63,7 +67,26 @@ def _valid_payloads() -> list[bytes]:
                         w, h, ctype=0, bitdepth=1, interlace=1),
             _png_encode(bytes((i + p) % 16 for p in range(w * h)),
                         w, h, ctype=3, bitdepth=4, plte=pal[:48]),
+            # r13 containers: mutations reach the TGA RLE packet walk,
+            # the QOI op loop + index table, the TIFF IFD/strip/tile
+            # walks, TIFF-LZW early-change decode, and predictor undiff
+            _tga_encode(raw, w, h, rle=True, bpp32=True, top_down=False),
+            _qoi_encode(raw, w, h),
+            _tiff_encode(raw, w, h, lzw=True, predictor2=True,
+                         rows_per_strip=3, big_endian=True),
+            _tiff_encode(raw, w, h, tile=8),
         ]
+    # JPEG-in-TIFF (r13): mutations reach the tag-347 splice and the
+    # per-strip JPEG geometry checks
+    _j = jpeg_encode_dc_only(16, 16, [[5, -10, 3, 3], [12, 0, -3, 7],
+                                      [-7, 20, 1, -1]],
+                             sampling=((1, 1), (1, 1), (1, 1)))
+    _jt, _jab = _jpeg_abbreviate(_j)
+    out += [
+        _tiff_encode(b"", 16, 16, rows_per_strip=16, jpeg_segments=[_j]),
+        _tiff_encode(b"", 16, 16, rows_per_strip=16, jpeg_segments=[_jab],
+                     jpeg_tables=_jt),
+    ]
     # JPEG (r10): mutations reach the marker walk, DHT/DQT parsers,
     # table-driven Huffman decode, restart resync, and IDCT plumbing —
     # plus the progressive multi-scan layer (DC/AC first+refine, EOB
@@ -98,7 +121,8 @@ def _check(payload: bytes | None) -> None:
     out = decode_pixels_bytes(payload)  # must not raise, whatever comes in
     if out is not None:
         fmt, w, h, raw = out
-        assert fmt in ("bmp", "ppm", "png", "gif", "jpeg")
+        assert fmt in ("bmp", "ppm", "png", "gif", "jpeg",
+                       "tga", "qoi", "tiff")
         assert w > 0 and h > 0 and len(raw) == w * h * 3
 
 
@@ -138,7 +162,7 @@ def test_truncations_never_raise(idx, pct):
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.sampled_from([b"BM", b"P6", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
-                     b"\xff\xd8"]),
+                     b"\xff\xd8", b"II\x2a\x00", b"MM\x00\x2a", b"qoif"]),
     st.binary(max_size=512),
 )
 def test_magic_prefixed_garbage_never_raises(magic, junk):

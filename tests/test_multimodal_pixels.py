@@ -1292,7 +1292,7 @@ def test_tiff_hostile_variants_quarantine():
         raise AssertionError(tag)
     # declared-LZW (5) over raw strip bytes: no opening Clear -> None
     assert decode_pixels_bytes(patch_entry_value(t, 259, 5)) is None
-    # JPEG-in-TIFF (7): native-codec territory, quarantined
+    # compression 7 demands photometric 6 — this file declares RGB (2)
     assert decode_pixels_bytes(patch_entry_value(t, 259, 7)) is None
     # planar configuration 2
     assert decode_pixels_bytes(patch_entry_value(t, 284, 2)) is None
@@ -1514,3 +1514,211 @@ def test_tiff_grammar_slice_covers_new_axes(spark):
     assert comp_of[71] == 5       # lzw slice
     assert comp_of[135] == 1      # tiled, uncompressed
     assert comp_of[199] == 5      # lzw + tiled
+
+
+# -------------------------------------------- TIFF compression 7 (r13)
+
+
+def _jpeg_slice_file(i: int):
+    """Replay the synthetic_jpeg_media grammar for one id: returns the
+    bare full-image JFIF stream plus the pieces (w, h, sampling, DC
+    arrays, restart/progressive knobs) a TIFF wrap needs."""
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        jpeg_encode_dc_only,
+    )
+
+    if i % 2 == 0:
+        w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+        sampling = ((1, 1), (1, 1), (1, 1))
+        n_c = (w // 8) * (h // 8)
+        n_y = n_c
+    else:
+        w, h = 16 * (1 + i % 3), 16 * (1 + i % 2)
+        sampling = ((2, 2), (1, 1), (1, 1))
+        n_c = (w // 16) * (h // 16)
+        n_y = 4 * n_c
+    dcy = [(i + 7 * b) % 64 - 32 for b in range(n_y)]
+    dcb = [(2 * i + 11 * b) % 64 - 32 for b in range(n_c)]
+    dcr = [(3 * i + 5 * b) % 64 - 32 for b in range(n_c)]
+    full = jpeg_encode_dc_only(
+        w, h, [dcy, dcb, dcr], sampling=sampling,
+        restart_interval=2 if i % 3 == 1 else 0, progressive=i % 5 == 2)
+    return full, w, h, sampling, (dcy, dcb, dcr)
+
+
+def test_tiff_jpeg_grammar_slice_matches_bare_jfif(spark):
+    """Every id%7==3 payload is a TIFF compression-7 container whose
+    decode is pixel-identical to the bare-JFIF encode of the same DC
+    grammar — across both byte orders and all three strip layouts
+    (single full strip / JPEGTables-abbreviated per-MCU-row strips /
+    self-contained per-MCU-row strips)."""
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+    )
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        synthetic_jpeg_media,
+    )
+
+    # k%3 layouts x k%2 byte orders x (restart, progressive) parities
+    ids = [3, 10, 17, 24, 31, 38, 45, 52, 94, 136]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r.media_id: bytes(r.payload)
+            for r in synthetic_jpeg_media(df).collect()}
+    for i in ids:
+        full, w, h, _, _ = _jpeg_slice_file(i)
+        got = decode_pixels_bytes(rows[i])
+        assert got is not None, i
+        fmt, gw, gh, raw = got
+        assert (fmt, gw, gh) == ("tiff", w, h), i
+        assert raw == decode_jpeg_pixels(full)[2], i
+    # non-slice ids keep the bare JFIF route
+    df2 = spark.createDataFrame([(4,)], "doc_id long")
+    b4 = bytes(synthetic_jpeg_media(df2).collect()[0].payload)
+    assert decode_pixels_bytes(b4)[0] == "jpeg"
+
+
+def test_tiff_jpeg_tables_are_really_abbreviated():
+    """The JPEGTables variant must strip every DQT/DHT from the strip
+    streams (else the tag-347 splice is untested dead weight): tag 347
+    is present, strips carry no table markers, and the decode still
+    round-trips through the splice."""
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+    )
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _jpeg_abbreviate,
+        _tiff_encode,
+    )
+
+    i = 10  # k=1 -> JPEGTables layout in the grammar
+    full, w, h, sampling, (dcy, dcb, dcr) = _jpeg_slice_file(i)
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        jpeg_encode_dc_only,
+    )
+
+    mh = 16 if i % 2 else 8
+    ypr, cpr = ((w // 8, w // 8) if i % 2 == 0
+                else (4 * (w // 16), w // 16))
+    segs = [jpeg_encode_dc_only(
+        w, mh,
+        [dcy[s * ypr:(s + 1) * ypr], dcb[s * cpr:(s + 1) * cpr],
+         dcr[s * cpr:(s + 1) * cpr]],
+        sampling=sampling, restart_interval=2 if i % 3 == 1 else 0,
+        progressive=i % 5 == 2) for s in range(h // mh)]
+    tables = _jpeg_abbreviate(segs[0])[0]
+    abbrev = [_jpeg_abbreviate(s)[1] for s in segs]
+    assert tables[:2] == b"\xff\xd8" and tables[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in tables and b"\xff\xc4" in tables
+    for s in abbrev:
+        # scan the marker section (up to first SOS) for table markers
+        j = 2
+        while s[j + 1] != 0xDA:
+            assert s[j + 1] not in (0xDB, 0xC4), hex(s[j + 1])
+            j += 2 + int.from_bytes(s[j + 2:j + 4], "big")
+        assert len(s) < len(segs[0])
+    t = _tiff_encode(b"", w, h, rows_per_strip=mh,
+                     jpeg_segments=abbrev, jpeg_tables=tables)
+    got = decode_pixels_bytes(t)
+    assert got == ("tiff", w, h, decode_jpeg_pixels(full)[2])
+
+
+def test_tiff_jpeg_tiled_decode():
+    """Tile-organized compression 7: each tile is an independent
+    16x16 JPEG; edge tiles are full-size and cropped on paste."""
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        jpeg_encode_dc_only,
+    )
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _tiff_encode,
+    )
+
+    w, h, te = 24, 18, 16  # 2x2 tile grid, both edges cropped
+    tiles = []
+    expected = np.zeros((32, 32, 3), np.uint8)
+    for t in range(4):
+        dcs = [[(3 * t + 5 * b) % 64 - 32 for b in range(4)]
+               for _ in range(3)]
+        tb = jpeg_encode_dc_only(te, te, dcs,
+                                 sampling=((1, 1), (1, 1), (1, 1)))
+        tiles.append(tb)
+        tw_, th_, raw = decode_jpeg_pixels(tb)
+        tr, tc = divmod(t, 2)
+        expected[tr * te:(tr + 1) * te, tc * te:(tc + 1) * te] = \
+            np.frombuffer(raw, np.uint8).reshape(te, te, 3)
+    f = _tiff_encode(b"", w, h, tile=te, jpeg_segments=tiles)
+    out = _decode_tiff_pixels(f)
+    assert out is not None
+    assert out[:2] == (w, h)
+    assert out[2] == expected[:h, :w].tobytes()
+
+
+def test_tiff_jpeg_hostile_variants_quarantine():
+    """Malformed compression-7 files must return None, never raise:
+    bad JPEGTables framing, strips without SOI, streams whose SOF
+    geometry disagrees with the strip, predictor 2, photometric 2."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _tiff_encode,
+    )
+
+    full, w, h, _, _ = _jpeg_slice_file(3)
+    good = _tiff_encode(b"", w, h, rows_per_strip=h,
+                        jpeg_segments=[full])
+    assert _decode_tiff_pixels(good) is not None
+
+    # JPEGTables without SOI/EOI framing
+    bad_tab = _tiff_encode(b"", w, h, rows_per_strip=h,
+                           jpeg_segments=[full], jpeg_tables=b"\x00" * 8)
+    assert _decode_tiff_pixels(bad_tab) is None
+    # segment that is not a JPEG stream
+    not_jpeg = _tiff_encode(b"", w, h, rows_per_strip=h,
+                            jpeg_segments=[b"\x00" * len(full)])
+    assert _decode_tiff_pixels(not_jpeg) is None
+    # stream geometry disagrees with the declared strip (h halved)
+    wrong_geom = _tiff_encode(b"", w, h * 2, rows_per_strip=h * 2,
+                              jpeg_segments=[full])
+    assert _decode_tiff_pixels(wrong_geom) is None
+
+    def patch_entry(buf, tag, newval16):
+        b2 = bytearray(buf)
+        n = int.from_bytes(b2[8:10], "little")
+        for k in range(n):
+            e = 10 + 12 * k
+            if int.from_bytes(b2[e:e + 2], "little") == tag:
+                b2[e + 8:e + 10] = newval16.to_bytes(2, "little")
+                return bytes(b2)
+        raise AssertionError(tag)
+
+    # photometric 2 (RGB) with compression 7: quarantine
+    assert _decode_tiff_pixels(patch_entry(good, 262, 2)) is None
+    # predictor 2 never applies to the JPEG route
+    pred = _tiff_encode(b"", w, h, rows_per_strip=h,
+                        jpeg_segments=[full], predictor2=True)
+    assert _decode_tiff_pixels(pred) is None
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_jpeg_tiff_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _jpeg_abbreviate,
+        _tiff_encode,
+    )
+
+    full, w, h, _, _ = _jpeg_slice_file(17)   # MM, self-contained strips
+    tab, ab = _jpeg_abbreviate(full)
+    for payload in (
+        bytearray(_tiff_encode(b"", w, h, rows_per_strip=h,
+                               jpeg_segments=[full])),
+        bytearray(_tiff_encode(b"", w, h, rows_per_strip=h,
+                               jpeg_segments=[ab], jpeg_tables=tab)),
+    ):
+        for pos, val in flips:
+            payload[pos % len(payload)] = val
+        out = decode_pixels_bytes(bytes(payload))
+        assert out is None or (len(out) == 4 and
+                               len(out[3]) == out[1] * out[2] * 3)
