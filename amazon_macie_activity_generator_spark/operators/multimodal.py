@@ -2205,6 +2205,8 @@ def _tiff_lzw_decode(b: bytes, lo: int, hi: int, cap: int) -> bytes | None:
             nbits += 8
         nbits -= width
         code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1  # drop consumed bits or acc grows
+        # into an ever-larger bigint and each shift turns quadratic
         if code == 257:  # EOI before cap bytes: short segment
             return None
         if code == 256:  # Clear: (re)initialize
@@ -2255,6 +2257,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1  # same bigint-growth guard as decode
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
@@ -2389,8 +2392,19 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         # conversion itself; predictor differencing never applies
         if photo != 6 or spp != 3 or pred != 1:
             return None
-    elif not ((photo == 2 and spp == 3) or (photo == 1 and spp == 1)):
+    elif not ((photo == 2 and spp == 3)
+              or (photo in (1, 3) and spp == 1)):
         return None
+    cmap = None
+    if photo == 3:
+        # palette-color: ColorMap (tag 320) is 3 x 2^bps 16-bit values,
+        # all reds then greens then blues; narrowed to 8 bits by >> 8
+        cm = values(320)
+        if cm is None or len(cm) != 3 * 256 or any(v > 0xFFFF for v in cm):
+            return None
+        cmap = np.right_shift(
+            np.asarray(cm, np.uint32).reshape(3, 256), 8
+        ).astype(np.uint8)
 
     jtables = b""
     if comp == 7 and 347 in tags:
@@ -2487,6 +2501,9 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         out = bytes(buf)
     if spp == 1:
         px = np.frombuffer(out, np.uint8)
+        if cmap is not None:
+            return w, h, np.stack(
+                [cmap[0][px], cmap[1][px], cmap[2][px]], axis=1).tobytes()
         return w, h, np.repeat(px, 3).tobytes()
     return w, h, out
 
@@ -2547,7 +2564,7 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
                  big_endian: bool = False, rows_per_strip: int = 0,
                  lzw: bool = False, predictor2: bool = False,
                  tile: int = 0, jpeg_segments: list | None = None,
-                 jpeg_tables: bytes = b"") -> bytes:
+                 jpeg_tables: bytes = b"", palette: bytes | None = None) -> bytes:
     """TIFF writer twin of :func:`_decode_tiff_pixels`: chunky 8-bit
     RGB, II or MM byte order, compression 1 / 5 (LZW) / 32773
     (PackBits), optional predictor 2 (horizontal differencing, applied
@@ -2560,11 +2577,16 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
     photometric 6): the pre-encoded per-segment JPEG streams are
     stored verbatim (``raw_rgb`` is ignored; segment count must match
     the strip/tile geometry), and a non-empty ``jpeg_tables`` blob is
-    recorded as tag 347."""
+    recorded as tag 347.
+
+    ``palette`` (768 RGB bytes) switches to palette-color (photometric
+    3, 1 sample/pixel): ``raw_rgb`` is then the w*h index stream and
+    the palette is recorded as the ColorMap tag (320, 3 x 256 16-bit
+    values v*257, reds/greens/blues planes)."""
     import numpy as np
 
     bo = "big" if big_endian else "little"
-    spp = 3
+    spp = 1 if palette is not None else 3
 
     def pack(chunk: bytes, npx_row: int) -> bytes:
         if predictor2:
@@ -2616,12 +2638,15 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
     entries: list[tuple[int, int, int, object]] = [
         (256, 3, 1, inline16(w)),
         (257, 3, 1, inline16(h)),
-        (258, 3, 3, "bps"),
+        (258, 3, spp, inline16(8) if spp == 1 else "bps"),
         (259, 3, 1, inline16(comp_tag)),
-        (262, 3, 1, inline16(6 if comp_tag == 7 else 2)),
+        (262, 3, 1, inline16(
+            6 if comp_tag == 7 else (3 if palette is not None else 2))),
         (277, 3, 1, inline16(spp)),
         (284, 3, 1, inline16(1)),
     ]
+    if palette is not None:
+        entries.append((320, 3, 3 * 256, "cmap"))
     if predictor2:
         entries.append((317, 3, 1, inline16(2)))
     if jpeg_tables:
@@ -2641,7 +2666,8 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
     off_at = bps_at + 6
     cnt_at = off_at + (4 * nch if nch > 1 else 0)
     jtab_at = cnt_at + (4 * nch if nch > 1 else 0)
-    data_at = jtab_at + len(jpeg_tables)
+    cmap_at = jtab_at + len(jpeg_tables)
+    data_at = cmap_at + (3 * 256 * 2 if palette is not None else 0)
     offs = []
     pos = data_at
     for c in chunks:
@@ -2659,6 +2685,8 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
             val = u32(len(chunks[0])) if nch == 1 else u32(cnt_at)
         elif val == "jtab":
             val = u32(jtab_at)
+        elif val == "cmap":
+            val = u32(cmap_at)
         out += u16(tag) + u16(typ) + u32(cnt) + val
     out += u32(0)  # no next IFD
     out += u16(8) * 3  # BitsPerSample [8,8,8]
@@ -2668,6 +2696,10 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
         for c in chunks:
             out += u32(len(c))
     out += jpeg_tables
+    if palette is not None:
+        for plane in range(3):  # reds, then greens, then blues
+            for k in range(256):
+                out += u16(palette[3 * k + plane] * 257)
     for c in chunks:
         out += c
     return bytes(out)

@@ -1722,3 +1722,67 @@ def test_bitflipped_jpeg_tiff_never_raises(flips):
         out = decode_pixels_bytes(bytes(payload))
         assert out is None or (len(out) == 4 and
                                len(out[3]) == out[1] * out[2] * 3)
+
+
+# ---------------------------------------------- palette TIFF (late r13)
+
+
+def test_tiff_palette_roundtrip_all_variants():
+    """Photometric-3 palette TIFF: the index stream + 16-bit ColorMap
+    (values v*257, reds/greens/blues planes) reconstructs exact RGB
+    across compression, predictor, byte-order, and tile variants."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _tiff_encode,
+    )
+
+    i = 39
+    w, h = 1 + i % 32, 1 + i % 24
+    idx = bytes((i + 3 * p) % 256 for p in range(w * h))
+    pal = bytes(v for c in range(256)
+                for v in (c, (c + 1) % 256, (c + 2) % 256))
+    expect = b"".join(
+        bytes(((i + 3 * p) % 256, (i + 3 * p + 1) % 256,
+               (i + 3 * p + 2) % 256)) for p in range(w * h))
+    for kwargs in (dict(), dict(big_endian=True),
+                   dict(lzw=True, predictor2=True),
+                   dict(packbits=True, rows_per_strip=2),
+                   dict(tile=8), dict(tile=16, lzw=True)):
+        t = _tiff_encode(idx, w, h, palette=pal, **kwargs)
+        assert _decode_tiff_pixels(t) == (w, h, expect), kwargs
+        assert decode_pixels_bytes(t)[0] == "tiff"
+
+
+def test_tiff_palette_colormap_narrowing_and_quarantines():
+    """ColorMap 16-bit values narrow by >> 8 (not /257); a missing or
+    short ColorMap with photometric 3 quarantines."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _tiff_encode,
+    )
+
+    w, h = 4, 3
+    idx = bytes(range(w * h))
+    pal = bytes(v for c in range(256) for v in (c, 255 - c, c ^ 0x5A))
+    t = _tiff_encode(idx, w, h, palette=pal)
+    out = _decode_tiff_pixels(t)
+    assert out is not None and out[:2] == (w, h)
+    # v*257 >> 8 == v: exact round trip through the 16-bit widening
+    assert out[2] == b"".join(
+        bytes((k, 255 - k, k ^ 0x5A)) for k in idx)
+
+    # photometric 3 without tag 320: quarantine
+    b2 = bytearray(t)
+    n = int.from_bytes(b2[8:10], "little")
+    for k in range(n):
+        e = 10 + 12 * k
+        if int.from_bytes(b2[e:e + 2], "little") == 320:
+            b2[e:e + 2] = (32000).to_bytes(2, "little")  # unknown tag
+    assert _decode_tiff_pixels(bytes(b2)) is None
+    # truncated ColorMap count
+    b3 = bytearray(t)
+    for k in range(n):
+        e = 10 + 12 * k
+        if int.from_bytes(b3[e:e + 2], "little") == 320:
+            b3[e + 4:e + 8] = (100).to_bytes(4, "little")
+    assert _decode_tiff_pixels(bytes(b3)) is None
