@@ -3710,9 +3710,11 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     reference greedy encoder — the +3/channel fill emits LUMA/RUN/RGB
     ops), and id % 8 == 7 is TIFF (k bits pick LZW-vs-PackBits-vs-none
     compression, predictor-2 differencing under LZW, MM-vs-II byte
-    order, tiled-vs-strip organization, multi-vs-single strip), so the
-    oracle's per-channel sums stay formula-derived while fmt flips to
-    'tga'/'qoi'/'tiff' on those slices. NULL ids synthesize as
+    order, tiled-vs-strip organization, multi-vs-single strip, and —
+    k bit 5 — palette-color with a ColorMap whose entry c is
+    (c, c+1, c+2), reproducing the same fill through the indirection),
+    so the oracle's per-channel sums stay formula-derived while fmt
+    flips to 'tga'/'qoi'/'tiff' on those slices. NULL ids synthesize as
     id 0 with media_id kept NULL (same convention as
     synthetic_media)."""
 
@@ -3727,19 +3729,28 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 # (under LZW, bit 0 becomes predictor-2; otherwise it is
                 # PackBits-vs-none), bit 1 MM-vs-II byte order, bit 4
                 # tiled-vs-strips (16x16 tiles, edge-padded), bit 2
-                # multi-vs-single strip when striped. All lossless over
-                # the same fill, so the oracle's sums never move.
+                # multi-vs-single strip when striped, bit 5 palette-
+                # color (photometric 3: index stream (i+3p)%256 plus
+                # ColorMap entry c -> (c, c+1, c+2) — exactly the raw
+                # fill through the palette indirection). All lossless
+                # over the same fill, so the oracle's sums never move.
                 k = i // 8
                 lzw = (k // 8) % 2 == 1
                 tiled = (k // 16) % 2 == 1
+                pal = None
+                data = _raw_fill(i, w, h)
+                if (k // 32) % 2 == 1:
+                    pal = bytes(v for c in range(256)
+                                for v in (c, (c + 1) % 256, (c + 2) % 256))
+                    data = bytes((i + 3 * p) % 256 for p in range(w * h))
                 return _tiff_encode(
-                    _raw_fill(i, w, h), w, h,
+                    data, w, h,
                     packbits=not lzw and k % 2 == 1,
                     big_endian=(k // 2) % 2 == 1,
                     rows_per_strip=0 if tiled
                     else ((1 + h // 2) if (k // 4) % 2 else 0),
                     lzw=lzw, predictor2=lzw and k % 2 == 1,
-                    tile=16 if tiled else 0)
+                    tile=16 if tiled else 0, palette=pal)
             if i % 4 == 3:  # GIF encodes palette INDICES, not the raw fill
                 indices = bytes((i + 3 * p) % 256 for p in range(w * h))
                 return _gif_encode(indices, _GIF_FILL_PALETTE, w, h)

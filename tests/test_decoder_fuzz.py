@@ -75,6 +75,9 @@ def _valid_payloads() -> list[bytes]:
             _tiff_encode(raw, w, h, lzw=True, predictor2=True,
                          rows_per_strip=3, big_endian=True),
             _tiff_encode(raw, w, h, tile=8),
+            # palette-color: mutations reach the ColorMap fetch/narrow
+            _tiff_encode(bytes((i + 3 * p) % 256 for p in range(w * h)),
+                         w, h, palette=pal, packbits=True),
         ]
     # JPEG-in-TIFF (r13): mutations reach the tag-347 splice and the
     # per-strip JPEG geometry checks

@@ -1494,26 +1494,29 @@ def test_tiff_grammar_slice_covers_new_axes(spark):
         synthetic_pixel_media,
     )
 
-    # k = i//8: 8 (lzw), 9 (lzw+pred), 16/17 (tiled), 24/25 (lzw+tiled)
-    ids = [71, 79, 135, 143, 199, 207]
+    # k = i//8: 8 (lzw), 9 (lzw+pred), 16/17 (tiled), 24/25 (lzw+tiled),
+    # 32/33 (palette / palette+packbits — in the oracle's id < 300 range)
+    ids = [71, 79, 135, 143, 199, 207, 263, 271]
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     rows = {r.media_id: bytes(r.payload)
             for r in synthetic_pixel_media(df).collect()}
     for i in ids:
         w, h = 1 + i % 32, 1 + i % 24
         assert _decode_tiff_pixels(rows[i]) == (w, h, _raw_fill(i, w, h)), i
-    # the two compressed routes actually set the declared compression
-    comp_of = {}
-    for i in (71, 135, 199):
-        b = rows[i]
-        n = int.from_bytes(b[8:10], "little")
+    # the compressed/palette routes actually set the declared tags
+    def tag16(b, tag, bo):
+        n = int.from_bytes(b[8:10], bo)
         for k in range(n):
             e = 10 + 12 * k
-            if int.from_bytes(b[e : e + 2], "little") == 259:
-                comp_of[i] = int.from_bytes(b[e + 8 : e + 10], "little")
-    assert comp_of[71] == 5       # lzw slice
-    assert comp_of[135] == 1      # tiled, uncompressed
-    assert comp_of[199] == 5      # lzw + tiled
+            if int.from_bytes(b[e : e + 2], bo) == tag:
+                return int.from_bytes(b[e + 8 : e + 10], bo)
+        return None
+    assert tag16(rows[71], 259, "little") == 5    # lzw slice
+    assert tag16(rows[135], 259, "little") == 1   # tiled, uncompressed
+    assert tag16(rows[199], 259, "little") == 5   # lzw + tiled
+    assert tag16(rows[263], 262, "little") == 3   # palette photometric
+    assert tag16(rows[263], 277, "little") == 1   # 1 sample/pixel
+    assert tag16(rows[271], 259, "little") == 32773  # palette+packbits
 
 
 # -------------------------------------------- TIFF compression 7 (r13)
