@@ -361,6 +361,17 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein() is JVM-side; the p_partkey < ordering dedups mirror
     pairs.
 
+    Scale audit (r13, measured at sf1): 300 blocks of ~667 members,
+    66M candidate pairs, 9.9M qualifying (15%%) — the entry is
+    OUTPUT-bound, not comparison-bound. A/B at sf1: threshold
+    levenshtein (banded O(k*n)) and a length-band second blocking key
+    (|len diff| > 4 implies distance > 4, so banding at width 9 with
+    adjacent-band emission is semantics-free) both measured within
+    noise of the plain form because the synthetic names are
+    near-uniform length — kept plain. On real corpora with varied
+    name lengths the length-band key is the first lever when block
+    membership grows past task size.
+
     ASCII gate (r7): the cross-checked surface is printable-ASCII names
     only — Spark's levenshtein counts CODEPOINTS while DuckDB's counts
     BYTES ('prö' vs 'pro' is 1 vs 2), so unicode edit distance cannot be
