@@ -730,6 +730,9 @@ def _decode_wav_pcm(b: bytes | None):
     yields stats over its real audio instead of a dead row."""
     import numpy as np
 
+    if b is not None and len(b) >= 12 and b[:4] == b"FORM" \
+            and b[8:12] == b"AIFF":
+        return _decode_aiff_pcm(b)  # big-endian sibling (late r13)
     if not b or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     fmt_code = sample_rate = block_align = bits = nch = None
@@ -825,6 +828,125 @@ def _decode_wav_pcm(b: bytes | None):
              | (raw[:, 2].astype(np.int32) << 16))
         samples = (x ^ 0x800000) - 0x800000
     return sample_rate, samples.reshape(n_frames, nch)
+
+
+def _aiff_f80_decode(e: bytes) -> int | None:
+    """AIFF COMM sample rate: 80-bit IEEE extended float (1 sign, 15
+    exponent, 64 mantissa with EXPLICIT leading 1) -> positive integer
+    rate, or None for negative/zero/non-integer/absurd values (a
+    fractional or >10 MHz "rate" is a malformed file, not a lane)."""
+    if len(e) != 10:
+        return None
+    se = int.from_bytes(e[:2], "big")
+    mant = int.from_bytes(e[2:], "big")
+    if se & 0x8000 or (se == 0 and mant == 0):
+        return None
+    shift = se - 16383 - 63
+    if shift > 0:
+        if shift > 16:
+            return None
+        val = mant << shift
+    else:
+        if shift < -63 or mant & ((1 << -shift) - 1):
+            return None
+        val = mant >> -shift
+    return val if 0 < val <= 10_000_000 else None
+
+
+def _aiff_f80_encode(v: int) -> bytes:
+    """Writer twin of :func:`_aiff_f80_decode` for positive integers."""
+    bl = v.bit_length()
+    return (16382 + bl).to_bytes(2, "big") + (v << (64 - bl)).to_bytes(
+        8, "big")
+
+
+def _decode_aiff_pcm(b: bytes):
+    """AIFF (big-endian IFF: FORM/AIFF with COMM + SSND chunks) integer
+    PCM -> (sample_rate, int32 (n_frames, n_channels)) or None — the
+    Apple-ecosystem sibling of :func:`_decode_wav_pcm`, which
+    dispatches here on the FORM/AIFF magic. Conventions flipped vs
+    WAV: every depth is big-endian and 8-bit is SIGNED (so silence is
+    0 without the centering shift); chunks pad to even length (IFF);
+    SSND carries an offset field whose bytes are skipped. COMM's
+    n_frames caps the frame count; a data chunk shorter than declared
+    truncates to complete frames (the WAV tolerance). AIFC
+    (compressed, FORM type 'AIFC') quarantines — its COMM carries a
+    codec id this PCM lane must not misread."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] != b"AIFF":
+        return None
+    nch = nframes = bits = rate = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "big")
+        body = b[i + 8 : i + 8 + csize]
+        if cid == b"COMM" and len(body) >= 18:
+            nch = int.from_bytes(body[0:2], "big", signed=True)
+            nframes = int.from_bytes(body[2:6], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            rate = _aiff_f80_decode(body[8:18])
+        elif cid == b"SSND" and len(body) >= 8:
+            off = int.from_bytes(body[0:4], "big")
+            if off > len(body) - 8:
+                return None
+            data = body[8 + off :]
+        i += 8 + csize + (csize % 2)  # IFF chunks are word-aligned
+    if (not nch or nch < 1 or not rate or bits not in (8, 16, 24)
+            or nframes is None or data is None):
+        return None
+    ba = nch * (bits // 8)
+    n = min(nframes, len(data) // ba)
+    if n == 0 or n * nch > _MAX_SAMPLES:
+        return None
+    data = data[: n * ba]
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.int8).astype(np.int32)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype=">i2").astype(np.int32)
+    else:  # 24-bit: 3-byte BIG-endian, sign-extended
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        x = ((raw[:, 0].astype(np.int32) << 16)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | raw[:, 2].astype(np.int32))
+        samples = (x ^ 0x800000) - 0x800000
+    return rate, samples.reshape(n, nch)
+
+
+def _aiff_encode(frames, rate: int, bits: int,
+                 ssnd_offset: int = 0) -> bytes:
+    """AIFF writer twin of :func:`_decode_aiff_pcm`: big-endian PCM at
+    8 (signed) / 16 / 24 bits, 80-bit extended-float rate, IFF even
+    padding, and an optional SSND offset prefix (zero bytes the
+    decoder must skip)."""
+    import numpy as np
+
+    frames = np.asarray(frames)
+    n, nch = frames.shape
+    if bits == 8:
+        payload = frames.astype(np.int8).tobytes()
+    elif bits == 16:
+        payload = frames.astype(">i2").tobytes()
+    else:
+        x = (frames.astype(np.int64).reshape(-1) & 0xFFFFFF)
+        arr = np.empty((x.size, 3), np.uint8)
+        arr[:, 0] = (x >> 16) & 0xFF
+        arr[:, 1] = (x >> 8) & 0xFF
+        arr[:, 2] = x & 0xFF
+        payload = arr.tobytes()
+    comm = (nch.to_bytes(2, "big") + n.to_bytes(4, "big")
+            + bits.to_bytes(2, "big") + _aiff_f80_encode(rate))
+    ssnd = (ssnd_offset.to_bytes(4, "big") + (0).to_bytes(4, "big")
+            + b"\x00" * ssnd_offset + payload)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (cid + len(body).to_bytes(4, "big") + body
+                + (b"\x00" if len(body) % 2 else b""))
+
+    body = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + len(body).to_bytes(4, "big") + body
 
 
 AUDIO_SCHEMA = StructType([
@@ -1093,7 +1215,11 @@ def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     re-derives decode(encode(x)) arithmetically per sample. Remaining
     ids (%7 in 0/2/4) are lossless integer PCM with bits =
     (8, 16, 24)[id % 3], channels = 1 + id % 2 — decoded samples ARE
-    the input formula at every depth."""
+    the input formula at every depth; of those, (id // 7) % 3 == 1
+    files ship the same samples in an AIFF container (late r13:
+    big-endian, signed 8-bit, 80-bit extended-float rate, IFF pad
+    bytes, alternating SSND offset) instead of RIFF/WAVE, so the
+    unchanged oracle also proves the AIFF parse."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -1137,6 +1263,17 @@ def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             nch = 1 + i % 2
             j = np.arange(n_frames * nch, dtype=np.int64)
             samples = ((i * 7 + 13 * j) % 201) - 100
+            if (i // 7) % 3 == 1:
+                # AIFF container sub-route (late r13): the same PCM
+                # samples big-endian in FORM/AIFF (8-bit becomes
+                # SIGNED, which encodes the identical centered values),
+                # odd-length SSND exercising the IFF pad byte whenever
+                # n_frames*nch*bytes is odd, and an SSND offset prefix
+                # on alternating files. Lossless — decoded stats (and
+                # the oracle) are unchanged.
+                return _aiff_encode(samples.reshape(n_frames, nch),
+                                    rate, bits,
+                                    ssnd_offset=4 * ((i // 21) % 2))
             return _wav_encode(samples.reshape(n_frames, nch), rate, bits)
 
         for pdf in batches:
@@ -1846,20 +1983,173 @@ def _bmp_encode(raw: bytes, w: int, h: int) -> bytes:
     return header + bytes(body)
 
 
+def _bmp_encode_palette(indices: bytes, pal: bytes, w: int, h: int,
+                        rle: bool = False) -> bytes:
+    """8-bit palette BMP twin of the :func:`_decode_bmp_pixels` palette
+    lane: BGRX color table, bottom-up rows — BI_RGB padded to 4 bytes,
+    or BI_RLE8 (runs >= 3 as run tokens, literal stretches >= 3 as
+    absolute mode with its word pad, shorter ones as 1-pixel runs, EOL
+    per row, EOB at the end)."""
+    ncol = len(pal) // 3
+    table = bytearray()
+    for c in range(ncol):
+        table += bytes((pal[3 * c + 2], pal[3 * c + 1], pal[3 * c], 0))
+    body = bytearray()
+    if not rle:
+        stride = (w + 3) // 4 * 4
+        for r in range(h - 1, -1, -1):
+            body += indices[r * w : (r + 1) * w] + bytes(stride - w)
+        comp = 0
+    else:
+        for r in range(h - 1, -1, -1):
+            row = indices[r * w : (r + 1) * w]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and run < 255 and row[x + run] == row[x]:
+                    run += 1
+                if run >= 3:
+                    body += bytes((run, row[x]))
+                    x += run
+                    continue
+                j = x
+                lit = 0
+                while j < w and lit < 255:
+                    rr = 1
+                    while j + rr < w and rr < 3 and row[j + rr] == row[j]:
+                        rr += 1
+                    if rr >= 3:
+                        break
+                    j += 1
+                    lit += 1
+                if lit >= 3:
+                    body += bytes((0, lit)) + row[x:j]
+                    if lit % 2:
+                        body += b"\x00"  # absolute mode word pad
+                else:
+                    for p in range(x, j):
+                        body += bytes((1, row[p]))
+                x = j
+            body += b"\x00\x00"  # EOL
+        body += b"\x00\x01"  # EOB
+        comp = 1
+    data_off = 54 + len(table)
+    header = (
+        b"BM"
+        + (data_off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + comp.to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + ncol.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return header + bytes(table) + bytes(body)
+
+
+def _bmp_rle8_decode(b: bytes, off: int, w: int, h: int):
+    """BI_RLE8 (late r13) -> (h, w) uint8 index grid in STORED
+    (bottom-up) row order, or None. Tokens: (n>0, v) runs; escapes
+    (0,0) end-of-line, (0,1) end-of-bitmap, (0,2) dx,dy cursor delta
+    (skipped pixels keep index 0, the common decoder convention),
+    (0, n>=3) absolute literals padded to word alignment. Runs or
+    literals crossing a row end, cursor escapes leaving the grid, and
+    stream overruns all quarantine."""
+    import numpy as np
+
+    grid = np.zeros((h, w), np.uint8)
+    x = y = 0  # cursor in stored order: row 0 = bottom image row
+    i, n = off, len(b)
+    while True:
+        if i + 2 > n:
+            return None  # stream ended without EOB
+        c, v = b[i], b[i + 1]
+        i += 2
+        if c:
+            if y >= h or x + c > w:
+                return None
+            grid[y, x : x + c] = v
+            x += c
+        elif v == 0:  # EOL
+            y += 1
+            x = 0
+            if y > h:
+                return None
+        elif v == 1:  # EOB: anything not yet written stays index 0
+            return grid
+        elif v == 2:  # delta
+            if i + 2 > n:
+                return None
+            x += b[i]
+            y += b[i + 1]
+            i += 2
+            if x > w or y > h:
+                return None
+        else:  # absolute mode
+            if y >= h or x + v > w or i + v > n:
+                return None
+            grid[y, x : x + v] = np.frombuffer(b, np.uint8, count=v,
+                                               offset=i)
+            x += v
+            i += v + (v & 1)  # literals pad to word alignment
+
+
 def _decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     if len(b) < 54 or b[:2] != b"BM":
         return None
     data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
     w = int.from_bytes(b[18:22], "little", signed=True)
     h_raw = int.from_bytes(b[22:26], "little", signed=True)
     bits = int.from_bytes(b[28:30], "little")
     compression = int.from_bytes(b[30:34], "little")
-    # BI_RGB 24-bpp (BGR, rows padded to 4) and 32-bpp (BGRA/BGRX, alpha
-    # byte dropped) — the two uncompressed truecolor layouts in the wild
-    if w <= 0 or h_raw == 0 or bits not in (24, 32) or compression != 0:
+    clr_used = int.from_bytes(b[46:50], "little")
+    if w <= 0 or h_raw == 0:
         return None
     h = abs(h_raw)
     if w * h > _MAX_PIXELS:
+        return None
+    if bits == 8 and compression in (0, 1):
+        # 8-bit palette lane (late r13): BGRX color table after the
+        # info header, BI_RGB padded rows or BI_RLE8 (bottom-up only,
+        # per spec — a negative height with RLE8 is malformed)
+        import numpy as np
+
+        ncol = clr_used or 256
+        if ncol > 256 or hdr_size < 40:
+            return None
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * ncol > len(b) or data_off < pal_off + 4 * ncol:
+            return None
+        pal = np.frombuffer(b, np.uint8, count=4 * ncol,
+                            offset=pal_off).reshape(ncol, 4)[:, 2::-1]
+        if compression == 0:
+            stride = (w + 3) // 4 * 4
+            if data_off + stride * h > len(b):
+                return None
+            idx = np.frombuffer(b, np.uint8, count=stride * h,
+                                offset=data_off).reshape(h, stride)[:, :w]
+        else:
+            if h_raw < 0:
+                return None
+            idx = _bmp_rle8_decode(b, data_off, w, h)
+            if idx is None:
+                return None
+        if int(idx.max(initial=0)) >= ncol:
+            return None  # index beyond the declared palette
+        px = pal[idx]
+        if h_raw > 0:
+            px = px[::-1]
+        return w, h, px.tobytes()
+    # BI_RGB 24-bpp (BGR, rows padded to 4) and 32-bpp (BGRA/BGRX, alpha
+    # byte dropped) — the two uncompressed truecolor layouts in the wild
+    if bits not in (24, 32) or compression != 0:
         return None
     nch = bits // 8
     stride = (w * nch + 3) // 4 * 4
@@ -2188,7 +2478,90 @@ def _tiff_lzw_decode(b: bytes, lo: int, hi: int, cap: int) -> bytes | None:
     before ``cap`` output bytes) returns None. Output is truncated at
     ``cap`` (the segment's declared decompressed size — strips/tiles
     each carry an independent LZW stream, so ``cap`` is exact and
-    doubles as the bomb guard)."""
+    doubles as the bomb guard).
+
+    Above the shared ``_LZW_TWO_PHASE_MIN_PIX`` size gate, code
+    extraction is TWO-PHASE like the GIF lane (r11 pattern, ported
+    late r13): the code width is a deterministic function of the
+    dictionary size — under the early-change rule it bumps exactly
+    when the table reaches 2^width - 1 — so each run of same-width
+    codes is gathered in one vectorized numpy step (big-endian
+    three-byte windows, shift, mask), truncated at the first
+    Clear/EOI, and only the dictionary/output bookkeeping stays a
+    Python loop. Sub-gate segments (the catalog's small tiles) keep
+    the scalar lane; both are pinned equivalent by the round-trip and
+    mutation fuzz in tests/test_decoder_fuzz.py."""
+    if cap < _LZW_TWO_PHASE_MIN_PIX:
+        return _tiff_lzw_decode_small(b, lo, hi, cap)
+    import numpy as np
+
+    data = b[lo:hi]
+    nbits = len(data) * 8
+    buf = np.frombuffer(data + b"\x00\x00", dtype=np.uint8)
+    tri = ((buf[:-2].astype(np.uint32) << 16)
+           | (buf[1:-1].astype(np.uint32) << 8)
+           | buf[2:].astype(np.uint32))
+    out = bytearray()
+    table: list[bytes] | None = None
+    tlen = 258
+    width = 9
+    prev: bytes | None = None
+    bitpos = 0
+    arange = np.arange
+    while len(out) < cap:
+        if width < 12:
+            # codes until the early-change bump, +1 right after Clear
+            # (the first code appends no entry)
+            room = (1 << width) - 1 - tlen + (1 if prev is None else 0)
+        else:
+            room = 4096  # width pinned; chunk to bound re-extraction
+        k = min(max(1, room), (nbits - bitpos) // width)
+        if k <= 0:
+            return None  # bits exhausted before cap output bytes
+        offs = bitpos + width * arange(k, dtype=np.int64)
+        sh = (24 - width - (offs & 7)).astype(np.uint32)
+        codes = (tri[offs >> 3] >> sh) & ((1 << width) - 1)
+        special = np.nonzero((codes == 256) | (codes == 257))[0]
+        if special.size:
+            codes = codes[: int(special[0]) + 1]
+        codes_l = codes.tolist()
+        bitpos += width * len(codes_l)
+        for code in codes_l:
+            if code == 257:
+                return None  # EOI before cap bytes: short segment
+            if code == 256:
+                if table is None:
+                    table = [bytes([i]) for i in range(256)] + [b"", b""]
+                else:
+                    del table[258:]
+                tlen = 258
+                width = 9
+                prev = None
+                continue
+            if table is None:
+                return None  # stream must open with Clear
+            if code < tlen:
+                entry = table[code]
+            elif code == tlen and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None  # code beyond the dictionary: corrupt
+            out += entry
+            if prev is not None and tlen < 4096:
+                table.append(prev + entry[:1])
+                tlen += 1
+                if tlen == (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= cap:
+                return bytes(out[:cap])
+    return bytes(out[:cap])
+
+
+def _tiff_lzw_decode_small(b: bytes, lo: int, hi: int, cap: int) -> bytes | None:
+    """Scalar byte-fed-accumulator lane for sub-gate segments — the
+    readable reference twin of the two-phase path in
+    :func:`_tiff_lzw_decode`, which owns the dispatch."""
     out = bytearray()
     table: list[bytes] | None = None
     tlen = 258
@@ -3708,7 +4081,10 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     id % 8 == 4 is TGA (k = id//8 bits pick RLE-vs-uncompressed,
     bottom-up-vs-top-down, 24-vs-32 bpp), id % 8 == 5 is QOI (the
     reference greedy encoder — the +3/channel fill emits LUMA/RUN/RGB
-    ops), and id % 8 == 7 is TIFF (k bits pick LZW-vs-PackBits-vs-none
+    ops; on the remaining BMP slice, k%4==1/3 files are 8-bit palette
+    BMPs — indices (i+3p)%256 through a (c, c+1, c+2) color table,
+    k%4==3 BI_RLE8-compressed — decoding to the same fill), and
+    id % 8 == 7 is TIFF (k bits pick LZW-vs-PackBits-vs-none
     compression, predictor-2 differencing under LZW, MM-vs-II byte
     order, tiled-vs-strip organization, multi-vs-single strip, and —
     k bit 5 — palette-color with a ColorMap whose entry c is
@@ -3764,6 +4140,17 @@ def synthetic_pixel_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     return _tga_encode(raw, w, h, rle=k % 2 == 1,
                                        top_down=(k // 2) % 2 == 0,
                                        bpp32=(k // 4) % 2 == 1)
+                k = i // 8
+                if k % 4 in (1, 3):
+                    # palette BMP sub-route (late r13): 8-bit indices
+                    # (i+3p)%256 through the (c, c+1, c+2) color table
+                    # — the raw fill again, so the oracle's sums never
+                    # move; k%4==3 files are BI_RLE8 compressed
+                    idx = bytes((i + 3 * p) % 256 for p in range(w * h))
+                    pal = bytes(v for c in range(256)
+                                for v in (c, (c + 1) % 256, (c + 2) % 256))
+                    return _bmp_encode_palette(idx, pal, w, h,
+                                               rle=k % 4 == 3)
                 return _bmp_encode(raw, w, h)
             if i % 4 == 1:
                 if i % 8 == 5:  # QOI sub-route (round 13)

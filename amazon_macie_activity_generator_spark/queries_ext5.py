@@ -1913,10 +1913,14 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     13): G.711 µ-law / A-law (mono+stereo, input amplified x327 to
     sweep all companding segments) — lossy but STATELESS, so the
     oracle re-derives decode(encode(x)) per sample with the CCITT
-    arithmetic, no recursion. Exact int64 sample_sum /
-    abs_peak, duration flooring, float64 rms bit-identical via
-    exact-integer sums under 2^53. NULL/negative doc_ids excluded in
-    both engines."""
+    arithmetic, no recursion. Late round 13: of the integer-PCM ids,
+    (id//7) %% 3 == 1 files ship the same samples in an AIFF container
+    (big-endian IFF, signed 8-bit, 80-bit extended-float rate, IFF pad
+    bytes, alternating SSND offsets) — lossless and stat-identical, so
+    the unchanged oracle hash also proves the AIFF parse. Exact int64
+    sample_sum / abs_peak, duration flooring, float64 rms
+    bit-identical via exact-integer sums under 2^53. NULL/negative
+    doc_ids excluded in both engines."""
     from amazon_macie_activity_generator_spark.operators.multimodal import (
         extract_audio_features,
         synthetic_audio_media,

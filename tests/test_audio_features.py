@@ -748,3 +748,124 @@ def test_bitflipped_g711_never_raises(flips):
     if out is not None:
         rate, frames = out
         assert frames.ndim == 2 and frames.shape[0] >= 1
+
+
+# ----------------------------------------------------- AIFF (late r13)
+
+
+def test_aiff_roundtrip_all_depths():
+    """Big-endian AIFF PCM decodes to the exact samples at every depth
+    (8-bit SIGNED — no centering shift), both channel counts, with and
+    without an SSND offset prefix, including odd-length SSND bodies
+    that exercise the IFF pad byte."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _aiff_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    for bits, lim in ((8, 100), (16, 30000), (24, 8_000_000)):
+        for nch in (1, 2):
+            for off in (0, 4):
+                for n in (1, 7, 251):  # 251*1 bytes: odd SSND at 8-bit
+                    fr = rng.integers(-lim, lim + 1, (n, nch)).astype(
+                        np.int64)
+                    out = _decode_wav_pcm(
+                        _aiff_encode(fr, 22050, bits, ssnd_offset=off))
+                    assert out is not None, (bits, nch, off, n)
+                    assert out[0] == 22050
+                    assert (out[1] == fr).all(), (bits, nch, off, n)
+
+
+def test_aiff_grammar_route_matches_wav_stats(spark):
+    """The (id//7)%3==1 PCM sub-route ships AIFF containers whose
+    decoded stats are identical to the WAV form — the oracle is
+    container-blind, so its unchanged hash proves the AIFF parse."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _aiff_encode,
+    )
+
+    ids = [7, 9, 11, 28, 30, 32, 49, 51]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r.media_id: bytes(r.payload)
+            for r in synthetic_audio_media(df).collect()}
+    for i in ids:
+        assert rows[i][:4] == b"FORM" and rows[i][8:12] == b"AIFF", i
+        rate = 8000 * (1 + i % 3)
+        n_frames = 50 + i % 200
+        bits = (8, 16, 24)[i % 3]
+        nch = 1 + i % 2
+        j = np.arange(n_frames * nch, dtype=np.int64)
+        fr = (((i * 7 + 13 * j) % 201) - 100).reshape(n_frames, nch)
+        out = _decode_wav_pcm(rows[i])
+        assert out is not None and out[0] == rate
+        assert (out[1] == fr).all(), i
+    # a WAV-route neighbor stays RIFF
+    df2 = spark.createDataFrame([(0,)], "doc_id long")
+    b0 = bytes(synthetic_audio_media(df2).collect()[0].payload)
+    assert b0[:4] == b"RIFF"
+
+
+def test_aiff_f80_rate_edge_cases():
+    """The 80-bit extended-float rate parser: integers round-trip,
+    negative/fractional/absurd rates quarantine."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _aiff_f80_decode,
+        _aiff_f80_encode,
+    )
+
+    for v in (1, 8000, 22050, 44100, 96000, 10_000_000):
+        assert _aiff_f80_decode(_aiff_f80_encode(v)) == v
+    assert _aiff_f80_decode(b"\x80" + b"\x00" * 9) is None  # negative
+    assert _aiff_f80_decode(b"\x00" * 10) is None           # zero
+    # 0.5: exponent 16382, mantissa leading 1
+    assert _aiff_f80_decode(
+        (16382).to_bytes(2, "big") + (1 << 63).to_bytes(8, "big")) is None
+    assert _aiff_f80_decode(
+        (16383 + 40).to_bytes(2, "big")
+        + (1 << 63).to_bytes(8, "big")) is None              # absurd
+    assert _aiff_f80_decode(b"\x00" * 9) is None             # short
+
+
+def test_aiff_hostile_variants_quarantine():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _aiff_encode,
+    )
+
+    fr = np.arange(-50, 50, dtype=np.int64).reshape(50, 2)
+    good = _aiff_encode(fr, 8000, 16)
+    assert _decode_wav_pcm(good) is not None
+    # AIFC (compressed) form type: not this lane
+    assert _decode_wav_pcm(good[:8] + b"AIFC" + good[12:]) is None
+    # SSND offset pointing past the chunk
+    bad = bytearray(good)
+    ssnd = good.index(b"SSND")
+    bad[ssnd + 8 : ssnd + 12] = (1 << 20).to_bytes(4, "big")
+    assert _decode_wav_pcm(bytes(bad)) is None
+    # COMM declaring an unsupported depth
+    bad = bytearray(good)
+    comm = good.index(b"COMM")
+    bad[comm + 14 : comm + 16] = (12).to_bytes(2, "big")
+    assert _decode_wav_pcm(bytes(bad)) is None
+    # truncated SSND: decodes the complete frames present
+    cut = _decode_wav_pcm(good[:-13])
+    assert cut is not None and cut[1].shape[0] < 50
+    # header only, no chunks at all
+    assert _decode_wav_pcm(good[:12]) is None
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_aiff_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _aiff_encode,
+    )
+
+    fr = (np.arange(120, dtype=np.int64) % 201 - 100).reshape(60, 2)
+    for payload in (bytearray(_aiff_encode(fr, 8000, 24, ssnd_offset=4)),
+                    bytearray(_aiff_encode(fr, 16000, 8))):
+        for pos, val in flips:
+            payload[pos % len(payload)] = val
+        out = _decode_wav_pcm(bytes(payload))
+        assert out is None or (out[0] > 0 and out[1].ndim == 2)

@@ -21,6 +21,7 @@ from amazon_macie_activity_generator_spark.operators.jpeg import (
 from amazon_macie_activity_generator_spark.operators.multimodal import (
     _GIF_FILL_PALETTE,
     _bmp_encode,
+    _bmp_encode_palette,
     _gif_encode,
     _jpeg_abbreviate,
     _png_encode,
@@ -78,6 +79,11 @@ def _valid_payloads() -> list[bytes]:
             # palette-color: mutations reach the ColorMap fetch/narrow
             _tiff_encode(bytes((i + 3 * p) % 256 for p in range(w * h)),
                          w, h, palette=pal, packbits=True),
+            # palette BMP incl. RLE8: mutations reach the color-table
+            # bound check and the RLE token walk/escapes
+            _bmp_encode_palette(
+                bytes((i + 3 * p) % 256 for p in range(w * h)),
+                pal, w, h, rle=True),
         ]
     # JPEG-in-TIFF (r13): mutations reach the tag-347 splice and the
     # per-strip JPEG geometry checks
@@ -347,6 +353,42 @@ def test_lzw_two_phase_equals_scalar(npix, ncol, runs, rng):
             m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
         assert (mm._gif_lzw_decode(bytes(m), msz, npix)
                 == _gif_lzw_decode_small(bytes(m), msz, npix))
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(1, 2000),   # cap spans the _LZW_TWO_PHASE_MIN_PIX gate
+    st.booleans(),          # runs vs noise content
+    st.randoms(use_true_random=False),
+)
+def test_tiff_lzw_two_phase_equals_scalar(cap, runs, rng):
+    """The late-r13 two-phase TIFF LZW and its scalar lane must agree
+    on every well-formed stream (round trip) AND on mutated streams
+    (both None, or byte-identical output) — the dispatch gate must be
+    purely a performance choice, never a semantics one. The TIFF
+    variant's early-change width rule makes the two-phase batch
+    prediction off-by-one-sensitive, which is exactly what this pins."""
+    import numpy as np
+
+    from amazon_macie_activity_generator_spark.operators import multimodal as mm
+
+    if runs:
+        data = bytes(np.repeat(
+            [rng.randrange(256) for _ in range(max(1, cap // 8))], 8
+        )[:cap].astype(np.uint8))
+    else:
+        data = bytes(rng.randrange(256) for _ in range(cap))
+    cap = len(data)
+    enc = mm._tiff_lzw_encode(data)
+    assert mm._tiff_lzw_decode(enc, 0, len(enc), cap) == data
+    assert mm._tiff_lzw_decode_small(enc, 0, len(enc), cap) == data
+    for _ in range(3):
+        m = bytearray(enc)
+        for _ in range(rng.randrange(1, 4)):
+            m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+        assert (mm._tiff_lzw_decode(bytes(m), 0, len(m), cap)
+                == mm._tiff_lzw_decode_small(bytes(m), 0, len(m), cap))
 
 
 # --------------------------------------------------------------- AVI (r12)

@@ -1789,3 +1789,118 @@ def test_tiff_palette_colormap_narrowing_and_quarantines():
         if int.from_bytes(b3[e:e + 2], "little") == 320:
             b3[e + 4:e + 8] = (100).to_bytes(4, "little")
     assert _decode_tiff_pixels(bytes(b3)) is None
+
+
+# ------------------------------------------ palette / RLE8 BMP (late r13)
+
+
+def test_bmp_palette_roundtrip_and_rle8():
+    """8-bit palette BMP (BI_RGB and BI_RLE8): indices through the BGRX
+    color table reconstruct exact RGB; RLE8 exercises run tokens,
+    absolute mode with its word pad, EOL, and EOB."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _bmp_encode_palette,
+        _decode_bmp_pixels,
+    )
+
+    for i in (0, 8, 131):
+        for w, h in ((1, 1), (13, 9), (32, 24)):
+            idx = bytes((i + 3 * p) % 256 for p in range(w * h))
+            pal = bytes(v for c in range(256)
+                        for v in (c, (c + 1) % 256, (c + 2) % 256))
+            expect = b"".join(
+                bytes(((i + 3 * p) % 256, (i + 3 * p + 1) % 256,
+                       (i + 3 * p + 2) % 256)) for p in range(w * h))
+            for rle in (False, True):
+                f = _bmp_encode_palette(idx, pal, w, h, rle=rle)
+                assert _decode_bmp_pixels(f) == (w, h, expect), (i, w, h, rle)
+                assert decode_pixels_bytes(f)[0] == "bmp"
+    # run-heavy content drives the run-token path
+    runs = (b"\x05" * 37 + bytes(range(9))) * 20
+    idx = runs[:23 * 17]
+    pal = bytes(v for c in range(256) for v in (c, c, c))
+    f = _bmp_encode_palette(idx, pal, 23, 17, rle=True)
+    assert _decode_bmp_pixels(f) == (
+        23, 17, b"".join(bytes((k, k, k)) for k in idx))
+
+
+def test_bmp_palette_grammar_route(spark):
+    """k%4==1/3 of the BMP slice emit palette BMPs (RLE8 on k%4==3)
+    that still decode to the raw fill — the oracle never moves."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_bmp_pixels,
+        _raw_fill,
+        synthetic_pixel_media,
+    )
+
+    ids = [8, 24, 40, 56]  # k = 1, 3, 5, 7
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r.media_id: bytes(r.payload)
+            for r in synthetic_pixel_media(df).collect()}
+    for i in ids:
+        w, h = 1 + i % 32, 1 + i % 24
+        b = rows[i]
+        assert int.from_bytes(b[28:30], "little") == 8, i  # 8-bit
+        comp = int.from_bytes(b[30:34], "little")
+        assert comp == (1 if (i // 8) % 4 == 3 else 0), i
+        assert _decode_bmp_pixels(b) == (w, h, _raw_fill(i, w, h)), i
+
+
+def test_bmp_rle8_escapes_and_hostiles():
+    """RLE8 delta escape leaves skipped pixels at index 0; early EOB
+    leaves the rest at index 0; malformed streams quarantine."""
+    import numpy as np
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _bmp_encode_palette,
+        _bmp_rle8_decode,
+        _decode_bmp_pixels,
+    )
+
+    # hand-built stream: run, delta skip, literal, EOL, EOB on a 6x2 grid
+    s = bytes((2, 9,        # two pixels of 9
+               0, 2, 1, 0,  # delta: skip 1 right
+               3, 7,        # three pixels of 7
+               0, 0,        # EOL
+               0, 3, 1, 2, 3, 0,  # absolute: 3 literals + word pad
+               0, 1))       # EOB
+    g = _bmp_rle8_decode(s, 0, 6, 2)
+    assert g is not None
+    assert g.tolist() == [[9, 9, 0, 7, 7, 7], [1, 2, 3, 0, 0, 0]]
+
+    idx = bytes(range(16))
+    pal = bytes(768)
+    f = _bmp_encode_palette(idx, pal, 4, 4, rle=True)
+    assert _decode_bmp_pixels(f) is not None
+    # truncation (EOB cut off)
+    assert _decode_bmp_pixels(f[:-3]) is None
+    # run crossing the row end
+    assert _bmp_rle8_decode(bytes((7, 1, 0, 1)), 0, 6, 2) is None
+    # delta leaving the grid
+    assert _bmp_rle8_decode(bytes((0, 2, 9, 9, 0, 1)), 0, 6, 2) is None
+    # index beyond a short declared palette (biClrUsed)
+    g2 = _bmp_encode_palette(bytes((5, 5, 5, 5)), pal[:15], 2, 2)
+    assert _decode_bmp_pixels(g2) is None  # index 5 >= ncol 5
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_palette_bmp_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _bmp_encode_palette,
+    )
+
+    idx = bytes((11 + 3 * p) % 256 for p in range(13 * 9))
+    pal = bytes(v for c in range(256)
+                for v in (c, (c + 1) % 256, (c + 2) % 256))
+    for payload in (
+        bytearray(_bmp_encode_palette(idx, pal, 13, 9)),
+        bytearray(_bmp_encode_palette(idx, pal, 13, 9, rle=True)),
+    ):
+        for pos, val in flips:
+            payload[pos % len(payload)] = val
+        out = decode_pixels_bytes(bytes(payload))
+        assert out is None or (len(out) == 4 and
+                               len(out[3]) == out[1] * out[2] * 3)
