@@ -733,6 +733,8 @@ def _decode_wav_pcm(b: bytes | None):
     if b is not None and len(b) >= 12 and b[:4] == b"FORM" \
             and b[8:12] == b"AIFF":
         return _decode_aiff_pcm(b)  # big-endian sibling (late r13)
+    if b is not None and len(b) >= 24 and b[:4] == b".snd":
+        return _decode_au_pcm(b)  # Sun/NeXT .au sibling (late r13)
     if not b or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     fmt_code = sample_rate = block_align = bits = nch = None
@@ -828,6 +830,77 @@ def _decode_wav_pcm(b: bytes | None):
              | (raw[:, 2].astype(np.int32) << 16))
         samples = (x ^ 0x800000) - 0x800000
     return sample_rate, samples.reshape(n_frames, nch)
+
+
+def _decode_au_pcm(b: bytes):
+    """Sun/NeXT .au (the NIST-corpus container) integer PCM ->
+    (sample_rate, int32 (n_frames, n_channels)) or None. Header: magic
+    '.snd', data offset (>= 24), data size (0xFFFFFFFF = unknown ->
+    everything present), encoding, rate, channels — all big-endian.
+    Encodings accepted: 2/3/4 = signed linear PCM 8/16/24 big-endian
+    (8-bit is SIGNED here, like AIFF); µ-law (1) and other compressed
+    encodings quarantine — G.711 lives in the WAV lane with its oracle
+    and double-routing it here would silently skip that contract. A
+    data size beyond the buffer truncates to complete frames."""
+    import numpy as np
+
+    if len(b) < 24 or b[:4] != b".snd":
+        return None
+    off = int.from_bytes(b[4:8], "big")
+    size = int.from_bytes(b[8:12], "big")
+    enc = int.from_bytes(b[12:16], "big")
+    rate = int.from_bytes(b[16:20], "big")
+    nch = int.from_bytes(b[20:24], "big")
+    if off < 24 or off > len(b) or not 1 <= nch <= 64 \
+            or not 0 < rate <= 10_000_000 or enc not in (2, 3, 4):
+        return None
+    data = b[off:]
+    if size != 0xFFFFFFFF:
+        data = data[:size]
+    width = enc - 1  # bytes per sample: 1/2/3
+    ba = nch * width
+    n = len(data) // ba
+    if n == 0 or n * nch > _MAX_SAMPLES:
+        return None
+    data = data[: n * ba]
+    if width == 1:
+        samples = np.frombuffer(data, dtype=np.int8).astype(np.int32)
+    elif width == 2:
+        samples = np.frombuffer(data, dtype=">i2").astype(np.int32)
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        x = ((raw[:, 0].astype(np.int32) << 16)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | raw[:, 2].astype(np.int32))
+        samples = (x ^ 0x800000) - 0x800000
+    return rate, samples.reshape(n, nch)
+
+
+def _au_encode(frames, rate: int, bits: int,
+               annotation: bytes = b"") -> bytes:
+    """.au writer twin of :func:`_decode_au_pcm`: big-endian signed
+    PCM, optional annotation text padding the data offset past 24."""
+    import numpy as np
+
+    frames = np.asarray(frames)
+    n, nch = frames.shape
+    if bits == 8:
+        payload = frames.astype(np.int8).tobytes()
+    elif bits == 16:
+        payload = frames.astype(">i2").tobytes()
+    else:
+        x = frames.astype(np.int64).reshape(-1) & 0xFFFFFF
+        arr = np.empty((x.size, 3), np.uint8)
+        arr[:, 0] = (x >> 16) & 0xFF
+        arr[:, 1] = (x >> 8) & 0xFF
+        arr[:, 2] = x & 0xFF
+        payload = arr.tobytes()
+    off = 24 + len(annotation)
+    return (b".snd" + off.to_bytes(4, "big")
+            + len(payload).to_bytes(4, "big")
+            + (bits // 8 + 1).to_bytes(4, "big")
+            + rate.to_bytes(4, "big") + nch.to_bytes(4, "big")
+            + annotation + payload)
 
 
 def _aiff_f80_decode(e: bytes) -> int | None:
@@ -1218,8 +1291,10 @@ def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the input formula at every depth; of those, (id // 7) % 3 == 1
     files ship the same samples in an AIFF container (late r13:
     big-endian, signed 8-bit, 80-bit extended-float rate, IFF pad
-    bytes, alternating SSND offset) instead of RIFF/WAVE, so the
-    unchanged oracle also proves the AIFF parse."""
+    bytes, alternating SSND offset) and (id // 7) % 3 == 2 files in a
+    Sun/NeXT .au container (big-endian signed PCM, alternating
+    annotation padding) instead of RIFF/WAVE, so the unchanged oracle
+    also proves both parses."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -1274,6 +1349,13 @@ def synthetic_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 return _aiff_encode(samples.reshape(n_frames, nch),
                                     rate, bits,
                                     ssnd_offset=4 * ((i // 21) % 2))
+            if (i // 7) % 3 == 2:
+                # Sun .au sub-route (late r13): same samples big-endian
+                # signed, alternating annotation padding before the
+                # data offset. Lossless — oracle unchanged.
+                return _au_encode(samples.reshape(n_frames, nch),
+                                  rate, bits,
+                                  annotation=b"amg\x00" * ((i // 21) % 2))
             return _wav_encode(samples.reshape(n_frames, nch), rate, bits)
 
         for pdf in batches:

@@ -1916,8 +1916,10 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, no recursion. Late round 13: of the integer-PCM ids,
     (id//7) %% 3 == 1 files ship the same samples in an AIFF container
     (big-endian IFF, signed 8-bit, 80-bit extended-float rate, IFF pad
-    bytes, alternating SSND offsets) — lossless and stat-identical, so
-    the unchanged oracle hash also proves the AIFF parse. Exact int64
+    bytes, alternating SSND offsets) and (id//7) %% 3 == 2 files in a
+    Sun/NeXT .au container (big-endian signed PCM, annotation
+    padding) — lossless and stat-identical, so the unchanged oracle
+    hash also proves both container parses. Exact int64
     sample_sum / abs_peak, duration flooring, float64 rms
     bit-identical via exact-integer sums under 2^53. NULL/negative
     doc_ids excluded in both engines."""

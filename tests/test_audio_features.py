@@ -869,3 +869,98 @@ def test_bitflipped_aiff_never_raises(flips):
             payload[pos % len(payload)] = val
         out = _decode_wav_pcm(bytes(payload))
         assert out is None or (out[0] > 0 and out[1].ndim == 2)
+
+
+# ------------------------------------------------- Sun .au (late r13)
+
+
+def test_au_roundtrip_all_depths():
+    """Sun/NeXT .au big-endian signed PCM decodes exactly at 8/16/24
+    bits, mono+stereo, with and without annotation padding."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _au_encode,
+    )
+
+    rng = np.random.default_rng(9)
+    for bits, lim in ((8, 100), (16, 30000), (24, 8_000_000)):
+        for nch in (1, 2):
+            for ann in (b"", b"note\x00\x00"):
+                fr = rng.integers(-lim, lim + 1, (37, nch)).astype(np.int64)
+                out = _decode_wav_pcm(
+                    _au_encode(fr, 16000, bits, annotation=ann))
+                assert out is not None, (bits, nch, ann)
+                assert out[0] == 16000 and (out[1] == fr).all()
+
+
+def test_au_grammar_route_matches_wav_stats(spark):
+    """The (id//7)%3==2 PCM sub-route ships .au containers whose
+    decoded stats are identical to the WAV form."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        synthetic_audio_media,
+    )
+
+    ids = [i for i in range(120)
+           if i % 7 in (0, 2, 4) and (i // 7) % 3 == 2][:6]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r.media_id: bytes(r.payload)
+            for r in synthetic_audio_media(df).collect()}
+    for i in ids:
+        assert rows[i][:4] == b".snd", i
+        rate = 8000 * (1 + i % 3)
+        n_frames = 50 + i % 200
+        nch = 1 + i % 2
+        j = np.arange(n_frames * nch, dtype=np.int64)
+        fr = (((i * 7 + 13 * j) % 201) - 100).reshape(n_frames, nch)
+        out = _decode_wav_pcm(rows[i])
+        assert out is not None and out[0] == rate and (out[1] == fr).all(), i
+
+
+def test_au_hostile_variants_quarantine():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _au_encode,
+        _decode_au_pcm,
+    )
+
+    fr = np.arange(-40, 40, dtype=np.int64).reshape(40, 2)
+    good = _au_encode(fr, 8000, 16)
+    assert _decode_au_pcm(good) is not None
+    # µ-law encoding (1): quarantines here — G.711 is the WAV lane
+    bad = bytearray(good)
+    bad[12:16] = (1).to_bytes(4, "big")
+    assert _decode_au_pcm(bytes(bad)) is None
+    # float encoding (6)
+    bad[12:16] = (6).to_bytes(4, "big")
+    assert _decode_au_pcm(bytes(bad)) is None
+    # data offset inside the header
+    bad = bytearray(good)
+    bad[4:8] = (12).to_bytes(4, "big")
+    assert _decode_au_pcm(bytes(bad)) is None
+    # absurd channel count
+    bad = bytearray(good)
+    bad[20:24] = (1000).to_bytes(4, "big")
+    assert _decode_au_pcm(bytes(bad)) is None
+    # unknown-size sentinel decodes everything present
+    unk = bytearray(good)
+    unk[8:12] = (0xFFFFFFFF).to_bytes(4, "big")
+    out = _decode_au_pcm(bytes(unk))
+    assert out is not None and out[1].shape == (40, 2)
+    # truncated data: complete frames only
+    cut = _decode_au_pcm(good[:-5])
+    assert cut is not None and cut[1].shape[0] == 38
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_au_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _au_encode,
+    )
+
+    fr = (np.arange(90, dtype=np.int64) % 201 - 100).reshape(45, 2)
+    payload = bytearray(_au_encode(fr, 8000, 24, annotation=b"x\x00"))
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    out = _decode_wav_pcm(bytes(payload))
+    assert out is None or (out[0] > 0 and out[1].ndim == 2)
