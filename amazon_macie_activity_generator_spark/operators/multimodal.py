@@ -125,12 +125,44 @@ def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def _parse_image_dims(b: bytes | None) -> tuple[int, int] | None:
-    """Width/height from BMP, PNG, GIF, PPM (P3/P6), or JPEG header bytes.
-    Pure-stdlib parsing of the public file-format layouts; returns None
-    for anything unrecognized or truncated."""
+    """Width/height from BMP, PNG, GIF, PPM (P3/P6), JPEG, QOI, TIFF,
+    or (footer-sniffed) TGA header bytes. Pure-stdlib parsing of the
+    public file-format layouts; returns None for anything unrecognized
+    or truncated — kept in step with the full decoders so a cheap
+    header pass and a full decode agree on which rows are media."""
     if not b or len(b) < 10:
         return None
     try:
+        if b[:4] == b"qoif" and len(b) >= 14:
+            w = int.from_bytes(b[4:8], "big")
+            h = int.from_bytes(b[8:12], "big")
+            return (w, h) if w > 0 and h > 0 else None
+        if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a") and len(b) >= 14:
+            bo = "little" if b[0] == 0x49 else "big"
+            ifd = int.from_bytes(b[4:8], bo)
+            if ifd + 2 > len(b):
+                return None
+            nent = int.from_bytes(b[ifd : ifd + 2], bo)
+            w = h = None
+            for k in range(nent):
+                e = ifd + 2 + 12 * k
+                if e + 12 > len(b):
+                    return None
+                tag = int.from_bytes(b[e : e + 2], bo)
+                typ = int.from_bytes(b[e + 2 : e + 4], bo)
+                if tag in (256, 257):
+                    v = int.from_bytes(
+                        b[e + 8 : e + 10] if typ == 3 else b[e + 8 : e + 12],
+                        bo)
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            return (w, h) if w and h else None
+        if len(b) >= 44 and b[-26:][8:] == _TGA_FOOTER:  # TGA v2 footer
+            w = int.from_bytes(b[12:14], "little")
+            h = int.from_bytes(b[14:16], "little")
+            return (w, h) if w > 0 and h > 0 else None
         if b[:2] == b"BM" and len(b) >= 26:  # BITMAPINFOHEADER
             w = int.from_bytes(b[18:22], "little", signed=True)
             h = int.from_bytes(b[22:26], "little", signed=True)
@@ -177,7 +209,38 @@ def _parse_image_dims(b: bytes | None) -> tuple[int, int] | None:
 def _parse_wav_duration_ms(b: bytes | None) -> int | None:
     """Duration in ms from a RIFF/WAVE file via the standard chunk walk:
     block-align and sample-rate from the fmt chunk, frame count from the
-    data chunk size. Returns None for non-WAV or malformed bytes."""
+    data chunk size. Late r13 also reads the sibling audio containers
+    the full decoder accepts — AIFF (COMM frame count over the 80-bit
+    extended rate) and Sun .au (data size over block align) — so the
+    header pass and the full decode agree on which rows carry audio.
+    Returns None for anything else or malformed bytes."""
+    if b is not None and len(b) >= 12 and b[:4] == b"FORM" \
+            and b[8:12] == b"AIFF":
+        i = 12
+        while i + 8 <= len(b):
+            if b[i : i + 4] == b"COMM":
+                body = b[i + 8 : i + 8 + int.from_bytes(b[i + 4 : i + 8],
+                                                        "big")]
+                if len(body) < 18:
+                    return None
+                nframes = int.from_bytes(body[2:6], "big")
+                rate = _aiff_f80_decode(body[8:18])
+                return nframes * 1000 // rate if rate else None
+            i += 8 + int.from_bytes(b[i + 4 : i + 8], "big")
+            i += i % 2
+        return None
+    if b is not None and len(b) >= 24 and b[:4] == b".snd":
+        off = int.from_bytes(b[4:8], "big")
+        size = int.from_bytes(b[8:12], "big")
+        enc = int.from_bytes(b[12:16], "big")
+        rate = int.from_bytes(b[16:20], "big")
+        nch = int.from_bytes(b[20:24], "big")
+        if off < 24 or off > len(b) or not rate or not 1 <= nch <= 64 \
+                or enc not in (2, 3, 4):
+            return None
+        avail = len(b) - off if size == 0xFFFFFFFF else min(size,
+                                                            len(b) - off)
+        return avail // (nch * (enc - 1)) * 1000 // rate
     if not b or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     sample_rate = block_align = data_size = None

@@ -269,3 +269,55 @@ def test_synthetic_media_survives_null_id(spark):
     # NULL id synthesized as id 0: identical decoded media, NULL identity
     assert null_rows[0].content_hash == zero_rows[0].content_hash
     assert null_rows[0].kind == "image" and null_rows[0].width == 1
+
+
+def test_parse_image_dims_late_r13_containers():
+    """The cheap header pass must agree with the full decoders on the
+    late-r13 containers: QOI, TIFF (both byte orders), footer-sniffed
+    TGA."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _parse_image_dims,
+        _qoi_encode,
+        _raw_fill,
+        _tga_encode,
+        _tiff_encode,
+    )
+
+    raw = _raw_fill(5, 13, 9)
+    assert _parse_image_dims(_qoi_encode(raw, 13, 9)) == (13, 9)
+    assert _parse_image_dims(_tiff_encode(raw, 13, 9)) == (13, 9)
+    assert _parse_image_dims(
+        _tiff_encode(raw, 13, 9, big_endian=True, lzw=True)) == (13, 9)
+    assert _parse_image_dims(_tga_encode(raw, 13, 9)) == (13, 9)
+    assert _parse_image_dims(_tga_encode(raw, 13, 9, rle=True,
+                                         bpp32=True)) == (13, 9)
+    # truncated TIFF IFD quarantines instead of misreading
+    t = _tiff_encode(raw, 13, 9)
+    assert _parse_image_dims(t[:12]) is None
+
+
+def test_parse_audio_duration_late_r13_containers():
+    """Duration header pass for AIFF and .au matches the WAV result on
+    identical samples."""
+    import numpy as np
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _aiff_encode,
+        _au_encode,
+        _parse_wav_duration_ms,
+        _wav_encode,
+    )
+
+    fr = (np.arange(3000, dtype=np.int64) % 201 - 100).reshape(1500, 2)
+    want = _parse_wav_duration_ms(_wav_encode(fr, 8000, 16))
+    assert want == 187  # 1500 frames / 8000 Hz, floored ms
+    assert _parse_wav_duration_ms(_aiff_encode(fr, 8000, 16)) == want
+    assert _parse_wav_duration_ms(
+        _au_encode(fr, 8000, 16, annotation=b"x\x00")) == want
+    # unknown-size .au sentinel: everything present counts
+    au = bytearray(_au_encode(fr, 8000, 16))
+    au[8:12] = (0xFFFFFFFF).to_bytes(4, "big")
+    assert _parse_wav_duration_ms(bytes(au)) == want
+    # mu-law .au (enc 1) is not this lane
+    au[12:16] = (1).to_bytes(4, "big")
+    assert _parse_wav_duration_ms(bytes(au)) is None
