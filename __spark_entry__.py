@@ -59,6 +59,10 @@ _CHANGED_AFTER_ROUND: dict[str, int] = {
     # (doc_id % 7 == 3, previously bare JFIF; fmt CASE changed in the
     # oracle) — prune once CORRECTNESS_r13 carries the row
     "multimodal_pixels_jpeg": 12,
+    # r13: uncompressed DIB sub-route folded into the AVI slice
+    # (odd doc_id//8, previously MJPEG; new realavidib CTE in the
+    # oracle) — prune once CORRECTNESS_r13 carries the row
+    "multimodal_frames": 12,
 }
 
 

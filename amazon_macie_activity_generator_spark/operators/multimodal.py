@@ -1587,7 +1587,8 @@ def _riff_list(ltype: bytes, children: bytes) -> bytes:
 
 def _avi_encode_mjpeg(
     jpeg_frames: list, w: int, h: int, usec_per_frame: int = 500000,
-    handler: bytes = b"MJPG",
+    handler: bytes = b"MJPG", compression: bytes = b"MJPG",
+    chunk_suffix: bytes = b"dc", bitcount: int = 24,
 ) -> bytes:
     """Minimal spec-shaped AVI 1.0 writer for an MJPEG video stream —
     the container twin of :func:`_gif_encode_animated`, used by the
@@ -1617,24 +1618,46 @@ def _avi_encode_mjpeg(
     strf = (
         (40).to_bytes(4, "little")
         + w.to_bytes(4, "little") + h.to_bytes(4, "little")
-        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
-        + b"MJPG" + (w * h * 3).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + bitcount.to_bytes(2, "little")
+        + compression + (w * h * 3).to_bytes(4, "little")
         + bytes(16)
     )
     hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + _riff_list(
         b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)))
     movi_children = b""
     idx = b""
+    cid = b"00" + chunk_suffix
     for frame in jpeg_frames:
         # idx1 offsets point at the chunk's fourcc, relative to the
         # 'movi' fourcc itself (offset 4 = first chunk)
-        idx += (b"00dc" + (0x10).to_bytes(4, "little")
+        idx += (cid + (0x10).to_bytes(4, "little")
                 + (4 + len(movi_children)).to_bytes(4, "little")
                 + len(frame).to_bytes(4, "little"))
-        movi_children += _riff_chunk(b"00dc", frame)
+        movi_children += _riff_chunk(cid, frame)
     body = (b"AVI " + hdrl + _riff_list(b"movi", movi_children)
             + _riff_chunk(b"idx1", idx))
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _avi_encode_dib(
+    rgb_frames: list, w: int, h: int, usec_per_frame: int = 500000,
+) -> bytes:
+    """Uncompressed (DIB) AVI writer twin (late r13): each frame is a
+    bottom-up BGR DIB with rows padded to 4 bytes — the BMP body layout
+    — in '00db' chunks, fccHandler 'DIB ' and strf biCompression 0
+    (BI_RGB). Frames take top-down RGB bytes like every other twin."""
+    import numpy as np
+
+    stride = (w * 3 + 3) // 4 * 4
+    dibs = []
+    for rgb in rgb_frames:
+        a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)[::-1, :, ::-1]
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = a.reshape(h, w * 3)
+        dibs.append(rows.tobytes())
+    return _avi_encode_mjpeg(
+        dibs, w, h, usec_per_frame=usec_per_frame, handler=b"DIB ",
+        compression=bytes(4), chunk_suffix=b"db")
 
 
 def _decode_avi_mjpeg_frames(
@@ -1691,6 +1714,7 @@ def _decode_avi_mjpeg_frames(
     scale = rate = None
     vids_handler: bytes | None = None
     compression: bytes | None = None
+    strf_w = strf_h = bitcount = None
     saw_vids = False
     movi: tuple[int, int] | None = None
     stream_no = 0
@@ -1698,6 +1722,7 @@ def _decode_avi_mjpeg_frames(
 
     def walk(lo: int, hi: int) -> None:
         nonlocal usec, scale, rate, vids_handler, compression
+        nonlocal strf_w, strf_h, bitcount
         nonlocal saw_vids, movi, stream_no, n_streams_seen
         i = lo
         while i + 8 <= hi:
@@ -1726,6 +1751,12 @@ def _decode_avi_mjpeg_frames(
             elif cid == b"strf" and csize >= 20 and saw_vids and (
                     compression is None and n_streams_seen == stream_no + 1):
                 compression = b[body_lo + 16 : body_lo + 20]
+                strf_w = int.from_bytes(b[body_lo + 4 : body_lo + 8],
+                                        "little", signed=True)
+                strf_h = int.from_bytes(b[body_lo + 8 : body_lo + 12],
+                                        "little", signed=True)
+                bitcount = int.from_bytes(b[body_lo + 14 : body_lo + 16],
+                                          "little")
             i = body_lo + csize + (csize % 2)
 
     walk(12, len(b))
@@ -1735,7 +1766,18 @@ def _decode_avi_mjpeg_frames(
     blank_handler = vids_handler in (b"\x00\x00\x00\x00", b"    ")
     is_mjpeg = (vids_handler in mjpeg_tags
                 or (blank_handler and compression in mjpeg_tags))
-    if not is_mjpeg:
+    # uncompressed DIB route (late r13): fccHandler 'DIB ' or a blank
+    # handler whose strf declares BI_RGB (biCompression 0) — frames are
+    # raw bottom-up BGR at the strf geometry, no codec needed
+    is_dib = not is_mjpeg and (
+        vids_handler in (b"DIB ", b"dib ")
+        or (blank_handler and compression == bytes(4)))
+    if is_dib:
+        if (not strf_w or strf_w <= 0 or not strf_h
+                or bitcount not in (24, 32)
+                or strf_w * abs(strf_h) > _MAX_PIXELS):
+            return None  # malformed/unsupported-depth DIB geometry
+    elif not is_mjpeg:
         if blank_handler and compression is None:
             # fccHandler blank AND no biCompression parsed (strf
             # missing/truncated): the file never declares a codec at
@@ -1807,12 +1849,28 @@ def _decode_avi_mjpeg_frames(
                         frame_idx += 1
                         i = body_lo + csize + (csize % 2)
                         continue
-                if payload[:2] != b"\xff\xd8":
-                    raise ValueError("declared-MJPEG frame is not JPEG")
-                out = decode_jpeg_pixels(payload)
-                if out is None:
-                    raise ValueError("undecodable MJPEG frame")
-                fw, fh, rgb = out
+                if is_dib:
+                    import numpy as np
+
+                    nch = bitcount // 8
+                    fh = abs(strf_h)
+                    stride = (strf_w * nch + 3) // 4 * 4
+                    if len(payload) < stride * fh:
+                        raise ValueError("short DIB frame")
+                    a = np.frombuffer(
+                        payload, np.uint8, count=stride * fh,
+                    ).reshape(fh, stride)[:, : strf_w * nch]
+                    a = a.reshape(fh, strf_w, nch)[..., :3]
+                    if strf_h > 0:  # positive height = bottom-up
+                        a = a[::-1]
+                    fw, rgb = strf_w, a[..., ::-1].tobytes()
+                else:
+                    if payload[:2] != b"\xff\xd8":
+                        raise ValueError("declared-MJPEG frame is not JPEG")
+                    out = decode_jpeg_pixels(payload)
+                    if out is None:
+                        raise ValueError("undecodable MJPEG frame")
+                    fw, fh, rgb = out
                 if w is None:
                     w, h = fw, fh
                 elif (fw, fh) != (w, h):
@@ -4468,7 +4526,14 @@ def synthetic_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ``multimodal_pixels_jpeg`` arithmetic), so the RGB byte sum of
     frame f is 64 * sum_b(r_b + g_b + b_b). A hash match on this route
     therefore proves real container parse + Huffman + IDCT + color
-    conversion per FRAME, not AVI header sniffing."""
+    conversion per FRAME, not AVI header sniffing.
+
+    Late round 13: odd id//8 files are UNCOMPRESSED DIB AVIs instead
+    (:func:`_avi_encode_dib` — fccHandler 'DIB ', BI_RGB, bottom-up
+    padded BGR rows in '00db' chunks): frame f's top-down RGB byte j
+    is (id + 3f + j) %% 256, so the oracle's frame sum is direct
+    arithmetic and a hash match proves the second real AVI codec's
+    row unpadding and orientation/channel flips."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -4479,6 +4544,17 @@ def synthetic_avi_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             nb = 1 + i % 3
             w, h = 8 * nb, 8
             nf = 1 + i % 6
+            if (i // 8) % 2 == 1:
+                # uncompressed DIB route (late r13): frame f's top-down
+                # RGB byte j is (i + 3f + j) % 256 — raw arithmetic, so
+                # the oracle needs no codec replay and a hash match
+                # proves the RIFF walk + per-frame row unpadding +
+                # bottom-up/BGR flips of the second real video codec
+                frames = [bytes((i + 3 * f + j) % 256
+                                for j in range(w * h * 3))
+                          for f in range(nf)]
+                return _avi_encode_dib(frames, w, h,
+                                       usec_per_frame=500000)
             frames = []
             for f in range(nf):
                 dcy = [(i + 3 * f + 7 * b) % 64 - 32 for b in range(nb)]

@@ -1140,9 +1140,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame's byte sum through the AVI RIFF walk, per-frame JPEG
     Huffman+IDCT decode, and the fixed-point YCbCr->RGB conversion
     (dcY/dcCb/dcCr arithmetic, the ``multimodal_pixels_jpeg`` formula),
-    plus the dwMicroSecPerFrame timeline. A hash match therefore proves
-    real multi-frame pixel decode across BOTH container families, not
-    container sniffing."""
+    plus the dwMicroSecPerFrame timeline. Late round 13: odd id//8
+    files on the AVI slice are UNCOMPRESSED DIB AVIs (fccHandler
+    'DIB ', BI_RGB bottom-up BGR frames) — the second real video
+    codec — whose frame sums are direct arithmetic over the raw fill,
+    so the oracle also proves the DIB row-unpadding and
+    bottom-up/BGR flips. A hash match therefore proves real
+    multi-frame pixel decode across both container families and both
+    AVI codecs, not container sniffing."""
     from amazon_macie_activity_generator_spark.operators.multimodal import (
         sample_frames,
         synthetic_avi_media,
@@ -1232,7 +1237,9 @@ WITH h AS (
 ), avf AS (
   SELECT i, nb, nf, unnest([0, 2, 4]) AS f FROM av
 ), avb AS (
-  SELECT i, f, unnest(range(nb)) AS bk FROM avf WHERE f < nf
+  -- even i//8 files are MJPEG; odd are the DIB route below
+  SELECT i, f, unnest(range(nb)) AS bk
+  FROM avf WHERE f < nf AND (i // 8) % 2 = 0
 ), avc AS (
   -- MJPEG-in-AVI route: DC-only 4:4:4 blocks with flat q=8, so every
   -- decoded sample of block bk is the fixed-point YCbCr->RGB image of
@@ -1251,10 +1258,21 @@ WITH h AS (
            + GREATEST(0, LEAST(255, y + CAST(floor((116130 * cb1 + 32768) / 65536.0) AS BIGINT)))
          ) AS BIGINT) AS frame_sum
   FROM avc GROUP BY i, f
+), realavidib AS (
+  -- uncompressed DIB route (late r13, odd i//8): frame f's top-down
+  -- RGB byte j is (i + 3f + j) % 256 — no codec replay, the sum is
+  -- direct arithmetic over the frame's w*h*3 = nb*192 bytes; a hash
+  -- match proves the RIFF walk + DIB unpadding + bottom-up/BGR flips
+  SELECT i AS media_id, CAST(f AS BIGINT) AS frame_idx,
+         CAST(500 * f AS BIGINT) AS ts_ms,
+         CAST(list_sum(list_transform(range(nb * 192),
+              j -> (i + 3 * f + j) % 256)) AS BIGINT) AS frame_sum
+  FROM avf WHERE f < nf AND (i // 8) % 2 = 1
 )
 SELECT * FROM stub
 UNION ALL SELECT * FROM realgif
 UNION ALL SELECT * FROM realavi
+UNION ALL SELECT * FROM realavidib
 """
 
 

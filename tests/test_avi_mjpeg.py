@@ -16,6 +16,8 @@ rebuild's extension of that surface.
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from amazon_macie_activity_generator_spark.operators import multimodal as mm
 from amazon_macie_activity_generator_spark.operators.jpeg import (
@@ -421,3 +423,121 @@ def test_blank_handler_without_strf_compression_quarantines():
     xvid = avi[:k] + b"XVID" + avi[k + 4 :]
     with pytest.raises(NotImplementedError):
         _decode_avi_mjpeg_frames(xvid)
+
+
+# ------------------------------------------------ DIB route (late r13)
+
+
+def test_dib_avi_roundtrip_and_grammar(spark):
+    """Odd id//8 files on the AVI grammar are uncompressed DIB AVIs:
+    decoded frames equal the raw fill and the frame sum matches the
+    oracle's direct arithmetic."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        synthetic_avi_media,
+    )
+
+    ids = [15, 31, 47]  # i//8 = 1, 3, 5 — all odd
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r.media_id: bytes(r.payload)
+            for r in synthetic_avi_media(df).collect()}
+    for i in ids:
+        nb = 1 + i % 3
+        w, h, nf = 8 * nb, 8, 1 + i % 6
+        b = rows[i]
+        assert b[:4] == b"RIFF" and b"DIB " in b[:200], i
+        out = _decode_avi_mjpeg_frames(b)
+        assert out is not None and (out[0], out[1]) == (w, h)
+        assert len(out[2]) == nf
+        for f, (dms, rgb) in enumerate(out[2]):
+            assert dms == 500
+            want = bytes((i + 3 * f + j) % 256 for j in range(w * h * 3))
+            assert rgb == want, (i, f)
+            assert sum(rgb) == sum((i + 3 * f + j) % 256
+                                   for j in range(nb * 192))
+
+
+def test_dib_avi_sampling_mode_and_top_down():
+    """Sampling emits even frames; a NEGATIVE strf height (top-down
+    DIB) decodes without the row flip."""
+    import numpy as np
+
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _avi_encode_dib,
+    )
+
+    w, h, nf = 16, 8, 5
+    frames = [bytes((9 + 3 * f + j) % 256 for j in range(w * h * 3))
+              for f in range(nf)]
+    avi = _avi_encode_dib(frames, w, h)
+    s = _decode_avi_mjpeg_frames(avi, sampling=(1000, 8))
+    assert [r[0] for r in s[2]] == [0, 2, 4]
+    assert [r[1] for r in s[2]] == [0, 1000, 2000]
+    assert all(r[2] == frames[r[0]] for r in s[2])
+
+    # flip strf height negative and store rows top-down: same decode
+    b = bytearray(avi)
+    at = bytes(b).find(b"strf") + 8 + 8
+    b[at:at + 4] = (-h).to_bytes(4, "little", signed=True)
+    stride = (w * 3 + 3) // 4 * 4
+    i2 = 0
+    while True:
+        i2 = bytes(b).find(b"00db", i2 + 1)
+        if i2 < 0:
+            break
+        # skip the idx1 entries, which reuse the fourcc (their second
+        # field is the 0x10 keyframe flag, not the frame size)
+        if int.from_bytes(b[i2 + 4:i2 + 8], "little") != stride * h:
+            continue
+        body = bytes(b[i2 + 8 : i2 + 8 + stride * h])
+        a = np.frombuffer(body, np.uint8).reshape(h, stride)[::-1]
+        b[i2 + 8 : i2 + 8 + stride * h] = a.tobytes()
+    out = _decode_avi_mjpeg_frames(bytes(b))
+    assert out is not None and [fr for _, fr in out[2]] == frames
+
+
+def test_dib_avi_hostile_quarantines():
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _avi_encode_dib,
+        _avi_encode_mjpeg,
+    )
+
+    frames = [bytes(16 * 8 * 3)]
+    good = _avi_encode_dib(frames, 16, 8)
+    assert _decode_avi_mjpeg_frames(good) is not None
+    # short frame chunk: quarantine, not a crash
+    cut = bytearray(good)
+    at = bytes(cut).find(b"00db") + 4
+    cut[at:at + 4] = (8).to_bytes(4, "little")
+    assert _decode_avi_mjpeg_frames(bytes(cut)) is None
+    # 16-bpp DIB: unsupported depth quarantines (not NotImplementedError)
+    d16 = _avi_encode_mjpeg([b"\x00" * 64], 4, 4, handler=b"DIB ",
+                            compression=bytes(4), chunk_suffix=b"db",
+                            bitcount=16)
+    assert _decode_avi_mjpeg_frames(d16) is None
+    # blank handler + BI_RGB compression: still the DIB route
+    blank = _avi_encode_mjpeg(
+        [bytes(((16 * 3 + 3) // 4 * 4) * 8)], 16, 8,
+        handler=b"\x00\x00\x00\x00", compression=bytes(4),
+        chunk_suffix=b"db")
+    assert _decode_avi_mjpeg_frames(blank) is not None
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_bitflipped_dib_avi_never_raises(flips):
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _avi_encode_dib,
+    )
+
+    frames = [bytes((15 + 3 * f + j) % 256 for j in range(16 * 8 * 3))
+              for f in range(3)]
+    payload = bytearray(_avi_encode_dib(frames, 16, 8))
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    try:
+        out = _decode_avi_mjpeg_frames(bytes(payload))
+    except NotImplementedError:
+        return  # a flip can rewrite the codec tags: the honest seam
+    assert out is None or (out[0] > 0 and out[1] > 0)

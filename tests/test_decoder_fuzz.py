@@ -395,6 +395,7 @@ def test_tiff_lzw_two_phase_equals_scalar(cap, runs, rng):
 
 def _valid_avis() -> list[bytes]:
     from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _avi_encode_dib,
         _avi_encode_mjpeg,
     )
 
@@ -413,6 +414,11 @@ def _valid_avis() -> list[bytes]:
             for f in range(1 + i % 6)
         ]
         out.append(_avi_encode_mjpeg(frames, w, h))
+        # DIB route (late r13): mutations reach the strf-geometry gate
+        # and the row-unpad/flip path
+        out.append(_avi_encode_dib(
+            [bytes((i + 3 * f + j) % 256 for j in range(w * h * 3))
+             for f in range(1 + i % 6)], w, h))
     return out
 
 
