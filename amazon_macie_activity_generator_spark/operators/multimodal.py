@@ -44,7 +44,10 @@ otherwise. The AUDIO leg is real too: ``extract_audio_features`` decodes
 RIFF/WAVE PCM — integer (8-bit unsigned-centered / 16 / 24 sign-extended
 / 32-bit), IEEE float (fmt 3, 32/64-bit, mapped onto the 16-bit integer
 lattice), and WAVE_FORMAT_EXTENSIBLE wrappers around either (round 11) —
-mono+multichannel, truncation-tolerant, 16M-sample bomb guard — and
+plus the sibling containers AIFF (big-endian IFF, signed 8-bit, 80-bit
+extended-float rate) and Sun/NeXT .au (late round 13), all off the same
+entry point — mono+multichannel, truncation-tolerant, 16M-sample bomb
+guard — and
 emits exact int64 stats (sample_sum / abs_peak / duration) plus a
 float64 rms; narrow features out, never the samples. And the
 MULTI-FRAME leg: ``sample_frames(decode_stub=False)`` decodes animated
@@ -54,8 +57,10 @@ frame is the composited screen, GCE-timestamped, work and memory
 bounded by a cumulative pixel budget) and samples frames at ``every_ms``
 boundaries — and, round 12, MJPEG-in-AVI for real (RIFF chunk walk +
 the in-repo JPEG decoder, dwMicroSecPerFrame timestamps, same pixel
-budget); containers that genuinely need ffmpeg (ISO-BMFF/EBML, AVIs
-declaring a non-MJPEG codec) raise NotImplementedError — that seam
+budget), and, late round 13, uncompressed DIB AVI (bottom-up padded
+BGR frames at the strf geometry — the second real AVI codec);
+containers that genuinely need ffmpeg (ISO-BMFF/EBML, AVIs declaring a
+compressed non-MJPEG codec) raise NotImplementedError — that seam
 stays loud. Arithmetic-coded/
 12-bit/hierarchical JPEG quarantines (baseline + progressive together
 cover effectively all crawl JPEGs; arithmetic coding is patent-era rare
