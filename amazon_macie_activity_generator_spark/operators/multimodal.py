@@ -182,7 +182,7 @@ def _parse_image_dims(b: bytes | None) -> tuple[int, int] | None:
                 int.from_bytes(b[6:8], "little"),
                 int.from_bytes(b[8:10], "little"),
             )
-        if b[:2] in (b"P3", b"P6"):  # PPM: ASCII header, '#' comments
+        if b[:2] in (b"P3", b"P5", b"P6"):  # netpbm: ASCII header
             toks: list[int] = []
             for line in b[2:64].split(b"\n"):
                 body = line.split(b"#", 1)[0]
@@ -2380,8 +2380,13 @@ def _decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes] | None:
 
 
 def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
-    if len(b) < 10 or b[:2] != b"P6":
+    """P6 (binary RGB) and, late r13, P5 (binary grayscale, expanded
+    g -> (g, g, g) like the other gray lanes) netpbm decode. maxval
+    must be 255; '#' comments and the exact one-whitespace separator
+    rule apply to both."""
+    if len(b) < 10 or b[:2] not in (b"P5", b"P6"):
         return None
+    gray = b[:2] == b"P5"
     # header: three whitespace-separated ints, '#' comments to end-of-line
     toks: list[int] = []
     i, n = 2, len(b)
@@ -2410,6 +2415,13 @@ def _decode_ppm_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     if b[i] not in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
         return None
     i += 1
+    if gray:
+        if i + w * h > n:
+            return None
+        import numpy as np
+
+        px = np.frombuffer(b, np.uint8, count=w * h, offset=i)
+        return w, h, np.repeat(px, 3).tobytes()
     if i + w * h * 3 > n:
         return None
     return w, h, b[i : i + w * h * 3]
@@ -2894,8 +2906,10 @@ def _tiff_diff(seg: bytes, npx: int, spp: int) -> bytes:
 def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     """Baseline TIFF (round 13) -> (w, h, top-down RGB) or None.
     Accepted: both byte orders (II/MM), chunky 8-bit RGB (photometric
-    2, 3 samples) and grayscale (photometric 1, 1 sample — expanded to
-    RGB), compression 1 (none), 5 (LZW, early-change per spec
+    2, 3 samples), grayscale (photometric 1, 1 sample — expanded to
+    RGB; photometric 0 = WhiteIsZero inverts first, the fax/scan
+    convention), palette color (photometric 3 + ColorMap, late r13),
+    compression 1 (none), 5 (LZW, early-change per spec
     section 13) or 32773 (PackBits), predictor 1 or 2 (horizontal
     differencing, tag 317), and either strip organization (any
     RowsPerStrip) or tile organization (tags 322-325, edge tiles
@@ -2974,8 +2988,8 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         if photo != 6 or spp != 3 or pred != 1:
             return None
     elif not ((photo == 2 and spp == 3)
-              or (photo in (1, 3) and spp == 1)):
-        return None
+              or (photo in (0, 1, 3) and spp == 1)):
+        return None  # photo 0 = WhiteIsZero: inverted grayscale
     cmap = None
     if photo == 3:
         # palette-color: ColorMap (tag 320) is 3 x 2^bps 16-bit values,
@@ -3085,6 +3099,8 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         if cmap is not None:
             return w, h, np.stack(
                 [cmap[0][px], cmap[1][px], cmap[2][px]], axis=1).tobytes()
+        if photo == 0:  # WhiteIsZero: 0 is white, max is black
+            px = 255 - px
         return w, h, np.repeat(px, 3).tobytes()
     return w, h, out
 
@@ -4226,7 +4242,7 @@ def decode_pixels_bytes(b: bytes | None) -> tuple[str, int, int, bytes] | None:
         if b[:2] == b"BM":
             out = _decode_bmp_pixels(b)
             return ("bmp",) + out if out else None
-        if b[:2] == b"P6":
+        if b[:2] in (b"P5", b"P6"):
             out = _decode_ppm_pixels(b)
             return ("ppm",) + out if out else None
         if b[:8] == b"\x89PNG\r\n\x1a\n":

@@ -1904,3 +1904,63 @@ def test_bitflipped_palette_bmp_never_raises(flips):
         out = decode_pixels_bytes(bytes(payload))
         assert out is None or (len(out) == 4 and
                                len(out[3]) == out[1] * out[2] * 3)
+
+
+# --------------------------------------- P5 + WhiteIsZero (late r13)
+
+
+def test_pgm_p5_grayscale_decodes():
+    """P5 (binary grayscale netpbm) expands g -> (g, g, g); header
+    rules (comments, exact one-whitespace separator, maxval 255) match
+    the P6 lane."""
+    w, h = 7, 4
+    gray = bytes((11 * j + 3) % 256 for j in range(w * h))
+    f = b"P5\n# scan\n%d %d\n255\n" % (w, h) + gray
+    out = decode_pixels_bytes(f)
+    assert out == ("ppm", w, h,
+                   b"".join(bytes((g, g, g)) for g in gray))
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _parse_image_dims,
+    )
+    assert _parse_image_dims(f) == (w, h)
+    # short data / wrong maxval quarantine
+    assert decode_pixels_bytes(f[:-3]) is None
+    assert decode_pixels_bytes(f.replace(b"255", b"65535", 1)) is None
+
+
+def test_tiff_white_is_zero_inverts():
+    """Photometric 0 (the fax/scan convention): stored 0 is white, so
+    the decode inverts before the gray expansion."""
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+    )
+
+    w, h = 6, 3
+    gray = bytes((17 * j + 9) % 256 for j in range(w * h))
+
+    def build(photo: int) -> bytes:
+        bo = "little"
+        def u16(v): return v.to_bytes(2, bo)
+        def u32(v): return v.to_bytes(4, bo)
+        entries = [
+            (256, 3, 1, u16(w) + b"\x00\x00"),
+            (257, 3, 1, u16(h) + b"\x00\x00"),
+            (258, 3, 1, u16(8) + b"\x00\x00"),
+            (259, 3, 1, u16(1) + b"\x00\x00"),
+            (262, 3, 1, u16(photo) + b"\x00\x00"),
+            (273, 4, 1, u32(8 + 2 + 12 * 8 + 4)),
+            (277, 3, 1, u16(1) + b"\x00\x00"),
+            (279, 4, 1, u32(len(gray))),
+        ]
+        g = bytearray(b"II\x2a\x00" + u32(8) + u16(len(entries)))
+        for tag, typ, cnt, val in entries:
+            g += u16(tag) + u16(typ) + u32(cnt) + val
+        g += u32(0) + gray
+        return bytes(g)
+
+    black_is_zero = _decode_tiff_pixels(build(1))
+    white_is_zero = _decode_tiff_pixels(build(0))
+    assert black_is_zero == (
+        w, h, b"".join(bytes((g, g, g)) for g in gray))
+    assert white_is_zero == (
+        w, h, b"".join(bytes((255 - g,) * 3) for g in gray))
