@@ -2984,8 +2984,13 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     if comp == 7:
         # new-style JPEG: the embedded stream does sampling + color
-        # conversion itself; predictor differencing never applies
-        if photo != 6 or spp != 3 or pred != 1:
+        # conversion itself; predictor differencing never applies.
+        # photometric 6 = YCbCr color; photometric 1 = grayscale
+        # (1-component streams — the scanned-document case). Either
+        # way the in-repo JPEG decoder hands back RGB, so the
+        # assembly below runs at 3 bytes/pixel regardless of spp.
+        if not ((photo == 6 and spp == 3) or (photo == 1 and spp == 1)) \
+                or pred != 1:
             return None
     elif not ((photo == 2 and spp == 3)
               or (photo in (0, 1, 3) and spp == 1)):
@@ -3013,6 +3018,8 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         if len(tb) < 4 or tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
             return None
         jtables = tb[2:-2]
+
+    osp = 3 if comp == 7 else spp  # comp-7 segments decode to RGB
 
     def segment(off: int, cnt: int, want: int,
                 sw: int = 0, sh: int = 0) -> bytes | None:
@@ -3059,9 +3066,9 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         down = (h + th - 1) // th
         if across * down != len(offsets):
             return None
-        img = np.zeros((h, w, spp), np.uint8)
+        img = np.zeros((h, w, osp), np.uint8)
         for t, (off, cnt) in enumerate(zip(offsets, counts)):
-            seg = segment(off, cnt, tw * th * spp, tw, th)
+            seg = segment(off, cnt, tw * th * osp, tw, th)
             if seg is None:
                 return None
             if pred == 2:
@@ -3069,7 +3076,7 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             tr, tc = divmod(t, across)
             rows = min(th, h - tr * th)
             cols = min(tw, w - tc * tw)
-            tile = np.frombuffer(seg, np.uint8).reshape(th, tw, spp)
+            tile = np.frombuffer(seg, np.uint8).reshape(th, tw, osp)
             img[tr * th : tr * th + rows, tc * tw : tc * tw + cols] = \
                 tile[:rows, :cols]
         out = img.tobytes()
@@ -3085,16 +3092,16 @@ def _decode_tiff_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         buf = bytearray()
         for s, (off, cnt) in enumerate(zip(offsets, counts)):
             rows = min(rps, h - s * rps)
-            seg = segment(off, cnt, rows * w * spp, w, rows)
+            seg = segment(off, cnt, rows * w * osp, w, rows)
             if seg is None:
                 return None
             if pred == 2:
                 seg = _tiff_undiff(seg, rows, w, spp)
             buf += seg
-        if len(buf) != w * h * spp:
+        if len(buf) != w * h * osp:
             return None
         out = bytes(buf)
-    if spp == 1:
+    if spp == 1 and comp != 7:  # comp-7 gray is already RGB
         px = np.frombuffer(out, np.uint8)
         if cmap is not None:
             return w, h, np.stack(
@@ -3161,7 +3168,8 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
                  big_endian: bool = False, rows_per_strip: int = 0,
                  lzw: bool = False, predictor2: bool = False,
                  tile: int = 0, jpeg_segments: list | None = None,
-                 jpeg_tables: bytes = b"", palette: bytes | None = None) -> bytes:
+                 jpeg_tables: bytes = b"", palette: bytes | None = None,
+                 jpeg_gray: bool = False) -> bytes:
     """TIFF writer twin of :func:`_decode_tiff_pixels`: chunky 8-bit
     RGB, II or MM byte order, compression 1 / 5 (LZW) / 32773
     (PackBits), optional predictor 2 (horizontal differencing, applied
@@ -3183,7 +3191,8 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
     import numpy as np
 
     bo = "big" if big_endian else "little"
-    spp = 1 if palette is not None else 3
+    spp = 1 if (palette is not None
+                or (jpeg_segments is not None and jpeg_gray)) else 3
 
     def pack(chunk: bytes, npx_row: int) -> bytes:
         if predictor2:
@@ -3238,7 +3247,8 @@ def _tiff_encode(raw_rgb: bytes, w: int, h: int, packbits: bool = False,
         (258, 3, spp, inline16(8) if spp == 1 else "bps"),
         (259, 3, 1, inline16(comp_tag)),
         (262, 3, 1, inline16(
-            6 if comp_tag == 7 else (3 if palette is not None else 2))),
+            (1 if jpeg_gray else 6) if comp_tag == 7
+            else (3 if palette is not None else 2))),
         (277, 3, 1, inline16(spp)),
         (284, 3, 1, inline16(1)),
     ]

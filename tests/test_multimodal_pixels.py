@@ -1964,3 +1964,47 @@ def test_tiff_white_is_zero_inverts():
         w, h, b"".join(bytes((g, g, g)) for g in gray))
     assert white_is_zero == (
         w, h, b"".join(bytes((255 - g,) * 3) for g in gray))
+
+
+def test_tiff_jpeg_grayscale_strips_roundtrip():
+    """Grayscale JPEG-in-TIFF (photometric 1, 1-component streams —
+    the scanned-document layout): single-strip and
+    JPEGTables-abbreviated per-8-row strips both decode to the bare
+    stream's RGB expansion; photometric 0 with compression 7
+    quarantines."""
+    from amazon_macie_activity_generator_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        jpeg_encode_dc_only,
+    )
+    from amazon_macie_activity_generator_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _jpeg_abbreviate,
+        _tiff_encode,
+    )
+
+    for i in (4, 9, 22):
+        w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+        nb = (w // 8) * (h // 8)
+        dcs = [[(i + 7 * b) % 64 - 32 for b in range(nb)]]
+        full = jpeg_encode_dc_only(w, h, dcs)
+        ref = decode_jpeg_pixels(full)[2]
+        t1 = _tiff_encode(b"", w, h, rows_per_strip=h,
+                          jpeg_segments=[full], jpeg_gray=True)
+        assert _decode_tiff_pixels(t1) == (w, h, ref), i
+        bpr = w // 8
+        segs = [jpeg_encode_dc_only(w, 8, [dcs[0][s * bpr:(s + 1) * bpr]])
+                for s in range(h // 8)]
+        jt = _jpeg_abbreviate(segs[0])[0]
+        ab = [_jpeg_abbreviate(s)[1] for s in segs]
+        t2 = _tiff_encode(b"", w, h, rows_per_strip=8, jpeg_segments=ab,
+                          jpeg_tables=jt, jpeg_gray=True,
+                          big_endian=i % 2 == 1)
+        assert _decode_tiff_pixels(t2) == (w, h, ref), i
+    # photometric 0 + compression 7: not a defined combination here
+    tb = bytearray(t1)
+    n = int.from_bytes(tb[8:10], "little")
+    for k in range(n):
+        e = 10 + 12 * k
+        if int.from_bytes(tb[e:e + 2], "little") == 262:
+            tb[e + 8:e + 10] = (0).to_bytes(2, "little")
+    assert _decode_tiff_pixels(bytes(tb)) is None
