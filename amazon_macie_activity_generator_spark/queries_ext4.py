@@ -48,9 +48,10 @@ Scale notes (local[32] tests, 1000-executor design):
   rest.
 - ``chi2_source_lang``: two grouped counts plus a margins join on tiny
   (source x lang) frames — broadcast all the way.
-- ``copurchase_pairs``: the self-join is keyed on l_orderkey, so pair
+- ``copurchase_pairs``: pairs explode in-task from each order's sorted
+  distinct-part set (one order-keyed shuffle, no self-join — r13); pair
   fan-out is bounded by max order width (7 lineitems in TPC-H-ish data),
-  keeping the join linear in lineitem count.
+  keeping generation linear in lineitem count.
 """
 
 from __future__ import annotations
@@ -566,20 +567,50 @@ GROUP BY source
 # copurchase_pairs — item-item co-occurrence graph projection
 # --------------------------------------------------------------------------
 
-def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 part pairs by number of orders containing both: distinct
-    (order, part) pairs self-joined on the order key with p1 < p2, then a
-    map-side-combinable pair count and a TakeOrdered top-20. Fan-out per
-    order is C(width, 2) with width <= 7 in this schema, so the join
-    stays linear in lineitem count; at 100 TB the order-keyed shuffle is
-    the only data movement."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
+def _order_part_pairs(li: DataFrame) -> DataFrame:
+    """One row per (order, unordered part pair): (p1, p2) with p1 < p2
+    for every order containing both parts — the multiset the three
+    co-purchase graph queries previously built as
+    ``op JOIN op ON l_orderkey`` over the distinct (order, part)
+    projection.
+
+    r13 (guide §2.4): the self-join planned as TWO parquet scans + TWO
+    distinct-aggregate shuffles of the same projection feeding a
+    broadcast/sort-merge join. ``collect_set`` per order is the same
+    dedup as ``dropDuplicates`` (l_partkey is non-null in this schema)
+    in ONE scan + ONE order-keyed shuffle with map-side partial
+    aggregation, and the C(w, 2) pair fan-out happens in-task over the
+    sorted set (w <= 7 in TPC-H-shaped data, so the explode is O(1) per
+    order). At 100 TB this halves the scans and shuffles AND removes the
+    join: the old plan's broadcast side was op itself — order-count
+    sized, un-broadcastable at scale, where it would degrade to a
+    sort-merge join shuffling the projection a third time."""
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+    )
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by number of orders containing both: per-order
+    distinct-part pair explode (``_order_part_pairs``), then a
+    map-side-combinable pair count and a TakeOrdered top-20. Fan-out per
+    order is C(width, 2) with width <= 7 in this schema, so pair
+    generation stays linear in lineitem count; at 100 TB the order-keyed
+    shuffle is the only data movement."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        _order_part_pairs(li)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("p1"), F.asc("p2"))
@@ -618,18 +649,17 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     with node-id tiebreak."""
     d = 0.85
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = _order_part_pairs(li)
     begin_scope("pagerank_copurchase", spark)
     edges = scoped_persist(
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
         .repartition("src")
         .dropDuplicates(),
         "pagerank_copurchase",
-    )  # symmetric by construction; persisted AND hash-partitioned on src:
+    )  # symmetric by construction (each unordered pair emitted in both
+    # directions before the dedup — identical to the old src != dst
+    # self-join's edge set); persisted AND hash-partitioned on src:
     # the cached partitioning is reused by the degree aggregate and by
     # every iteration's contribution join, so each iteration shuffles
     # only the node-sized rank table, never the edge list (measured
@@ -764,59 +794,68 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench timer; the adjacency-intersection closure is what brought the
     honest number down from ~19 s (wedge-shuffle form)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").dropDuplicates()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = _order_part_pairs(li)
     begin_scope("triangle_count", spark)
-    und = scoped_persist(
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .repartition("p1")
-        .dropDuplicates(),
-        "triangle_count",
-        # barrier: the order-keyed self-join is the expensive
-        # stage and feeds BOTH the degree aggregate and the orientation
-        # join — uncached it runs twice more.
-        # repartition("p1") BEFORE dropDuplicates: HashPartitioning(p1)
-        # satisfies the (p1, p2) dedup distribution, so the dedup runs on
-        # that one exchange AND the cached table is already partitioned
-        # for the p1-keyed orientation join — one edge shuffle, not two.
+    # Symmetric directed edge list: both directions of every unordered
+    # pair, deduped on the one src-keyed exchange (repartition BEFORE
+    # dropDuplicates: HashPartitioning(src) satisfies the (src, dst)
+    # dedup distribution, so dedup AND the adjacency groupBy below run
+    # on that single shuffle).
+    sym = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .repartition("src")
+        .dropDuplicates()
     )
-    deg = scoped_persist(
-        und.select(F.col("p1").alias("p"))
-        .unionAll(und.select(F.col("p2").alias("p")))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d")),
-        "triangle_count",
-    )  # node-sized; read by both orientation joins + n_nodes
-    # Orient low-degree -> high-degree; p1 < p2 already, so the id
-    # tiebreak is "p1 first when degrees are equal".
-    lo_first = F.col("d1") <= F.col("d2")
-    edges = scoped_persist(
-        und.join(deg.select(F.col("p").alias("p1"), F.col("d").alias("d1")), "p1")
-        .join(deg.select(F.col("p").alias("p2"), F.col("d").alias("d2")), "p2")
+    # r13 (guide §2.4): orientation WITHOUT the two node-table joins.
+    # The old plan attached degrees by joining und with deg twice (four
+    # exchanges + a separate deg union-aggregate shuffle). Instead, each
+    # node's degree is the SIZE of its own neighbor list, and shipping
+    # (src, deg_src) along every exploded edge lets the dst side gather
+    # every neighbor's degree next to its own — one edge-sized shuffle
+    # replaces deg + both joins. Orientation: edge points from the
+    # endpoint with the smaller (degree, id) to the larger, exactly the
+    # old `d1 <= d2` rule with the p1 < p2 id tiebreak.
+    nbr_deg = (
+        sym.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .select("src", F.size("nbrs").alias("d"), F.explode("nbrs").alias("dst"))
+    )
+    out_adj = scoped_persist(
+        nbr_deg.repartition("dst")
+        .groupBy("dst")
+        .agg(
+            F.collect_list(F.struct(F.col("d"), F.col("src").alias("n"))).alias("nd")
+        )
         .select(
-            F.when(lo_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
-            F.when(lo_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+            F.col("dst").alias("node"),
+            F.expr(
+                "transform(filter(nd, s -> s.d > size(nd) OR "
+                "(s.d = size(nd) AND s.n > dst)), s -> s.n)"
+            ).alias("out"),
         ),
         "triangle_count",
-    )  # barrier: the edge list feeds three joins + a count
-    # Edge-iterator with sorted adjacency intersection: triangle x≺y≺z is
-    # counted once at its lowest edge (x,y) as |out(x) ∩ out(y)|. This
-    # never materializes the wedge set (49M rows at sf0.1) through a
-    # shuffle — each edge row carries two adjacency arrays whose length
-    # degree orientation caps at O(sqrt(m)), and the intersect is one
-    # JVM-side expression over sorted arrays.
-    adj = edges.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )  # barrier: out-adjacency feeds the node/edge counts AND both tri
+    # join sides; degree orientation caps |out| at O(sqrt(m)), so a
+    # power-law hub never yields O(d^2) wedges.
+    # Edge-iterator with adjacency intersection: triangle x≺y≺z (in the
+    # (deg, id) order) is counted once at its lowest edge (x,y) as
+    # |out(x) ∩ out(y)|. One self-join on the oriented edge's head —
+    # the exploded side carries out(x) along, so no second adjacency
+    # join — and the intersect is one JVM-side expression; the wedge set
+    # (49M rows at sf0.1) never materializes through a shuffle.
     tri_cnt = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")), "u")
-        .join(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")), "v")
-        .select(F.size(F.array_intersect("nu", "nv")).alias("t"))
+        out_adj.select(
+            F.col("node").alias("x"), F.col("out").alias("ox"),
+            F.explode("out").alias("y"),
+        )
+        .join(out_adj.select(F.col("node").alias("y"), F.col("out").alias("oy")), "y")
+        .select(F.size(F.array_intersect("ox", "oy")).alias("t"))
     )
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_nodes = out_adj.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = out_adj.agg(
+        F.coalesce(F.sum(F.size("out")), F.lit(0)).cast("long").alias("n_edges")
+    )
     n_tri = tri_cnt.agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
     )

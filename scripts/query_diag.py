@@ -10,8 +10,6 @@ AppStatusStore, attributing work via a per-query job group. Also dumps
 Usage:
     python scripts/query_diag.py [--plans before] [name ...]
 """
-from __future__ import annotations
-
 import json
 import os
 import sys
@@ -76,7 +74,9 @@ def main() -> None:
 
         njobs = nstages = ntasks = 0
         sread = swrite = 0
-        jit = store.jobsList(None).iterator()
+        empty_j = sc._jvm.java.util.ArrayList()
+        empty_s = sc._jvm.java.util.ArrayList()
+        jit = store.jobsList(empty_j).iterator()
         stage_ids = set()
         while jit.hasNext():
             j = jit.next()
@@ -88,7 +88,13 @@ def main() -> None:
                 while sit.hasNext():
                     stage_ids.add(sit.next())
         nstages = len(stage_ids)
-        stit = store.stageList(None).iterator()
+        # Spark 4.1 signature: stageList(statuses, details, withSummaries,
+        # unsortedQuantiles, taskStatus)
+        stit = store.stageList(
+            empty_s, False, False,
+            sc._gateway.new_array(sc._jvm.double, 0),
+            sc._jvm.java.util.ArrayList(),
+        ).iterator()
         while stit.hasNext():
             s = stit.next()
             if s.stageId() in stage_ids:

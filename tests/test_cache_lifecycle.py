@@ -79,7 +79,7 @@ def test_repeat_invocations_bounded(spark, sf_dir):
     # per-scope accounting matches: one invocation's worth each
     assert len(scope_frames("bpe_merges")) == 3  # t1, t2, t3
     assert len(scope_frames("bpe_encode")) == 4  # t1..t4 (doc_id carried)
-    assert len(scope_frames("triangle_count")) == 3  # und, deg, edges
+    assert len(scope_frames("triangle_count")) == 1  # out_adj (r13 form)
     release_all()
     assert _drain_to(spark, baseline) <= baseline
 

@@ -483,22 +483,23 @@ def test_copurchase_join_keyed_on_order(spark, sf_dir):
 
 
 def test_triangle_count_degree_oriented_and_lazy(spark, sf_dir):
-    """The wedge join must consume the DEGREE-oriented edge list: the
-    degree aggregate (count per endpoint) has to appear upstream of the
-    persisted edges that feed the wedge/closure joins, and building the
-    DataFrame must stay lazy (no eager .count() at construction — the
-    census is a broadcast cross-join of single-row aggregates). All
-    joins keyed, never cartesian on the big side."""
+    """The closure join must consume the DEGREE-oriented out-adjacency:
+    the r13 orientation filters each node's gathered (neighbor, degree)
+    list against its own degree (= list size) — no node-table join — and
+    building the DataFrame must stay lazy (no eager .count() at
+    construction — the census is a broadcast cross-join of single-row
+    aggregates). All joins keyed, never cartesian on the big side."""
     fn, _ = QUERIES["triangle_count"]
     df = fn(spark, sf_dir)
     plan = _plan(df)
     # lazy census: one row out of three combined single-row aggregates
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
-    # degree orientation: the oriented edge list is cached; its build
-    # plan carries the per-endpoint count aggregate and the CASE pick
+    # degree orientation: the oriented out-adjacency is cached; its
+    # build plan carries the (degree, id)-vs-own-size lambda filter
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "CASE WHEN (d1 <= d2)" in analyzed or "CASE WHEN (d1#" in analyzed
+    assert "size(nd" in analyzed and "filter(nd" in analyzed
+    assert "array_intersect" in analyzed
     assert df.schema.simpleString() == (
         "struct<n_nodes:bigint,n_edges:bigint,n_triangles:bigint>"
     )
