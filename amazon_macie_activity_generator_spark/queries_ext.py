@@ -45,7 +45,7 @@ from amazon_macie_activity_generator_spark.operators.text import (
     quality_features,
 )
 from amazon_macie_activity_generator_spark.operators.dedup import JAVA_WS
-from amazon_macie_activity_generator_spark.sources.tables import load_table
+from amazon_macie_activity_generator_spark.sources.tables import load_table, spread_small_scan
 
 # DuckDB fragment: whitespace tokens of lowercased text — the single
 # source is co-located with tokens_expr in operators.dedup.
@@ -658,8 +658,10 @@ FROM tok GROUP BY lang
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 — per-doc quality features + composite score."""
-    docs = load_table(spark, sf_dir, "documents")
+    """X4 — per-doc quality features + composite score. Map-only; the
+    scan is conditionally spread (r13) because the local single-row-
+    group file otherwise pins the whole tokenize to one task."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return quality_features(docs).select(
         "doc_id", "n_tokens", "n_bpe_tokens", "mean_token_len",
         "punct_ratio", "stopword_ratio", "quality_score",
@@ -699,8 +701,9 @@ FROM feat
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 — heuristic stopword-vote language ID."""
-    docs = load_table(spark, sf_dir, "documents")
+    """X4 — heuristic stopword-vote language ID. Map-only; scan spread
+    conditionally (r13, see spread_small_scan)."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", "lang", lang_id_expr(F.col("text")).alias("lang_pred"))
 
 
@@ -741,7 +744,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_redact,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     # coalesce(doc_id, 0) in the plant arithmetic: Spark format_string
     # renders a NULL int as the string 'null' (and would then COUNT the
     # 'usernull@example.com' plant) while DuckDB printf nulls the whole
@@ -1155,14 +1158,22 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # r13: every route's encode+decode is Python CPU behind mapInPandas,
+    # and the table arrives as ONE input split locally — unspread, the
+    # whole LZW/JPEG/DIB per-frame decode ran on a single core (measured
+    # 4 tasks total). An id-sized repartition is the cheapest possible
+    # spread (the heavy bytes are GENERATED after the exchange).
+    par = spark.sparkContext.defaultParallelism
     stub_media = documents_as_media(
-        docs.filter(F.col("doc_id") % 4 != 3), kind="video")
+        docs.filter(F.col("doc_id") % 4 != 3).repartition(par, "doc_id"),
+        kind="video")
     stub = sample_frames(stub_media, every_ms=1000, max_frames=8).select(
         "media_id", "frame_idx", "ts_ms",
         F.lit(-1).cast("long").alias("frame_sum"),
     )
     gif_media = synthetic_gif_media(
-        docs.filter(F.col("doc_id") % 8 == 3).select("doc_id"))
+        docs.filter(F.col("doc_id") % 8 == 3).select("doc_id")
+        .repartition(par, "doc_id"))
     real_gif = sample_frames(
         gif_media, every_ms=1000, max_frames=8, decode_stub=False,
     ).select(
@@ -1170,7 +1181,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_FRAME_SUM_EXPR).alias("frame_sum"),
     )
     avi_media = synthetic_avi_media(
-        docs.filter(F.col("doc_id") % 8 == 7).select("doc_id"))
+        docs.filter(F.col("doc_id") % 8 == 7).select("doc_id")
+        .repartition(par, "doc_id"))
     real_avi = sample_frames(
         avi_media, every_ms=1000, max_frames=8, decode_stub=False,
     ).select(
@@ -1287,7 +1299,7 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = dead job), and plain TRY_CAST twins diverge because DuckDB
     rounds decimal text and parses hex (see module docstring there).
     """
-    events = load_table(spark, sf_dir, "events")
+    events = spread_small_scan(load_table(spark, sf_dir, "events"), "event_id")
     return events.select(
         "event_id",
         extract_int_prop("props", "$.k").alias("k"),
@@ -1350,7 +1362,7 @@ def q_fake_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only: content is hash-derived, format asserted in tests)."""
     from amazon_macie_activity_generator_spark.functions.fake import fake_document
 
-    events = load_table(spark, sf_dir, "events")
+    events = spread_small_scan(load_table(spark, sf_dir, "events"), "event_id")
     doc = fake_document(
         F.col("event_id"),
         fake_types=["ssn", "itin", "email", "sentence", "phone_number"],
@@ -1945,7 +1957,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     # no key, no canonical identity: the pick-one window orders by
     # doc_id, and the engines disagree on NULL sort position — a NULL-id
     # duplicate would be kept by Spark (NULLS FIRST) and dropped by the

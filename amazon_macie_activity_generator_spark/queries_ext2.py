@@ -58,7 +58,7 @@ from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_pers
 from amazon_macie_activity_generator_spark.functions.rounding import sql_round_fixed
 from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
 from amazon_macie_activity_generator_spark.operators.interpolate import MAX_GRID_SLOTS
-from amazon_macie_activity_generator_spark.sources.tables import load_table
+from amazon_macie_activity_generator_spark.sources.tables import load_table, spread_small_scan
 
 # DuckDB fragment: whitespace tokens of lowercased text — import the
 # single source (co-located with tokens_expr), never re-declare.
@@ -174,7 +174,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, avgdl, per-term df) come from one single-row aggregate that is
     crossJoin-broadcast back onto the docs — the 100 TB plan is two scans
     and a TakeOrdered top-k, never a global sort."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).withColumn(
         "__toks", tokens_expr(F.col("text"))
     )
     def _tf(term: str):
@@ -303,7 +305,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-token ratio and the share of the single most frequent token.
     Expressed as explode -> two-level aggregate so the token counting is a
     map-side-combinable groupBy, not a per-row O(vocab*len) array scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
     per_token = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
     return (

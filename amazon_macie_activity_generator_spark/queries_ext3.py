@@ -69,7 +69,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from amazon_macie_activity_generator_spark.sources.tables import load_table
+from amazon_macie_activity_generator_spark.sources.tables import load_table, spread_small_scan
 
 
 # --------------------------------------------------------------------------
@@ -120,7 +120,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch) pairs (bounded by the alphabet), never one row per character.
     Empty fragments from the empty-pattern split are filtered on both
     engines (Spark keeps a trailing '', DuckDB doesn't)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     ch = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
         .filter(F.col("ch") != "")
@@ -851,7 +851,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.select("doc_id", "text")
+    # spread the corpus across cores (r13, the _docs/_emb rule): the
+    # 16-hash md5 signature projection is the CPU cost and the table
+    # arrives as one input split locally; the (small) batch side stays
+    # on the raw scan — it is broadcast everywhere downstream
+    corpus = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     near = docs.filter(F.col("doc_id") % 100 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near duplicate")).alias("text"),

@@ -410,7 +410,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst task builds (1000/8)^2 ≈ 16k pairs instead of ~500k from one
     1000-df shingle. Pair set identical to the unsalted join; counts are
     exact integers; the divisions are rounded to 6 dp."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the one-input-split table across cores (r13, the _docs
+    # rule): tokenize + shingle explode is the CPU cost and otherwise
+    # runs entirely on the scan's single task
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     grams = docs.select(
         "doc_id", F.explode(word_shingles_expr(F.col("text"), 3)).alias("g")
     ).dropDuplicates(["doc_id", "g"])

@@ -82,7 +82,7 @@ from amazon_macie_activity_generator_spark.functions.rounding import (
     round_fixed,
     sql_round_fixed,
 )
-from amazon_macie_activity_generator_spark.sources.tables import load_table
+from amazon_macie_activity_generator_spark.sources.tables import load_table, spread_small_scan
 
 # shared oracle fragments: the ext5 oracles tokenize/shingle exactly as
 # the ext catalog does — import, don't re-declare, so a tokenizer-regex
@@ -182,13 +182,19 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: neighbor rank breaks ties on (rounded sim desc, vec_id
     asc) inside brute_force_topk; the vote argmax breaks count ties on
     the smaller label. Both rules are mirrored in the oracle.
+
+    r13: the corpus side arrives via ``_emb`` (spread across cores) —
+    the |corpus| x |queries| cosine fold previously ran on the parquet
+    scan's single input split.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 100).select(
+    from amazon_macie_activity_generator_spark.queries_ext import _emb
+
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    queries = emb_raw.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
-    )
-    nbrs = brute_force_topk(emb, queries, k=5)
-    return _knn_vote_accuracy(emb, nbrs)
+    )  # broadcast side: built from the raw scan, no spread shuffle
+    nbrs = brute_force_topk(_emb(spark, sf_dir), queries, k=5)
+    return _knn_vote_accuracy(emb_raw, nbrs)
 
 
 SQL_KNN_CLASSIFY = f"""
@@ -658,7 +664,13 @@ def q_source_overlap(
     consistent with the capped numerator. A no-op below the cap (the
     sf-test corpora have ~20 sources), mirrored exactly in the oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the one-input-split table across cores (r13, the _docs
+    # rule): tokenize + shingle explode is the CPU cost and otherwise
+    # runs entirely on the scan's single task before the distinct's
+    # exchange spreads anything
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     sh_all = (
         docs.select(
             "source", F.explode(word_shingles_expr(F.col("text"), 3)).alias("sh")
@@ -768,17 +780,26 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_expr,
     )
 
+    from amazon_macie_activity_generator_spark.queries_ext import _emb
+
     # NULL vectors out on both sides (brute_force_topk's rule): a NULL
-    # sim inside the struct-max would resolve by engine NULL semantics
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    # sim inside the struct-max would resolve by engine NULL semantics.
+    # _emb spreads the one-input-split table across cores (r13): the
+    # |corpus| x |anchors| fold below is the CPU cost, and unspread it
+    # ran on the scan's single task.
+    emb = _emb(spark, sf_dir).filter(
         F.col("embedding").isNotNull()
     ).withColumn("nrm", norm_expr(F.col("embedding")))
-    anchors = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("label").alias("q_label"),
-        F.col("nrm").alias("qn"),
-    )
+    anchors = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") < 100))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("q_label"),
+            norm_expr(F.col("embedding")).alias("qn"),
+        )
+    )  # broadcast side: built from the raw scan, no spread shuffle
     denom = F.col("nrm") * F.col("qn")
     sim = F.round(
         F.when(denom == 0, F.lit(0.0)).otherwise(
@@ -1191,7 +1212,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     as broadcast one-row/|sources|-row frames. No windows, no pair
     joins, no Python.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     n_words, mean_wl, n_stop = _G.gopher_feature_exprs()
     feat = docs.select(
         "doc_id", "source", "text",
@@ -1703,6 +1724,7 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") < 300)
     )
     media = synthetic_pixel_media(docs.select("doc_id"))
+
     out = decode_pixels(media)
     return out.select(
         "media_id", "fmt", "width", "height", "n_pixels",
@@ -1761,6 +1783,7 @@ def q_multimodal_pixels_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") < 300)
     )
     media = synthetic_palette_media(docs.select("doc_id"))
+
     out = decode_pixels(media)
     return out.select(
         "media_id", "fmt", "width", "height", "n_pixels",
@@ -1834,6 +1857,7 @@ def q_multimodal_pixels_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") < 300)
     )
     media = synthetic_jpeg_media(docs.select("doc_id"))
+
     out = decode_pixels(media)
     return out.select(
         "media_id", "fmt", "width", "height", "n_pixels",
@@ -1934,6 +1958,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") < 400)
     )
     media = synthetic_audio_media(docs.select("doc_id"))
+
     return extract_audio_features(media)
 
 

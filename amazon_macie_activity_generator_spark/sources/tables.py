@@ -62,6 +62,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
+    """Hash-spread a CPU-heavy projection's input ONLY when the scan
+    cannot provide parallelism itself (r13, guide §2.5 "input skew:
+    one huge unsplittable file → repartition immediately after the
+    read").
+
+    The driver tables are single-row-group parquet files — physically
+    unsplittable, so locally every map-only pipeline over them runs on
+    ONE task regardless of core count. At real scale the inputs are
+    many splittable files, ``getNumPartitions() >= defaultParallelism``
+    holds, and this returns the scan UNCHANGED — the zero-shuffle
+    map-only plan shape is preserved exactly where it matters. The
+    condition is derived from the actual scan layout, not a constant
+    tuned for either environment."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= par:
+        return df
+    return df.repartition(par, key)
+
+
 def _load_via_arrow(spark: SparkSession, path: str) -> DataFrame:
     """Fallback: pyarrow read + ns->us cast, then parallelize. Only for
     the small driver tables — at real scale the data lands as us-precision

@@ -691,3 +691,24 @@ def test_bpe_merges_per_round_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spread_small_scan_is_conditional(spark, sf_dir):
+    """spread_small_scan must repartition ONLY when the scan cannot
+    provide parallelism itself: a single-row-group local file gets the
+    hash spread; an input already at or above defaultParallelism is
+    returned unchanged (the zero-shuffle map-only shape at scale)."""
+    from amazon_macie_activity_generator_spark.sources.tables import (
+        load_table,
+        spread_small_scan,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    spread = spread_small_scan(docs, "doc_id")
+    assert spread.rdd.getNumPartitions() == par
+    assert "repartitionbyexpression" in spread._jdf.queryExecution() \
+        .logical().toString().lower()
+    # already-parallel input: no exchange added, plan returned as-is
+    wide = docs.repartition(par, "doc_id")
+    assert spread_small_scan(wide, "doc_id") is wide
