@@ -320,9 +320,17 @@ def lsh_scored_candidates(
             dot_expr(F.col(vec_col), F.col("__qvec")) / denom),
         4,
     )
-    return cand.select(
-        query_id_col, id_col, *corpus_carry, sim.alias("sim")
-    ).dropDuplicates([query_id_col, id_col])
+    # repartition BEFORE dropDuplicates (r13, guide §2.4):
+    # HashPartitioning(query_id) satisfies the (query_id, id) dedup
+    # clustering AND every consumer's downstream distribution — the
+    # top-k window and the vote/argmax aggregates all key on query_id —
+    # so the pipeline runs on ONE candidate shuffle instead of a
+    # (query_id, id) dedup exchange followed by a query_id re-shuffle.
+    return (
+        cand.select(query_id_col, id_col, *corpus_carry, sim.alias("sim"))
+        .repartition(query_id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
 
 
 def lsh_bucket_topk(

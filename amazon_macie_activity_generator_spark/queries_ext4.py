@@ -661,6 +661,11 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
         .repartition("src")
         .dropDuplicates(),
+        # (r13: a sortWithinPartitions("src") sorted-persist was measured
+        # here and REVERTED — the contribution join plans as a
+        # BroadcastHashJoin of the node-sized rank table over the cached
+        # edges, so no edge-side sort exists to skip and the build-time
+        # sort was pure cost.)
         "pagerank_copurchase",
     )  # symmetric by construction (each unordered pair emitted in both
     # directions before the dedup — identical to the old src != dst
@@ -684,35 +689,45 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pagerank_copurchase",
     )
-    # Lazy persist per iteration: each rank table is read twice by the
-    # next iteration (contribution join + rank update), so the cache
-    # bounds recompute, and with a FIXED iteration count the 3-deep
-    # lineage is cheap to analyze — no localCheckpoint needed. Unlike
-    # (local)checkpoint, persist keeps the build phase action-free:
-    # under AQE even localCheckpoint(eager=False) materializes every
-    # prior stage when the next checkpoint is created, which ran the
-    # whole PageRank at DataFrame-build time, outside the bench timer.
-    # Data-dependent convergence loops (operators/dedup.py label
-    # propagation) still need the checkpoint form.
+    # Lazy persist per iteration: the rank table seeds the next
+    # iteration's contribution join, so the cache bounds recompute, and
+    # with a FIXED iteration count the 3-deep lineage is cheap to
+    # analyze — no localCheckpoint needed. Unlike (local)checkpoint,
+    # persist keeps the build phase action-free: under AQE even
+    # localCheckpoint(eager=False) materializes every prior stage when
+    # the next checkpoint is created, which ran the whole PageRank at
+    # DataFrame-build time, outside the bench timer. Data-dependent
+    # convergence loops (operators/dedup.py label propagation) still
+    # need the checkpoint form.
+    #
+    # r13 (guide §2.4): the separate rank-UPDATE join is gone. The old
+    # step joined contributions back onto the rank table (LeftOuter,
+    # V-sized both sides — a Sort+Exchange pair per iteration, and the
+    # cached rank table re-shuffled each time). In THIS graph the gather
+    # side can rebuild the whole rank row itself: edges are symmetric,
+    # so every node has >= 1 incoming edge and appears in the gather
+    # (the old left join's NULL branch was dead code), each (src, dst)
+    # is distinct so count(*) per dst IS deg(dst), and n_nodes rides
+    # the contribution rows. One keyed join + one map-side-combinable
+    # aggregation per iteration — nothing else. Identical math, same
+    # 12-dp round per iteration (float-sum order inside sum(c) is the
+    # same partition-order jitter the round already absorbs).
     for _ in range(3):
-        contrib = (
+        ranks = scoped_persist(
             edges.join(
-                ranks.select(F.col("node").alias("src"),
-                             (F.col("rank") / F.col("deg")).alias("c")),
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                    "n_nodes",
+                ),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("inbound"))
-        )
-        ranks = scoped_persist(
-            ranks.select("node", "deg", "n_nodes")
-            .join(contrib, "node", "left")
-            .select(
-                "node", "deg", "n_nodes",
+            .agg(
+                F.count(F.lit(1)).alias("deg"),
+                F.max("n_nodes").alias("n_nodes"),
                 F.round(
-                    (1.0 - d) / F.col("n_nodes")
-                    + d * F.coalesce(F.col("inbound"), F.lit(0.0)),
-                    12,
+                    (1.0 - d) / F.max("n_nodes") + d * F.sum("c"), 12
                 ).alias("rank"),
             ),
             "pagerank_copurchase",
