@@ -158,43 +158,54 @@ def _banded_self_pairs(
     n_salt: int = 8,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from an (id, band, bh) bucket table,
-    with the giant-bucket skew guard the LSH join needs at scale: buckets
-    larger than ``heavy_bucket`` (boilerplate / exact-duplicate docs — a
-    bucket of d identical docs forms d^2/2 pairs in ONE task; at the
-    512 default the unsalted worst task builds ~131k pairs, trivially
-    fine, while anything bigger splits) go through
-    a two-sided salted join, splitting each such bucket into ``n_salt``
-    hash cells so pairs form per (band, bh, salt_a, salt_b) cell. Pair
-    set identical to the plain self-join (same construction as
-    queries_ext4.dedup_containment's heavy-gram path)."""
-    from pyspark.sql import Window
+    with the giant-bucket skew guard the LSH join needs at scale.
 
+    r13 (guide §2.4): bucket membership is gathered with ONE
+    (band, bh)-keyed aggregation — ``sort_array(collect_list(id))`` —
+    and pairs explode in-task over the sorted list (the
+    ``_order_part_pairs`` construction, queries_ext4.py). The previous
+    form tagged bucket sizes with a partitioned window and SELF-JOINED
+    the banded table on (band, bh): one shuffle for the window plus a
+    re-shuffle of each join side. This form shuffles the banded table
+    once, with map-side partial aggregation, and forms the same pairs
+    with no join at all. In-task fan-out is bounded by
+    C(``heavy_bucket``, 2) (~131k pairs at the 512 default, trivially
+    fine); buckets larger than ``heavy_bucket`` (boilerplate /
+    exact-duplicate docs — a bucket of d identical docs forms d^2/2
+    pairs) are re-exploded to rows and go through the two-sided salted
+    join, splitting each such bucket into ``n_salt`` hash cells so pairs
+    form per (band, bh, salt_a, salt_b) cell. Pair set identical to the
+    plain self-join (pinned by tests/test_ext3.py::
+    test_banded_self_pairs_salted_branch_equivalence)."""
     from amazon_macie_activity_generator_spark.cache import scoped_persist
 
-    # bucket size via a PARTITIONED window — one shuffle of the narrow
-    # banded table, no separate aggregate + join. Persist barrier: the
-    # size-tagged table feeds all four pair-join sides (uncached, each
-    # side would recompute banded and the size pass). Lifecycle: tracked
-    # in cache.py's registry, newest 4 kept (incremental dedup holds two
-    # live banded tables in one plan); release_all()/clearCache() drops
-    # the rest in a long-lived service.
-    tagged = scoped_persist(
-        banded.withColumn(
-            "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+    # Persist barrier: the grouped bucket table feeds the light pair
+    # explode and both salted heavy sides (uncached, each consumer would
+    # recompute banded and the aggregation). Lifecycle: tracked in
+    # cache.py's registry, newest 4 kept; release_all()/clearCache()
+    # drops the rest in a long-lived service.
+    grouped = scoped_persist(
+        banded.groupBy("band", "bh").agg(
+            F.sort_array(F.collect_list("id")).alias("ids")
         ),
         "_banded_self_pairs",
         keep=4,
     )
-    light = tagged.filter(F.col("bsz") <= heavy_bucket)
-    heavy = tagged.filter(F.col("bsz") > heavy_bucket)
     light_pairs = (
-        light.alias("l")
-        .join(
-            light.alias("r"),
-            on=[F.col("l.band") == F.col("r.band"), F.col("l.bh") == F.col("r.bh"),
-                F.col("l.id") < F.col("r.id")],
+        grouped.filter(F.size("ids") <= heavy_bucket)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("pr")
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .select("pr.id_a", "pr.id_b")
+    )
+    heavy = grouped.filter(F.size("ids") > heavy_bucket).select(
+        "band", "bh", F.explode("ids").alias("id")
     )
 
     def _salt(c):

@@ -651,56 +651,78 @@ def q_source_overlap(
     the number of distinct 3-word shingles they share and the Jaccard of
     their shingle sets. Pairs with zero shared shingles are omitted.
 
-    The self-join is keyed on the shingle, so pair formation is bounded
-    per shingle by (#sources containing it)^2 — never an all-pairs
-    product over documents. That square is the residual risk at a
-    million-source corpus: one boilerplate shingle present in every
-    source would form |sources|^2 pairs in a single task. The df-cap
-    guard (dedup_containment's posting-list cap, queries_ext4.py)
-    bounds it: shingles spanning more than ``source_df_cap`` sources are
-    dropped from BOTH the pair join and the per-source totals — such
-    shingles carry no dedup signal (they are corpus-wide boilerplate),
-    and excluding them from the Jaccard denominator keeps the ratio
-    consistent with the capped numerator. A no-op below the cap (the
-    sf-test corpora have ~20 sources), mirrored exactly in the oracle.
+    Pair formation is bounded per shingle by C(#sources containing it, 2)
+    — never an all-pairs product over documents. That square is the
+    residual risk at a million-source corpus: one boilerplate shingle
+    present in every source would form |sources|^2 pairs in a single
+    task. The df-cap guard (dedup_containment's posting-list cap,
+    queries_ext4.py) bounds it: shingles spanning more than
+    ``source_df_cap`` sources are dropped from BOTH the pair explode and
+    the per-source totals — such shingles carry no dedup signal (they
+    are corpus-wide boilerplate), and excluding them from the Jaccard
+    denominator keeps the ratio consistent with the capped numerator. A
+    no-op below the cap (the sf-test corpora have ~20 sources), mirrored
+    exactly in the oracle.
+
+    r13 (guide §2.4): the per-shingle source set is gathered with ONE
+    (shingle)-keyed ``collect_set`` aggregation and pairs explode
+    in-task over the sorted set (the ``_order_part_pairs``
+    construction). The previous form — distinct (source, shingle) rows,
+    a df-count aggregate joined back as the cap filter, then a
+    shingle-keyed SELF-JOIN — shuffled the fat shingle strings four
+    times (distinct, df aggregate, both join sides); this shuffles them
+    once, the distinct folds into the set-union semantics of
+    ``collect_set``, the cap filter is ``size(ss) <= cap`` on the
+    aggregate itself, and the per-source totals explode from the same
+    persisted set table. In-task fan-out is C(|ss|, 2) <= C(cap, 2),
+    exactly the old per-shingle join bound.
     """
     # spread the one-input-split table across cores (r13, the _docs
     # rule): tokenize + shingle explode is the CPU cost and otherwise
-    # runs entirely on the scan's single task before the distinct's
+    # runs entirely on the scan's single task before the aggregate's
     # exchange spreads anything
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sh_all = (
+    from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
+
+    # persist barrier: the capped per-shingle source-set table feeds the
+    # pair explode AND the totals explode — uncached each consumer
+    # replays tokenize+explode+aggregate
+    begin_scope("source_overlap", spark)
+    srcs = scoped_persist(
         docs.select(
             "source", F.explode(word_shingles_expr(F.col("text"), 3)).alias("sh")
         )
-        .distinct()
-    )
-    from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
-
-    df_tbl = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf"))
-    # persist barrier (the dedup_containment rule): the capped shingle
-    # table feeds both pair-join sides AND the totals aggregate — uncached
-    # each consumer replays tokenize+explode+distinct+df-join
-    begin_scope("source_overlap", spark)
-    sh = scoped_persist(
-        sh_all.join(df_tbl.filter(F.col("sdf") <= source_df_cap).select("sh"), "sh"),
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") <= source_df_cap),
         "source_overlap",
     )
-    a, b = sh.alias("a"), sh.alias("b")
     pairs = (
-        a.join(b, "sh")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+        srcs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS sa, y AS sb))))"
+                )
+            ).alias("pr")
         )
-        # (source, shingle) rows are distinct, so count(*) IS the number
-        # of distinct shared shingles
+        .groupBy(
+            F.col("pr.sa").alias("source_a"),
+            F.col("pr.sb").alias("source_b"),
+        )
+        # source sets are sets, so each co-occurring pair appears once
+        # per shared shingle: count(*) IS the number of distinct shared
+        # shingles
         .agg(F.count("*").alias("n_shared"))
     )
-    totals = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    totals = (
+        srcs.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sh"))
+    )
     ta = totals.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
     tb = totals.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
     jac = F.round(
