@@ -385,7 +385,14 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_type", "p_size"
     ).filter(F.col("p_name").rlike(r"^[\x20-\x7E]*\z"))
-    a = part.select(
+    # r13 (guide §2.5 input skew): the part table is ONE input split
+    # locally, and with the block side broadcast the whole quadratic
+    # levenshtein loop ran on that single scan task. Spread the stream
+    # side only (spread_small_scan is a no-op at real scale, where the
+    # scan itself provides the splits); the broadcast side stays the raw
+    # scan — no spread shuffle on a table that is about to be collected
+    # anyway. Measured min-of-3 at sf0.1: 1.02 -> 0.22 s.
+    a = spread_small_scan(part, "p_partkey").select(
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
         "p_type", "p_size",
     )
@@ -394,7 +401,7 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type", "p_size",
     )
     return (
-        a.join(b, ["p_type", "p_size"])
+        a.join(F.broadcast(b), ["p_type", "p_size"])
         .filter(F.col("key_a") < F.col("key_b"))
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("edit_dist") <= 4)
@@ -695,7 +702,13 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     checker would build at corpus scale."""
     from amazon_macie_activity_generator_spark.operators.dedup import tokens_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.5 input skew): the md5-per-gram transform runs in the
+    # scan stage, which is ONE task locally (single-split parquet) — the
+    # spread is a no-op at real scale and unlocks all cores here.
+    # Measured min-of-3 at sf0.1: 1.14 -> 0.32 s.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tk"))
     n_grams = F.size("tk") - (_WIN_K - 1)
     # sequence(1, 0) yields the DESCENDING [1, 0] and slice(tk, 0, k) is an

@@ -64,7 +64,7 @@ from amazon_macie_activity_generator_spark.operators.dedup import (
     tokens_expr,
     word_shingles_expr,
 )
-from amazon_macie_activity_generator_spark.sources.tables import load_table
+from amazon_macie_activity_generator_spark.sources.tables import load_table, spread_small_scan
 
 from amazon_macie_activity_generator_spark.operators.dedup import (  # noqa: E402
     DUCK_TOKS_SQL as _DUCK_TOKS4,
@@ -967,7 +967,9 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds — a doc at 1.9999996 rounds to 2.0 and passes in BOTH
     engines; zero-token docs get mean_word_len = 0.0 (Spark's aggregate
     seed; the oracle coalesces DuckDB's NULL list_sum([]) to 0)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.5): the gopher feature exprs tokenize in the scan
+    # stage; spread is a no-op at real scale
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     n_words, mean_wl, n_stop = gopher_feature_exprs()
     flags = docs.select(
         "doc_id",

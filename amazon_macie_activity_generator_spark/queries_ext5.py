@@ -561,7 +561,9 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Raffel et al. '20 remove repeated three-sentence spans; tokens stand
     in for sentences here because the corpus has no punctuation).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.5): tokenize+chunk-explode runs in the scan stage;
+    # spread is a no-op at real scale
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = tokens_expr(F.col("text"))
     n_full = F.floor(F.size("tk") / _CHUNK).cast("int")
     # sequence(0, -1) would yield [0, -1] (negative step), so gate on >= 1 chunk
