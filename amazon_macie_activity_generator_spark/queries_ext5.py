@@ -692,13 +692,25 @@ def q_source_overlap(
     # pair explode AND the totals explode — uncached each consumer
     # replays tokenize+explode+aggregate
     begin_scope("source_overlap", spark)
+    # df semantics pinned to the oracle: its cap counts DISTINCT
+    # (source, shingle) rows, which includes a NULL source once.
+    # collect_set drops NULLs, so count it back explicitly — a NULL
+    # source can never pair (NULL < x is NULL) or match the totals
+    # joins, but it must still push a shingle over the cap exactly as
+    # the oracle's count(*) does. No-op on NULL-free corpora.
     srcs = scoped_persist(
         docs.select(
             "source", F.explode(word_shingles_expr(F.col("text"), 3)).alias("sh")
         )
         .groupBy("sh")
-        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
-        .filter(F.size("ss") <= source_df_cap),
+        .agg(
+            F.sort_array(F.collect_set("source")).alias("ss"),
+            F.max(
+                F.when(F.col("source").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("null_src"),
+        )
+        .filter(F.size("ss") + F.col("null_src") <= source_df_cap)
+        .select("sh", "ss"),
         "source_overlap",
     )
     pairs = (
