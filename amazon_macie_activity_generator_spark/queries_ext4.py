@@ -395,47 +395,87 @@ GROUP BY d.doc_id
 # dedup_containment — asymmetric shingle containment
 # --------------------------------------------------------------------------
 
-def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_containment(
+    spark: SparkSession, sf_dir: str, df_cap: int = 1000, heavy_df: int = 64
+) -> DataFrame:
     """Containment near-dup detection: for document pairs sharing at
     least one distinct 3-word shingle, containment =
     max(|A ∩ B| / |A|, |A ∩ B| / |B|), keeping pairs >= 0.8 — the
     SYMMETRIZED asymmetric measure, so a subset document is caught
     regardless of which side carries the smaller doc_id (one-directional
     shared/|A| with A = lower id misses a contained doc whose id is the
-    larger of the pair). Candidates come from an inverted-index join on
-    the shingle key, posting lists capped at df <= 1000 (boilerplate-
-    shingle guard); grams with df > 64 additionally go through a
-    two-sided SALTED pair join — each posting list is split into S=8
-    hash buckets and pairs form per (g, salt_a, salt_b) cell, so the
-    worst task builds (1000/8)^2 ≈ 16k pairs instead of ~500k from one
-    1000-df shingle. Pair set identical to the unsalted join; counts are
-    exact integers; the divisions are rounded to 6 dp."""
+    larger of the pair). Candidates come from gathered posting lists:
+    ONE g-keyed ``sort_array(collect_list(doc_id))`` aggregation, capped
+    at df <= 1000 (boilerplate-shingle guard), with light pairs
+    (df <= 64) exploding in-task over the sorted list — no join. Grams
+    with df > 64 go through a two-sided SALTED pair join — each posting
+    list is split into S=8 hash buckets and pairs form per
+    (g, salt_a, salt_b) cell, so the worst task builds (1000/8)^2 ≈ 16k
+    pairs instead of ~500k from one 1000-df shingle. Pair set identical
+    to the plain inverted-index self-join; counts are exact integers;
+    the divisions are rounded to 6 dp."""
     # spread the one-input-split table across cores (r13, the _docs
     # rule): tokenize + shingle explode is the CPU cost and otherwise
     # runs entirely on the scan's single task
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # distinct (doc_id, g) pairs come from array_distinct BEFORE the
+    # explode — in-task, zero shuffle (r13; the old dropDuplicates form
+    # paid a (doc_id, g)-keyed exchange of the full gram table)
     grams = docs.select(
-        "doc_id", F.explode(word_shingles_expr(F.col("text"), 3)).alias("g")
-    ).dropDuplicates(["doc_id", "g"])
-    df_tbl = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    # persist barrier: the capped, df-tagged shingle table feeds the size
-    # table and all four pair-join sides — without it the
-    # tokenize+explode re-runs each time (the "build the index once" rule)
-    begin_scope("dedup_containment", spark)
-    sh = scoped_persist(
-        grams.join(df_tbl.filter(F.col("df") <= 1000), "g"), "dedup_containment"
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles_expr(F.col("text"), 3))).alias("g"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    heavy_df, n_salt = 64, 8
-    light = sh.filter(F.col("df") <= heavy_df)
-    heavy = sh.filter(F.col("df") > heavy_df)
+    # r13 (guide §2.4): gather the posting list per shingle with ONE
+    # g-keyed aggregation — df IS size(ds), so the old separate df
+    # aggregate and the df join back onto the gram table are gone, and
+    # light pairs explode in-task over the sorted list (the
+    # _banded_self_pairs construction) instead of a two-sided self-join.
+    # Persist barrier: the gathered table feeds the size table, the
+    # light explode, and both salted heavy sides.
+    # df semantics pinned to the oracle: its DISTINCT collapses ALL
+    # NULL-id rows of a gram into ONE row (NULLs compare equal there),
+    # which the df cap then counts. collect_list drops NULLs, so count
+    # that one row back explicitly — a NULL-id doc never pairs
+    # (NULL < x is NULL) and never matches the size joins, but it must
+    # push a gram over the 1000 cap exactly as the oracle's count(*)
+    # does. No-op on NULL-id-free corpora.
+    begin_scope("dedup_containment", spark)
+    grouped = scoped_persist(
+        grams.groupBy("g")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds"),
+            F.max(F.col("doc_id").isNull().cast("int")).alias("null_doc"),
+        )
+        .filter(F.size("ds") + F.col("null_doc") <= df_cap)
+        .select("g", "ds"),
+        "dedup_containment",
+    )
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    n_salt = 8
     light_pairs = (
-        light.select(F.col("doc_id").alias("da"), "g")
-        .join(light.select(F.col("doc_id").alias("db"), "g"), "g")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
+        grouped.filter(F.size("ds") <= heavy_df)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS da, y AS db))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.da", "pr.db")
+    )
+    # heavy grams (64 < df <= 1000) keep the two-sided salted join: a
+    # single 1000-df gram would otherwise form its ~500k pairs in one
+    # task; the salt splits it into n_salt^2 cells exactly as before
+    heavy = grouped.filter(F.size("ds") > heavy_df).select(
+        "g", F.explode("ds").alias("doc_id")
     )
 
     def _salt(c):

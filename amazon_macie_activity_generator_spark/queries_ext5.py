@@ -1255,19 +1255,26 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.cast("long").alias("n_tokens"),
         _G.gopher_keep_expr(n_words, mean_wl, n_stop).alias("quality_keep"),
     )
-    canon = (
-        feat.filter(F.col("quality_keep"))
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("canon_id"))
-    )
+    # r13 (guide §2.2): the dedup census is ONE text-partitioned window
+    # — min(doc_id) over quality rows of the same text — instead of a
+    # survivors groupBy(text) plus a full-corpus text-keyed join back
+    # (which shuffled the text column three times: the aggregate, and
+    # both SortMergeJoin sides). min(when(quality, id)) skips non-quality
+    # rows exactly like the old filtered aggregate. NULL-text docs form
+    # one window partition where the join matched nothing, but their
+    # quality_keep is definitively False (gopher features coalesce NULL
+    # text to empty), so dedup_keep is False either way.
+    canon_id = F.min(
+        F.when(F.col("quality_keep"), F.col("doc_id"))
+    ).over(Window.partitionBy("text"))
     # coalesce(.., False), matching the oracle's final coalesce: a
     # NULL-id duplicate compares NULL to its canon and must come out
     # False (not NULL) in both engines — an id-less row is never the
     # canonical copy (min(doc_id) skips NULLs identically in both)
-    with_canon = feat.join(canon, "text", "left").select(
+    with_canon = feat.select(
         "doc_id", "source", "n_tokens", "quality_keep",
         F.coalesce(
-            F.col("quality_keep") & (F.col("doc_id") == F.col("canon_id")),
+            F.col("quality_keep") & (F.col("doc_id") == canon_id),
             F.lit(False),
         ).alias("dedup_keep"),
     )

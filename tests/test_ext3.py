@@ -213,6 +213,42 @@ def test_containment_salted_heavy_path_end_to_end(spark, tmp_path):
     assert all(not (da < 100 and db < 100) for da, db in keyed)
 
 
+def test_containment_null_doc_id_counts_toward_df_cap(spark, tmp_path):
+    """The r13 gathered-posting-list form drops NULL doc_ids from
+    collect_list, but the oracle's DISTINCT collapses a gram's NULL-id
+    rows into ONE row that its df cap then counts. Pin the count-back:
+    with df_cap=3, a gram in 3 id'd docs plus a NULL-id doc has df 4 and
+    must be dropped (no pairs), while the same corpus without the
+    NULL-id doc sits at the cap and keeps its C(3,2) pairs."""
+    import pandas as pd
+
+    from amazon_macie_activity_generator_spark.queries_ext4 import (
+        q_dedup_containment,
+    )
+
+    text = "alpha beta gamma"  # one shingle per doc
+    with_null = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, None], dtype="Int64"),
+        "text": [text] * 4,
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": [len(text)] * 4,
+    })
+    d1 = tmp_path / "with_null"
+    d1.mkdir()
+    with_null.to_parquet(str(d1 / "documents.parquet"))
+    assert q_dedup_containment(spark, str(d1), df_cap=3).count() == 0
+
+    without_null = with_null.iloc[:3]
+    d2 = tmp_path / "without_null"
+    d2.mkdir()
+    without_null.to_parquet(str(d2 / "documents.parquet"))
+    pairs = {
+        (r.da, r.db)
+        for r in q_dedup_containment(spark, str(d2), df_cap=3).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_minhash_salted_giant_bucket_end_to_end(spark, tmp_path):
     """Duplicate-cluster LSH corpus vs the entry's own DuckDB oracle:
     72 exact-duplicate docs land in ONE (band, bh) bucket (below the

@@ -631,15 +631,17 @@ def test_source_overlap_oracle_tracks_cap(spark, sf_dir):
 
 
 def test_training_mix_single_scan_broadcast_totals(spark, sf_dir):
-    """The composed pipeline must stay join-light: the dedup census is a
-    text-keyed grouped aggregation (partial-aggregated), the per-source
-    totals and global max come back broadcast, and nothing drops to
-    Python or a cartesian over documents."""
+    """The composed pipeline must stay join-light: the dedup census is
+    ONE text-partitioned window (r13 — min(doc_id) over quality rows in
+    the same pass, no survivors aggregate + text-keyed join back), the
+    per-source totals and global max come back broadcast, and nothing
+    drops to Python or a cartesian over documents."""
     fn, _ = QUERIES["training_mix"]
     plan = _plan(fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "partial_min" in plan or "partial_count" in plan  # the census
+    assert "Window" in plan  # the census
+    assert "SortMergeJoin" not in plan  # no text-keyed join back
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
