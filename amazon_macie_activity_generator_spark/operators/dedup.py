@@ -345,6 +345,11 @@ def _md5_base_and_bands(
     rows = num_hashes // bands
     from amazon_macie_activity_generator_spark.cache import scoped_persist
 
+    # (r13: an Arrow/hashlib twin of the md5 signature was measured here
+    # and REVERTED — the JVM md5 expression chain runs 0.64 vs 0.72 s on
+    # the isolated stage at sf0.1; unlike the simhash nibble-parse fold,
+    # the minhash expression's cost IS the md5 calls, which codegen runs
+    # as fast as hashlib without the Arrow serialization.)
     base = scoped_persist(
         df.select(
             F.col(id_col).alias("id"),
@@ -554,7 +559,8 @@ def _simhash64_expr(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash64_md5(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """63-bit SimHash from md5 token digests — the ORACLE BRIDGE twin of
     ``simhash64`` (same Charikar vote fold, same 63-bit layout, so
@@ -565,6 +571,14 @@ def simhash64_md5(
     one xxhash64; keep this for correctness anchoring, ``simhash64`` for
     production scale (the ``minhash_signature_md5`` convention).
 
+    ``use_arrow=True`` (r13, guide §4) computes the digests with Python
+    hashlib (byte-identical to JVM md5) and runs the vote fold as the
+    same vectorized Arrow batch kernel as ``_simhash64_arrow`` — the
+    expression form below spent its time in the non-codegen nibble-parse
+    higher-order chain, not in md5 itself. ``use_arrow=False`` keeps the
+    pure-expression fold (same signatures bit-for-bit, asserted in
+    tests/test_arrow_parity.py).
+
     Bit b of a token's vote vector is bit b of its md5 digest, parsed
     nibble-by-nibble with ``// [8,4,2,1] % 2`` arithmetic — no dynamic
     shifts (Spark's shiftright takes only literal amounts), mirrored
@@ -573,6 +587,60 @@ def simhash64_md5(
     ``2*ones > n`` above), so empty-token AND null-text docs fold to
     signature 0 in both paths and both engines (the null coalesce below
     and the oracle's ``coalesce(sig, 0)`` pin the null case)."""
+    if use_arrow:
+        return _simhash64_md5_arrow(df, text_col, id_col)
+    return _simhash64_md5_expr(df, text_col, id_col)
+
+
+def _simhash64_md5_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def md5_vote_fold(tok_lists: pd.Series) -> pd.Series:
+        import hashlib
+
+        # Whole-batch vectorized fold (the _simhash64_arrow structure):
+        # md5-digest every token of the batch into ONE (T, 16) byte
+        # matrix, unpack to bits, and segment-sum per doc with
+        # np.add.reduceat. Hex-nibble bit order == np.unpackbits order:
+        # vote bit b is bit (3 - b%4) of hex nibble b//4, which IS
+        # MSB-first bit b of the digest bytes, so bits[:, :63] maps
+        # 1:1 onto the expression form's [8,4,2,1]-divisor parse.
+        out = np.zeros(len(tok_lists), dtype=np.int64)
+        lens = np.fromiter(
+            (0 if t is None else len(t) for t in tok_lists),
+            dtype=np.int64, count=len(tok_lists),
+        )
+        nz = lens > 0
+        if nz.any():
+            digests = b"".join(
+                hashlib.md5(tok.encode("utf-8")).digest()
+                for toks, n in zip(tok_lists, lens) if n
+                for tok in toks
+            )
+            bits = np.unpackbits(
+                np.frombuffer(digests, dtype=np.uint8).reshape(-1, 16), axis=1
+            )[:, :63]
+            seg_lens = lens[nz]
+            offsets = np.zeros(len(seg_lens), dtype=np.int64)
+            np.cumsum(seg_lens[:-1], out=offsets[1:])
+            ones = np.add.reduceat(bits, offsets, axis=0).astype(np.int64)
+            # votes = ones - zeros = 2*ones - n; bit set iff votes > 0
+            sig = (
+                (2 * ones > seg_lens[:, None]).astype(np.uint64)
+                << np.arange(63, dtype=np.uint64)[None, :]
+            ).sum(axis=1)
+            out[nz] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    toks = F.coalesce(tokens_expr(F.col(text_col)), F.array())
+    return df.select(F.col(id_col).alias("id"), md5_vote_fold(toks).alias("simhash"))
+
+
+def _simhash64_md5_expr(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pure-expression md5 vote fold (see ``simhash64_md5``)."""
     toks_nib = F.transform(
         F.coalesce(tokens_expr(F.col(text_col)), F.array()),
         lambda t: F.element_at(

@@ -23,6 +23,20 @@ def test_simhash_arrow_matches_expression(spark, sf_dir):
     assert (a.simhash >= 0).all()  # bit 63 unused
 
 
+def test_simhash_md5_arrow_matches_expression(spark, sf_dir):
+    """The hashlib-md5 Arrow vote fold (r13) must reproduce the
+    expression form's signatures bit-for-bit — the md5-bridge entries'
+    oracle hashes ride on it. Includes the empty/NULL-text rows of the
+    driver corpus folding to signature 0 in both paths."""
+    from amazon_macie_activity_generator_spark.operators.dedup import simhash64_md5
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = simhash64_md5(docs, use_arrow=True).orderBy("id").toPandas()
+    b = simhash64_md5(docs, use_arrow=False).orderBy("id").toPandas()
+    assert a.equals(b)
+    assert (a.simhash >= 0).all()  # 63-bit layout, bit 63 unused
+
+
 def test_srp_buckets_arrow_matches_expression(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(300)
     mats = [srp_planes(64, 10, "srp0"), srp_planes(64, 10, "srp1")]
