@@ -1378,8 +1378,12 @@ def q_s3_put_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 — one fake S3 object row per unit of datapoint value (rows-only;
     count/shape asserted in tests; T9 zero-skip folded in)."""
     from amazon_macie_activity_generator_spark.sinks.local import s3_put_activity_rows
+    from amazon_macie_activity_generator_spark.sources.tables import spread_small_scan
 
-    events = load_table(spark, sf_dir, "events")
+    # spread the one-input-split scan (r13, the _docs rule): the
+    # explode + per-row fake-document generation is the CPU cost and
+    # otherwise runs entirely on the scan's single task
+    events = spread_small_scan(load_table(spark, sf_dir, "events"), "event_id")
     dp = events.select(
         "event_id", (F.pmod(F.col("value").cast("long"), F.lit(4))).alias("value")
     )
