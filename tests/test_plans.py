@@ -536,13 +536,16 @@ def test_psi_drift_broadcast_stats_and_partial_agg(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_simhash_md5_pure_expression_banded_join(spark, sf_dir):
-    """The md5 vote fold is pure JVM expressions (no Python/Arrow eval in
-    the plan), candidates form via the banded hash join (never a
-    cartesian product), and the pair census partial-aggregates."""
+def test_simhash_md5_arrow_fold_banded_join(spark, sf_dir):
+    """The md5 vote fold runs as ONE vectorized Arrow batch kernel (r13
+    — the old pure-expression nibble-parse chain was the measured
+    bottleneck; never the row-at-a-time BatchEvalPython form), and
+    candidates form via the banded hash join, never a cartesian
+    product."""
     fn, _ = QUERIES["dedup_simhash_md5"]
     plan = _plan(fn(spark, sf_dir))
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the vectorized vote fold
+    assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
