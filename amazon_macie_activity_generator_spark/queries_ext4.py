@@ -722,23 +722,22 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    ranks = scoped_persist(
-        nodes.crossJoin(F.broadcast(n)).select(
-            "node", "deg", "n_nodes",
-            F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("rank"),
-        ),
-        "pagerank_copurchase",
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", "deg", "n_nodes",
+        F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("rank"),
     )
-    # Lazy persist per iteration: the rank table seeds the next
-    # iteration's contribution join, so the cache bounds recompute, and
-    # with a FIXED iteration count the 3-deep lineage is cheap to
-    # analyze — no localCheckpoint needed. Unlike (local)checkpoint,
-    # persist keeps the build phase action-free: under AQE even
-    # localCheckpoint(eager=False) materializes every prior stage when
-    # the next checkpoint is created, which ran the whole PageRank at
-    # DataFrame-build time, outside the bench timer. Data-dependent
-    # convergence loops (operators/dedup.py label propagation) still
-    # need the checkpoint form.
+    # No rank-table persist (r13, guide §2.4/§5): the seed and every
+    # iteration's rank frame have exactly ONE consumer — the next
+    # iteration's broadcast build (the final frame: the top-20 sort) —
+    # so with a single terminal action nothing is ever recomputed and
+    # each scoped_persist only added a cache-fill materialization.
+    # Measured (interleaved, deterministic plan metrics): 21 -> 16
+    # jobs, 58 -> 43 stages, 1477 -> 1132 tasks, 56.7 -> 53.1 MB
+    # shuffle write for the identical result. The 3-deep lineage stays
+    # cheap to analyze because the iteration count is FIXED;
+    # data-dependent convergence loops (operators/dedup.py label
+    # propagation) still need their checkpoint form, and `edges` stays
+    # persisted — it has four consumers (deg + three iteration joins).
     #
     # r13 (guide §2.4): the separate rank-UPDATE join is gone. The old
     # step joined contributions back onto the rank table (LeftOuter,
@@ -753,7 +752,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12-dp round per iteration (float-sum order inside sum(c) is the
     # same partition-order jitter the round already absorbs).
     for _ in range(3):
-        ranks = scoped_persist(
+        ranks = (
             edges.join(
                 ranks.select(
                     F.col("node").alias("src"),
@@ -769,8 +768,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(
                     (1.0 - d) / F.max("n_nodes") + d * F.sum("c"), 12
                 ).alias("rank"),
-            ),
-            "pagerank_copurchase",
+            )
         )
     out = (
         ranks.select("node", F.round("rank", 6).alias("rank"))
