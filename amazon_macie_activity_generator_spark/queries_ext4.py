@@ -240,8 +240,12 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row frames."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(tokens_expr(F.col("text")).alias("tk"))
+    # inline generator child (r13): see q_bigram_logprob — exploding the
+    # projected attribute re-tokenized the corpus inside an inferred
+    # `size(tk) > 0` filter, once per copy of this subtree (three in the
+    # final plan: the two unigram joins and the total).
     uni = (
-        toks.select(F.explode("tk").alias("w"))
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("nw"))
     )
@@ -338,8 +342,15 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
     big = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # explode the tokenize expression INLINE (r13, guide §2.4): exploding
+    # the projected `tk` attribute lets InferFiltersFromGenerate add
+    # `size(tk) > 0 AND isnotnull(tk)` below the Generate, and pushdown
+    # then inlines the whole tokenize expression into that filter — the
+    # unigram branch tokenized every document twice (plan-verified). With
+    # the expression as the generator child the rule does not fire;
+    # explode drops empty arrays anyway, so the rows are identical.
     uni = (
-        toks.select(F.explode("tk").alias("w"))
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
@@ -910,14 +921,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(out_adj.select(F.col("node").alias("y"), F.col("out").alias("oy")), "y")
         .select(F.size(F.array_intersect("ox", "oy")).alias("t"))
     )
-    n_nodes = out_adj.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    n_edges = out_adj.agg(
-        F.coalesce(F.sum(F.size("out")), F.lit(0)).cast("long").alias("n_edges")
+    # node and edge census in ONE aggregate over the cached adjacency
+    # (r13, guide §2.4): the old pair of single-row aggregates scanned
+    # out_adj twice and chained TWO broadcast cross-joins — one extra
+    # sequential broadcast-build job for the identical two numbers.
+    n_ne = out_adj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(F.sum(F.size("out")), F.lit(0)).cast("long").alias("n_edges"),
     )
     n_tri = tri_cnt.agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
     )
-    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
+    return n_ne.crossJoin(F.broadcast(n_tri))
 
 
 SQL_TRIANGLE_COUNT = """
