@@ -142,17 +142,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.array_distinct(_spark_3grams()).alias("grams"),
     ).withColumn("n_grams", F.size("grams"))
-    base_ex = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
-    begin_scope("dedup_ngram_jaccard", spark)
-    probe_ex = scoped_persist(
-        base_ex.filter(F.col("id") % 50 == 0)
-        .withColumnsRenamed({"id": "pid", "n_grams": "p_grams"}),
-        "dedup_ngram_jaccard",
-    )  # the probe set is ~2% of the corpus but its lineage is a
-    # FULL scan (the % filter can't push down); the lazy persist caches it
-    # when the broadcast job runs — an eager count() here would ADD a
-    # build-time corpus scan just to warm the cache the broadcast build
-    # populates anyway
+    # explode_OUTER (r13, guide §2.4/§4.4): plain explode lets
+    # InferFiltersFromGenerate add `size(grams) > 0 AND isnotnull(grams)`
+    # below the Generate, and predicate pushdown then inlines the whole
+    # shingle expression into that filter — the corpus was tokenized
+    # TWICE per row (measured in the plan: 10 inlined shingle subtrees
+    # vs 2). The outer form infers no filter (it drops no rows), and is
+    # semantically identical here: word_shingles_expr never yields an
+    # empty or NULL array (zero-token text folds to ['']), and even if
+    # it did, an outer NULL gram can never equi-join.
+    base_ex = grams.select("id", "n_grams", F.explode_outer("grams").alias("gram"))
+    # No probe persist (r13, the PageRank single-consumer lesson): the
+    # probe side has exactly ONE consumer — the broadcast build below —
+    # so the cache prevented no recompute and only added a cache-fill
+    # write inside that job. The % 50 filter sits below the shingle
+    # projection (it references only doc_id), so the broadcast build
+    # tokenizes just the ~2% probe rows either way.
+    probe_ex = base_ex.filter(F.col("id") % 50 == 0).withColumnsRenamed(
+        {"id": "pid", "n_grams": "p_grams"}
+    )
     inter = (
         base_ex.join(F.broadcast(probe_ex), on="gram")
         .filter(F.col("pid") < F.col("id"))
