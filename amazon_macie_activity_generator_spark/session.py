@@ -16,7 +16,7 @@ def get_spark(app_name: str = "amazon-macie-activity-generator-spark", shuffle_p
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         # AQE: runtime re-planning, partition coalescing, skew-join splitting.
@@ -37,5 +37,18 @@ def get_spark(app_name: str = "amazon-macie-activity-generator-spark", shuffle_p
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    return _apply_extra_conf(builder).getOrCreate()
+
+
+def _apply_extra_conf(builder):
+    """Apply ``$SPARK_GRAFT_EXTRA_CONF`` (``key=value;key=value``) — the
+    parameterization seam for scale-dependent settings (r13, guide §9):
+    local defaults stay untouched so the driver's bench is comparable,
+    and a cluster deployment overrides e.g. the shuffle codec or join
+    preferences per environment instead of editing code."""
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    return builder
