@@ -717,3 +717,55 @@ def test_spread_small_scan_is_conditional(spark, sf_dir):
     # already-parallel input: no exchange added, plan returned as-is
     wide = docs.repartition(par, "doc_id")
     assert spread_small_scan(wide, "doc_id") is wide
+
+
+def test_ngram_jaccard_single_tokenize_no_probe_persist(spark, sf_dir):
+    """dedup_ngram_jaccard (r13): exploding the projected grams column
+    let InferFiltersFromGenerate put `size(grams) > 0` below the
+    Generate, and pushdown then inlined the WHOLE shingle expression
+    into that filter — the corpus tokenized twice per row (10 inlined
+    shingle subtrees in the plan). The outer explode infers no filter;
+    exactly one inlined tokenize per union branch (= 2) may remain. The
+    probe side must NOT persist: its one consumer is the broadcast
+    build, so a cache only added a fill write (the PageRank
+    single-consumer lesson)."""
+    fn, _ = QUERIES["dedup_ngram_jaccard"]
+    plan = _plan(fn(spark, sf_dir))
+    # the tokenize fingerprint: the 3-gram concat_ws/slice lambda chain
+    assert plan.count("concat_ws( , slice") <= 2
+    assert "InMemoryRelation" not in plan  # no probe cache
+    assert "BroadcastHashJoin" in plan     # probe side still broadcasts
+
+
+def test_unigram_branches_tokenize_once(spark, sf_dir):
+    """pmi_collocations / bigram_logprob (r13): the unigram branch must
+    explode the tokenize EXPRESSION inline — exploding the projected
+    attribute re-tokenized every document inside an inferred
+    `size(tk) > 0` filter, once per copy of the subtree in the final
+    plan. Pin: no Filter condition carries a lambda-bearing expression."""
+    for name in ("pmi_collocations", "bigram_logprob"):
+        fn, _ = QUERIES[name]
+        plan = _plan(fn(spark, sf_dir))
+        fat = [ln for ln in plan.splitlines()
+               if ln.startswith("Condition") and "lambdafunction" in ln]
+        assert fat == [], f"{name}: tokenize re-inlined into filters: {fat[:1]}"
+
+
+def test_triangle_census_single_aggregate(spark, sf_dir):
+    """triangle_count (r13): node and edge counts come from ONE combined
+    aggregate over the cached adjacency — two separate single-row
+    aggregates chained an extra sequential broadcast build for the
+    identical numbers. Pin: exactly one nested-loop census join remains
+    (combined counts x triangle total)."""
+    fn, _ = QUERIES["triangle_count"]
+    df = fn(spark, sf_dir)
+    plan = _plan(df)
+    # one census operator: count detail headers like "(46) BroadcastNested…"
+    # (the formatted plan prints each op in the tree AND as a detail block)
+    bnlj_ops = [ln for ln in plan.splitlines()
+                if ln.startswith("(") and "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj_ops) == 1
+    assert df.schema.simpleString() == (
+        "struct<n_nodes:bigint,n_edges:bigint,n_triangles:bigint>"
+    )
+    df.sparkSession.catalog.clearCache()
