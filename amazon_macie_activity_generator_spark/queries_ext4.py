@@ -657,6 +657,38 @@ def _order_part_pairs(li: DataFrame) -> DataFrame:
     )
 
 
+def _order_part_pairs_sym(li: DataFrame) -> DataFrame:
+    """Both directions of every per-order unordered part pair:
+    (src, dst) AND (dst, src) — the symmetric edge multiset pagerank
+    and triangle_count previously built as
+    ``pairs UNION ALL reversed(pairs)``.
+
+    r14 (guide §2.4): that Union planned the ``_order_part_pairs``
+    subtree TWICE — two parquet scans and two order-keyed
+    ObjectHashAggregate exchanges feeding the same downstream dedup
+    (pagerank job timeline showed the two gathers as back-to-back ~1.5 s
+    cache-fill jobs). Emitting struct(x,y) and struct(y,x) from the SAME
+    in-task C(w,2) explode produces the identical multiset — each
+    unordered pair of each order exactly once per direction — with ONE
+    scan and ONE gather shuffle; at 100 TB this halves the heaviest scan
+    and shuffle of the graph family."""
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "flatten(transform(slice(ps, i + 2, size(ps)), "
+                    "y -> array(struct(x AS src, y AS dst), "
+                    "struct(y AS src, x AS dst))))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+
+
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 part pairs by number of orders containing both: per-order
     distinct-part pair explode (``_order_part_pairs``), then a
@@ -705,11 +737,9 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     with node-id tiebreak."""
     d = 0.85
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = _order_part_pairs(li)
     begin_scope("pagerank_copurchase", spark)
     edges = scoped_persist(
-        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        _order_part_pairs_sym(li)
         .repartition("src")
         .dropDuplicates(),
         # (r13: a sortWithinPartitions("src") sorted-persist was measured
@@ -762,6 +792,17 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation per iteration — nothing else. Identical math, same
     # 12-dp round per iteration (float-sum order inside sum(c) is the
     # same partition-order jitter the round already absorbs).
+    # r14 (guide §1/§3.1): an explicit F.broadcast on the rank side was
+    # measured and REVERTED. The unhinted plan broadcasts the CACHED
+    # EDGE LIST (BuildLeft) — which looks inverted (E = 2.39M rows vs
+    # V = 20k at sf0.1) but wins because the identical edge broadcast
+    # is built ONCE and reused by all three iterations (ReusedExchange),
+    # while a broadcast rank table differs per iteration and forces
+    # three sequential non-reusable broadcast builds of the full
+    # iteration lineage (measured: 8.3 s -> 10.4 s, 14 -> 17 jobs).
+    # At cluster scale the planner's size estimate flips the build side
+    # to the V-sized rank table on its own — exactly the case the
+    # estimate-driven default handles and a hint would pin wrongly.
     for _ in range(3):
         ranks = (
             edges.join(
@@ -863,16 +904,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench timer; the adjacency-intersection closure is what brought the
     honest number down from ~19 s (wedge-shuffle form)."""
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = _order_part_pairs(li)
     begin_scope("triangle_count", spark)
     # Symmetric directed edge list: both directions of every unordered
-    # pair, deduped on the one src-keyed exchange (repartition BEFORE
-    # dropDuplicates: HashPartitioning(src) satisfies the (src, dst)
-    # dedup distribution, so dedup AND the adjacency groupBy below run
-    # on that single shuffle).
+    # pair in ONE scan + gather (_order_part_pairs_sym, r14), deduped on
+    # the one src-keyed exchange (repartition BEFORE dropDuplicates:
+    # HashPartitioning(src) satisfies the (src, dst) dedup distribution,
+    # so dedup AND the adjacency groupBy below run on that single
+    # shuffle).
     sym = (
-        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        _order_part_pairs_sym(li)
         .repartition("src")
         .dropDuplicates()
     )

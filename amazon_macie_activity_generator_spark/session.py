@@ -46,9 +46,23 @@ def _apply_extra_conf(builder):
     parameterization seam for scale-dependent settings (r13, guide §9):
     local defaults stay untouched so the driver's bench is comparable,
     and a cluster deployment overrides e.g. the shuffle codec or join
-    preferences per environment instead of editing code."""
+    preferences per environment instead of editing code.
+
+    Malformed entries (no ``=`` separator, or an empty key) raise
+    instead of being applied: a typo in a cluster deployment must
+    surface at startup, not silently set ``conf[""]`` or an
+    empty-string value (r14, ADVICE). Note the standard Spark caveat:
+    builder configs only take effect for the session ``getOrCreate()``
+    CREATES — if a SparkSession already exists in the process the extra
+    conf is silently ignored, so set the env var before the first
+    session is built."""
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for kv in filter(None, (p.strip() for p in extra.split(";"))):
-        k, _, v = kv.partition("=")
+        k, sep, v = kv.partition("=")
+        if not sep or not k.strip():
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF: malformed entry {kv!r} "
+                "(expected key=value;key=value)"
+            )
         builder = builder.config(k.strip(), v.strip())
     return builder

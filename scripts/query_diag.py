@@ -4,7 +4,7 @@ For each catalog entry (default: all, or names on argv): build the plan,
 materialize through the noop sink (bench methodology), and report wall
 seconds plus job/stage/task counts and shuffle bytes from the JVM
 AppStatusStore, attributing work via a per-query job group. Also dumps
-``explain('formatted')`` to ``plans/r13/<name>_<suffix>.txt`` when
+``explain('formatted')`` to ``plans/r14/<name>_<suffix>.txt`` when
 ``--plans <suffix>`` is given.
 
 Usage:
@@ -49,7 +49,7 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
 
     store = sc._jsc.sc().statusStore()
-    plans_dir = os.path.join(HERE, "plans", "r13")
+    plans_dir = os.path.join(HERE, "plans", "r14")
     if plan_suffix:
         os.makedirs(plans_dir, exist_ok=True)
 

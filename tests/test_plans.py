@@ -759,13 +759,17 @@ def test_triangle_census_single_aggregate(spark, sf_dir):
     (combined counts x triangle total)."""
     fn, _ = QUERIES["triangle_count"]
     df = fn(spark, sf_dir)
-    plan = _plan(df)
-    # one census operator: count detail headers like "(46) BroadcastNested…"
-    # (the formatted plan prints each op in the tree AND as a detail block)
-    bnlj_ops = [ln for ln in plan.splitlines()
-                if ln.startswith("(") and "BroadcastNestedLoopJoin" in ln]
-    assert len(bnlj_ops) == 1
-    assert df.schema.simpleString() == (
-        "struct<n_nodes:bigint,n_edges:bigint,n_triangles:bigint>"
-    )
-    df.sparkSession.catalog.clearCache()
+    try:
+        plan = _plan(df)
+        # one census operator: count detail headers like "(46) BroadcastNested…"
+        # (the formatted plan prints each op in the tree AND as a detail block)
+        bnlj_ops = [ln for ln in plan.splitlines()
+                    if ln.startswith("(") and "BroadcastNestedLoopJoin" in ln]
+        assert len(bnlj_ops) == 1
+        assert df.schema.simpleString() == (
+            "struct<n_nodes:bigint,n_edges:bigint,n_triangles:bigint>"
+        )
+    finally:
+        # always drop the cached adjacency: a failed assert must not leak
+        # it into later tests sharing the session-scoped Spark fixture
+        df.sparkSession.catalog.clearCache()
