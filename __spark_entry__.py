@@ -47,22 +47,12 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # never-checked entries until a fresh row lands. Keep this tiny and
 # prune entries once a newer round's artifact covers them.
 _CHANGED_AFTER_ROUND: dict[str, int] = {
-    # r13: MS-ADPCM + G.711 lanes folded in (doc_id % 7 in 3/1/6,
-    # previously integer PCM) — the r12 row verified the IMA+PCM-only
-    # grammar; prune once CORRECTNESS_r13 carries the row
-    "multimodal_audio": 12,
-    # r13: TGA/QOI sub-routes folded in (doc_id % 8 in 4/5, previously
-    # BMP/PPM; fmt CASE changed in the oracle) — prune once
-    # CORRECTNESS_r13 carries the row
-    "multimodal_pixels": 12,
-    # r13: JPEG-in-TIFF (compression 7) sub-route folded in
-    # (doc_id % 7 == 3, previously bare JFIF; fmt CASE changed in the
-    # oracle) — prune once CORRECTNESS_r13 carries the row
-    "multimodal_pixels_jpeg": 12,
-    # r13: uncompressed DIB sub-route folded into the AVI slice
-    # (odd doc_id//8, previously MJPEG; new realavidib CTE in the
-    # oracle) — prune once CORRECTNESS_r13 carries the row
-    "multimodal_frames": 12,
+    # r14: the four r13-changed multimodal grammars (audio, pixels,
+    # pixels_jpeg, frames) were pruned — CORRECTNESS_r13 carries green
+    # hash-verified rows for all four, so the window's 50 slots go to
+    # the oldest evidence again. r14's own changes are plan-shape-only
+    # (result-identical, oracle-verified locally at 3 SFs), so nothing
+    # new belongs here.
 }
 
 

@@ -530,7 +530,8 @@ def embedding_near_dup(
     heavy_bucket: int = 4096,
     n_salt: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP bucket self-join +
+    """Embedding-cosine near-duplicate pairs via SRP bucketing (in-task
+    pair explode for normal buckets, salted self-join for giant ones) +
     exact cosine filter. Returns (id_a, id_b, sim).
 
     Scale controls:
@@ -551,14 +552,16 @@ def embedding_near_dup(
       bucket-keyed aggregate (<= 2^planes rows, broadcast back), never a
       window shuffle of the vector-carrying rows."""
     # NULL vectors have no geometry: excluded up front (mirrored as
-    # WHERE embedding IS NOT NULL in the oracle)
-    df = df.filter(F.col(vec_col).isNotNull())
+    # WHERE embedding IS NOT NULL in the oracle). NULL ids are excluded
+    # too — pair-set-equivalent to the old l.id < r.id join condition,
+    # which silently dropped every NULL-id pair.
+    df = df.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     if planes == "auto":
         planes = auto_planes(df.count())
     dim = dim if dim is not None else _infer_dim(df, vec_col)
     budf = srp_buckets_arrow([srp_planes(dim, planes, "srp")])
-    # norm per ROW here, not per pair inside the self-join — the join
-    # side's O(pairs * dim) norm recompute is the dominant redundant work
+    # norm per ROW here, not per pair inside the pair explode — computing
+    # it per PAIR would do O(pairs * dim) redundant work
     from amazon_macie_activity_generator_spark.cache import scoped_persist
 
     base = scoped_persist(
@@ -570,18 +573,36 @@ def embedding_near_dup(
         "embedding_near_dup",
         keep=2,
     )
-    base.count()  # eager: the self-join must read the cache, not race it
+    base.count()  # eager: every downstream branch must read the cache, not race it
     bsz = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
     tagged = base.join(F.broadcast(bsz), "bucket")
-    light = tagged.filter(F.col("bsz") <= heavy_bucket)
     heavy = tagged.filter(F.col("bsz") > heavy_bucket)
-    l, r = light.alias("l"), light.alias("r")
-    light_pairs = l.join(
-        r, on=[F.col("l.bucket") == F.col("r.bucket"), F.col("l.id") < F.col("r.id")]
-    ).select(
-        F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-        F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
-        F.col("l.nrm").alias("na"), F.col("r.nrm").alias("nb"),
+    # r14 (guide §2.4, the _banded_self_pairs construction): light-bucket
+    # pairs come from ONE bucket-keyed sort_array(collect_list) gather +
+    # an in-task C(n,2) explode over the id-sorted member list, instead
+    # of a self-join on bucket — the join shuffled the vector-carrying
+    # rows TWICE (both sides hash(bucket)) and sorted both; the gather
+    # shuffles them once and forms the identical id_a < id_b pair set
+    # in-task. In-task payload is bounded by the bsz tag: only buckets
+    # <= heavy_bucket (4096 default, ~2 MB of 64-dim members) gather;
+    # bigger buckets (near-identical clusters) keep the two-sided salted
+    # join below, so no aggregation buffer ever holds an unbounded
+    # member array.
+    light_pairs = (
+        tagged.filter(F.col("bsz") <= heavy_bucket)
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "v", "nrm"))).alias("ms"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x.id AS id_a, y.id AS id_b, "
+                    "x.v AS va, y.v AS vb, x.nrm AS na, y.nrm AS nb))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.*")
     )
 
     def _salt(c):

@@ -392,7 +392,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
         "label",
     )
-    return embedding_near_dup(emb.unionByName(pert), threshold=0.9, planes=8)
+    # dim pinned to the corpus schema (64): the oracle's plane masks are
+    # 64-dim literals already, and skipping _infer_dim drops an eager
+    # full-corpus aggregation from every build (r14, guide §1.2)
+    return embedding_near_dup(emb.unionByName(pert), threshold=0.9, planes=8, dim=64)
 
 
 def _neardup_mask_values(dim: int = 64, planes: int = 8, salt: str = "srp") -> str:
@@ -512,7 +515,7 @@ def q_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucket_topk(emb, queries, k=5, planes=10)
+    return lsh_bucket_topk(emb, queries, k=5, planes=10, dim=64)
 
 
 def _srp_mask_values(dim: int = 64, planes: int = 10, tables: int = 4) -> str:
@@ -590,7 +593,7 @@ def q_topk_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(emb, queries, k=5).select("query_id", "vec_id")
-    ann = lsh_bucket_topk(emb, queries, k=5, planes=10).select("query_id", "vec_id")
+    ann = lsh_bucket_topk(emb, queries, k=5, planes=10, dim=64).select("query_id", "vec_id")
     overlap = exact.join(ann, ["query_id", "vec_id"], "left_semi")
     return (
         exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
@@ -1821,9 +1824,21 @@ def q_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_queue(slot_rows, qpath)
     write_queue(slot_rows, qpath)
     schema = spark.read.parquet(qpath).schema
+    # r14 (VERDICT item 7, guide §6): this entry is a BULK drain
+    # (availableNow), so it uses the documented bulk mode —
+    # max_files_per_trigger=128 folds the ~64 queue files (two
+    # repartition(t) writes) into one micro-batch instead of ~64, each
+    # of which paid a checkpoint/state commit (~9 s of build per rep
+    # measured; ~0.8 s after). The delivered row SET is identical:
+    # dropDuplicatesWithinWatermark keys on (run_id, t) regardless of
+    # batch boundaries and the result projects only (run_id, t, body) —
+    # hash-verified before/after (cd94e466, 60 rows). The
+    # one-file-per-tick default stays for processing-time cadence
+    # callers (the reference's pacing).
     sq = replay_to_table(
         spark, qpath, schema, os.path.join(work, "delivered"),
         os.path.join(work, "ckpt"), available_now=True,
+        max_files_per_trigger=128,
     )
     sq.awaitTermination(300)
     return spark.read.parquet(os.path.join(work, "delivered")).select("run_id", "t", "body")

@@ -232,7 +232,7 @@ def q_knn_classify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    nbrs = lsh_bucket_topk(emb, queries, k=5, planes=10)
+    nbrs = lsh_bucket_topk(emb, queries, k=5, planes=10, dim=64)
     return _knn_vote_accuracy(emb, nbrs)
 
 
@@ -927,6 +927,7 @@ def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         anchors.select("query_id", "embedding"),
         planes=10,
+        dim=64,
         corpus_carry=("label",),
     )
     cand = scored.join(

@@ -60,13 +60,17 @@ def main() -> None:
     # entries run a convergence loop with per-round early-stop counts,
     # and the IVF/auto-planes paths collect KB-sized model state to embed
     # as plan literals.
-    # min over REPS independent full passes (default 2): single-pass
-    # timings on a shared box carry ~±15% contention noise (the round-5
-    # +17.5% "regression" was box noise), and min-of-N is the standard
-    # de-noise for wall-clock. Each pass rebuilds the plan and re-clears
-    # the cache, so pass 2 never rides pass 1's persisted intermediates —
-    # the min is over like-for-like cold executions.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # min over REPS independent full passes (default 3; 2 through r13):
+    # single-pass timings on a shared box carry ~±15% contention noise
+    # (the round-5 +17.5% "regression" was box noise), and min-of-N is
+    # the standard de-noise for wall-clock. r14 raised the default 2->3
+    # on the r13 verdict's recommendation: the ±20% same-code band at
+    # reps=2 produced four phantom regressions in PERF_r13. Same
+    # methodology (min over independent cold passes), one more sample.
+    # Each pass rebuilds the plan and re-clears the cache, so no pass
+    # ever rides a previous pass's persisted intermediates — the min is
+    # over like-for-like cold executions.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
     for _rep in range(reps):
