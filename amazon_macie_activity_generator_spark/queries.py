@@ -402,9 +402,22 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry shape, main.py:667-709). Composed here as a catalog entry so
     the flagship itself carries a DuckDB value-hash oracle — each stage's
     oracle CTE is the same SQL that hash-matches the stage entry."""
+    from amazon_macie_activity_generator_spark.cache import begin_scope, scoped_persist
+
     events = _events(spark, sf_dir)
     series = events_as_series(events).select("series_id", "t", "value")
-    aligned = zero_fill(spark, series)
+    # r14 (guide §5 reuse): each composed stage consumes its input more
+    # than once (zero_fill reads `series` for the grid max, the distinct
+    # series dimension AND the join; scale_minmax reads `aligned` for
+    # the stats aggregate AND the join), so the unbarriered composition
+    # re-derived the events->window subtree ~12x per plan (24 scan nodes
+    # in plans/r14/flagship_pipeline_before.txt). Persist the two fan-out
+    # points; every downstream branch reads the cache. Lazy persists —
+    # plan barriers + per-partition cache locking, no eager action, so
+    # the bench timer still sees the full cost.
+    begin_scope("flagship_pipeline", spark)
+    series = scoped_persist(series, "flagship_pipeline", keep=2)
+    aligned = scoped_persist(zero_fill(spark, series), "flagship_pipeline", keep=2)
     scaled = scale_minmax(aligned, value_col="value", lo=1, hi=20, by=["series_id"])
     with_anomalies = apply_anomalies(
         scaled.withColumn("value", F.col("value").cast("double")),

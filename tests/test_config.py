@@ -97,3 +97,44 @@ def test_generate_total_on_degenerate_commons(spark, commons):
         "targets": [],
     })
     assert generate(spark, bp, run_id="degen").count() == commons["num_points"]
+
+
+# ------------------------------------------- SPARK_GRAFT_EXTRA_CONF seam
+
+class _FakeBuilder:
+    """Records .config() calls; no Spark needed to test the parser."""
+
+    def __init__(self):
+        self.confs: dict[str, str] = {}
+
+    def config(self, k, v):
+        self.confs[k] = v
+        return self
+
+
+@pytest.mark.parametrize("raw,expected", [
+    ("a.b=1;c.d=2", {"a.b": "1", "c.d": "2"}),
+    ("  a.b = 1 ; ; c.d = x=y ", {"a.b": "1", "c.d": "x=y"}),  # ws trim, empty entry skipped, '=' kept in value
+    ("", {}),
+    ("a.b=", {"a.b": ""}),  # explicit empty value is legal
+])
+def test_apply_extra_conf_parses(monkeypatch, raw, expected):
+    from amazon_macie_activity_generator_spark.session import _apply_extra_conf
+
+    monkeypatch.setenv("SPARK_GRAFT_EXTRA_CONF", raw)
+    b = _FakeBuilder()
+    assert _apply_extra_conf(b) is b
+    assert b.confs == expected
+
+
+@pytest.mark.parametrize("raw", [
+    "a.b",        # no separator: a typo'd entry must not become conf['a.b'] = ''
+    "=v",         # empty key
+    "a.b=1;oops", # malformed entry hiding behind a valid one
+])
+def test_apply_extra_conf_rejects_malformed(monkeypatch, raw):
+    from amazon_macie_activity_generator_spark.session import _apply_extra_conf
+
+    monkeypatch.setenv("SPARK_GRAFT_EXTRA_CONF", raw)
+    with pytest.raises(ValueError, match="SPARK_GRAFT_EXTRA_CONF"):
+        _apply_extra_conf(_FakeBuilder())
