@@ -949,15 +949,26 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # power-law hub never yields O(d^2) wedges.
     # Edge-iterator with adjacency intersection: triangle x≺y≺z (in the
     # (deg, id) order) is counted once at its lowest edge (x,y) as
-    # |out(x) ∩ out(y)|. One self-join on the oriented edge's head —
-    # the exploded side carries out(x) along, so no second adjacency
-    # join — and the intersect is one JVM-side expression; the wedge set
-    # (49M rows at sf0.1) never materializes through a shuffle.
+    # |out(x) ∩ out(y)|; the intersect is one JVM-side expression and
+    # the wedge set (49M rows at sf0.1) never materializes through a
+    # shuffle.
+    #
+    # r14: the oriented edge stream stays NARROW (x, y — 16 B/row) and
+    # out(x)/out(y) attach via TWO adjacency joins, instead of carrying
+    # out(x) along the explode into one join. The carried form's fat
+    # side — E rows × the full ox array ≈ the WEDGE byte volume — got
+    # picked as the broadcast build side from pre-materialization
+    # estimates (BuildLeft in plans/r14/triangle_count_before.txt) and
+    # died at sf1 on the 8 GB broadcast cap
+    # (cannotBroadcastTableOverMaxTableBytes; driver memory irrelevant).
+    # Here both build-side candidates are the V-sized adjacency (total
+    # payload = E longs, ~100x smaller than wedge bytes), broadcastable
+    # to any realistic V; at cluster scale where even V outgrows the
+    # cap, the planner's SMJ fallback shuffles wedge bytes — expensive
+    # but feasible, unlike an over-cap broadcast crash.
     tri_cnt = (
-        out_adj.select(
-            F.col("node").alias("x"), F.col("out").alias("ox"),
-            F.explode("out").alias("y"),
-        )
+        out_adj.select(F.col("node").alias("x"), F.explode("out").alias("y"))
+        .join(out_adj.select(F.col("node").alias("x"), F.col("out").alias("ox")), "x")
         .join(out_adj.select(F.col("node").alias("y"), F.col("out").alias("oy")), "y")
         .select(F.size(F.array_intersect("ox", "oy")).alias("t"))
     )
