@@ -583,6 +583,35 @@ SQL_TOPK_COSINE_LSH = (
 )
 
 
+def _recall_at_5(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """Per-query recall@5 of ``ann`` against ``exact`` (both (query_id,
+    vec_id), duplicate-free by construction — ranked row_number <= k
+    output).
+
+    r14 (guide §2.4): ONE left join + ONE aggregation. The previous form
+    — count exact per query, LEFT-SEMI exact against ann, count the
+    overlap per query, LEFT-OUTER the two counts back together —
+    consumed the exact top-k subtree TWICE (its brute-force cross +
+    window re-ran for each consumer) and paid two extra joins. A left
+    join against duplicate-free ann preserves every exact row exactly
+    once (n_exact = count(*)) and marks the matched ones
+    (n_overlap = count(match)); a query with zero ANN hits gets
+    n_overlap = 0 from the ungrouped count, which is what the old
+    coalesce(0) produced."""
+    marked = ann.select("query_id", "vec_id", F.lit(1).alias("__m"))
+    return (
+        exact.join(marked, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"), F.count("__m").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_exact",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_exact"), 4).alias("recall_at_5"),
+        )
+    )
+
+
 def q_topk_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality measurement as a first-class query: recall@5 of the
     SRP-LSH top-k against exact brute-force top-k, per query vector.
@@ -594,22 +623,7 @@ def q_topk_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = brute_force_topk(emb, queries, k=5).select("query_id", "vec_id")
     ann = lsh_bucket_topk(emb, queries, k=5, planes=10, dim=64).select("query_id", "vec_id")
-    overlap = exact.join(ann, ["query_id", "vec_id"], "left_semi")
-    return (
-        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(
-            overlap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")),
-            "query_id", "left",
-        )
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.round(
-                F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact"), 4
-            ).alias("recall_at_5"),
-        )
-    )
+    return _recall_at_5(exact, ann)
 
 
 SQL_TOPK_RECALL_LSH = (

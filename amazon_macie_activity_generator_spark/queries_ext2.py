@@ -541,22 +541,12 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=5,
     ).select("query_id", "vec_id")
-    overlap = exact.join(ann, ["query_id", "vec_id"], "left_semi")
-    return (
-        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(
-            overlap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")),
-            "query_id", "left",
-        )
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.round(
-                F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact"), 4
-            ).alias("recall_at_5"),
-        )
-    )
+    # r14: one left join + one aggregation (queries_ext._recall_at_5) —
+    # the old two-count/left-semi/left-outer tail re-ran the brute-force
+    # exact subtree for each of its two consumers
+    from amazon_macie_activity_generator_spark.queries_ext import _recall_at_5
+
+    return _recall_at_5(exact, ann)
 
 
 # the load-bearing cross-engine cosine expression — single definition in

@@ -164,3 +164,47 @@ def test_scd2_intervals_chain_per_user(spark, sf_dir):
     assert df.count() == n_events
     opens = df.filter(F.col("valid_to").isNull()).groupBy("user_id").count()
     assert opens.filter(F.col("count") != 1).count() == 0
+
+
+def test_recall_at_5_matches_two_count_formulation(spark):
+    """r14: the fused one-join recall tail (_recall_at_5) must equal the
+    old two-count/left-semi/left-outer formulation on every edge the old
+    code handled — including a query with ZERO ann hits (old path:
+    left-outer NULL -> coalesce(0))."""
+    from amazon_macie_activity_generator_spark.queries_ext import _recall_at_5
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id int, vec_id int",
+    )
+    # q1: partial overlap; q2: zero hits; q3: full overlap; ann rows
+    # outside exact (q1->99) must not count; ann is duplicate-free.
+    ann = spark.createDataFrame(
+        [(1, 10), (1, 99), (3, 30)], "query_id int, vec_id int"
+    )
+    got = {r.query_id: r for r in _recall_at_5(exact, ann).collect()}
+
+    overlap = exact.join(ann, ["query_id", "vec_id"], "left_semi")
+    old = {
+        r.query_id: r
+        for r in exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            overlap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_5"),
+        )
+        .collect()
+    }
+    assert set(got) == set(old) == {1, 2, 3}
+    for q in got:
+        assert got[q] == old[q]
+    assert got[2].n_overlap == 0 and got[2].recall_at_5 == 0.0
